@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (Q3 shape — 3-way star join + two-level
+  aggregation + argmax, the reference's only benchmarked query) at sf0.001.
+- ``queries()``: every implemented operator from SURVEY.md §2 + extensions,
+  as ``(spark, sf_dir) -> DataFrame`` builders.
+- ``oracle_sql()``: matching DuckDB SQL for each oracle-expressible query.
+
+The real inventory lives in ``pinterest_data_pipeline_spark.plans.registry``;
+importing the plan modules below populates it.
 """
 
 from __future__ import annotations
@@ -13,26 +16,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing these modules registers their queries into the shared registry.
+import pinterest_data_pipeline_spark.plans.analog_queries  # noqa: F401
+from pinterest_data_pipeline_spark.plans.registry import ORACLE, QUERIES
+
+try:  # optional modules appear as rounds progress; keep entry importable
+    import pinterest_data_pipeline_spark.plans.relational_ops  # noqa: F401
+except ImportError:
+    pass
+try:
+    import pinterest_data_pipeline_spark.plans.training_data  # noqa: F401
+except ImportError:
+    pass
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pinterest_data_pipeline_spark.plans.analog_queries import (
+        q3a_top_customer_per_nation,
+    )
+
+    return q3a_top_customer_per_nation(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted keys → rows-only check."""
+    return dict(ORACLE)

@@ -1,0 +1,57 @@
+"""Benchmark harness: run the engine's headline queries and print one JSON
+line the driver records as BENCH_r{N}.json.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from pinterest_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="pinterest-pipeline-bench")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM / parquet footer cache with one cheap action so the first
+    # measured query doesn't pay one-time session costs.
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    total_t0 = time.perf_counter()
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()  # full-plan action; results stay distributed
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    total = round(time.perf_counter() - total_t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""The five canonical query SHAPES re-targeted at the driver testdata.
+
+The reference's pin/geo/user tables do not exist in the driver's fixture
+set, so the correctness harness runs each canonical pipeline shape
+(SURVEY.md §2.11) over the TPC-H-ish tables using the FIXTURES.md §B
+mapping: customer⋈nation⋈region plays the 3-way star join, ``year()`` on
+``o_orderdate`` plays the per-year aggregations, ``c_acctbal`` plays the
+follower-count argmax, acctbal buckets play the age ranges. The exact
+reference semantics over pin/geo/user are covered by the fixture tests in
+``tests/`` (generated Pinterest-shaped data).
+
+Scale notes per query are in the builder docstrings; the common pattern:
+aggregate first (partial map-side combine), run the argmax window over the
+small aggregate, broadcast the dimension side of every join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.functions.buckets import value_bucket
+from pinterest_data_pipeline_spark.operators.argmax import top_per_group
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+# Acctbal buckets for the Q4 analog (age_range analog; boundaries chosen to
+# split the [-999, 9999] acctbal domain into 4 non-trivial buckets).
+_BAL_EDGES = [0.0, 3000.0, 7000.0]
+_BAL_LABELS = ["negative", "low", "mid", "high"]
+
+_BAL_BUCKET_SQL = """
+    CASE WHEN c_acctbal IS NULL THEN NULL
+         WHEN c_acctbal < 0.0 THEN 'negative'
+         WHEN c_acctbal < 3000.0 THEN 'low'
+         WHEN c_acctbal < 7000.0 THEN 'mid'
+         ELSE 'high' END
+"""
+
+
+@register(
+    "q1_top_segment_per_nation",
+    oracle="""
+    WITH counts AS (
+        SELECT n_name AS nation, c_mktsegment AS segment,
+               COUNT(*) AS segment_count
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nation, segment, segment_count,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nation
+                   ORDER BY segment_count DESC, segment ASC) AS rn
+        FROM counts
+    )
+    SELECT nation, segment, segment_count FROM ranked WHERE rn = 1
+    """,
+)
+def q1_top_segment_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: join → group-count → argmax per group (README.md:449-466).
+
+    ``nation`` is a 25-row dimension → broadcast join, no shuffle for the
+    join; the only shuffle is the groupBy, partial-aggregated map-side.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "inner"
+    )
+    counts = joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").alias("segment_count"))
+    return top_per_group(
+        counts, ["nation"], [F.desc("segment_count"), F.asc("segment")]
+    ).select("nation", "segment", "segment_count")
+
+
+@register(
+    "q2_top_priority_per_year",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               o_orderpriority AS priority, COUNT(*) AS priority_count
+        FROM orders
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT order_year, priority, priority_count,
+               ROW_NUMBER() OVER (
+                   PARTITION BY order_year
+                   ORDER BY priority_count DESC, priority ASC) AS rn
+        FROM counts
+    )
+    SELECT order_year, priority, priority_count FROM ranked WHERE rn = 1
+    """,
+)
+def q2_top_priority_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: year() derivation → group-count → argmax per year
+    (README.md:474-495). Scan-only + one partial-agg shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("priority_count"))
+    )
+    return top_per_group(
+        counts, ["order_year"], [F.desc("priority_count"), F.asc("priority")]
+    ).select("order_year", "priority", "priority_count")
+
+
+@register(
+    "q3a_top_customer_per_nation",
+    oracle="""
+    WITH per_customer AS (
+        SELECT n_name AS nation, c_name AS customer,
+               MAX(c_acctbal) AS acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nation, customer, acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nation
+                   ORDER BY acctbal DESC, customer ASC) AS rn
+        FROM per_customer
+    )
+    SELECT nation, customer, acctbal FROM ranked WHERE rn = 1
+    """,
+)
+def q3a_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3a shape: 3-way star join → group-max → argmax per group
+    (README.md:504-527). Both dimensions broadcast; the fact side never
+    shuffles for the joins."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "inner"
+    ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "inner")
+    per_customer = joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("c_name").alias("customer")
+    ).agg(F.max("c_acctbal").alias("acctbal"))
+    return top_per_group(
+        per_customer, ["nation"], [F.desc("acctbal"), F.asc("customer")]
+    ).select("nation", "customer", "acctbal")
+
+
+@register(
+    "q3b_top_nation_overall",
+    oracle="""
+    WITH per_customer AS (
+        SELECT n_name AS nation, c_name AS customer,
+               MAX(c_acctbal) AS acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nation, customer, acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nation
+                   ORDER BY acctbal DESC, customer ASC) AS rn
+        FROM per_customer
+    ), per_nation AS (
+        SELECT nation, acctbal FROM ranked WHERE rn = 1
+    )
+    SELECT nation, acctbal FROM per_nation
+    ORDER BY acctbal DESC, nation ASC LIMIT 1
+    """,
+)
+def q3b_top_nation_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3b shape: Q3a → global top-1 (README.md:529-533). The grand
+    aggregate runs over ≤|nations| rows — trivially driver-sized."""
+    q3a = q3a_top_customer_per_nation(spark, sf_dir)
+    return (
+        q3a.orderBy(F.desc("acctbal"), F.asc("nation"))
+        .limit(1)
+        .select("nation", "acctbal")
+    )
+
+
+@register(
+    "q4_top_priority_per_balance_bucket",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT {_BAL_BUCKET_SQL} AS bal_bucket, o_orderpriority AS priority
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), counts AS (
+        SELECT bal_bucket, priority, COUNT(*) AS priority_count
+        FROM bucketed GROUP BY 1, 2
+    ), ranked AS (
+        SELECT bal_bucket, priority, priority_count,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bal_bucket
+                   ORDER BY priority_count DESC, priority ASC) AS rn
+        FROM counts
+    )
+    SELECT bal_bucket, priority, priority_count FROM ranked WHERE rn = 1
+    """,
+)
+def q4_top_priority_per_balance_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: join → bucketing function → group-count → argmax
+    (README.md:546-574). Bucketing is a native CASE WHEN (the reference
+    used a Python UDF — see functions/buckets.py for why we don't)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "inner")
+    counts = (
+        joined.withColumn("bal_bucket", value_bucket("c_acctbal", _BAL_EDGES, _BAL_LABELS))
+        .groupBy("bal_bucket", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("priority_count"))
+    )
+    return top_per_group(
+        counts, ["bal_bucket"], [F.desc("priority_count"), F.asc("priority")]
+    ).select("bal_bucket", "priority", "priority_count")
+
+
+@register(
+    "q5_orders_per_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS order_count
+    FROM orders GROUP BY 1
+    """,
+)
+def q5_orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: year() → group-count (README.md:583-592), no-dedup
+    semantics preserved (counts rows, not distinct users)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .agg(F.count("*").alias("order_count"))
+        .select("order_year", "order_count")
+    )

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a single JVM with N executor threads; on a real cluster the
+same config applies per-executor. AQE is on so post-shuffle partitions are
+coalesced and skew joins split at runtime — the knobs that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "pinterest_data_pipeline_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - ``spark.sql.shuffle.partitions`` ≈ cores for local runs (the 200
+      default over-parallelizes small data and under-parallelizes huge);
+      at cluster scale this is superseded by AQE target sizes.
+    - AQE enabled: runtime partition coalescing + skew-join splitting.
+    - UTC session timezone so timestamp semantics match the DuckDB oracle.
+    - Arrow enabled for the Pandas-UDF slow path.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

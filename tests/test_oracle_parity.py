@@ -1,0 +1,36 @@
+"""Every registered query must match its DuckDB oracle at sf0.001.
+
+This mirrors the driver's CORRECTNESS gate (row count + schema + values)
+so oracle drift is caught locally before a round ends.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_utils import check_query
+
+
+def _query_names() -> list[str]:
+    return sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, sf_dir, name):
+    problems = check_query(spark, name, sf_dir)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["nation", "customer", "acctbal"]
+
+
+def test_every_query_has_callable_and_most_have_oracles():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert qs, "no queries registered"
+    for name in oracles:
+        assert name in qs, f"oracle {name} has no query"
