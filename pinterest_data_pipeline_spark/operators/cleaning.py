@@ -39,7 +39,7 @@ SENTINELS = [
 def null_out_sentinels(df: DataFrame) -> DataFrame:
     """Replace every sentinel dirty value with NULL in all string columns
     (reference README.md:371, ``df.na.replace``)."""
-    return df.na.replace(SENTINELS, None)
+    return df.na.replace({s: None for s in SENTINELS})
 
 
 def expand_follower_count(df: DataFrame, col: str = "follower_count") -> DataFrame:
@@ -64,7 +64,9 @@ def clean_pin(df: DataFrame) -> DataFrame:
     df = null_out_sentinels(df)
     df = expand_follower_count(df)
     df = df.withColumn("downloaded", F.col("downloaded").try_cast("int"))
-    df = df.withColumn("save_location", F.split(F.col("save_location"), " ").getItem(3))
+    # F.get (not .getItem): NULL on out-of-range index even under ANSI mode,
+    # matching the reference's (non-ANSI) NULL semantics for malformed rows.
+    df = df.withColumn("save_location", F.get(F.split(F.col("save_location"), " "), 3))
     df = df.withColumn("index", F.col("index").try_cast("int"))
     df = df.withColumnRenamed("index", "ind")
     return df.select(
