@@ -1,0 +1,892 @@
+"""Generic relational operator matrix over the driver testdata.
+
+One oracle-checked query per operator family from SURVEY.md §2 (scans,
+projections, filters, scalar functions, joins of every type, aggregations,
+sorts/limits, windows, set ops, distinct, pivot/unpivot, JSON, arrays,
+sessionization). Together with the canonical shapes in analog_queries.py
+this is the engine's declared coverage surface.
+
+Cross-engine determinism rules used throughout (so value-hashes match the
+DuckDB oracle):
+- Sums of doubles go through DECIMAL (exact) and are cast back to double —
+  double summation order varies with partitioning, decimal doesn't.
+- Every window ORDER BY ends in a unique key so ranks are total.
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all; ``||`` (not ``concat``) matches Spark's NULL propagation;
+  ``year()``/count outputs are cast to Spark's narrower result types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Scans / projections / column ops (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project_rename_drop",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS lineno, l_quantity AS qty
+    FROM lineitem
+    """,
+)
+def project_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3: project + reorder + rename + drop (README.md:400,412,509).
+    The pruned 3-column ReadSchema is visible in the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+        .withColumnRenamed("l_orderkey", "orderkey")
+        .withColumnRenamed("l_linenumber", "lineno")
+        .withColumnRenamed("l_quantity", "qty")
+        .drop("l_tax")
+    )
+
+
+@register(
+    "filter_pushdown_scan",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_extendedprice AS price,
+           l_quantity AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_quantity > 45.0 AND l_returnflag = 'R'
+    """,
+)
+def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filters (absent in the reference — SURVEY §2.2 note — but part
+    of the engine surface). Conjunctive predicates reach the parquet scan
+    as PushedFilters; only 5 of 11 columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45.0)
+        & (F.col("l_returnflag") == "R")
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@register(
+    "null_standardize_replace",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+               AS event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def null_standardize_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: na.replace sentinel→NULL (README.md:371), grouped to show the
+    NULL key flows through aggregation like any other group."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.na.replace({"error": None}, subset=["event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           upper(p_type) AS type_upper,
+           lower(p_brand) AS brand_lower,
+           split_part(p_name, ' ', 1) AS first_token,
+           p_brand || '-' || p_type AS brand_type,
+           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_name, 1, 3) AS name_prefix
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F6-style string surface: regexp_replace, split+get, concat,
+    upper/lower/length/substring (README.md:379-392, 432)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.get(F.split("p_name", " "), 0).alias("first_token"),
+        F.concat("p_brand", F.lit("-"), "p_type").alias("brand_type"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
+    FROM orders
+    """,
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F7/F8: timestamp parts, truncation, formatting
+    (README.md:420,440,481; producer strftime at
+    user_posting_emulation.py:63-64)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    )
+
+
+@register(
+    "conditional_null_funcs",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS segment_or_none,
+           least(c_acctbal, 1000.0) AS capped_low,
+           greatest(c_acctbal, 0.0) AS capped_high,
+           (c_acctbal IS NULL) AS bal_is_null
+    FROM customer
+    """,
+)
+def conditional_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN chains (the age_range pattern, README.md:553-560) plus
+    coalesce/nullif/least/greatest/isnull."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("NONE")).alias(
+            "segment_or_none"
+        ),
+        F.least("c_acctbal", F.lit(1000.0)).alias("capped_low"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("capped_high"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+    )
+
+
+@register(
+    "cast_funcs",
+    oracle="""
+    SELECT s_suppkey AS suppkey,
+           CAST(floor(s_acctbal) AS INTEGER) AS bal_floor_int,
+           CAST(s_suppkey AS VARCHAR) AS key_str,
+           TRY_CAST(s_name AS INTEGER) AS name_as_int,
+           CAST(s_nationkey AS BIGINT) AS nationkey_long,
+           CAST(s_suppkey AS DOUBLE) AS key_double
+    FROM supplier
+    """,
+)
+def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5 cast surface incl. NULL-on-failure try_cast (the reference
+    relies on non-ANSI cast-to-NULL, README.md:383; we use try_cast).
+    floor() before int conversion because Spark truncates double→int while
+    DuckDB rounds — floor makes both exact."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.floor("s_acctbal").cast("int").alias("bal_floor_int"),
+        F.col("s_suppkey").cast("string").alias("key_str"),
+        F.col("s_name").try_cast("int").alias("name_as_int"),
+        F.col("s_nationkey").cast("bigint").alias("nationkey_long"),
+        F.col("s_suppkey").cast("double").alias("key_double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4 + engine extensions: outer/semi/anti/cross)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_large",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS lineno,
+           o_orderstatus AS status, l_extendedprice AS price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 150000.0
+    """,
+)
+def join_inner_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact-to-fact inner equi-join. At 100 TB this is the sort-merge
+    path — both sides shuffle on the key unless bucketed; the filter on
+    orders is pushed below the join by Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000.0
+    )
+    return li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT o_orderkey AS orderkey, c.c_name AS customer
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: unmatched orders keep NULL customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left").select(
+        F.col("o_orderkey").alias("orderkey"), F.col("c_name").alias("customer")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey AS nationkey, n_name AS nation,
+           s_suppkey AS suppkey, s_name AS supplier
+    FROM supplier FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations without suppliers and (if any) suppliers
+    without nations both survive with NULLs."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return sup.join(nation, sup["s_nationkey"] == nation["n_nationkey"], "full").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS customer FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one big order; the right
+    side is only probed, never duplicated into the output."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("customer")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS customer FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("customer")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name AS region, seg.segment AS segment
+    FROM region, (SELECT DISTINCT c_mktsegment AS segment FROM customer) seg
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny inputs (|regions| × |segments|)."""
+    region = load_table(spark, sf_dir, "region")
+    segs = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    return region.crossJoin(segs).select(F.col("r_name").alias("region"), "segment")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 + extensions)
+# ---------------------------------------------------------------------------
+
+# Decimal-first summation: exact regardless of partitioning, then a single
+# deterministic decimal→double cast for output parity with the oracle.
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A4-style multi-aggregate (TPC-H Q1 shape): sums via DECIMAL so
+    the result is independent of partition-level summation order, plus
+    min/max/count. Partial (map-side) aggregation applies — at 100 TB the
+    shuffle carries |groups| rows per partition, not data."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty_d = F.col("l_quantity").cast(_DEC)
+    price_d = F.col("l_extendedprice").cast(_DEC)
+    disc_d = F.col("l_discount").cast(_DEC)
+    price_s = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_s = F.col("l_discount").cast("decimal(12,2)")
+    tax_s = F.col("l_tax").cast("decimal(12,2)")
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(price_d * (F.lit(1) - disc_d)).cast("double").alias("sum_disc_price"),
+            F.sum(price_s * (F.lit(1) - disc_s) * (F.lit(1) + tax_s))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global grand aggregate (A4) with exact distinct counts. At scale,
+    multiple count-distincts expand into an expand+two-phase agg; prefer
+    approx_count_distinct (see approx_distinct_events) when 2% error is
+    acceptable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; NULL subtotal keys standardized to 'ALL'
+    (keys are known non-NULL in the data so the coalesce is unambiguous)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets_sql",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def agg_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the engine's SQL interface (the reference
+    has no SQL surface — SURVEY §2.12 — ours does)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rel_gs_customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
+               COUNT(*) AS n
+        FROM rel_gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+limit: global top-k. Spark plans TakeOrderedAndProject — per-
+    partition heaps + driver merge, no global sort even at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "limit_offset_sample",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status
+    FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 100
+    """,
+)
+def limit_offset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/O3: the producers' LIMIT-offset row sampler
+    (user_posting_emulation.py:41-57) as a deterministic offset+limit."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .offset(100)
+        .limit(5)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_top3",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+               c_acctbal AS acctbal,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
+    )
+    SELECT nationkey, custkey, acctbal,
+           CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+           CAST(drnk AS INTEGER) AS drnk
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def window_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window trio over a total order (unique-key tie-break)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_and_lag",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_order
+    FROM orders
+    """,
+)
+def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum (decimal-exact) + lag/lead over an explicit ROWS frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(wsum).cast("double").alias(
+            "running_spend"
+        ),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct (SURVEY §2.8, §2.12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return cust.unionAll(sup)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(sup)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(sup)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus
+    FROM lineitem
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values job —
+    always pin the list at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") is invalid inside pivot in Spark 4
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey AS partkey, 'size' AS attr,
+           CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide attributes to long form."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("partkey", ["size", "retailprice"], "attr", "val")
+
+
+# ---------------------------------------------------------------------------
+# JSON + sessionization over the events stream table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props payload (the reference handles
+    JSON only at load time — SURVEY §2.12; the engine exposes it as a
+    column function)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY 1
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag + running sum = session ids, 30-min
+    gap. One shuffle on user_id shared by both windows and the final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
+    return numbered.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrays (F4 surface) + serialization (F9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val,
+           embedding[64] AS last_val,
+           label
+    FROM embeddings
+    """,
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array column surface: size + element access (F4, README.md:412).
+    Values are stored floats passed through untouched, so they hash equal
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.get("embedding", 0).alias("first_val"),
+        F.get("embedding", 63).alias("last_val"),
+        "label",
+    )
+
+
+@register(
+    "to_json_envelope",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           '{"orderkey":' || CAST(o_orderkey AS VARCHAR) ||
+           ',"status":"' || o_orderstatus || '"}' AS payload
+    FROM orders
+    """,
+)
+def to_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the producers' JSON record envelope
+    (user_posting_emulation.py:67-90) as to_json(struct(...)); oracle
+    reconstructs Spark's exact serialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        ).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (extension; no SQL oracle — rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_events")  # no oracle: approximate result
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (SURVEY §2.12 extension). At 100 TB this
+    replaces exact count-distinct's expand+shuffle with a fixed-size sketch
+    merged map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n"),
+    )

@@ -21,7 +21,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Column pruning / filter pushdown is left to
     Catalyst — callers express projections on the returned DataFrame."""
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing its TIMESTAMP(NANOS) column.
+
+    The fixture writes ``ts`` as parquet nanosecond timestamps, which
+    Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) under default config.
+    We flip the legacy read flag (runtime-settable) so nanos arrive as
+    int64, then floor-divide to microseconds JVM-side — integer ``div``,
+    not ``/``, because a double intermediate loses precision above 2^53.
+    DuckDB truncates ns→us the same way, so oracle timestamps agree.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
