@@ -1,0 +1,319 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale-first design (the whole point of these operators is the 100 TB
+corpus case):
+
+- Exact dedup is a fingerprint ``groupBy`` — one shuffle on the md5 key,
+  map-side partial aggregation, no sort.
+- Near-dup avoids the O(n²) all-pairs comparison: MinHash signatures are
+  computed scan-side with built-in higher-order array functions (no Python
+  UDF), then banded so only documents sharing a band bucket are joined.
+  The candidate join shuffles on (band, band_key) — collision buckets,
+  not the corpus — and exact Jaccard verification runs only on candidates.
+- SimHash uses 4×16-bit chunk banding: Hamming distance ≤ 3 guarantees at
+  least one identical chunk (pigeonhole), so the chunk equi-join finds all
+  near pairs without a cross join.
+
+Everything is deterministic: hash seeds are fixed Python constants baked
+into the plan, and MinHash parameter hashes are masked to 32 bits before
+the ``a*h + b mod p`` mix so ANSI mode can never see a long overflow.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators.text import (
+    fingerprint_md5,
+    normalize_text,
+    tokens,
+)
+
+_MASK32 = (1 << 32) - 1
+_MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by normalized-md5 fingerprint.
+
+    Returns (fingerprint, keep_id, n_copies): the survivor is the minimum
+    id — deterministic, unlike ``dropDuplicates`` which keeps an arbitrary
+    row per key."""
+    return (
+        df.withColumn("fingerprint", fingerprint_md5(text_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column]
+) -> DataFrame:
+    """Deterministic ``dropDuplicates``: keep the first row per key under
+    an explicit total order (``dropDuplicates`` itself keeps an arbitrary
+    row — same nondeterminism family as the reference's ``first()``,
+    SURVEY.md §2.5)."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams as an array column (whole-document fallback
+    for texts shorter than k tokens)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array-set columns (double)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def _minhash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signature(
+    text: Column | str, n_hashes: int = 32, shingle_k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature as an array<long> of length ``n_hashes``.
+
+    Shingles are hashed once with xxhash64, masked to 32 bits (so the
+    ``a*h + b`` mix stays under 2^63 — ANSI-safe), then each permutation
+    takes the min of ``(a_i*h + b_i) mod p`` across shingles. All built-in
+    expressions: one scan, no UDF, no shuffle."""
+    sh = word_shingles(text, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)))
+    params = _minhash_params(n_hashes, seed)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME)))
+            )
+            for a, b in params
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``n_hashes/bands`` rows;
+    documents sharing any band hash become a candidate pair. Returns
+    distinct (id_a, id_b) with id_a < id_b. The self-join keys on
+    (band, band_key): only same-bucket rows meet, so the shuffle volume is
+    the bucket histogram, not |df|²."""
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, n_hashes, shingle_k, seed).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("__sig", b * rows + 1, rows)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard_sim). Verification joins the (small)
+    candidate set back to per-document shingle sets — the expensive exact
+    comparison never touches non-candidate pairs."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_k).alias("__sh"),
+    )
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes, bands, shingle_k, seed
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard above threshold.
+
+    O(n²) by construction — the SQL-oracle-checkable baseline for the LSH
+    path, meant for bounded subsets (candidate verification, sampled
+    audits), never the full corpus. Returns (id_a, id_b, jaccard_sim)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_k).alias("__sh"),
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_chunks(text: Column | str, chunk_bits: int = 16) -> Column:
+    """64-bit SimHash as an array of 4 ``chunk_bits``-wide ints.
+
+    Per bit position b: sum +1/-1 over token hashes' bit b, take the sign.
+    Emitted directly as 16-bit chunks (no 64-bit assembly, no overflow).
+    Chunk equality is the LSH band for Hamming-distance search."""
+    hs = F.transform(tokens(normalize_text(text)), lambda t: F.xxhash64(t))
+    n_chunks = 64 // chunk_bits
+
+    def bit_sign(b: int) -> Column:
+        return F.when(
+            F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            1,
+        ).otherwise(0)
+
+    chunks = []
+    for j in range(n_chunks):
+        chunk = F.lit(0)
+        for b in range(chunk_bits):
+            chunk = chunk + bit_sign(j * chunk_bits + b) * F.lit(1 << b)
+        chunks.append(chunk)
+    return F.array(*chunks)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    With 4 chunks, distance ≤ 3 implies ≥ 1 identical chunk, so candidates
+    come from 4 chunk-equality joins (unioned), then exact Hamming via
+    bit_count(xor) filters. Returns (id_a, id_b, hamming)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash_chunks(text_col).alias("__sh")
+    )
+    banded = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.get("__sh", j).alias("key"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", "bk.band", "bk.key")
+    left, right = banded.alias("l"), banded.alias("r")
+    hamming = sum(
+        F.bit_count(
+            F.get(F.col("l.__sh"), j).bitwiseXOR(F.get(F.col("r.__sh"), j))
+        )
+        for j in range(4)
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

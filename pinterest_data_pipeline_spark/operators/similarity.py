@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- **Brute-force cosine top-k** — the exactness baseline. The query set is
+  broadcast (it's small by construction); the corpus is scanned once and
+  never shuffled; per-query top-k is a ranking window over |queries|×k
+  candidates after a partial aggregation... in practice Spark plans the
+  window over the joined scan, so keep |queries| bounded.
+- **IVF-style partitioned top-k** — the scale path: a coarse partition
+  assignment (here the precomputed ``label`` cluster id; in production a
+  k-means codebook) restricts each query to its own partition's rows,
+  cutting scanned rows by the partition fan-out. Same cosine kernel.
+
+The cosine kernel is built-in-expression only: ``zip_with`` multiply +
+``aggregate`` fold, evaluated JVM-side in codegen. Elements are cast to
+double before multiplication; the fold is sequential in array order, so
+results are bit-deterministic (and match a left-fold SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators.argmax import top_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float-array columns, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine similarity rounded to ``digits`` (rounding makes downstream
+    rank comparisons stable across engines)."""
+    return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), digits)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    Returns (query_id, neighbor_id, score, rank). ``queries`` is
+    broadcast — it must be the small side."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    return top_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's coarse partition.
+
+    The equi-join on ``partition_col`` replaces the cross join — at scale
+    this is a broadcast-hash join on the partition id, and each corpus row
+    is compared against only the queries assigned to its partition."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(partition_col).alias("q_part"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(partition_col).alias("c_part"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_part") == F.col("q_part"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    return top_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    With ``partition_col`` the pair search stays within coarse partitions
+    (the scale path); without it, all pairs (audit/oracle path). Returns
+    (id_a, id_b, score)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *([F.col(partition_col).alias("part_a")] if partition_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *([F.col(partition_col).alias("part_b")] if partition_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if partition_col:
+        joined = a.join(b, (F.col("part_a") == F.col("part_b")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return (
+        joined.select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (split,
+higher-order array functions, regexp_count, xxhash64, md5) — no Python
+UDFs — so a 100 TB corpus scan stays inside whole-stage codegen with zero
+shuffles. These operators extend the reference's surface (its text handling
+stops at sentinel cleanup, reference README.md:371); they are the
+LLM-pipeline extensions called for by the project charter (SURVEY.md §2.12).
+
+Operators:
+- tokenization + token counting (whitespace and BPE-ish regex piece count)
+- quality scoring (length / punctuation / digit / stopword ratios)
+- language ID (stopword-hit n-gram heuristic over token arrays)
+- document fingerprinting (normalized md5; xxhash64 rolling variant)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword inventories for the heuristic language ID.
+#: Deliberately small and alphabetical: the operator is a deterministic
+#: argmax over hit counts, not a statistical model.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["das", "der", "die", "ist", "nicht", "und"],
+    "en": ["and", "is", "of", "that", "the", "to"],
+    "es": ["de", "el", "es", "la", "que", "y"],
+    "fr": ["de", "est", "et", "la", "le", "que"],
+}
+
+#: BPE-ish piece pattern: runs of word chars OR single non-space symbols.
+TOKEN_PIECE_RE = r"\w+|[^\w\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization as an array column (empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(tokens(text))
+
+
+def piece_count(text: Column | str) -> Column:
+    """BPE-ish piece count: word runs + standalone punctuation symbols."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_PIECE_RE)).cast("int")
+
+
+def char_len(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c).cast("int")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation-ish symbols."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double")
+        / F.greatest(F.length(c), F.lit(1)).cast("double")
+    )
+
+
+def digit_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(r"[0-9]")).cast("double")
+        / F.greatest(F.length(c), F.lit(1)).cast("double")
+    )
+
+
+def stopword_hits(text: Column | str, stopwords: list[str]) -> Column:
+    """Number of tokens (with multiplicity) present in ``stopwords``."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    sw = F.array(*[F.lit(s) for s in sorted(stopwords)])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    return stopword_hits(text, sw).cast("double") / F.greatest(
+        token_count(text), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence and a
+    sane mean token length, penalizes punctuation/digit noise. Weights are
+    fixed so the score is deterministic and oracle-expressible."""
+    ntok = token_count(text).cast("double")
+    mean_tok_len = char_len(text).cast("double") / F.greatest(ntok, F.lit(1.0))
+    len_ok = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        F.lit(0.4) * F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+        + F.lit(0.3) * len_ok
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio(text) * 5.0, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Deterministic tie-break: languages evaluated in sorted code order and
+    a strictly-greater comparison, so the alphabetically-first language
+    wins ties; zero hits everywhere → 'und'.
+    """
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for code in sorted(LANG_STOPWORDS):
+        hits = stopword_hits(text, LANG_STOPWORDS[code])
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint_xxhash(text: Column | str) -> Column:
+    """64-bit xxhash fingerprint of normalized text (cheap partition/join
+    key for dedup at scale; not portable to the SQL oracle)."""
+    return F.xxhash64(normalize_text(text))

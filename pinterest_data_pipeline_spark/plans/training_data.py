@@ -1,0 +1,340 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis.
+
+These extend the reference's surface per the project charter (SURVEY.md
+§2.12 / BASELINE.json): the operators a 100 TB LLM-data pipeline needs,
+registered with DuckDB oracles wherever the semantics are SQL-expressible.
+The MinHash/SimHash LSH paths are registered rows-only (banded hashing is
+not portable SQL) — their correctness is pinned by tests/test_dedup.py,
+which verifies LSH candidate recall against the exact all-pairs oracle.
+
+Float parity notes: every similarity is computed as a sequential fold in
+array order with double arithmetic on both engines, then rounded to 6
+decimals, so value-hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import dedup, similarity, text
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+# Shared SQL fragments for the oracle side ---------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_TRIGRAMS = f"""
+    CASE WHEN len({_TOKS}) >= 3 THEN
+        list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+            i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
+    ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+def _sw_list(code: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(text.LANG_STOPWORDS[code])) + "]"
+
+
+def _hits(code: str) -> str:
+    return f"len(list_filter({_TOKS_LOWER}, t -> list_contains({_sw_list(code)}, t)))"
+
+
+# ---------------------------------------------------------------- text
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER)
+               AS n_pieces,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
+           round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS digit_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish piece regex) and character-class
+    ratios — pure codegen expressions, zero shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.piece_count("text").alias("n_pieces"),
+        text.char_len("text").alias("n_chars_measured"),
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(text.digit_ratio("text"), 6).alias("digit_ratio"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS DOUBLE) AS ntok,
+               CAST(length(text) AS DOUBLE) AS nchar,
+               CAST({_hits("en")} AS DOUBLE)
+                   / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0) AS sw_ratio,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / greatest(length(text), 1) AS p_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / greatest(length(text), 1) AS d_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(sw_ratio * 4.0, 1.0)
+                 + 0.3 * (CASE WHEN nchar / greatest(ntok, 1.0) >= 3.0
+                               AND nchar / greatest(ntok, 1.0) <= 12.0
+                          THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * (1.0 - least(p_ratio * 5.0, 1.0))
+                 + 0.1 * (1.0 - least(d_ratio * 5.0, 1.0)), 6) AS quality
+    FROM base
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic (stopword/length/punct/digit mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id,
+               {_hits("de")} AS h_de, {_hits("en")} AS h_en,
+               {_hits("es")} AS h_es, {_hits("fr")} AS h_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID; first language (sorted order) wins ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "exact_dedup_fingerprint",
+    oracle=f"""
+    SELECT md5({_NORM_TEXT}) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text groups with deterministic
+    min-id survivor. One fingerprint shuffle regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------- near-dup
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / greatest(len(a.g) + len(b.g)
+                            - len(list_intersect(a.g, b.g)), 1), 6)
+               AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1)
+          >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.2 on a bounded id slice — the
+    oracle-checkable baseline the LSH path is validated against. All-pairs
+    by construction: audit/verification use only, never the full corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
+
+
+@register("minhash_lsh_near_duplicates")  # banded hashing: rows-only check
+def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: MinHash(32)×8-band LSH candidates verified with exact
+    Jaccard ≥ 0.5. Shuffle cost is the band-bucket histogram, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register("simhash_near_pairs")  # banded hashing: rows-only check
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dup pairs (Hamming ≤ 3) via 16-bit chunk bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------- embeddings
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine SQL between ``a.embedding`` and ``b.embedding`` — same op
+    order as operators.similarity.cosine (sequential fold, double math,
+    round 6) so values hash-match."""
+    return f"""
+    round(list_sum(list_transform(range(1, 65),
+              i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))))
+          , 6)
+    """
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q', 'c')} AS score
+        FROM q, embeddings c
+        WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors: broadcast queries,
+    one corpus scan, ranking window per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q', 'c')} AS score
+        FROM q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-10: probe only the query's coarse
+    partition (the ``label`` cluster), cutting compared rows by the
+    partition fan-out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a', 'b')} >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (audit path, all pairs;
+    production uses the partition-restricted variant)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS size_bytes,
+           md5(text) AS content_md5,
+           CAST((doc_id * 37) % 1920 + 1 AS INTEGER) AS width,
+           CAST((doc_id * 53) % 1080 + 1 AS INTEGER) AS height,
+           CAST((doc_id * 7) % 600 AS DOUBLE) AS duration_s
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata plane over opaque binary payloads: size/hash/typed meta,
+    no decode, no Python — the 'filter before you decode' scale pattern."""
+    from pinterest_data_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.binary_metadata(multimodal.attach_binary_payload(docs))
+
+
+@register("multimodal_decode_features")  # mapInPandas stub: rows-only check
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction via mapInPandas (decode stubbed —
+    deterministic md5-derived features; see operators/multimodal.py)."""
+    from pinterest_data_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_image_features(
+        multimodal.attach_binary_payload(docs)
+    )
+
+
+@register(
+    "multimodal_frame_offsets",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST((doc_id * 7) % 600 AS DOUBLE) AS duration_s,
+           list_transform(range(0, 4),
+               i -> round(CAST(i AS DOUBLE) * CAST((doc_id * 7) % 600 AS DOUBLE)
+                          / 4.0, 3)) AS frame_offsets_s
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame-sampling offsets for video payloads."""
+    from pinterest_data_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample_offsets(
+        multimodal.attach_binary_payload(docs)
+    )

@@ -30,7 +30,13 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:  # array columns: make sortable/comparable
+        if df[col].map(lambda v: isinstance(v, (list, tuple))
+                       or hasattr(v, "__len__") and not isinstance(v, str)).any():
+            df[col] = df[col].map(
+                lambda v: tuple(v) if not isinstance(v, str) and hasattr(v, "__iter__") else v
+            )
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 

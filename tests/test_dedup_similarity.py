@@ -1,0 +1,110 @@
+"""Behavioral tests for dedup + similarity operators: LSH recall vs the
+exact oracle, planted-duplicate detection, brute-force-vs-numpy cosine."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import dedup, similarity
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """Every exact-Jaccard≥0.5 pair must be found by the LSH path (32
+    hashes / 8 bands ⇒ ~99.9% per-pair probability at s=0.5; the planted
+    duplicates sit well above threshold so recall must be total here)."""
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5))
+    lsh = _pairs(
+        dedup.near_duplicates_minhash(docs, "doc_id", "text", threshold=0.5)
+    )
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)} of {len(exact)} pairs: {sorted(missed)[:5]}"
+    assert lsh == exact  # verification filter kills false candidates
+
+
+def test_minhash_candidates_superset_of_verified(docs):
+    cands = _pairs(dedup.minhash_lsh_candidates(docs, "doc_id", "text"))
+    verified = _pairs(
+        dedup.near_duplicates_minhash(docs, "doc_id", "text", threshold=0.5)
+    )
+    assert verified <= cands
+
+
+def test_exact_dedup_finds_planted_copy(spark, docs):
+    """Duplicate a row verbatim (different id, whitespace-mangled) and the
+    fingerprint groups must merge it with the original."""
+    src = docs.limit(1).collect()[0]
+    clone = [(999_999, "  " + src["text"].upper().lower() + "  ", src["lang"],
+              src["source"], src["n_chars"])]
+    plus = docs.unionByName(spark.createDataFrame(clone, docs.schema))
+    groups = dedup.exact_dedup_groups(plus, "doc_id", "text")
+    dup_group = groups.filter(F.col("n_copies") >= 2).collect()
+    assert any(g["keep_id"] == src["doc_id"] for g in dup_group)
+
+
+def test_simhash_identical_doc_distance_zero(spark, docs):
+    src = docs.limit(1).collect()[0]
+    clone = [(999_999, src["text"], src["lang"], src["source"], src["n_chars"])]
+    plus = docs.unionByName(spark.createDataFrame(clone, docs.schema))
+    pairs = dedup.simhash_near_pairs(plus, "doc_id", "text", max_hamming=3)
+    hit = pairs.filter(
+        (F.col("id_a") == src["doc_id"]) & (F.col("id_b") == 999_999)
+    ).collect()
+    assert len(hit) == 1 and hit[0]["hamming"] == 0
+
+
+def test_cosine_topk_matches_numpy(emb):
+    """Brute-force Spark top-k must agree with a numpy reference."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in [0, 1, 2]:
+        qv = vecs[qid]
+        sims = {
+            vid: round(float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v)), 6)
+            for vid, v in vecs.items() if vid != qid
+        }
+        expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_q = sorted(by_q[qid], key=lambda r: r["rank"])
+        for (evid, esim), row in zip(expected, got_q):
+            assert row["neighbor_id"] == evid
+            assert math.isclose(row["score"], esim, abs_tol=2e-6)
+
+
+def test_ivf_topk_subset_of_partition(emb):
+    got = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in got.collect():
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7), (4, "b", 9)], "id int, k string, v int"
+    )
+    out = dedup.dedup_keep_first(df, ["k"], [F.desc("v"), F.asc("id")])
+    assert {(r["k"], r["id"]) for r in out.collect()} == {("a", 1), ("b", 4)}
