@@ -1,0 +1,94 @@
+"""Batch-mode oracle coverage for the streaming window operators.
+
+``F.window`` / ``F.session_window`` are ordinary grouping expressions in
+batch mode, so the exact operators used by the streaming slice are
+oracle-checkable here with date_trunc/time_bucket SQL; the streaming-only
+behaviors (watermark late-data drop, within-watermark dedup, checkpointed
+append) are pinned by tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+from pinterest_data_pipeline_spark.streaming import windows as W
+
+
+@register(
+    "tumbling_hourly_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-extension: tumbling event-time window counts (the watermarked
+    streaming form runs the same builder; SURVEY.md §2.9)."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_counts(ev, "ts", ["event_type"], window="1 hour")
+
+
+@register(
+    "sliding_window_event_counts",
+    oracle="""
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES,
+               event_type
+        FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL 60 MINUTES AS window_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM starts GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window / 30m slide): every event lands in two
+    windows; oracle materializes both starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.sliding_counts(
+        ev, "ts", ["event_type"], window="1 hour", slide="30 minutes"
+    )
+
+
+@register(
+    "session_window_user_counts",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def session_window_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. Oracle reconstructs the
+    same sessions with the lag-gap formulation; Spark's session_window end
+    is last-event + gap, mirrored as MAX(ts) + interval."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.session_window_counts(ev, "ts", ["user_id"], gap="30 minutes")

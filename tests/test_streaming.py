@@ -1,0 +1,177 @@
+"""Streaming slice tests: batch-vs-stream equality, watermark late-data
+drop, within-watermark dedup, landing compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.schemas import GEO_RAW, PIN_RAW, USER_RAW
+from pinterest_data_pipeline_spark.operators import cleaning
+from pinterest_data_pipeline_spark.sources import json_landing
+from pinterest_data_pipeline_spark.sources.fixtures import generate_raw_rows
+from pinterest_data_pipeline_spark.streaming import clean_stream, windows
+
+_SCHEMAS = {"pin": PIN_RAW, "geo": GEO_RAW, "user": USER_RAW}
+_CLEANERS = {
+    "pin": cleaning.clean_pin,
+    "geo": cleaning.clean_geo,
+    "user": cleaning.clean_user,
+}
+
+
+@pytest.fixture(scope="module")
+def landing_dirs(tmp_path_factory):
+    """Raw fixture rows serialized as a flush.size=1-style landing zone
+    (FIXTURES.md §A.5): one JSON object per file for the first 40 rows,
+    the rest batched — both layouts must read identically."""
+    base = tmp_path_factory.mktemp("landing")
+    pin_rows, geo_rows, user_rows = generate_raw_rows(n=300, seed=100)
+    dirs = {}
+    for name, rows in [("pin", pin_rows), ("geo", geo_rows), ("user", user_rows)]:
+        cols = [f.name for f in _SCHEMAS[name].fields]
+        dicts = [dict(zip(cols, r)) for r in rows]
+        d = str(base / name)
+        json_landing.write_landing_records(dicts[:40], d, records_per_file=1)
+        json_landing.write_landing_records(
+            dicts[40:], d, records_per_file=100, prefix="bulk"
+        )
+        dirs[name] = d
+    return dirs
+
+
+@pytest.mark.parametrize("topic", ["pin", "geo", "user"])
+def test_stream_equals_batch_clean(spark, landing_dirs, topic):
+    """Stateless transforms ⇒ streamed cleaned rows == batch-cleaned rows
+    (SURVEY.md §5.3)."""
+    q = clean_stream.clean_stream_to_memory(
+        spark, topic, landing_dirs[topic], f"stream_{topic}"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(f"SELECT * FROM stream_{topic}").collect()
+    batch = _CLEANERS[topic](
+        json_landing.read_landing_json(spark, landing_dirs[topic], _SCHEMAS[topic])
+    ).collect()
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) == 300
+
+
+def test_checkpointed_parquet_sink(spark, landing_dirs, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = clean_stream.clean_stream(spark, "geo", landing_dirs["geo"], out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert set(got.columns) == {"ind", "country", "coordinates", "timestamp"}
+    assert os.path.isdir(ckpt)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling counts with a 10-minute watermark: a row
+    arriving after its window passed the watermark is discarded."""
+    land = str(tmp_path / "events_land")
+    os.makedirs(land)
+
+    def write(name, rows):
+        json_landing.write_landing_records(rows, os.path.join(land, name), 100)
+
+    # batch 1: three rows in the 10:00 window, one at 13:00 (advances
+    # the watermark far past 11:00, finalizing the 10:00 window).
+    write("b1", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01 13:00:00", "user_id": 3, "event_type": "view", "value": 1.0, "props": "{}"},
+    ])
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = json_landing.read_landing_stream(
+        spark, os.path.join(land, "*"), schema, max_files_per_trigger=1
+    )
+    agg = windows.tumbling_counts(
+        stream, "ts", ["event_type"], window="1 hour", watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-finalized 10:00 window, plus
+        # a 15:00 row to advance the watermark again.
+        write("b2", [
+            {"event_id": 5, "ts": "2024-01-01 10:30:00", "user_id": 9, "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 6, "ts": "2024-01-01 15:00:00", "user_id": 9, "event_type": "view", "value": 1.0, "props": "{}"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (str(r["window_start"]), r["n"])
+        for r in spark.sql("SELECT * FROM wm_counts").collect()
+    }
+    # the 10:00 window emitted exactly once, with the pre-watermark count
+    ten_oclock = [r for r in rows if r[0].startswith("2024-01-01 10:")]
+    assert ten_oclock == [("2024-01-01 10:00:00", 3)], rows
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    land = str(tmp_path / "dedup_land")
+    json_landing.write_landing_records(
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 1, "ts": "2024-01-01 10:01:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01 10:02:00", "user_id": 2, "event_type": "b", "value": 1.0, "props": "{}"},
+        ],
+        land,
+        100,
+    )
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+
+    stream = json_landing.read_landing_stream(spark, land, EVENTS)
+    deduped = windows.stream_dedup_within_watermark(
+        stream, ["event_id"], "ts", "1 hour"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_compaction_reduces_files(spark, landing_dirs, tmp_path):
+    """The reference's flush.size=1 layout (one object per record,
+    README.md:155) compacts to a handful of parquet files."""
+    src = json_landing.read_landing_json(spark, landing_dirs["pin"], PIN_RAW)
+    out = str(tmp_path / "compacted")
+    json_landing.compact_to_parquet(src.coalesce(2), out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 0 < len(files) <= 2
+    assert spark.read.parquet(out).count() == src.count()
