@@ -1,0 +1,81 @@
+"""As-of (most-recent-prior) join — an operator Spark lacks natively.
+
+Implemented as the union + ordered-window ``last_value(ignorenulls)``
+pattern (a standard composition of existing DataFrame ops, per the
+engine's custom-operator policy):
+
+1. Tag right rows, union them with left rows on a common (key, ts) spine.
+2. Sort within each key by (ts, tag) — right rows sort BEFORE left rows
+   at equal timestamps, so an exactly-simultaneous right row is visible
+   to the left row (inclusive as-of, DuckDB-compatible).
+3. ``last(right_payload, ignorenulls=True)`` over rows-unbounded-preceding
+   carries the most recent right value forward onto each left row.
+
+Scale: one hash shuffle on the key + an in-partition sort — identical
+cost to a groupBy over the same key, no broadcast or range replication.
+Skewed keys fall under AQE skew handling like any other shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (inclusive). Left rows with no
+    prior right row keep NULLs. Output: all left columns +
+    ``<value_col><suffix>`` columns."""
+    left_cols = left.columns
+    spine_left = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left_cols).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    spine_right = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            spine_left.schema["__left"].dataType
+        ).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    spine = spine_left.unionByName(spine_right)
+    # Tie order: right rows before left at equal ts (inclusive as-of);
+    # multiple right rows at identical (key, ts) are ordered by their value
+    # columns, so the carried row is deterministic (the max tuple). Callers
+    # wanting different tie semantics should pre-aggregate the right side
+    # to one row per (key, ts).
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").asc(),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = spine.select(
+        "__is_left",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__is_left") == 1)
+    return carried.select(
+        *[F.col(f"__left.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__carried_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

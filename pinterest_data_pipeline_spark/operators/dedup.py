@@ -145,18 +145,37 @@ def minhash_lsh_candidates(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows = n_hashes // bands
-    sig = df.select(
+    # PERFORMANCE TRAP, measured 10× at sf0.1: the shingle construction
+    # (regex split + per-gram slice/concat) and xxhash64 must be
+    # materialized ONCE per row behind a shuffle barrier. Without the
+    # barrier, Catalyst's projection collapse inlines the shingle-hash
+    # expression into each of the 32 permutation transforms (and both
+    # join sides), re-building every shingle string 32×+ per row.
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(text_col, n_hashes, shingle_k, seed).alias("__sig"),
-    )
-    banded = sig.select(
+        F.transform(
+            word_shingles(text_col, shingle_k),
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)),
+        ).alias("__h"),
+    ).repartition(F.col("__id"))
+    params = _minhash_params(n_hashes, seed)
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__h"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME)),
+            )
+        )
+        for a, b in params
+    ]
+    banded = hashed.select(
         "__id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("__sig", b * rows + 1, rows)).alias("key"),
+                        F.hash(F.lit(b), *mins[b * rows : (b + 1) * rows]).alias("key"),
                     )
                     for b in range(bands)
                 ]
@@ -239,13 +258,21 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- simhash
 
 
-def simhash_chunks(text: Column | str, chunk_bits: int = 16) -> Column:
-    """64-bit SimHash as an array of 4 ``chunk_bits``-wide ints.
+def token_hashes(text: Column | str) -> Column:
+    """xxhash64 per normalized token — the SimHash input array."""
+    return F.transform(tokens(normalize_text(text)), lambda t: F.xxhash64(t))
+
+
+def simhash_chunks_from_hashes(hs: Column, chunk_bits: int = 16) -> Column:
+    """64-bit SimHash from a PRE-MATERIALIZED token-hash array column.
 
     Per bit position b: sum +1/-1 over token hashes' bit b, take the sign.
     Emitted directly as 16-bit chunks (no 64-bit assembly, no overflow).
-    Chunk equality is the LSH band for Hamming-distance search."""
-    hs = F.transform(tokens(normalize_text(text)), lambda t: F.xxhash64(t))
+    Chunk equality is the LSH band for Hamming-distance search.
+
+    The 64 per-bit aggregates each traverse ``hs`` — pass a materialized
+    column (see :func:`simhash_near_pairs`), not a raw expression, or
+    projection collapse re-runs the tokenize+hash work 64× per row."""
     n_chunks = 64 // chunk_bits
 
     def bit_sign(b: int) -> Column:
@@ -269,6 +296,12 @@ def simhash_chunks(text: Column | str, chunk_bits: int = 16) -> Column:
     return F.array(*chunks)
 
 
+def simhash_chunks(text: Column | str, chunk_bits: int = 16) -> Column:
+    """Convenience composition for single-expression use (tests, small
+    data); hot paths should materialize :func:`token_hashes` first."""
+    return simhash_chunks_from_hashes(token_hashes(text), chunk_bits)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -280,8 +313,17 @@ def simhash_near_pairs(
     With 4 chunks, distance ≤ 3 implies ≥ 1 identical chunk, so candidates
     come from 4 chunk-equality joins (unioned), then exact Hamming via
     bit_count(xor) filters. Returns (id_a, id_b, hamming)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash_chunks(text_col).alias("__sh")
+    # Materialize the token-hash array through a shuffle barrier: the 64
+    # per-bit aggregates then read a concrete array column instead of each
+    # re-running normalize+tokenize+xxhash (projection collapse would
+    # otherwise inline it 64×; measured ~6× slower at sf0.1). The shuffle
+    # moves only (id, ~#tokens longs) rows and hash-partitions by id,
+    # which the downstream band join partly reuses.
+    hashed = df.select(
+        F.col(id_col).alias("__id"), token_hashes(text_col).alias("__hs")
+    ).repartition(F.col("__id"))
+    sh = hashed.select(
+        "__id", simhash_chunks_from_hashes(F.col("__hs")).alias("__sh")
     )
     banded = sh.select(
         "__id",

@@ -62,11 +62,18 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, score, rank). ``queries`` is
     broadcast — it must be the small side."""
+    # Norms are materialized per side BEFORE the join: each vector's norm
+    # is computed once instead of once per compared pair (1 fold per pair
+    # at score time instead of 3).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -74,7 +81,11 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
         )
     )
     return top_per_group(
@@ -103,11 +114,13 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(partition_col).alias("q_part"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(partition_col).alias("c_part"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("c_part") == F.col("q_part"))
@@ -115,7 +128,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
         )
     )
     return top_per_group(
@@ -142,11 +159,13 @@ def embedding_near_duplicates(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("norm_a"),
         *([F.col(partition_col).alias("part_a")] if partition_col else []),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("norm_b"),
         *([F.col(partition_col).alias("part_b")] if partition_col else []),
     )
     cond = F.col("id_a") < F.col("id_b")
@@ -156,7 +175,13 @@ def embedding_near_duplicates(
         joined = a.join(b, cond)
     return (
         joined.select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -1,0 +1,194 @@
+"""Advanced operator coverage: as-of join, UDF surfaces (row, Pandas,
+grouped map), explode/lateral, map-typed columns, and the reference's
+literal nondeterministic argmax (rows-only).
+
+The Python-boundary queries (pandas_udf / applyInPandas) intentionally
+produce integer/string outputs so cross-engine comparison is exact; they
+exist to pin the Arrow plumbing into the driver's correctness matrix, not
+to put Python in any hot path (see operators docs for why the native
+forms are primary).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pinterest_data_pipeline_spark.operators.argmax import argmax_literal
+from pinterest_data_pipeline_spark.operators.asof import asof_join
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+
+@register(
+    "asof_join_latest_view",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, v.view_value AS view_value_asof
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach each click's most recent prior 'view' value per
+    user (right side pre-aggregated to one row per (user, ts) so the
+    match is unambiguous). Oracle uses DuckDB's native ASOF JOIN; our
+    engine composes union + ordered window (operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["view_value"], suffix="_asof",
+    )
+
+
+@register(
+    "pandas_udf_bucket_counts",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def pandas_udf_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar Pandas UDF — the sanctioned slow path
+    when Python is unavoidable (vs the reference's row-at-a-time UDF,
+    README.md:553-560). Output is string buckets → exact comparison."""
+
+    @F.pandas_udf(T.StringType())
+    def bucket(bal: pd.Series) -> pd.Series:
+        out = pd.Series(["high"] * len(bal), index=bal.index)
+        out[bal < 5000] = "low"
+        out[bal < 0] = "neg"
+        return out
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.withColumn("bucket", bucket(F.col("c_acctbal")))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "grouped_map_top2_per_nation",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    )
+    SELECT nationkey, custkey, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def grouped_map_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-nation top-2 by balance computed in
+    pandas. Exists to exercise the grouped Arrow path — the native window
+    form (window_rank_top3) is the production operator; per-group pandas
+    is for logic that genuinely can't be expressed in expressions."""
+    out_schema = T.StructType(
+        [
+            T.StructField("nationkey", T.IntegerType()),
+            T.StructField("custkey", T.LongType()),
+            T.StructField("rn", T.IntegerType()),
+        ]
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(2)
+        return pd.DataFrame(
+            {
+                "nationkey": pdf["c_nationkey"].astype("int32"),
+                "custkey": pdf["c_custkey"],
+                "rn": range(1, len(pdf) + 1),
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return cust.groupBy("c_nationkey").applyInPandas(top2, out_schema)
+
+
+@register(
+    "explode_type_words",
+    oracle="""
+    SELECT p_partkey AS partkey, t.word AS word
+    FROM part, UNNEST(regexp_split_to_array(lower(p_type), ' ')) AS t(word)
+    """,
+)
+def explode_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / lateral view: one output row per array element (the
+    tag_list-splitting pattern the reference's schema implies but never
+    executes — tag_list stays comma-joined, SURVEY.md §1.2)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.explode(F.split(F.lower("p_type"), " ")).alias("word"),
+    )
+
+
+@register(
+    "map_column_access",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderstatus AS status_from_map,
+           CAST(2 AS INTEGER) AS map_size
+    FROM orders
+    """,
+)
+def map_column_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map, read back by key, size it.
+    Output is the extracted scalars (map columns themselves don't compare
+    portably across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        m.getItem("status").alias("status_from_map"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@register("argmax_literal_max_first")  # NONDETERMINISTIC by design: rows-only
+def argmax_literal_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal argmax idiom ``agg(max(v), first(label))``
+    (README.md:460, 489, 521, 568), exposed for API fidelity. first() after
+    a shuffle is nondeterministic — which is exactly why the engine's
+    primary form is the ranking window (operators/argmax.py) and why this
+    entry has no value oracle (SURVEY.md §2.5)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return argmax_literal(
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        group_cols=["nationkey"],
+        value_col="acctbal",
+        label_cols=["segment"],
+    )

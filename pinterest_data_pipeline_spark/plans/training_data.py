@@ -269,15 +269,20 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_cos_sql('a', 'b')} >= 0.4
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (audit path, all pairs;
-    production uses the partition-restricted variant)."""
+    """Embedding-cosine near-duplicate pairs within coarse partitions
+    (the scale path: same-cluster candidates only — near-dups land in the
+    same partition by construction; the unpartitioned all-pairs variant
+    exists for bounded audits)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.4)
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.4, partition_col="label"
+    )
 
 
 # ---------------------------------------------------------------- multimodal

@@ -16,8 +16,13 @@ ORACLE_SF = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="pinterest-pipeline-tests", cpus="8")
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(
+        app_name="pinterest-pipeline-tests",
+        cpus="8",
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 
