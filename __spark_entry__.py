@@ -36,6 +36,10 @@ try:
     import pinterest_data_pipeline_spark.plans.advanced_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    import pinterest_data_pipeline_spark.plans.maintenance_ops  # noqa: F401
+except ImportError:
+    pass
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,172 @@
+"""Table maintenance (MERGE / SCD2) and statistics aggregates.
+
+Statistics determinism: variance/correlation are computed from exact
+DECIMAL component sums (n, Σx, Σx², Σy, Σy², Σxy) combined in double with
+an expression written identically on both engines — the only float ops
+happen AFTER the partition-order-dependent summation is already exact.
+Spark's built-in ``stddev``/``corr`` stream doubles and give
+partitioning-dependent last bits; these formulations don't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators.merge import merge_upsert, scd2_apply
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+           c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 5 != 0
+    UNION ALL
+    SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2), 'UPGRADED'
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (anti-join + union): every 5th customer gets
+    an updated balance/segment; the rest pass through."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    updates = (
+        cust.filter(F.col("custkey") % 5 == 0)
+        .withColumn("acctbal", F.round(F.col("acctbal") + 100.0, 2))
+        .withColumn("segment", F.lit("UPGRADED"))
+    )
+    return merge_upsert(cust, updates, ["custkey"])
+
+
+@register(
+    "scd2_segment_changes",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS custkey, c_mktsegment AS segment,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    changes AS (
+        SELECT c_custkey AS custkey, 'MOVED' AS segment
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT custkey, segment, valid_from,
+           CASE WHEN custkey % 7 = 0
+                THEN TIMESTAMP '2024-06-01 00:00:00' ELSE NULL END AS valid_to
+    FROM dim
+    UNION ALL
+    SELECT custkey, segment,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM changes
+    """,
+)
+def scd2_segment_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2: segment changes close the old version at the change
+    timestamp and open a new current one."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("custkey"), F.lit("MOVED").alias("segment")
+    )
+    return scd2_apply(
+        dim, changes, ["custkey"],
+        change_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The approx_percentile sketch is the scale
+    alternative when a full sort-by-group is too expensive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("price_p50"),
+    )
+
+
+_STATS_FINAL_SQL = """
+    SELECT linestatus,
+           n,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS qty_stddev,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS qty_price_corr
+    FROM sums
+"""
+
+
+@register(
+    "agg_stats_exact",
+    oracle=f"""
+    WITH sums AS (
+        SELECT l_linestatus AS linestatus,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    {_STATS_FINAL_SQL}
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stddev + correlation via exact DECIMAL component sums
+    (built-in stddev/corr stream doubles → partition-order-dependent last
+    bits; this formulation is partitioning-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "linestatus",
+        "n",
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))), 6).alias(
+            "qty_stddev"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+    )

@@ -52,7 +52,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            if x is None and y is None:
+            x_na = x is None or x is pd.NaT
+            y_na = y is None or y is pd.NaT
+            if x_na and y_na:
                 continue
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):

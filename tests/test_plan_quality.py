@@ -1,0 +1,100 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, TakeOrdered, partial agg, bounded
+shuffles) must be visible in `explain` output, not just intended."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_nodes(plan: str, node: str) -> int:
+    """Count physical nodes via the details-section headers '(N) <node>'
+    (each node appears exactly once there; the tree duplicates them)."""
+    return len(re.findall(rf"(?m)^\(\d+\) {node}\b", plan))
+
+
+def read_schema_width(plan: str, table_hint: str) -> int:
+    for line in plan.splitlines():
+        if "ReadSchema" in line and table_hint in line:
+            return line.split("struct<", 1)[1].count(":")
+    raise AssertionError(f"no ReadSchema with {table_hint}")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_pushdown_scan")
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert read_schema_width(plan, "l_orderkey") == 5  # 5 of 11 columns
+
+
+def test_projection_prunes_scan(spark):
+    plan = plan_of(spark, "project_rename_drop")
+    assert "l_tax" not in plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert read_schema_width(plan, "l_orderkey") == 3
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q3a_top_customer_per_nation")
+    assert n_nodes(plan, "BroadcastHashJoin") == 2
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    # the fact side never shuffles for the joins: the only hash exchanges
+    # belong to the aggregation/window, not the join inputs
+    assert n_nodes(plan, "Exchange") == 2  # groupBy + window partitioning
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert n_nodes(plan, "Exchange") == 0  # no range shuffle
+
+
+def test_agg_uses_partial_aggregation(spark):
+    plan = plan_of(spark, "agg_pricing_summary")
+    assert n_nodes(plan, "HashAggregate") == 2  # partial + final
+    assert n_nodes(plan, "Exchange") == 1  # one shuffle total
+
+
+def test_join_filter_pushed_below_join(spark):
+    plan = plan_of(spark, "join_inner_large")
+    assert "GreaterThan(o_totalprice,150000.0)" in plan  # reaches the scan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the final agg share the user_id partitioning —
+    the whole sessionization costs exactly one hash exchange."""
+    plan = plan_of(spark, "sessionize_events")
+    assert n_nodes(plan, "Exchange") == 1, plan
+    assert n_nodes(plan, "Window") == 2
+
+
+def test_window_argmax_over_aggregate_not_rows(spark):
+    """The argmax window consumes the (group,label) aggregate — the
+    aggregate sits below the window, and Spark inserts WindowGroupLimit
+    so only per-group top rows survive the shuffle."""
+    plan = plan_of(spark, "q1_top_segment_per_nation")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window (")
+    assert agg_pos != -1 and win_pos != -1
+    assert n_nodes(plan, "WindowGroupLimit") >= 1
+
+
+def test_lsh_join_keys_are_band_buckets(spark):
+    """The candidate self-join must key on (band, key) — bucket join, not
+    a cross product."""
+    plan = plan_of(spark, "minhash_lsh_near_duplicates")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
