@@ -1,0 +1,147 @@
+"""Iterative DataFrame algorithms: k-means codebooks and duplicate
+clusters (connected components).
+
+These are the engine's "genuinely iterative" operators (SURVEY.md §5 /
+driver contract: non-SQL-expressible, checked rows-only + unit tests).
+Both are expressed as a small, FIXED number of DataFrame iterations —
+each iteration is one shuffle — with deterministic initialization, so
+repeated runs produce identical results.
+
+Scale notes:
+- k-means: centroids live driver-side (k × dim doubles — tiny) and are
+  broadcast into the assignment expression each iteration; the corpus is
+  scanned once per iteration with a map-side partial aggregation for the
+  centroid update. No per-row Python.
+- duplicate clusters: min-label propagation over the pair graph. Each
+  iteration is a join + groupBy-min on the edge list (|pairs|, not
+  |corpus|). Near-dup graphs are overwhelmingly tiny cliques, so a few
+  iterations reach a fixpoint; ``iterations`` bounds worst-case chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _neg_affinity(vec: Column, centroid: list[float]) -> Column:
+    """``‖c‖² − 2·v·c`` — equal to squared distance minus the per-row
+    constant ``‖v‖²``, so it has the same argmin. The dot product is one
+    ``zip_with``/``aggregate`` fold against a literal array (~70
+    expression nodes per centroid vs ~400 for the expanded
+    ``Σ(vᵢ−cᵢ)²`` form — planning time matters at k×dim scale)."""
+    c_arr = F.array(*[F.lit(float(x)) for x in centroid])
+    dot_vc = F.aggregate(
+        F.zip_with(vec, c_arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    c_norm2 = sum(float(x) * float(x) for x in centroid)
+    return F.lit(c_norm2) - F.lit(2.0) * dot_vc
+
+
+def kmeans_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """Train a small k-means codebook (for IVF partitioning).
+
+    Deterministic: initial centroids are the k lowest-``id_col`` vectors;
+    iteration count is fixed. Returns the centroids (driver-side list) —
+    the codebook is metadata, not data, so driver-side is the right home.
+    """
+    init = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init]
+    for _ in range(iterations):
+        assign = assign_to_codebook(df, centroids, vec_col)
+        # centroid update: one partial-aggregated shuffle on cluster id
+        dim = len(centroids[0])
+        sums = assign.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.get(F.col(vec_col), i).cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = {r["cluster"]: r for r in sums.collect()}
+        centroids = [
+            [rows[c][f"s{i}"] / rows[c]["n"] for i in range(dim)]
+            if c in rows
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+    return centroids
+
+
+def assign_to_codebook(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``cluster`` = argmin squared distance to the codebook.
+
+    The argmin is ``array_min`` over an array of (distance, cluster)
+    structs — struct ordering gives min-distance with lowest-cluster-id
+    tie-break, and the expression stays LINEAR in k×dim. (A chained
+    ``when(d < best_d, ...)`` formulation embeds the running best twice
+    per step — O(2^k) tree nodes; at k=8 that took minutes of driver-side
+    planning for 500 rows.)"""
+    candidates = F.array(
+        *[
+            F.struct(
+                _neg_affinity(F.col(vec_col), centroid).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, centroid in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(candidates).getField("c"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 5,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs via min-label
+    propagation: every document ends up labeled with the smallest id
+    reachable within ``iterations`` hops — the cluster's canonical
+    (keep) document. Returns (doc_id, cluster_id).
+
+    Each iteration: labels flow across edges (join) and each node keeps
+    the minimum seen (groupBy-min). Fixpoint for chains shorter than
+    ``iterations`` (near-dup clusters are almost always ≤2 hops)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        # materialize: each iteration reads the edge list twice, and the
+        # upstream pair computation (LSH) must not re-run per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        propagated = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+            .unionByName(labels.select("node", "label"))
+        )
+        # truncate lineage each step — without this the plan doubles per
+        # iteration (labels appears twice per step) and optimization time
+        # explodes exponentially with `iterations`
+        labels = (
+            propagated.groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

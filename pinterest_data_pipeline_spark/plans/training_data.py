@@ -343,3 +343,88 @@ def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_offsets(
         multimodal.attach_binary_payload(docs)
     )
+
+
+# ------------------------------------------------------- composite pipeline
+
+
+@register(
+    "corpus_curation_basic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               round(0.4 * least((CAST({_hits("en")} AS DOUBLE)
+                       / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 4.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+                                        / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)
+                                        BETWEEN 3.0 AND 12.0
+                              THEN 1.0 ELSE 0.0 END)
+                     + 0.2 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0))
+                     + 0.1 * (1.0 - least((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0)), 6)
+                   AS quality,
+               md5({_NORM_TEXT}) AS fingerprint
+        FROM documents
+    ),
+    survivors AS (
+        SELECT fingerprint, MIN(doc_id) AS doc_id
+        FROM scored WHERE quality >= 0.5 GROUP BY fingerprint
+    )
+    SELECT s.doc_id, sc.quality
+    FROM survivors s JOIN scored sc ON s.doc_id = sc.doc_id
+    """,
+)
+def corpus_curation_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation pipeline: quality-filter the corpus, then keep
+    one document per exact-duplicate group (min-id survivor). The shape a
+    production corpus build runs before the near-dup pass — one scan +
+    one fingerprint shuffle, no joins against raw data."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text.quality_score("text").alias("quality"),
+        text.fingerprint_md5("text").alias("fingerprint"),
+    )
+    survivors = (
+        scored.filter(F.col("quality") >= 0.5)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return survivors.join(scored.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "quality"
+    )
+
+
+@register("minhash_dedup_clusters")  # iterative label propagation: rows-only
+def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → (doc_id, cluster_id)
+    canonical assignment. The full dedup story: LSH candidates, exact
+    verification, then cluster formation so each duplicate group keeps
+    exactly one canonical document."""
+    from pinterest_data_pipeline_spark.operators.clustering import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_duplicates_minhash(docs, "doc_id", "text", threshold=0.5)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+@register("ivf_kmeans_codebook_assign")  # iterative k-means: rows-only
+def ivf_kmeans_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a deterministic k-means codebook (3 fixed iterations, first-k
+    init) and assign every embedding to its coarse cell — the partition
+    builder behind the IVF search path (embedding_ivf_topk uses the
+    pre-existing label column; this builds such a partitioning from
+    scratch). Returns (vec_id, cluster, n per cluster aggregated)."""
+    from pinterest_data_pipeline_spark.operators.clustering import (
+        assign_to_codebook,
+        kmeans_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_codebook(emb, k=8, iterations=3)
+    assigned = assign_to_codebook(emb, centroids)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("min_vec_id"),
+    ).orderBy("cluster")

@@ -37,10 +37,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB truncates ns→us the same way, so oracle timestamps agree.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Adaptive: the driver fixture stores nanos (arrives as long under the
+    # legacy flag); re-written/compacted copies store a real timestamp and
+    # need no conversion.
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,107 @@
+"""Scale-trend stress run: replicate the sf0.1 tables N× into /tmp and
+re-run the heavyweight operators, recording wall time vs data size.
+
+This is the local proxy for the 100 TB question: an operator whose cost
+grows super-linearly here (all-pairs joins, collapsed-projection HOFs)
+will not survive a real cluster. Run:
+
+    python scripts/stress.py [replication_factor]
+
+Ids are remapped per replica (id + replica * stride) so keys stay unique
+and dedup/LSH don't see artificial verbatim duplicates beyond the ones
+each replica already contains.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from pinterest_data_pipeline_spark.session import get_spark
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+SRC_SF = "/root/testdata/sf0.1"
+STRIDE = 10_000_000
+
+REPLICATED_IDS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+}
+
+QUERIES = [
+    "minhash_lsh_near_duplicates",
+    "simhash_near_pairs",
+    "embedding_near_dup_pairs",
+    "embedding_cosine_topk",
+    "exact_dedup_fingerprint",
+    "agg_pricing_summary",
+    "join_inner_large",
+    "sessionize_events",
+    "q3a_top_customer_per_nation",
+    "window_running_and_lag",
+]
+
+
+def replicate(spark, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ["region", "nation", "supplier", "part"]:  # dims: copy once
+        load_table(spark, SRC_SF, name).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+    for name, id_cols in REPLICATED_IDS.items():
+        base = load_table(spark, SRC_SF, name)
+        parts = []
+        for r in range(factor):
+            df = base
+            for c in id_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(r * STRIDE))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    out_dir = f"/tmp/stress_x{factor}"
+    spark = get_spark(app_name="stress")
+    t0 = time.perf_counter()
+    replicate(spark, out_dir, factor)
+    print(f"# replicated x{factor} in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    results = {}
+    for name in QUERIES:
+        fn = entry_mod.queries()[name]
+        t0 = time.perf_counter()
+        n_base = fn(spark, SRC_SF).count()
+        base_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_big = fn(spark, out_dir).count()
+        big_s = time.perf_counter() - t0
+        ratio = big_s / base_s if base_s > 0 else float("nan")
+        results[name] = {
+            "base_s": round(base_s, 2),
+            f"x{factor}_s": round(big_s, 2),
+            "time_ratio": round(ratio, 2),
+            "rows_base": n_base,
+            f"rows_x{factor}": n_big,
+        }
+        print(f"# {name}: {base_s:.2f}s -> {big_s:.2f}s ({ratio:.1f}x)", file=sys.stderr)
+    print(json.dumps({"factor": factor, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
