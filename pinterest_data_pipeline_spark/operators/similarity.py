@@ -185,3 +185,95 @@ def embedding_near_duplicates(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# ------------------------------------------------------------ vector LSH
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side constants
+    baked into the plan — same planes on every run/partition)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def hyperplane_band_keys(
+    vec: Column, dim: int, bands: int = 4, planes_per_band: int = 8, seed: int = 7
+) -> list[Column]:
+    """Random-hyperplane (SimHash-for-vectors) band keys: each band is an
+    integer whose bits are the signs of ``planes_per_band`` projections.
+    P[two vectors share a band] = (1 - θ/π)^planes_per_band per band —
+    the standard cosine-LSH s-curve, banded like MinHash so recall
+    concentrates on genuinely similar pairs."""
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for i in range(planes_per_band):
+            plane = planes[b * planes_per_band + i]
+            proj = dot(vec, F.array(*[F.lit(p) for p in plane]))
+            key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        keys.append(key)
+    return keys
+
+
+def lsh_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs via banded hyperplane LSH + exact cosine
+    verification — the vector analog of MinHash LSH: candidates come from
+    band-bucket equality joins (shuffle = bucket histogram, never n²),
+    then only candidates pay the exact cosine fold.
+
+    Recall follows the cosine-LSH s-curve: near-identical vectors
+    (cos ≥ ~0.95) collide with probability ≈1; weakly-similar pairs are
+    mostly (intentionally) missed. Returns (id_a, id_b, score)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    ).repartition(F.col("__id"))  # materialize norms/keys input once
+    keys = hyperplane_band_keys(F.col("__vec"), dim, bands, planes_per_band, seed)
+    banded = base.select(
+        "__id",
+        "__vec",
+        "__norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), k.alias("key"))
+                    for b, k in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__vec", "__norm", "bk.band", "bk.key")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(
+                dot(F.col("l.__vec"), F.col("r.__vec"))
+                / (F.col("l.__norm") * F.col("r.__norm")),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )

@@ -428,3 +428,50 @@ def ivf_kmeans_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("vec_id").alias("min_vec_id"),
     ).orderBy("cluster")
+
+
+@register("embedding_lsh_near_duplicates")  # banded hyperplane LSH: rows-only
+def embedding_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector analog of MinHash LSH: banded random-hyperplane buckets +
+    exact cosine verification (threshold 0.4 here so the corpus — whose
+    max pairwise cosine is ~0.51 — yields a checkable non-empty result;
+    production near-dup thresholds of 0.95+ sit where the s-curve's
+    recall ≈ 1, see tests/test_dedup_similarity.py planted-clone test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_duplicates(emb, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "text_top_pieces",
+    oracle="""
+    WITH pieces AS (
+        SELECT t.piece
+        FROM documents,
+             UNNEST(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS t(piece)
+    ),
+    counts AS (
+        SELECT piece, CAST(COUNT(*) AS BIGINT) AS n FROM pieces GROUP BY 1
+    )
+    SELECT piece, n FROM counts ORDER BY n DESC, piece ASC LIMIT 20
+    """,
+)
+def text_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode BPE-ish pieces, count, top-20.
+    The explode → partial-agg → TakeOrdered shape is the canonical
+    'token frequency table' pipeline at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                # idx=0 = whole match (the default idx=1 asserts a capture
+                # group exists and throws on group-free patterns)
+                F.regexp_extract_all(F.lower("text"), F.lit(text.TOKEN_PIECE_RE), 0)
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("piece"))
+        .limit(20)
+    )

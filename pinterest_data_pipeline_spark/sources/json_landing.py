@@ -84,3 +84,29 @@ def compact_to_parquet(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(out_dir)
     )
+
+
+def read_landing_json_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Landing read with corrupt-record quarantine.
+
+    PERMISSIVE mode (the default) silently turns malformed JSON into
+    all-null rows; at ingest scale that's data loss without a trace. This
+    variant captures the raw bytes of bad records in a ``_corrupt``
+    column and returns (good_rows, quarantine) so the pipeline can land
+    bad records in a dead-letter location instead of dropping them."""
+    from pyspark.sql import functions as F
+
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    ).cache()  # one pass computes both splits; SPARK-21610: corrupt-record
+    #            queries cannot project _corrupt alone without the cache
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+    return good, bad

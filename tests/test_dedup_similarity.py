@@ -108,3 +108,34 @@ def test_dedup_keep_first_deterministic(spark):
     )
     out = dedup.dedup_keep_first(df, ["k"], [F.desc("v"), F.asc("id")])
     assert {(r["k"], r["id"]) for r in out.collect()} == {("a", 1), ("b", 4)}
+
+
+def test_hyperplane_lsh_finds_planted_clones(spark, emb):
+    """Near-identical vectors (cos≈1) must collide in some band with
+    probability ~1: plant 10 clones with tiny perturbation and require
+    full recall at threshold 0.98."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") < 10)
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    plus = emb.unionByName(clones)
+    pairs = similarity.lsh_near_duplicates(plus, threshold=0.98)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(i, i + 100000) for i in range(10)}
+    assert expected <= got, expected - got
+
+
+def test_hyperplane_lsh_subset_of_bruteforce(spark, emb):
+    """LSH output pairs must be a subset of brute-force pairs at the same
+    threshold (verification step guarantees no false positives)."""
+    from pyspark.sql import functions as F
+
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           similarity.lsh_near_duplicates(emb, threshold=0.4).collect()}
+    brute = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_near_duplicates(emb, threshold=0.4).collect()}
+    assert lsh <= brute

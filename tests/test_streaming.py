@@ -175,3 +175,21 @@ def test_compaction_reduces_files(spark, landing_dirs, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert 0 < len(files) <= 2
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed landing records must be quarantined with their raw
+    bytes, not silently nulled."""
+    land = str(tmp_path / "q_land")
+    json_landing.write_landing_records(
+        [{"ind": 1, "country": "X", "latitude": 1.0, "longitude": 2.0,
+          "timestamp": "2024-01-01 00:00:00"}],
+        land, 10,
+    )
+    with open(os.path.join(land, "bad-000000.json"), "w") as f:
+        f.write('{"ind": oops not json\n')
+    good, bad = json_landing.read_landing_json_quarantine(spark, land, GEO_RAW)
+    assert good.count() == 1
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "oops" in bad_rows[0]["_corrupt"]
