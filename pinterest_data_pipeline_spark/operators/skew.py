@@ -1,0 +1,72 @@
+"""Skew mitigation: salted two-phase aggregation and salted broadcast join.
+
+AQE's skew-join splitting handles most runtime skew; these operators are
+for the cases planners can't fix: a HOT KEY in a groupBy (one reducer
+gets the whole key) or a hot key in a join against a non-broadcastable
+side. Salting spreads the hot key over ``n_salts`` partial groups at the
+cost of a second (tiny) aggregation — the standard pattern at 100 TB.
+
+Only decomposable aggregates can be salted (count → sum of counts,
+sum → sum of sums, min/max → min/max of partials); the API takes the
+partial and final expressions explicitly so composition is visible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_col: str,
+    n_salts: int = 16,
+    count_alias: str = "n",
+    sum_alias: str = "total",
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).agg(count, sum)``.
+
+    Phase 1 groups by (keys, salt) — the hot key's rows spread across
+    ``n_salts`` reducers; phase 2 re-aggregates the ≤ ``n_salts`` partials
+    per key. The sum goes through DECIMAL so the two-phase result is
+    bit-identical to the direct aggregation (and the oracle)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count("*").alias("__pn"),
+        F.sum(F.col(sum_col).cast("decimal(18,2)")).alias("__psum"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__pn").alias(count_alias),
+        F.sum("__psum").cast("double").alias(sum_alias),
+    )
+
+
+def salted_broadcast_left_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Hot-key-safe join: replicate the SMALL side once per salt value and
+    join on (key, salt). Useful when the big side's hot key would overflow
+    a single task in a shuffle join and the small side is broadcastable
+    anyway — the salt keeps per-task fan-out bounded even if the planner
+    falls back to a shuffle join."""
+    salts = small.sparkSession.range(n_salts).select(
+        F.col("id").cast("long").alias("__salt")
+    )
+    small_rep = small.crossJoin(salts)  # |small| × n_salts replicas
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    joined = big_salted.join(
+        F.broadcast(small_rep),
+        [key, "__salt"],
+        "left",
+    )
+    return joined.drop("__salt")

@@ -192,3 +192,87 @@ def argmax_literal_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="acctbal",
         label_cols=["segment"],
     )
+
+
+@register(
+    "salted_agg_events",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: partials over (key, salt), final
+    over key. The salt assignment is random per row but the final result
+    is bit-identical to the direct aggregation (counts exact, sums in
+    DECIMAL) — which is exactly what the oracle checks."""
+    from pinterest_data_pipeline_spark.operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_sum(ev, ["event_type"], "value", n_salts=16)
+
+
+@register(
+    "salted_join_orders_customer",
+    oracle="""
+    SELECT o_orderkey AS orderkey, c.c_name AS customer
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe replicated-broadcast join: the small side is cloned
+    per salt so a skewed big-side key spreads over n_salts tasks; output
+    equals the plain left join (small side has unique keys)."""
+    from pinterest_data_pipeline_spark.operators.skew import (
+        salted_broadcast_left_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("customer")
+    )
+    return salted_broadcast_left_join(orders, cust, "custkey").select(
+        "orderkey", "customer"
+    )
+
+
+@register(
+    "sql_revenue_topk",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, year(o_orderdate)
+    ORDER BY revenue DESC, orderkey ASC LIMIT 10
+    """,
+)
+def sql_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-string interface (absent in the reference —
+    SURVEY §2.12): TPC-H Q3-shaped revenue top-k written as plain Spark
+    SQL over temp views; Catalyst plans it identically to the DataFrame
+    form (broadcast dims, partial agg, TakeOrdered)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sql_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               year(o_orderdate) AS order_year
+        FROM sql_customer JOIN sql_orders ON c_custkey = o_custkey
+        JOIN sql_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, year(o_orderdate)
+        ORDER BY revenue DESC, orderkey ASC LIMIT 10
+        """
+    )

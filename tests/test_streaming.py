@@ -193,3 +193,53 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1
     assert "oops" in bad_rows[0]["_corrupt"]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches —
+    the second batch's emission includes the first batch's counts."""
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+    from pinterest_data_pipeline_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    land = str(tmp_path / "state_land")
+    json_landing.write_landing_records(
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1,
+             "event_type": "view", "value": 10.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2,
+             "event_type": "view", "value": 5.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 3,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        ],
+        land, 100,
+    )
+    stream = json_landing.read_landing_stream(
+        spark, land, EVENTS, max_files_per_trigger=1
+    )
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        json_landing.write_landing_records(
+            [
+                {"event_id": 4, "ts": "2024-01-01 10:03:00", "user_id": 4,
+                 "event_type": "view", "value": 2.5, "props": "{}"},
+            ],
+            land, 100, prefix="late",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM state_out").collect()
+    # last emission for 'view' must be cumulative: 3 events, 17.5 total
+    views = [r for r in rows if r["event_type"] == "view"]
+    assert views[-1]["n_events"] == 3 and views[-1]["total_value"] == 17.5, rows
+    clicks = [r for r in rows if r["event_type"] == "click"]
+    assert clicks[-1]["n_events"] == 1
