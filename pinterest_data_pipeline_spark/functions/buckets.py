@@ -19,10 +19,15 @@ from pyspark.sql import types as T
 
 
 def age_range(age: Column | str) -> Column:
-    """Native CASE WHEN age bucketing — the engine's primary form."""
+    """Native CASE WHEN age bucketing — the engine's primary form.
+
+    NULL age → NULL (the bare ``otherwise('+50')`` would swallow NULLs
+    into the top bucket, silently diverging from the UDF variant — caught
+    by the hypothesis property test)."""
     c = F.col(age) if isinstance(age, str) else age
     return (
-        F.when(c < 25, "18-24")
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c < 25, "18-24")
         .when((c >= 25) & (c <= 35), "25-35")
         .when((c >= 36) & (c <= 50), "36-50")
         .otherwise("+50")

@@ -1,0 +1,47 @@
+"""Batch sinks: partitioned parquet layout for scan-time pruning.
+
+At 100 TB the dominant query cost is what you DON'T scan: laying data
+out as ``partitionBy(date, ...)`` parquet lets every time-bounded query
+prune whole directories at planning time (visible as PartitionFilters in
+the scan node — asserted in tests/test_sinks.py). ``maxRecordsPerFile``
+bounds file sizes without a coalesce bottleneck; writers never produce
+the reference's one-object-per-record layout (README.md:155).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write partitioned parquet. Partition columns should be low-to-mid
+    cardinality (dates, categories) — one directory per value; high-
+    cardinality keys belong in bucketing, not partitioning."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def add_date_partition(
+    df: DataFrame, ts_col: str, out_col: str = "dt"
+) -> DataFrame:
+    """Derive the standard date partition column from an event timestamp."""
+    return df.withColumn(out_col, F.to_date(F.col(ts_col)))
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout; partition columns come back as columns
+    and filters on them prune at planning time."""
+    return spark.read.parquet(path)

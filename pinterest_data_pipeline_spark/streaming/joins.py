@@ -1,0 +1,53 @@
+"""Stream-stream joins with watermarks (engine extension).
+
+Joining two unbounded streams requires both sides to buffer state; the
+watermarks + the time-interval join condition bound that state: each side
+keeps only rows young enough to still find a partner. Without the
+interval condition Spark rejects (or state grows forever) — the
+condition IS the state-eviction policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_clicks_to_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_gap: str = "INTERVAL 30 MINUTES",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Attach each click to view events by the same user within
+    ``max_gap`` BEFORE the click (streaming attribution join).
+
+    Both inputs must be streaming DataFrames with ``user_id``, ``ts``,
+    ``event_id``, ``value`` columns. Inner join: clicks with no prior
+    view in the window are dropped (use left-outer + watermark for the
+    keep-unmatched variant)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"c_user = v_user AND view_ts <= click_ts "
+            f"AND view_ts >= click_ts - {max_gap}"
+        ),
+        "inner",
+    ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts", "view_value")

@@ -1,0 +1,75 @@
+"""Exactly-once streaming sinks via ``foreachBatch``.
+
+File/parquet streaming sinks are append-only; upserting a keyed TARGET
+table from a stream needs ``foreachBatch`` + an idempotent batch write.
+Without a transactional table format, idempotency comes from writing
+each micro-batch's merge RESULT to a batch-id-stamped directory and
+atomically advancing a manifest pointer — a replayed batch (after crash
+between write and commit) simply overwrites its own directory and
+re-points the manifest to the same place. Readers resolve the manifest
+first, so they never observe a half-written version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from pinterest_data_pipeline_spark.operators.merge import merge_upsert
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _current_version_dir(target_dir: str) -> str | None:
+    manifest = os.path.join(target_dir, _MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        return json.load(f)["current"]
+
+
+def read_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Resolve the manifest and read the current table version."""
+    version = _current_version_dir(target_dir)
+    if version is None:
+        return None
+    return spark.read.parquet(os.path.join(target_dir, version))
+
+
+def upsert_stream_to_parquet(
+    updates: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Start a stream that MERGEs each micro-batch into the target table.
+
+    Each batch: read current version (if any) → merge_upsert → write to
+    ``v<batchId>`` → atomically repoint the manifest. Re-delivered
+    batches rewrite their own version dir → idempotent."""
+    os.makedirs(target_dir, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = read_target(spark, target_dir)
+        merged = (
+            merge_upsert(current, batch_df, key_cols)
+            if current is not None
+            else batch_df
+        )
+        version = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_dir, version))
+        tmp = os.path.join(target_dir, f".{_MANIFEST}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"current": version, "batch_id": batch_id}, f)
+        os.replace(tmp, os.path.join(target_dir, _MANIFEST))  # atomic commit
+
+    return (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

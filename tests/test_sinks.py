@@ -1,0 +1,45 @@
+"""Partitioned-write sink: layout, pruning, and file-count behavior."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.sources import sinks
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+
+def test_partitioned_write_and_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    ev = sinks.add_date_partition(load_table(spark, sf_dir, "events"), "ts")
+    sinks.write_partitioned(ev, out, ["dt"])
+
+    # layout: one directory per date
+    dt_dirs = [d for d in os.listdir(out) if d.startswith("dt=")]
+    assert len(dt_dirs) >= 2
+
+    # partition pruning: a dt filter must appear as PartitionFilters and
+    # prune the scanned partition count at planning time
+    back = sinks.read_partitioned(spark, out)
+    one_day = sorted(d.split("=")[1] for d in dt_dirs)[0]
+    q = back.filter(F.col("dt") == one_day).select("event_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert f"isnotnull(dt" in plan or "dt#" in plan
+
+    # row-level equality with a non-partitioned filter path
+    direct = ev.filter(F.col("dt") == one_day).count()
+    assert q.count() == direct
+
+
+def test_partitioned_write_roundtrip_complete(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_rt")
+    ev = sinks.add_date_partition(load_table(spark, sf_dir, "events"), "ts")
+    sinks.write_partitioned(ev, out, ["dt"])
+    assert sinks.read_partitioned(spark, out).count() == ev.count()

@@ -243,3 +243,96 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert views[-1]["n_events"] == 3 and views[-1]["total_value"] == 17.5, rows
     clicks = [r for r in rows if r["event_type"] == "click"]
     assert clicks[-1]["n_events"] == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream attribution join: clicks match views by the same
+    user within 30 minutes before the click."""
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+    from pinterest_data_pipeline_spark.streaming.joins import (
+        interval_join_clicks_to_views,
+    )
+
+    land_c = str(tmp_path / "clicks")
+    land_v = str(tmp_path / "views")
+    json_landing.write_landing_records(
+        [
+            {"event_id": 10, "ts": "2024-01-01 10:20:00", "user_id": 1,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 11, "ts": "2024-01-01 12:00:00", "user_id": 1,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 12, "ts": "2024-01-01 10:25:00", "user_id": 2,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+        ],
+        land_c, 100,
+    )
+    json_landing.write_landing_records(
+        [
+            {"event_id": 20, "ts": "2024-01-01 10:00:00", "user_id": 1,
+             "event_type": "view", "value": 7.0, "props": "{}"},
+            {"event_id": 21, "ts": "2024-01-01 09:00:00", "user_id": 2,
+             "event_type": "view", "value": 3.0, "props": "{}"},
+        ],
+        land_v, 100,
+    )
+    clicks = json_landing.read_landing_stream(spark, land_c, EVENTS)
+    views = json_landing.read_landing_stream(spark, land_v, EVENTS)
+    joined = interval_join_clicks_to_views(clicks, views)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["click_id"], r["view_id"])
+           for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    # click 10 (10:20) matches view 20 (10:00, same user, 20 min before);
+    # click 11 (12:00) matches nothing (view too old);
+    # click 12 (user 2, 10:25) matches nothing (view at 09:00 > 30 min gap)
+    assert got == {(10, 20)}, got
+
+
+def test_foreachbatch_upsert_sink(spark, tmp_path):
+    """foreachBatch merge sink: later batches overwrite rows by key;
+    the manifest always points at a complete version."""
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+    from pinterest_data_pipeline_spark.streaming import sinks as ssinks
+
+    land = str(tmp_path / "upsert_land")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "up_ckpt")
+    json_landing.write_landing_records(
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2,
+             "event_type": "view", "value": 2.0, "props": "{}"},
+        ],
+        land, 100,
+    )
+    stream = json_landing.read_landing_stream(
+        spark, land, EVENTS, max_files_per_trigger=1
+    )
+    q = ssinks.upsert_stream_to_parquet(stream, target, ["event_id"], ckpt)
+    try:
+        q.processAllAvailable()
+        # second batch UPDATES event 1 and inserts event 3
+        json_landing.write_landing_records(
+            [
+                {"event_id": 1, "ts": "2024-01-01 11:00:00", "user_id": 1,
+                 "event_type": "view", "value": 99.0, "props": "{}"},
+                {"event_id": 3, "ts": "2024-01-01 11:01:00", "user_id": 3,
+                 "event_type": "click", "value": 3.0, "props": "{}"},
+            ],
+            land, 100, prefix="b2",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = ssinks.read_target(spark, target)
+    rows = {r["event_id"]: r["value"] for r in final.collect()}
+    assert rows == {1: 99.0, 2: 2.0, 3: 3.0}, rows
