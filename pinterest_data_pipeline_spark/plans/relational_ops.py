@@ -890,3 +890,110 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "levenshtein_similar_names",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs, blocked by an equality key (p_type)
+    so the quadratic comparison is bounded per block — the classic
+    blocking+distance record-linkage shape."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("type_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("type_b"),
+    )
+    return (
+        a.join(b, (F.col("type_a") == F.col("type_b")) & (F.col("key_a") < F.col("key_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@register(
+    "collect_segments_per_nation",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY 1
+    """,
+)
+def collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set is order-nondeterministic
+    under shuffle, so the engine always sorts collected arrays before
+    they become results (same family as the argmax rule)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over a total order: ntile buckets,
+    percent_rank, cume_dist."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o_orderdate) AS INTEGER) AS days_since_epoch_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           date_trunc('week', o_orderdate) AS week_start
+    FROM orders
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: offset, difference, month-end, week
+    truncation (both engines start weeks on Monday)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+    )
