@@ -898,27 +898,37 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
     FROM part a JOIN part b
-      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+      ON a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
 )
 def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-match pairs, blocked by an equality key (p_type)
-    so the quadratic comparison is bounded per block — the classic
-    blocking+distance record-linkage shape."""
+    """Edit-distance near-match pairs, blocked on (p_type, p_size) so the
+    quadratic comparison is bounded per block (~70 rows/block here) — the
+    classic blocking+distance record-linkage shape. Block key choice is
+    the scale lever: p_type alone left ~3300-row blocks → 33M distance
+    computations; the composite key cuts that 50×."""
     part = load_table(spark, sf_dir, "part")
     a = part.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
     )
     b = part.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
         F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
     )
     return (
-        a.join(b, (F.col("type_a") == F.col("type_b")) & (F.col("key_a") < F.col("key_b")))
+        a.join(
+            b,
+            (F.col("type_a") == F.col("type_b"))
+            & (F.col("size_a") == F.col("size_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 3)
         .select("key_a", "key_b", "edit_dist")
@@ -996,4 +1006,18 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("days_since_epoch_start"),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.date_trunc("week", "o_orderdate").alias("week_start"),
+    )
+
+
+@register("approx_percentiles_sketch")  # t-digest-style sketch: rows-only
+def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile): the scale alternative
+    to the exact interpolated form in agg_percentiles — fixed-size sketch
+    merged map-side instead of a per-group sort. Approximate result ⇒ no
+    value oracle; the exact twin provides the accuracy reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_percentile("l_quantity", 0.5, 10000).alias("qty_p50_approx"),
+        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("price_p90_approx"),
+        F.count("*").alias("n"),
     )
