@@ -81,14 +81,15 @@ def kmeans_codebook(
 def assign_to_codebook(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    """Attach ``cluster`` = argmin squared distance to the codebook.
+    """Attach ``cluster`` = argmin distance to the codebook.
 
-    The argmin is ``array_min`` over an array of (distance, cluster)
-    structs — struct ordering gives min-distance with lowest-cluster-id
-    tie-break, and the expression stays LINEAR in k×dim. (A chained
-    ``when(d < best_d, ...)`` formulation embeds the running best twice
-    per step — O(2^k) tree nodes; at k=8 that took minutes of driver-side
-    planning for 500 rows.)"""
+    Distance is ranked via the ``‖c‖² − 2v·c`` affinity (same argmin as
+    squared distance, cheaper expression); the argmin is ``array_min``
+    over (score, cluster) structs — struct ordering gives min-score with
+    lowest-cluster-id tie-break, and the expression stays LINEAR in
+    k×dim. (A chained ``when(d < best_d, ...)`` formulation embeds the
+    running best twice per step — O(2^k) tree nodes; at k=8 that took
+    minutes of driver-side planning for 500 rows.)"""
     candidates = F.array(
         *[
             F.struct(
