@@ -30,26 +30,32 @@ def main() -> None:
     # measured query doesn't pay one-time session costs.
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
+    errors: dict[str, str] = {}
     total_t0 = time.perf_counter()
     for name in sorted(queries):
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        n = df.count()  # full-plan action; results stay distributed
+        try:
+            df = queries[name](spark, sf_dir)
+            n = df.count()  # full-plan action; results stay distributed
+        except Exception as exc:  # noqa: BLE001 - one bad query must not
+            # zero out the whole benchmark record for the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(time.perf_counter() - total_t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 
