@@ -475,3 +475,54 @@ def text_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("piece"))
         .limit(20)
     )
+
+
+@register("corpus_curation_full")  # iterative near-dup clustering: rows-only
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation pipeline a training-data build runs:
+
+    1. quality-score filter (drop low-quality docs),
+    2. exact dedup (md5 fingerprint, min-id survivor),
+    3. near-dup LSH clustering (MinHash bands → verified pairs →
+       connected components), keeping each cluster's canonical doc.
+
+    Returns per-stage survivor counts plus the final corpus size — the
+    numbers a curation run reports. Each stage is one scan + one bounded
+    shuffle; nothing is quadratic in the corpus."""
+    from pinterest_data_pipeline_spark.operators.clustering import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text.quality_score("text").alias("quality"),
+        text.fingerprint_md5("text").alias("fingerprint"),
+    )
+    quality_pass = scored.filter(F.col("quality") >= 0.5)
+    exact_survivors = (
+        quality_pass.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    ).select("doc_id")
+
+    surviving_docs = docs.join(exact_survivors, "doc_id", "semi")
+    pairs = dedup.near_duplicates_minhash(
+        surviving_docs, "doc_id", "text", threshold=0.5
+    )
+    clusters = duplicate_clusters(pairs)
+    # drop non-canonical cluster members (cluster_id == canonical doc_id)
+    non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    final = exact_survivors.join(non_canonical, "doc_id", "anti")
+
+    n_total = docs.count()
+    n_quality = quality_pass.count()
+    n_exact = exact_survivors.count()
+    n_final = final.count()
+    return spark.createDataFrame(
+        [
+            ("input", n_total),
+            ("quality_pass", n_quality),
+            ("exact_dedup", n_exact),
+            ("near_dedup_final", n_final),
+        ],
+        "stage string, n_docs long",
+    )
