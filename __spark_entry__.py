@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Importing these modules registers their queries into the shared registry.
 import pinterest_data_pipeline_spark.plans.analog_queries  # noqa: F401
-from pinterest_data_pipeline_spark.plans.registry import ORACLE, QUERIES
+from pinterest_data_pipeline_spark.plans.registry import (
+    ORACLE,
+    QUERIES,
+    ordered_queries,
+)
 
 try:  # optional modules appear as rounds progress; keep entry importable
     import pinterest_data_pipeline_spark.plans.relational_ops  # noqa: F401
@@ -54,8 +58,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in driver-check
+    priority order: the external driver verifies a fixed-size prefix (50 in
+    round 1), so not-yet-verified / changed / new queries lead and
+    long-green heavy queries trail (registry.CHECK_FIRST rationale)."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -36,14 +36,17 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)
-            n = df.count()  # full-plan action; results stay distributed
+            # noop sink, not count(): count() lets Catalyst prune every
+            # unreferenced projection expression, so projection-only queries
+            # would time the parquet scan instead of the expression work.
+            df.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 - one bad query must not
             # zero out the whole benchmark record for the round
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
     total = round(time.perf_counter() - total_t0, 4)
 
     record = {

@@ -36,12 +36,19 @@ def asof_join(
     prior right row keep NULLs. Output: all left columns +
     ``<value_col><suffix>`` columns."""
     left_cols = left.columns
+    # All value columns ride in ONE struct, carried atomically: the struct is
+    # non-NULL exactly when the row is a right row, so last(ignorenulls) always
+    # attaches every value column from the SAME right row (per-column carries
+    # could mix rows when a right row holds NULL in one value column and a
+    # value in another).
     spine_left = left.select(
         F.col(key).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*left_cols).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(right.select(*[F.col(c) for c in value_cols]).schema)
+        .alias("__r"),
     )
     spine_right = right.select(
         F.col(key).alias("__key"),
@@ -50,32 +57,29 @@ def asof_join(
         F.lit(None).cast(
             spine_left.schema["__left"].dataType
         ).alias("__left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
     spine = spine_left.unionByName(spine_right)
     # Tie order: right rows before left at equal ts (inclusive as-of);
     # multiple right rows at identical (key, ts) are ordered by their value
-    # columns, so the carried row is deterministic (the max tuple). Callers
-    # wanting different tie semantics should pre-aggregate the right side
-    # to one row per (key, ts).
+    # struct (lexicographic by field), so the carried row is deterministic
+    # (the max tuple). Callers wanting different tie semantics should
+    # pre-aggregate the right side to one row per (key, ts).
     w = (
         Window.partitionBy("__key")
         .orderBy(
             F.col("__ts").asc(),
             F.col("__is_left").asc(),
-            *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols],
+            F.col("__r").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = spine.select(
         "__is_left",
         "__left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__carried"),
     ).filter(F.col("__is_left") == 1)
     return carried.select(
         *[F.col(f"__left.{c}").alias(c) for c in left_cols],
-        *[F.col(f"__carried_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

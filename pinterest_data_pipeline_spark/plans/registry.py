@@ -22,6 +22,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# The external driver verifies a fixed-size PREFIX of ``queries()``:
+# CORRECTNESS_r01.json contains exactly the first 50 entries in insertion
+# order (cumulative sweep time at the cut was ~32 s of a 66 s total, so the
+# cut is a count cap, not a time budget). With more than 50 registered
+# queries the prefix must therefore be CHOSEN, not incidental:
+#
+# - ``CHECK_FIRST`` leads the ordering — queries with no driver row yet,
+#   queries whose implementation changed since their last green row, and
+#   new queries. Within it, oracle-backed (strong-signal) entries come
+#   before rows-only ones.
+# - Everything else follows in registration order (flagship q* queries and
+#   the core relational surface first), keeping its prior-round green rows
+#   as standing evidence.
+# - ``CHECK_LAST`` holds heavy pair-generating queries that are already
+#   green, so they never crowd out an unverified query.
+#
+# Rotating this list per round gives every registered query a driver
+# correctness row across rounds even though each single round checks at
+# most 50.
+CHECK_FIRST: list[str] = [
+    # -- oracle-backed, no driver row in round 1 --
+    "explode_type_words",
+    "map_column_access",
+    "multimodal_binary_meta",
+    "multimodal_frame_offsets",
+    "merge_upsert_customers",
+    "text_top_pieces",
+    "tumbling_hourly_event_counts",
+    "sliding_window_event_counts",
+    "scd2_segment_changes",
+    "salted_agg_events",
+    "grouped_map_top2_per_nation",
+    "salted_join_orders_customer",
+    "session_window_user_counts",
+    "agg_percentiles",
+    "agg_stats_exact",
+    "pandas_udf_bucket_counts",
+    "embedding_ivf_topk",
+    "asof_join_latest_view",
+    "embedding_cosine_topk",
+    "sql_revenue_topk",
+    "corpus_curation_basic",
+    "embedding_near_dup_pairs",
+    # -- changed in round 2, need a fresh green row --
+    "collect_segments_per_nation",
+    "limit_offset_sample",
+    # -- rows-only (no oracle), no driver row in round 1 --
+    "argmax_literal_max_first",
+    "multimodal_decode_features",
+    "simhash_near_pairs",
+    "minhash_dedup_clusters",
+    "embedding_lsh_near_duplicates",
+    "ivf_kmeans_codebook_assign",
+    "corpus_curation_full",
+]
+
+CHECK_LAST: list[str] = [
+    "ngram_jaccard_pairs",
+    "minhash_lsh_near_duplicates",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """All registered queries, in driver-check priority order (see above)."""
+    ordered: dict[str, QueryFn] = {}
+    for name in CHECK_FIRST:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    for name in QUERIES:
+        if name not in ordered and name not in CHECK_LAST:
+            ordered[name] = QUERIES[name]
+    for name in CHECK_LAST:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    return ordered
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query (and its oracle SQL, if expressible)."""

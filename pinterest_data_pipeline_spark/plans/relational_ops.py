@@ -939,18 +939,23 @@ def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_segments_per_nation",
     oracle="""
     SELECT c_nationkey AS nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|')
+               AS segments,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer GROUP BY 1
     """,
 )
 def collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect_set is order-nondeterministic
-    under shuffle, so the engine always sorts collected arrays before
-    they become results (same family as the argmax rule)."""
+    under shuffle, so the engine always sorts collected arrays before they
+    become results (same family as the argmax rule). The result is emitted as
+    a '|'-joined scalar string rather than array<string> so downstream
+    value-hash comparators (which canonicalize scalar cells) can digest it."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+            "segments"
+        ),
         F.count("*").alias("n_customers"),
     )
 

@@ -69,7 +69,7 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
         SELECT user_id, ts,
                CASE WHEN prev_ts IS NULL
-                         OR date_diff('second', prev_ts, ts) > 1800
+                         OR date_diff('second', prev_ts, ts) >= 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ),
@@ -89,6 +89,8 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_window_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) per user. Oracle reconstructs the
     same sessions with the lag-gap formulation; Spark's session_window end
-    is last-event + gap, mirrored as MAX(ts) + interval."""
+    is last-event + gap, mirrored as MAX(ts) + interval. The gap test is
+    ``>= 1800``, not ``>``: Spark's session end is EXCLUSIVE, so an event
+    at exactly prev_ts + gap opens a new session."""
     ev = load_table(spark, sf_dir, "events")
     return W.session_window_counts(ev, "ts", ["user_id"], gap="30 minutes")

@@ -492,17 +492,31 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinterest_data_pipeline_spark.operators.clustering import duplicate_clusters
 
     docs = load_table(spark, sf_dir, "documents")
+    # Funnel counts are separate actions over overlapping lineage, so the
+    # shared stages are persisted once: scoring/fingerprinting runs ONE scan
+    # (n_total + n_quality fold into a single aggregate over it) and the
+    # exact-dedup survivor set feeds its own count, the LSH input, and the
+    # final anti-join without recomputation. At 100 TB, re-running quality
+    # scoring and MinHash per reported count would dominate the pipeline.
     scored = docs.select(
         "doc_id",
+        "text",
         text.quality_score("text").alias("quality"),
         text.fingerprint_md5("text").alias("fingerprint"),
-    )
+    ).persist()
+    totals = scored.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("quality") >= 0.5, True)).alias("n_quality"),
+    ).collect()[0]
     quality_pass = scored.filter(F.col("quality") >= 0.5)
     exact_survivors = (
         quality_pass.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    ).select("doc_id")
+    ).select("doc_id").persist()
+    n_exact = exact_survivors.count()
 
-    surviving_docs = docs.join(exact_survivors, "doc_id", "semi")
+    surviving_docs = scored.select("doc_id", "text").join(
+        exact_survivors, "doc_id", "semi"
+    )
     pairs = dedup.near_duplicates_minhash(
         surviving_docs, "doc_id", "text", threshold=0.5
     )
@@ -513,10 +527,11 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = exact_survivors.join(non_canonical, "doc_id", "anti")
 
-    n_total = docs.count()
-    n_quality = quality_pass.count()
-    n_exact = exact_survivors.count()
+    n_total = totals["n_total"]
+    n_quality = totals["n_quality"]
     n_final = final.count()
+    scored.unpersist()
+    exact_survivors.unpersist()
     return spark.createDataFrame(
         [
             ("input", n_total),

@@ -19,20 +19,49 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def sample_rows_at_offsets(
-    df: DataFrame, order_col: str, offsets: list[int]
+    df: DataFrame, order_col: str, offsets: list[int], num_ranges: int | None = None
 ) -> DataFrame:
     """Deterministic 'row at offset N' sampling — the set-based form of
     the producer's ``LIMIT {offset}, 1`` loop (user_posting_emulation.py:
-    41-57). One window pass emits all requested offsets instead of one
-    query per row."""
-    w = Window.orderBy(F.col(order_col))
+    41-57). One pass emits all requested offsets instead of one query per
+    row.
+
+    Global row numbers are computed WITHOUT a single-partition global
+    window: rows are range-partitioned on ``order_col``, per-partition row
+    counts (one row per partition — metadata, not data) are collected to
+    the driver, and each partition's cumulative base offset is added to a
+    per-partition row_number. Cost = one range shuffle + one in-partition
+    sort, the same as any distributed orderBy."""
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = spark.sparkContext.defaultParallelism
+    # Persist the range-partitioned snapshot: partition ids must be
+    # identical between the count pass and the numbering pass (range
+    # boundaries come from sampling, so a lineage recompute could move
+    # boundary rows between partitions).
+    ranged = (
+        df.repartitionByRange(num_ranges, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+    bases, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        bases.append((row["__pid"], acc))
+        acc += row["__n"]
+    base_df = F.broadcast(
+        spark.createDataFrame(bases or [(0, 0)], "__pid int, __base long")
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w) - 1)
+        ranged.join(base_df, "__pid")
+        .withColumn("__rn", F.col("__base") + F.row_number().over(w) - 1)
         .filter(F.col("__rn").isin(offsets))
-        .drop("__rn")
+        .drop("__pid", "__base", "__rn")
     )
 
 

@@ -25,11 +25,18 @@ SENTINELS = {
 }
 
 
+# Spark's cast path (UTF8String.trimAll) strips leading/trailing whitespace
+# and ISO-control characters before parsing; for the ASCII alphabet used
+# below that is 0x00-0x20 plus 0x7F. toInt also accepts an optional sign.
+_CAST_TRIM = "".join(chr(c) for c in list(range(0x21)) + [0x7F])
+
+
 def model_follower_count(raw: str | None) -> int | None:
     if raw is None or raw in SENTINELS:
         return None
     expanded = raw.replace("k", "000").replace("M", "000000")
-    if re.fullmatch(r"-?\d+", expanded):
+    expanded = expanded.strip(_CAST_TRIM)
+    if re.fullmatch(r"[+-]?\d+", expanded):
         v = int(expanded)
         if -(2**31) <= v < 2**31:
             return v
