@@ -65,6 +65,11 @@ CHECK_FIRST: list[str] = [
     "sql_revenue_topk",
     "corpus_curation_basic",
     "embedding_near_dup_pairs",
+    # -- new in round 2 --
+    "approx_distinct_error_bound",
+    "approx_percentile_error_bound",
+    "stream_interval_join_batch",
+    "stream_running_totals_batch",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",

@@ -893,6 +893,79 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_error_bound",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           true AS hll_within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the HLL++ sketch: computes approx (rsd=0.02) AND
+    exact distinct per group in-engine and emits whether the sketch landed
+    within 4 sigma (|approx-exact| <= 4*0.02*exact). The oracle pins the
+    exact counts and `true` — any sketch excursion past the bound becomes
+    a hard value-hash failure instead of a silent rows-only pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users_exact"))
+                <= 4 * 0.02 * F.col("n_users_exact")
+            ).alias("hll_within_bound"),
+        )
+    )
+
+
+@register(
+    "approx_percentile_error_bound",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           true AS p90_within_bound
+    FROM lineitem GROUP BY 1
+    """,
+)
+def approx_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the percentile sketch: the approx p90 of
+    l_extendedprice (accuracy=10000 => rank error <= 1e-4) must sit at an
+    exact empirical rank within 0.9 +/- (0.002 + 1/n). The rank check is
+    pure integer counting (count of rows <= sketch value / group count),
+    so the boolean is deterministic across engines and partition orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+    )
+    return (
+        li.select(F.col("l_returnflag").alias("returnflag"), "l_extendedprice")
+        .join(F.broadcast(approx), "returnflag")
+        .groupBy("returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("l_extendedprice") <= F.col("p90_approx"), True)
+            ).alias("n_le"),
+        )
+        .select(
+            "returnflag",
+            "n",
+            (
+                F.abs(F.col("n_le") / F.col("n") - F.lit(0.9))
+                <= F.lit(0.002) + F.lit(1.0) / F.col("n")
+            ).alias("p90_within_bound"),
+        )
+    )
+
+
+@register(
     "levenshtein_similar_names",
     oracle="""
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

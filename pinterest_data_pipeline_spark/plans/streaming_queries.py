@@ -10,6 +10,7 @@ append) are pinned by tests/test_streaming.py instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.plans.registry import register
 from pinterest_data_pipeline_spark.sources.parquet import load_table
@@ -94,3 +95,55 @@ def session_window_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     at exactly prev_ts + gap opens a new session."""
     ev = load_table(spark, sf_dir, "events")
     return W.session_window_counts(ev, "ts", ["user_id"], gap="30 minutes")
+
+
+@register(
+    "stream_interval_join_batch",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTES
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+)
+def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode oracle row for the stream-stream interval join
+    (streaming/joins.py): the SAME builder runs on batch inputs
+    (withWatermark is a no-op in batch), so the attribution-join condition
+    — view by the same user within 30 minutes BEFORE the click — gets a
+    value-hash check; the streaming-only state/eviction behavior stays
+    pinned by tests/test_streaming.py."""
+    from pinterest_data_pipeline_spark.streaming.joins import (
+        interval_join_clicks_to_views,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_join_clicks_to_views(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+
+
+@register(
+    "stream_running_totals_batch",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_running_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode oracle row for the custom stateful operator
+    (streaming/stateful.py): the same per-key pandas accumulation via
+    applyInPandas equals the stream's final state after its last
+    micro-batch. Cents-exact summation keeps the total row-order
+    independent (oracle sums DECIMAL)."""
+    from pinterest_data_pipeline_spark.streaming.stateful import (
+        running_totals_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return running_totals_batch(ev.select("event_type", "value"))

@@ -55,6 +55,32 @@ def _update_totals(
     )
 
 
+def running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`running_totals_stream`: the same per-key pandas
+    accumulation, run through ``applyInPandas`` (batch mode has no state
+    store — the whole key group arrives as one pandas frame, which equals
+    the stream's final state after its last micro-batch).
+
+    Totals are accumulated in integer CENTS, not floats: ``value`` is
+    2-decimal money, and float summation is partition/row-order-dependent,
+    which would break cross-engine value hashes. Integer cents are exact
+    and order-independent."""
+
+    def _totals(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = int((pdf["value"] * 100).round().astype("int64").sum())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandas(
+        _totals, schema=OUTPUT_SCHEMA
+    )
+
+
 def running_totals_stream(events: DataFrame) -> DataFrame:
     """Per-event-type running (count, total) maintained across
     micro-batches. Emits the updated cumulative row for every key seen in
