@@ -93,6 +93,33 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
 
 
+# ---------------------------------------------------------------- bucket cap
+
+
+def cap_bucket_size(
+    banded: DataFrame, bucket_cols: Sequence[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop rows belonging to LSH buckets larger than ``max_bucket_size``.
+
+    A bucket of B members emits B(B-1)/2 candidate pairs, so one degenerate
+    100k-member bucket (empty documents, boilerplate, an all-zero vector)
+    is 5×10⁹ pairs — a single straggler task that kills the job at corpus
+    scale. Capping bounds per-bucket pair work at cap²/2. The recall cost
+    is small and biased toward junk: oversized buckets are almost always
+    degenerate-signature collisions (exact dedup should have removed them),
+    and a genuinely-similar pair caught only in an oversized bucket usually
+    also collides in another, smaller band.
+
+    The window count shuffles on the same (band, key) the candidate join
+    shuffles on, so it adds no new partitioning."""
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    return (
+        banded.withColumn("__bucket_n", F.count("*").over(w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 
@@ -134,6 +161,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -141,7 +169,9 @@ def minhash_lsh_candidates(
     documents sharing any band hash become a candidate pair. Returns
     distinct (id_a, id_b) with id_a < id_b. The self-join keys on
     (band, band_key): only same-bucket rows meet, so the shuffle volume is
-    the bucket histogram, not |df|²."""
+    the bucket histogram, not |df|². ``max_bucket_size`` (recommended at
+    corpus scale) excludes degenerate oversized buckets — see
+    :func:`cap_bucket_size`."""
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows = n_hashes // bands
@@ -182,6 +212,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -205,6 +237,7 @@ def near_duplicates_minhash(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard ≥ threshold.
 
@@ -216,7 +249,7 @@ def near_duplicates_minhash(
         word_shingles(text_col, shingle_k).alias("__sh"),
     )
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n_hashes, bands, shingle_k, seed
+        df, id_col, text_col, n_hashes, bands, shingle_k, seed, max_bucket_size
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -307,12 +340,15 @@ def simhash_near_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
     With 4 chunks, distance ≤ 3 implies ≥ 1 identical chunk, so candidates
     come from 4 chunk-equality joins (unioned), then exact Hamming via
-    bit_count(xor) filters. Returns (id_a, id_b, hamming)."""
+    bit_count(xor) filters. Returns (id_a, id_b, hamming).
+    ``max_bucket_size`` excludes degenerate oversized chunk buckets — see
+    :func:`cap_bucket_size`."""
     # Materialize the token-hash array through a shuffle barrier: the 64
     # per-bit aggregates then read a concrete array column instead of each
     # re-running normalize+tokenize+xxhash (projection collapse would
@@ -337,6 +373,8 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("__id", "__sh", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
     left, right = banded.alias("l"), banded.alias("r")
     hamming = sum(
         F.bit_count(

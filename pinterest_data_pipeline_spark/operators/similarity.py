@@ -229,6 +229,7 @@ def lsh_near_duplicates(
     bands: int = 4,
     planes_per_band: int = 8,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded hyperplane LSH + exact cosine
     verification — the vector analog of MinHash LSH: candidates come from
@@ -237,7 +238,9 @@ def lsh_near_duplicates(
 
     Recall follows the cosine-LSH s-curve: near-identical vectors
     (cos ≥ ~0.95) collide with probability ≈1; weakly-similar pairs are
-    mostly (intentionally) missed. Returns (id_a, id_b, score)."""
+    mostly (intentionally) missed. Returns (id_a, id_b, score).
+    ``max_bucket_size`` excludes degenerate oversized buckets (e.g. an
+    all-zero-vector pile-up) — see ``dedup.cap_bucket_size``."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
@@ -257,6 +260,10 @@ def lsh_near_duplicates(
             )
         ).alias("bk"),
     ).select("__id", "__vec", "__norm", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        from pinterest_data_pipeline_spark.operators.dedup import cap_bucket_size
+
+        banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(

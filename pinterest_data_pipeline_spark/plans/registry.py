@@ -70,6 +70,7 @@ CHECK_FIRST: list[str] = [
     "approx_percentile_error_bound",
     "stream_interval_join_batch",
     "stream_running_totals_batch",
+    "stream_static_enrich_batch",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",

@@ -147,3 +147,25 @@ def stream_running_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return running_totals_batch(ev.select("event_type", "value"))
+
+
+@register(
+    "stream_static_enrich_batch",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+           c.c_name AS user_name, c.c_mktsegment AS user_segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode oracle row for the stream-static enrichment join
+    (streaming/joins.enrich_events_with_users): broadcast dimension, no
+    stream-side shuffle, no state store. The same builder runs on a
+    streaming events source unchanged (tests/test_streaming.py)."""
+    from pinterest_data_pipeline_spark.streaming.joins import (
+        enrich_events_with_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return enrich_events_with_users(ev, cust)

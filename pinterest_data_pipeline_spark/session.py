@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter join pruning: when one join side carries a
+        # selective filter, rows that cannot match are dropped BEFORE the
+        # shuffle. At 100 TB this turns "shuffle everything, then join"
+        # into "shuffle survivors" (tests/test_scale_configs.py pins the
+        # plan shape; size thresholds gate it to genuinely large scans).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -51,3 +51,25 @@ def interval_join_clicks_to_views(
         ),
         "inner",
     ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts", "view_value")
+
+
+def enrich_events_with_users(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing user
+    dimension attributes to a stream of events.
+
+    The static side is re-read per micro-batch (so dimension updates are
+    picked up) and is broadcast — no stream-side shuffle and no state
+    store at all, unlike stream-stream joins. This is THE scale pattern
+    for dimension enrichment: the 100 TB stream never repartitions; only
+    the small dimension moves. Left join: events with an unknown user pass
+    through with NULL attributes rather than being dropped.
+
+    Works identically on batch inputs (the batch twin is the oracle row)."""
+    dim = F.broadcast(
+        users.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("user_segment"),
+        )
+    )
+    return events.join(dim, "user_id", "left")

@@ -139,3 +139,59 @@ def test_hyperplane_lsh_subset_of_bruteforce(spark, emb):
     brute = {(r["id_a"], r["id_b"]) for r in
              similarity.embedding_near_duplicates(emb, threshold=0.4).collect()}
     assert lsh <= brute
+
+
+def test_bucket_cap_drops_degenerate_bucket_keeps_small_ones(spark):
+    """A pile of identical documents lands in one oversized bucket per
+    band; with max_bucket_size below the pile size, all its candidate
+    pairs are excluded (bounded per-task work), while a genuinely
+    near-duplicate pair in a small bucket is still found."""
+    pile = [(i, "common boilerplate junk text repeated verbatim") for i in range(60)]
+    near = [
+        (1000, "the quick brown fox jumps over the lazy dog today"),
+        (1001, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(pile + near, "doc_id long, text string")
+
+    uncapped = dedup.near_duplicates_minhash(df, "doc_id", "text", threshold=0.5)
+    capped = dedup.near_duplicates_minhash(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=50
+    )
+    uncapped_pairs, capped_pairs = _pairs(uncapped), _pairs(capped)
+    assert (1000, 1001) in uncapped_pairs
+    assert any(a < 60 and b < 60 for a, b in uncapped_pairs)
+    assert (1000, 1001) in capped_pairs  # small bucket survives the cap
+    assert not any(a < 60 and b < 60 for a, b in capped_pairs)  # pile dropped
+
+
+def test_bucket_cap_bounds_candidate_count(spark):
+    """With cap C, no bucket may contribute more than C(C-1)/2 pairs:
+    candidate count from a 60-doc pile capped at 10 must be zero (every
+    band bucket for the pile exceeds the cap)."""
+    pile = [(i, "same text in every row of this corpus") for i in range(60)]
+    df = spark.createDataFrame(pile, "doc_id long, text string")
+    cands = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", max_bucket_size=10
+    )
+    assert cands.count() == 0
+
+
+def test_vector_lsh_bucket_cap(spark, emb):
+    """Hyperplane LSH with a cap below the planted-clone pile size must
+    drop the pile's pairs but keep unrelated small-bucket pairs intact."""
+    base = emb.filter(F.col("vec_id") == 0)
+    clones = base
+    for r in range(60):
+        clones = clones.unionByName(
+            base.select(
+                (F.col("vec_id") + 200000 + r).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    plus = emb.unionByName(clones.filter(F.col("vec_id") >= 200000))
+    capped = similarity.lsh_near_duplicates(
+        plus, threshold=0.98, max_bucket_size=30
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a >= 200000 and b >= 200000 for a, b in got)

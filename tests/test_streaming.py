@@ -336,3 +336,50 @@ def test_foreachbatch_upsert_sink(spark, tmp_path):
     final = ssinks.read_target(spark, target)
     rows = {r["event_id"]: r["value"] for r in final.collect()}
     assert rows == {1: 99.0, 2: 2.0, 3: 3.0}, rows
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment: the streamed result must equal the batch
+    join on the same inputs, and unknown users must pass through with NULL
+    attributes (left join, no state store)."""
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+    from pinterest_data_pipeline_spark.streaming.joins import (
+        enrich_events_with_users,
+    )
+
+    land = str(tmp_path / "enrich_land")
+    records = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7,
+         "event_type": "view", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 999999,
+         "event_type": "click", "value": 0.5, "props": "{}"},
+    ]
+    json_landing.write_landing_records(records, land, 100)
+    users = load_table(spark, sf_dir, "customer")
+
+    stream = json_landing.read_landing_stream(spark, land, EVENTS)
+    q = (
+        enrich_events_with_users(stream, users)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {
+        (r["event_id"], r["user_name"], r["user_segment"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    got = {(e, un is not None, us is not None) for e, un, us in stream_rows}
+    assert got == {(1, True, True), (2, False, False)}
+
+    batch = json_landing.read_landing_json(spark, land, EVENTS)
+    batch_rows = {
+        (r["event_id"], r["user_name"], r["user_segment"])
+        for r in enrich_events_with_users(batch, users).collect()
+    }
+    assert stream_rows == batch_rows
