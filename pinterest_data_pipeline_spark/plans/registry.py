@@ -71,6 +71,7 @@ CHECK_FIRST: list[str] = [
     "stream_interval_join_batch",
     "stream_running_totals_batch",
     "stream_static_enrich_batch",
+    "python_datasource_clean_pins",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",

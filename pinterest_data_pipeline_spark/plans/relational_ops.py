@@ -1099,3 +1099,37 @@ def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", 0.9, 10000).alias("price_p90_approx"),
         F.count("*").alias("n"),
     )
+
+
+@register("python_datasource_clean_pins")  # no oracle: rows come from a
+# registered Python Data Source, not a parquet table DuckDB can see;
+# determinism (same rows for any partitioning/offset replay) is pinned by
+# tests/test_python_datasource.py
+def python_datasource_clean_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension: the reference's posting producer as a first-class
+    Spark 4 Python Data Source (sources/emulation_source.py), composed
+    directly with the cleaning pipeline — scan-side generation in
+    executors replaces the reference's driver-side POST loop
+    (user_posting_emulation.py:33-96). sf_dir is unused: the source
+    generates its own deterministic rows (n=1000, seed=100)."""
+    from pinterest_data_pipeline_spark.operators.cleaning import clean_pin
+    from pinterest_data_pipeline_spark.sources.emulation_source import (
+        register_posting_emulation,
+    )
+
+    register_posting_emulation(spark)
+    raw = (
+        spark.read.format("posting_emulation")
+        .option("topic", "pin")
+        .option("n", "1000")
+        .option("seed", "100")
+        .load()
+    )
+    return (
+        clean_pin(raw)
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_pins"),
+            F.sum("follower_count").alias("total_followers"),
+        )
+    )
