@@ -1,0 +1,62 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Random sampling via RNG is partition-order-dependent and unreproducible
+across engines/retries; both operators here derive their "randomness"
+from content hashes instead, which is the standard distributed-sampling
+trick: every engine, every retry, every round picks the same rows.
+
+- :func:`stratified_sample_exact` — exactly min(k, |stratum|) rows per
+  stratum, chosen by md5 order (uniform, deterministic). One shuffle on
+  the stratum key; ``WindowGroupLimit`` pushes the top-k below the
+  exchange, so the shuffle payload is ~k rows per stratum, not the corpus.
+- :func:`repeat_by_weight` — integer up-sampling per domain (the "epochs
+  per source" mixture lever, e.g. 3 passes of wiki vs 1 of web). A
+  broadcast join attaches the weight and an exploded ``sequence`` emits
+  the copies; no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample_exact(
+    df: DataFrame, stratum_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, stratum size) rows per stratum, deterministic.
+
+    Order within a stratum is md5(id) — uniform pseudo-random yet stable
+    across runs, partitionings, and engines (md5 agrees everywhere, unlike
+    xxhash64/rand seeds). Output adds ``sample_rank`` (1-based within the
+    stratum)."""
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def repeat_by_weight(
+    df: DataFrame, domain_col: str, weights: dict[str, int], default: int = 1
+) -> DataFrame:
+    """Replicate each row ``weights[domain]`` times (``default`` for
+    unlisted domains; weight 0 drops the domain). Adds ``copy_id``
+    (1..weight). The weight table is driver-side metadata broadcast into
+    the scan stage — row replication happens executor-side in the explode,
+    never by unioning N scans."""
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in weights.items()],
+            f"{domain_col} string, __weight int",
+        )
+    )
+    return (
+        df.join(wdf, domain_col, "left")
+        .withColumn("__weight", F.coalesce("__weight", F.lit(default)))
+        .filter(F.col("__weight") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("__weight"))))
+        .drop("__weight")
+    )

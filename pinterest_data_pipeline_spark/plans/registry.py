@@ -72,6 +72,9 @@ CHECK_FIRST: list[str] = [
     "stream_running_totals_batch",
     "stream_static_enrich_batch",
     "python_datasource_clean_pins",
+    "chunk_documents_tokens",
+    "stratified_sample_per_lang",
+    "mixture_upsample_by_lang",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",

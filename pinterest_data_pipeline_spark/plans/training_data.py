@@ -541,3 +541,89 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage string, n_docs long",
     )
+
+
+# ---------------------------------------------------------------- chunk/sample
+
+
+@register(
+    "chunk_documents_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(g.s // 48 AS INTEGER) AS chunk_id,
+               list_slice(t, g.s + 1, g.s + 64) AS ct
+        FROM toks,
+             UNNEST(generate_series(0, greatest(len(t) - 1, 0), 48)) AS g(s)
+    )
+    SELECT doc_id, chunk_id, CAST(len(ct) AS INTEGER) AS n_tokens,
+           array_to_string(ct, ' ') AS chunk_text
+    FROM chunks WHERE len(ct) > 0
+    """,
+)
+def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 64-token windows with 16-token overlap
+    (operators/chunking.py) — pure expression pipeline, no shuffle, no
+    UDF; the oracle reproduces the window arithmetic with
+    generate_series + list_slice."""
+    from pinterest_data_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16)
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INTEGER) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 20
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(20, stratum) docs
+    per language, ordered by md5(doc_id) — uniform pseudo-random yet
+    identical across engines/retries (operators/sampling.py). The window
+    top-k compiles to WindowGroupLimit, so the shuffle carries ~k rows
+    per stratum, not the corpus."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample_exact(docs, "lang", "doc_id", 20)
+
+
+@register(
+    "mixture_upsample_by_lang",
+    oracle="""
+    WITH w(lang, wt) AS (VALUES ('zh', 3), ('es', 2), ('de', 0)),
+    j AS (
+        SELECT d.doc_id, d.lang, coalesce(w.wt, 1) AS wt
+        FROM documents d LEFT JOIN w ON d.lang = w.lang
+    )
+    SELECT doc_id, lang, CAST(g.c AS INTEGER) AS copy_id
+    FROM j, UNNEST(generate_series(1, wt)) AS g(c)
+    """,
+)
+def mixture_upsample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture lever: integer epochs per source (zh 3x, es 2x,
+    de dropped, everything else 1x) via broadcast weight join + exploded
+    sequence (operators/sampling.py) — replication happens executor-side
+    in the explode, never as N unioned scans."""
+    from pinterest_data_pipeline_spark.operators.sampling import repeat_by_weight
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return repeat_by_weight(docs, "lang", {"zh": 3, "es": 2, "de": 0}, default=1)

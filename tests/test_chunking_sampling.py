@@ -1,0 +1,77 @@
+"""Behavioral tests for the chunking + deterministic-sampling operators:
+window arithmetic (coverage, overlap), exact stratum counts, and
+weight-driven replication."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators.chunking import chunk_documents
+from pinterest_data_pipeline_spark.operators.sampling import (
+    repeat_by_weight,
+    stratified_sample_exact,
+)
+
+
+def test_chunks_cover_all_tokens_with_overlap(spark):
+    """157 tokens, size 10 / overlap 3 (step 7): starts 0,7,...,154;
+    consecutive chunks share exactly `overlap` tokens and the union of
+    chunks reproduces the document."""
+    words = [f"w{i}" for i in range(157)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = (
+        chunk_documents(df, chunk_size=10, overlap=3)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r["chunk_id"] for r in out] == list(range(len(out)))
+    seen = []
+    prev = None
+    for r in out:
+        toks = r["chunk_text"].split(" ")
+        assert r["n_tokens"] == len(toks) <= 10
+        if prev is not None:
+            assert prev[-3:] == toks[:3]  # exact overlap
+        seen.extend(toks[3:] if prev is not None else toks)
+        prev = toks
+    assert seen == words  # full coverage, order preserved
+
+
+def test_chunking_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_size=10, overlap=3).collect()
+    got = {(r["doc_id"], r["n_tokens"], r["chunk_text"]) for r in rows}
+    # empty/whitespace docs contribute nothing; short docs one chunk
+    assert got == {(3, 1, "one"), (4, 2, "a b")}
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=5, overlap=5)
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 100 else "small") for i in range(110)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample_exact(df, "lang", "doc_id", 25)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 25, "small": 10}  # min(k, stratum size)
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in stratified_sample_exact(df, "lang", "doc_id", 25).collect())
+    assert a == b  # md5 order: same sample every run
+
+
+def test_repeat_by_weight_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "zh"), (3, "de"), (4, "xx")],
+        "doc_id long, lang string",
+    )
+    out = repeat_by_weight(df, "lang", {"zh": 3, "de": 0}, default=1)
+    got = sorted((r["doc_id"], r["copy_id"]) for r in out.collect())
+    assert got == [(1, 1), (2, 1), (2, 2), (2, 3), (4, 1)]  # de dropped

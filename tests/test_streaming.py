@@ -383,3 +383,50 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
         for r in enrich_events_with_users(batch, users).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """The RocksDB state store provider — the backend that matters at
+    scale, since state lives off-heap on local disk with incremental
+    checkpointing instead of filling executor heap — must produce the
+    same aggregation results as the default HDFS-backed provider."""
+    import json
+
+    land = str(tmp_path / "rocks_land")
+    os.makedirs(land)
+    with open(os.path.join(land, "a.json"), "w") as f:
+        for i in range(120):
+            f.write(json.dumps({"event_type": f"t{i % 3}", "value": 1.0}) + "\n")
+
+    def run(provider_suffix, provider=None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            s = spark.readStream.schema("event_type string, value double").json(land)
+            agg = s.groupBy("event_type").agg(F.count("*").alias("n"))
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(f"rocks_{provider_suffix}")
+                .option("checkpointLocation", str(tmp_path / f"ck_{provider_suffix}"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return sorted(
+                (r["event_type"], r["n"])
+                for r in spark.sql(f"SELECT * FROM rocks_{provider_suffix}").collect()
+            )
+        finally:
+            spark.conf.set(key, old)
+
+    rocksdb = run(
+        "rdb",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    default = run("dflt")
+    assert rocksdb == default == [("t0", 40), ("t1", 40), ("t2", 40)]
