@@ -627,3 +627,54 @@ def mixture_upsample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return repeat_by_weight(docs, "lang", {"zh": 3, "es": 2, "de": 0}, default=1)
+
+
+@register(
+    "embedding_quantize_error_bound",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    err AS (
+        SELECT e.vec_id, q.scale,
+               CASE WHEN q.scale = 0 THEN 0.0 ELSE
+                   list_max(list_transform(e.embedding,
+                       x -> abs(round(CAST(x AS DOUBLE) / q.scale) * q.scale
+                                - CAST(x AS DOUBLE))))
+               END AS max_err
+        FROM embeddings e JOIN q USING (vec_id)
+    )
+    SELECT vec_id, round(scale, 6) AS scale_r6,
+           (max_err <= scale * 0.5 * 1.000000001) AS within_half_step
+    FROM err
+    """,
+)
+def embedding_quantize_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization accuracy gate (operators/similarity.quantize_int8):
+    reconstructing each vector from (q, scale) must stay within half a
+    quantization step per element. Output is scalar-only (scale + bound
+    boolean) so the value-hash comparator can digest it; the q arrays
+    themselves are pinned by tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.quantize_int8(F.col("embedding")).alias("qz"),
+    )
+    recon_err = F.array_max(
+        F.zip_with(
+            similarity.dequantize_int8(F.col("qz.q"), F.col("qz.scale")),
+            F.col("embedding"),
+            lambda r, v: F.abs(r - v.cast("double")),
+        )
+    )
+    return qz.select(
+        "vec_id",
+        F.round(F.col("qz.scale"), 6).alias("scale_r6"),
+        F.when(F.col("qz.scale") == 0.0, F.lit(True))
+        .otherwise(recon_err <= F.col("qz.scale") * 0.5 * 1.000000001)
+        .alias("within_half_step"),
+    )

@@ -195,3 +195,33 @@ def test_vector_lsh_bucket_cap(spark, emb):
     )
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert not any(a >= 200000 and b >= 200000 for a, b in got)
+
+
+def test_int8_quantize_roundtrip_error(spark, emb):
+    """Dequantized vectors must sit within half a quantization step of
+    the original per element, q values within [-127, 127], and an
+    all-zero vector must quantize to scale 0 with zero q."""
+    qz = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.quantize_int8(F.col("embedding")).alias("qz"),
+    )
+    checked = qz.select(
+        F.array_max(
+            F.zip_with(
+                similarity.dequantize_int8(F.col("qz.q"), F.col("qz.scale")),
+                F.col("embedding"),
+                lambda r, v: F.abs(r - v.cast("double")),
+            )
+        ).alias("max_err"),
+        (F.col("qz.scale") * 0.5 * 1.000000001).alias("half_step"),
+        F.array_max(F.transform(F.col("qz.q"), F.abs)).alias("max_q"),
+    ).collect()
+    assert all(r["max_err"] <= r["half_step"] for r in checked)
+    assert all(r["max_q"] <= 127 for r in checked)
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<float>"
+    ).select(similarity.quantize_int8(F.col("embedding")).alias("qz"))
+    row = zero.collect()[0]["qz"]
+    assert row["scale"] == 0.0 and row["q"] == [0, 0, 0, 0]
