@@ -146,3 +146,32 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def assign_probes(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    out_col: str = "probe",
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest codebook entries per row, exploded to
+    one row per (row, probe partition) — the IVF multiprobe side.
+
+    ``array_sort`` over (affinity, cluster) structs ranks all k centroids
+    in one linear expression; only queries are exploded (nprobe ≤ k
+    copies of the SMALL side), the corpus keeps its single top-1
+    partition assignment."""
+    candidates = F.array(
+        *[
+            F.struct(
+                _neg_affinity(F.col(vec_col), centroid).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, centroid in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(candidates), 1, nprobe), lambda s: s.getField("c")
+    )
+    return df.withColumn(out_col, F.explode(probes))

@@ -312,3 +312,57 @@ def quantize_int8(vec: Column) -> Column:
 def dequantize_int8(q: Column, scale: Column) -> Column:
     """Reconstruct a double array from (q, scale)."""
     return F.transform(q, lambda i: i.cast("double") * scale)
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k with multiprobe: each query searches its ``nprobe``
+    nearest codebook partitions instead of one — the standard recall
+    lever (recall→exact as nprobe→|codebook| while scanned rows stay
+    ~nprobe/|codebook| of the corpus). The corpus keeps a single top-1
+    partition per row; only the broadcast query side is exploded, so the
+    join cost is |corpus-partition-rows| × probes-per-partition."""
+    from pinterest_data_pipeline_spark.operators.clustering import (
+        assign_probes,
+        assign_to_codebook,
+    )
+
+    c = assign_to_codebook(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cluster").alias("c_part"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q = assign_probes(queries, centroids, vec_col, nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("probe").alias("q_part"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_part") == F.col("q_part"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return top_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "score", "rank")

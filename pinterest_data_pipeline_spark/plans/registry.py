@@ -86,6 +86,7 @@ CHECK_FIRST: list[str] = [
     "minhash_dedup_clusters",
     "embedding_lsh_near_duplicates",
     "ivf_kmeans_codebook_assign",
+    "embedding_ivf_multiprobe_topk",
     "corpus_curation_full",
 ]
 

@@ -678,3 +678,21 @@ def embedding_quantize_error_bound(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(recon_err <= F.col("qz.scale") * 0.5 * 1.000000001)
         .alias("within_half_step"),
     )
+
+
+@register("embedding_ivf_multiprobe_topk")  # no oracle: the k-means
+# codebook is trained iteratively in-engine (not SQL-expressible);
+# multiprobe recall monotonicity and nprobe=k == brute-force equality are
+# pinned by tests/test_dedup_similarity.py
+def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with multiprobe (operators/similarity.ivf_topk_multiprobe):
+    each query probes its 2 nearest codebook partitions of 8 — the
+    recall/cost dial between single-probe IVF and brute force."""
+    from pinterest_data_pipeline_spark.operators.clustering import kmeans_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_codebook(emb, k=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_multiprobe(
+        emb, queries, centroids, k=10, nprobe=2
+    ).orderBy("query_id", "rank")

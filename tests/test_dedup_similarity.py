@@ -225,3 +225,31 @@ def test_int8_quantize_roundtrip_error(spark, emb):
     ).select(similarity.quantize_int8(F.col("embedding")).alias("qz"))
     row = zero.collect()[0]["qz"]
     assert row["scale"] == 0.0 and row["q"] == [0, 0, 0, 0]
+
+
+def test_ivf_multiprobe_recall_improves_and_converges(spark, emb):
+    """Multiprobe recall vs brute force must be monotone in nprobe, and
+    probing ALL codebook partitions must equal the exact top-k."""
+    from pinterest_data_pipeline_spark.operators.clustering import kmeans_codebook
+
+    centroids = kmeans_codebook(emb, k=4, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk_multiprobe(
+                emb, queries, centroids, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact), got
+
+    r1, _ = recall(1)
+    r2, _ = recall(2)
+    r4, got4 = recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 == 1.0 and got4 == exact  # all partitions == brute force
