@@ -45,3 +45,29 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned layout; partition columns come back as columns
     and filters on them prune at planning time."""
     return spark.read.parquet(path)
+
+
+def write_curated(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str] = (),
+    compression: str = "zstd",
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Archival/curated-corpus writer: zstd + in-partition clustering.
+
+    Storage posture for the 100 TB corpus: zstd compresses text-heavy
+    columns substantially tighter than the snappy default at similar scan
+    speed (measured on the documents fixture in tests/test_sinks.py), and
+    ``sortWithinPartitions`` on the usual filter keys tightens per-file
+    min/max ranges so row-group statistics can skip — both without any
+    extra shuffle (the sort is partition-local)."""
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -98,3 +98,27 @@ def test_lsh_join_keys_are_band_buckets(spark):
     plan = plan_of(spark, "minhash_lsh_near_duplicates")
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Token-window chunking must compile to a pure expression pipeline:
+    zero exchanges — at 100 TB an accidental shuffle here would move the
+    whole corpus."""
+    plan = plan_of(spark, "chunk_documents_tokens")
+    assert n_nodes(plan, "Exchange") == 0
+
+
+def test_stratified_sample_pushes_topk_below_shuffle(spark):
+    """The md5-ordered per-stratum top-k must plan a WindowGroupLimit so
+    each map task forwards only ~k rows per stratum into the exchange."""
+    plan = plan_of(spark, "stratified_sample_per_lang")
+    assert n_nodes(plan, "WindowGroupLimit") >= 1
+
+
+def test_mixture_upsample_broadcasts_weights(spark):
+    """The weight table must broadcast (no shuffle of the corpus for a
+    3-row metadata join) and replication must not add exchanges."""
+    plan = plan_of(spark, "mixture_upsample_by_lang")
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Exchange") == 0

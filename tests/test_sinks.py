@@ -43,3 +43,30 @@ def test_partitioned_write_roundtrip_complete(spark, sf_dir, tmp_path):
     ev = sinks.add_date_partition(load_table(spark, sf_dir, "events"), "ts")
     sinks.write_partitioned(ev, out, ["dt"])
     assert sinks.read_partitioned(spark, out).count() == ev.count()
+
+
+def test_curated_writer_zstd_smaller_than_snappy(spark, sf_dir, tmp_path):
+    """zstd must beat snappy on the text-heavy documents table, and the
+    curated layout must round-trip identically."""
+    import os
+
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+    from pinterest_data_pipeline_spark.sources.sinks import write_curated
+
+    docs = load_table(spark, sf_dir, "documents")
+    z = str(tmp_path / "zstd")
+    s = str(tmp_path / "snappy")
+    write_curated(docs, z, sort_cols=["lang", "doc_id"], compression="zstd")
+    write_curated(docs, s, sort_cols=["lang", "doc_id"], compression="snappy")
+
+    def size(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert size(z) < size(s)
+    assert spark.read.parquet(z).count() == docs.count()
+    back = {r["doc_id"] for r in spark.read.parquet(z).select("doc_id").collect()}
+    assert back == {r["doc_id"] for r in docs.select("doc_id").collect()}
