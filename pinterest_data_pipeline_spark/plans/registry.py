@@ -76,6 +76,7 @@ CHECK_FIRST: list[str] = [
     "stratified_sample_per_lang",
     "mixture_upsample_by_lang",
     "embedding_quantize_error_bound",
+    "udtf_split_sentences",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",

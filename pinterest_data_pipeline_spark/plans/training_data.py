@@ -696,3 +696,45 @@ def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.ivf_topk_multiprobe(
         emb, queries, centroids, k=10, nprobe=2
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "udtf_split_sentences",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+        FROM documents
+    ),
+    numbered AS (
+        SELECT doc_id,
+               trim(parts[CAST(g.i AS INTEGER)], ' \t\n\r\f\v') AS sentence,
+               g.i AS pos
+        FROM split, UNNEST(range(1, len(parts) + 1)) AS g(i)
+    ),
+    kept AS (
+        SELECT doc_id, sentence,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                    AS INTEGER) AS sentence_id
+        FROM numbered WHERE sentence <> ''
+    )
+    SELECT doc_id, sentence_id, sentence,
+           CAST(len(list_filter(string_split_regex(sentence, '\\s+'),
+                                x -> x <> '')) AS INTEGER) AS n_tokens
+    FROM kept
+    """,
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: Python UDTF (Spark 4) fanning each document out
+    to one row per sentence via a LATERAL join
+    (operators/udtf_ops.SplitSentences). Deliberately also SQL-expressible
+    so the UDTF plumbing itself gets a value-hash check."""
+    from pinterest_data_pipeline_spark.operators.udtf_ops import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_id, s.sentence, s.n_tokens
+        FROM __docs_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )

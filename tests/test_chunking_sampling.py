@@ -75,3 +75,33 @@ def test_repeat_by_weight_counts(spark):
     out = repeat_by_weight(df, "lang", {"zh": 3, "de": 0}, default=1)
     got = sorted((r["doc_id"], r["copy_id"]) for r in out.collect())
     assert got == [(1, 1), (2, 1), (2, 2), (2, 3), (4, 1)]  # de dropped
+
+
+def test_udtf_split_sentences_edges(spark):
+    """UDTF edge semantics: NULL text yields no rows, empty/whitespace
+    sentences are dropped, ids are dense per document."""
+    from pinterest_data_pipeline_spark.operators.udtf_ops import SplitSentences
+
+    spark.udtf.register("split_sentences_t", SplitSentences)
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two sentences!  And... a third?"),
+            (2, None),
+            (3, "..."),
+            (4, "no terminator"),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__udtf_edge")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.* FROM __udtf_edge d, "
+        "LATERAL split_sentences_t(d.text) s"
+    ).collect()
+    got = {(r["doc_id"], r["sentence_id"], r["sentence"], r["n_tokens"]) for r in rows}
+    assert got == {
+        (1, 0, "One", 1),
+        (1, 1, "Two sentences", 2),
+        (1, 2, "And", 1),
+        (1, 3, "a third", 2),
+        (4, 0, "no terminator", 2),
+    }
