@@ -134,3 +134,32 @@ def fingerprint_xxhash(text: Column | str) -> Column:
     """64-bit xxhash fingerprint of normalized text (cheap partition/join
     key for dedup at scale; not portable to the SQL oracle)."""
     return F.xxhash64(normalize_text(text))
+
+
+# ---------------------------------------------------------------- PII
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text — the audit plane of
+    redaction: counts survive into curation reports while the redacted
+    text replaces the original."""
+    col = F.col(text) if isinstance(text, str) else text
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails then phone-shaped digit runs — regex-only (RE2-safe
+    patterns, no backreferences), so redaction runs scan-side in codegen
+    over the whole corpus; order matters (emails first so their digits
+    don't half-match the phone pattern)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )

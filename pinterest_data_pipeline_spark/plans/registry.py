@@ -77,6 +77,8 @@ CHECK_FIRST: list[str] = [
     "mixture_upsample_by_lang",
     "embedding_quantize_error_bound",
     "udtf_split_sentences",
+    "pii_redaction_counts",
+    "repetition_signals",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",

@@ -14,7 +14,7 @@ decimals, so value-hashes match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.operators import dedup, similarity, text
@@ -737,4 +737,146 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sentence_id, s.sentence, s.n_tokens
         FROM __docs_udtf d, LATERAL split_sentences(d.text) s
         """
+    )
+
+
+@register(
+    "pii_redaction_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\\+?[0-9][0-9() -]{6,}[0-9]')) AS INTEGER) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]',
+               'g'), '\\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]', 'g'))
+               AS INTEGER) AS redacted_len
+    FROM documents
+    """,
+)
+def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-signal extension: PII detection + redaction
+    (operators/text.redact_pii) — emails and phone-shaped digit runs are
+    masked scan-side; the query emits the audit counts plus the redacted
+    length so the full redaction expression is value-hash checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails, n_phones = text.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.length(text.redact_pii("text")).alias("redacted_len"),
+    )
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, len(t) AS n,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS grams
+        FROM toks
+    ),
+    tri_sig AS (
+        SELECT doc_id, n,
+               CASE WHEN len(grams) > 0 THEN
+                   round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / len(grams), 6)
+               ELSE 0.0 END AS dup_trigram_frac
+        FROM tri
+    ),
+    words AS (
+        SELECT doc_id, g.w AS word FROM toks, UNNEST(t) AS g(w)
+    ),
+    word_counts AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ),
+    top_word AS (
+        SELECT doc_id, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, word ASC) AS rn
+        FROM word_counts
+    )
+    SELECT s.doc_id, s.dup_trigram_frac,
+           round(CAST(coalesce(tw.c, 0) AS DOUBLE)
+                 / greatest(s.n, 1), 6) AS top_word_frac
+    FROM tri_sig s LEFT JOIN (SELECT doc_id, c FROM top_word WHERE rn = 1) tw
+      USING (doc_id)
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    duplicate word trigrams and the most-frequent-word share. Trigram
+    dedup is a per-row HOF expression (zero shuffle); the top-word share
+    is one explode + partial-agg + WindowGroupLimit argmax — the only
+    shuffle carries (doc, word) counts, not raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.when(
+            F.size("t") >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i + 1, 3)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    tri_sig = base.select(
+        "doc_id",
+        "n",
+        "t",
+        F.when(
+            F.size("grams") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    word_counts = (
+        tri_sig.select("doc_id", F.explode_outer("t").alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
+    top = (
+        word_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "c")
+    )
+    return (
+        tri_sig.select("doc_id", "n", "dup_trigram_frac")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_trigram_frac",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n"), F.lit(1)),
+                6,
+            ).alias("top_word_frac"),
+        )
     )

@@ -105,3 +105,31 @@ def test_udtf_split_sentences_edges(spark):
         (1, 3, "a third", 2),
         (4, 0, "no terminator", 2),
     }
+
+
+def test_pii_redaction(spark):
+    from pinterest_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567."),
+            (2, "no pii here"),
+            (3, "two mails: a@b.io c@d.org and 0801 234 5678"),
+        ],
+        "doc_id long, text string",
+    )
+    n_e, n_p = T.pii_counts("text")
+    out = {
+        r["doc_id"]: (r["e"], r["p"], r["red"])
+        for r in df.select(
+            "doc_id",
+            n_e.alias("e"),
+            n_p.alias("p"),
+            T.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[1][0] == 1 and out[1][1] == 1
+    assert "[EMAIL]" in out[1][2] and "[PHONE]" in out[1][2]
+    assert "jane" not in out[1][2] and "555" not in out[1][2]
+    assert out[2] == (0, 0, "no pii here")
+    assert out[3][0] == 2 and out[3][1] == 1
