@@ -50,6 +50,11 @@ QUERIES = [
     "sessionize_events",
     "q3a_top_customer_per_nation",
     "window_running_and_lag",
+    # round-2 operators
+    "chunk_documents_tokens",
+    "stratified_sample_per_lang",
+    "embedding_quantize_error_bound",
+    "repetition_signals",
 ]
 
 
