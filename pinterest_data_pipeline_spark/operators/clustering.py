@@ -114,8 +114,12 @@ def duplicate_clusters(
     (keep) document. Returns (doc_id, cluster_id).
 
     Each iteration: labels flow across edges (join) and each node keeps
-    the minimum seen (groupBy-min). Fixpoint for chains shorter than
-    ``iterations`` (near-dup clusters are almost always ≤2 hops)."""
+    the minimum seen (groupBy-min). ``iterations`` bounds the worst case,
+    but the loop EARLY-STOPS at the fixpoint: sum(label) is monotonically
+    non-increasing under min-propagation and constant exactly at
+    convergence, so one tiny aggregate over the checkpointed labels per
+    step detects it. Near-dup clusters are almost always ≤2 hops, so the
+    typical run does 2-3 iterations, not the bound."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -129,6 +133,7 @@ def duplicate_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    prev_sum = None
     for _ in range(iterations):
         propagated = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -143,6 +148,10 @@ def duplicate_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -163,3 +163,45 @@ def redact_pii(text: Column | str) -> Column:
     return F.regexp_replace(
         F.regexp_replace(col, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
     )
+
+
+# ------------------------------------------------------------- repetition
+
+
+def dup_trigram_frac(text: Column | str) -> Column:
+    """Gopher-style duplicate-trigram fraction: 1 - distinct/total word
+    trigrams (0.0 for texts under 3 tokens).
+
+    Subexpression elimination is DISABLED inside higher-order-function
+    lambdas, so a naive ``transform(sequence(...), i -> slice(tokens,...))``
+    re-evaluates the tokenize expression per gram — O(tokens²) per row.
+    Binding each intermediate (tokens, then the gram list) as a lambda
+    VARIABLE of a single-element ``transform`` forces one evaluation per
+    row, keeping the whole thing a linear scan-side expression."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+    def _frac_of_grams(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        ).otherwise(F.lit(0.0))
+
+    def _grams_of(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(
+        F.transform(
+            F.array(toks),
+            lambda t: F.get(
+                F.transform(F.array(_grams_of(t)), _frac_of_grams), 0
+            ),
+        ),
+        0,
+    )

@@ -488,7 +488,12 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns per-stage survivor counts plus the final corpus size — the
     numbers a curation run reports. Each stage is one scan + one bounded
-    shuffle; nothing is quadratic in the corpus."""
+    shuffle; nothing is quadratic in the corpus. (The wider composition —
+    repetition filter, PII-redacted fingerprints, chunking of survivors —
+    is exercised by tests/test_chunking_sampling.py::
+    test_extended_curation_composition; each of those stages also has its
+    own oracle-backed query, so the funnel here stays the stable
+    cross-round benchmark shape.)"""
     from pinterest_data_pipeline_spark.operators.clustering import duplicate_clusters
 
     docs = load_table(spark, sf_dir, "documents")
@@ -823,37 +828,11 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (doc, word) counts, not raw text."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    base = docs.select("doc_id", toks.alias("t")).select(
+    tri_sig = docs.select(
         "doc_id",
-        "t",
-        F.size("t").alias("n"),
-        F.when(
-            F.size("t") >= 3,
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("t"), i + 1, 3)
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
-    )
-    tri_sig = base.select(
-        "doc_id",
-        "n",
-        "t",
-        F.when(
-            F.size("grams") > 0,
-            F.round(
-                F.lit(1.0)
-                - F.size(F.array_distinct("grams")).cast("double")
-                / F.size("grams"),
-                6,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_trigram_frac"),
+        toks.alias("t"),
+        F.size(toks).alias("n"),
+        F.round(text.dup_trigram_frac("text"), 6).alias("dup_trigram_frac"),
     )
     word_counts = (
         tri_sig.select("doc_id", F.explode_outer("t").alias("word"))

@@ -133,3 +133,49 @@ def test_pii_redaction(spark):
     assert "jane" not in out[1][2] and "555" not in out[1][2]
     assert out[2] == (0, 0, "no pii here")
     assert out[3][0] == 2 and out[3][1] == 1
+
+
+def test_extended_curation_composition(spark, sf_dir):
+    """End-to-end composition of the round-2 curation stages on top of
+    the benchmark funnel: quality gate, repetition gate (short-circuited
+    under it), PII-redacted fingerprints, exact dedup, and chunking of
+    the survivors. Pins that the stages compose monotonically and that
+    redaction happens before fingerprinting."""
+    from pinterest_data_pipeline_spark.operators import text as T
+    from pinterest_data_pipeline_spark.operators.chunking import chunk_documents
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = T.quality_score("text")
+    scored = docs.select(
+        "doc_id",
+        T.redact_pii("text").alias("text"),
+        quality.alias("quality"),
+        F.when(quality >= 0.5, T.dup_trigram_frac("text") <= 0.5)
+        .otherwise(F.lit(False))
+        .alias("keep"),
+    )
+    n_total = scored.count()
+    kept = scored.filter("keep")
+    n_kept = kept.count()
+    survivors = (
+        kept.groupBy(T.fingerprint_md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n_exact = survivors.count()
+    chunks = chunk_documents(kept.join(survivors, "doc_id", "semi"))
+    n_chunks = chunks.count()
+    assert n_total >= n_kept >= n_exact > 0
+    assert n_chunks >= n_exact  # every surviving doc yields >= 1 chunk
+    # redaction-before-fingerprint: two docs differing only in PII collapse
+    pii_docs = spark.createDataFrame(
+        [(1, "contact a@b.io for details"), (2, "contact c@d.org for details")],
+        "doc_id long, text string",
+    )
+    fps = (
+        pii_docs.select(T.fingerprint_md5(T.redact_pii("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert fps == 1
