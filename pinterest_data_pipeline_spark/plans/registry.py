@@ -79,6 +79,9 @@ CHECK_FIRST: list[str] = [
     "udtf_split_sentences",
     "pii_redaction_counts",
     "repetition_signals",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_bins",
+    "train_val_split_hash",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",

@@ -859,3 +859,102 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_word_frac"),
         )
     )
+
+
+# ------------------------------------------------------- decontam/pack/split
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(t) - 3),
+                   i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gs
+        FROM toks WHERE len(t) >= 4
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS ng FROM grams),
+    ev AS (SELECT DISTINCT ng FROM ex WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, ng FROM ex WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (ng)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): training docs
+    sharing any word 4-gram with the held-out eval slice (doc_id % 20 = 0
+    stands in for a benchmark set), with the distinct shared-gram count.
+    The eval gram set is broadcast — the corpus side never shuffles its
+    n-grams; an anti-join against this result is the "drop leaked docs"
+    step of a curation funnel."""
+    from pinterest_data_pipeline_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(docs, F.col("doc_id") % 20 == 0, n=4)
+
+
+@register(
+    "pack_sequences_bins",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prev
+        FROM t
+    )
+    SELECT lang, CAST(prev // 2048 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY lang, bin_id
+    """,
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/chunking.pack_sequences):
+    documents laid end-to-end per language, binned every 2048 tokens —
+    the deterministic packing used to build fixed-length training
+    sequences. One shuffle (the per-language running-sum window), then a
+    partial-aggregated groupBy on (lang, bin)."""
+    from pinterest_data_pipeline_spark.operators.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "lang", "doc_id", "text", budget=2048)
+
+
+@register(
+    "train_val_split_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                    THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def train_val_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test split (operators/sampling.hash_split):
+    md5-bucket assignment that is identical across engines, retries, and
+    file splits — rand(seed) is partition-order-dependent and would
+    reassign rows on a re-read. Pure per-row expression, zero shuffle."""
+    from pinterest_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, "doc_id")
