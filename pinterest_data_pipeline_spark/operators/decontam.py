@@ -33,15 +33,24 @@ def word_ngrams(text: Column | str, n: int) -> Column:
     Documents shorter than ``n`` tokens yield an empty array (guarded —
     ``sequence`` with a descending range would otherwise error under
     ANSI). 1-based ``slice`` mirrors DuckDB's ``list_slice`` so oracle
-    SQL can reproduce the grams byte-for-byte."""
-    toks = ws_tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    SQL can reproduce the grams byte-for-byte.
+
+    The token array is bound as a lambda variable of a single-element
+    ``transform`` (the ``dup_trigram_frac`` trick): subexpression
+    elimination is disabled inside HOF lambdas, so referencing the
+    tokenize expression directly from the per-gram lambda would re-run
+    the regex split once per gram — O(tokens²) per row."""
+
+    def _grams_of(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(ws_tokens(text)), _grams_of), 0)
 
 
 def ngram_contamination(
@@ -71,4 +80,69 @@ def ngram_contamination(
         train_grams.join(F.broadcast(eval_grams), "ng")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def jaccard_contamination(
+    df: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Fuzzy decontamination: per training document, the maximum n-gram
+    Jaccard similarity against ANY evaluation document (``eval_pred``
+    selects eval rows), plus how many eval documents it overlaps at all.
+
+    Where :func:`ngram_contamination` flags exact shared grams, this
+    catches paraphrased leaks — a train doc that covers most of an eval
+    doc's grams scores near 1 even if no single long span matches.
+
+    Scale: the eval side (grams + per-doc gram counts) is broadcast;
+    the per-pair intersection groupBy shuffles only (train_doc, eval_doc)
+    pairs that share at least one gram — output-bound, never
+    |train|x|eval|. Jaccard = inter/(a+b-inter) is an exact integer
+    quotient (engine-portable), rounded to 6dp."""
+    grams = df.select(
+        F.col(id_col),
+        eval_pred.alias("is_eval"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("ng"),
+    )
+    sizes = grams.groupBy(id_col, "is_eval").agg(
+        F.count("*").alias("n_grams")
+    )
+    eval_side = (
+        grams.filter(F.col("is_eval"))
+        .join(
+            sizes.filter(F.col("is_eval")).select(id_col, "n_grams"),
+            id_col,
+        )
+        .select(
+            F.col(id_col).alias("eval_id"),
+            "ng",
+            F.col("n_grams").alias("eval_grams"),
+        )
+    )
+    train_side = grams.filter(~F.col("is_eval")).select(id_col, "ng")
+    inter = (
+        train_side.join(F.broadcast(eval_side), "ng")
+        .groupBy(id_col, "eval_id", "eval_grams")
+        .agg(F.count("*").alias("inter"))
+    )
+    train_sizes = sizes.filter(~F.col("is_eval")).select(id_col, "n_grams")
+    jacc = inter.join(train_sizes, id_col).select(
+        F.col(id_col),
+        (
+            F.col("inter")
+            / (F.col("n_grams") + F.col("eval_grams") - F.col("inter"))
+        ).alias("j"),
+    )
+    return (
+        jacc.groupBy(id_col)
+        .agg(
+            F.round(F.max("j"), 6).alias("max_jaccard"),
+            F.count("*").alias("n_eval_overlaps"),
+        )
+        .filter(F.col("max_jaccard") >= min_jaccard)
     )

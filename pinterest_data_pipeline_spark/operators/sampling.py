@@ -89,3 +89,45 @@ def hash_split(
         .when(prefix < val_upper, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Content-addressed global shuffle: assign every row a shard and a
+    position inside it, both derived from ``md5(id)`` — the
+    reproducible "shuffle the corpus before training" step.
+
+    Like :func:`hash_split`, this deliberately avoids ``rand(seed)``
+    and ``orderBy(rand())``: RNG order is partition-layout-dependent,
+    so a retry or re-read would feed the trainer a different example
+    order. Hash order is a pure function of row identity.
+
+    Shard = integer value of the first two md5 hex chars (via strpos
+    arithmetic — portable to any ANSI engine, unlike Spark's
+    ``conv``/murmur ``hash``) mod ``n_shards``; position = rank of the
+    md5 digest within the shard.
+
+    Scale: one shuffle on ``shard``; md5 uniformity keeps the
+    ``n_shards`` window partitions balanced, and ``n_shards`` is chosen
+    ~ cluster parallelism. For writing actual training files you'd
+    instead ``repartition(n_shards, shard).sortWithinPartitions(h)`` —
+    same layout, no rank materialized; the rank here makes the order
+    oracle-checkable."""
+    hexpos = "instr('0123456789abcdef', substring(__h, {i}, 1)) - 1"
+    h = F.md5(F.col(id_col).cast("string"))
+    win = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn(
+            "shard",
+            F.expr(
+                f"pmod(({hexpos.format(i=1)}) * 16 + ({hexpos.format(i=2)}),"
+                f" {int(n_shards)})"
+            ).cast("int"),
+        )
+        .withColumn("pos", F.row_number().over(win))
+        .drop("__h")
+    )

@@ -82,17 +82,22 @@ CHECK_FIRST: list[str] = [
     "decontaminate_ngram_overlap",
     "pack_sequences_bins",
     "train_val_split_hash",
+    "gopher_quality_flags",
+    "boilerplate_ngram_fraction",
+    "decontaminate_jaccard_overlap",
+    "deterministic_shuffle_shards",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",
     # -- rows-only (no oracle), no driver row in round 1 --
-    "argmax_literal_max_first",
+    # (argmax_literal_max_first and embedding_ivf_multiprobe_topk rotate
+    # back into the prefix next round: their oracle-backed twins —
+    # window argmax q*, embedding_ivf_topk — hold green rows already.)
     "multimodal_decode_features",
     "simhash_near_pairs",
     "minhash_dedup_clusters",
     "embedding_lsh_near_duplicates",
     "ivf_kmeans_codebook_assign",
-    "embedding_ivf_multiprobe_topk",
     "corpus_curation_full",
 ]
 

@@ -958,3 +958,191 @@ def train_val_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return hash_split(docs, "doc_id")
+
+
+# ----------------------------------------------- quality rules & boilerplate
+
+
+@register(
+    "gopher_quality_flags",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               round(CAST(list_sum(list_transform(t,
+                       x -> CAST(len(x) AS BIGINT))) AS DOUBLE)
+                     / len(t), 6) AS mean_word_len,
+               round(CAST(len(list_filter(t,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / len(t), 6) AS alpha_frac,
+               CAST(CAST(list_contains(t, 'the') AS INT)
+                  + CAST(list_contains(t, 'be') AS INT)
+                  + CAST(list_contains(t, 'to') AS INT)
+                  + CAST(list_contains(t, 'of') AS INT)
+                  + CAST(list_contains(t, 'and') AS INT)
+                  + CAST(list_contains(t, 'that') AS INT)
+                  + CAST(list_contains(t, 'have') AS INT)
+                  + CAST(list_contains(t, 'with') AS INT)
+                  + CAST(list_contains(t, 'a') AS INT)
+                  + CAST(list_contains(t, 'in') AS INT) AS INT)
+                   AS n_stop_present
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_present,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_word_len BETWEEN 3.0 AND 10.0
+                      AND alpha_frac >= 0.8
+                      AND n_stop_present >= 2
+                     THEN 1 ELSE 0 END AS INT) AS passes_rules
+    FROM m
+    """,
+)
+def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (operators/quality_rules.py): word-count
+    bounds, mean word length, alphabetic-word fraction, stopword
+    presence, and the combined pass flag. Pure per-row codegen — the
+    zero-shuffle first stage of a curation funnel."""
+    from pinterest_data_pipeline_spark.operators.quality_rules import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)
+
+
+@register(
+    "boilerplate_ngram_fraction",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gs
+        FROM toks WHERE len(t) >= 2
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS ng FROM grams),
+    freq AS (
+        SELECT ng FROM ex GROUP BY ng
+        HAVING count(*) >= 0.08 * (SELECT count(*) FROM documents)
+    ),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frequent
+        FROM ex JOIN freq USING (ng) GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM ex GROUP BY doc_id
+    )
+    SELECT tot.doc_id, tot.n_grams,
+           coalesce(hits.n_frequent, 0) AS n_frequent,
+           round(CAST(coalesce(hits.n_frequent, 0) AS DOUBLE)
+                 / tot.n_grams, 6) AS boilerplate_frac
+    FROM tot LEFT JOIN hits USING (doc_id)
+    """,
+)
+def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate share (operators/boilerplate.py): the
+    fraction of each doc's distinct bigrams that occur in >= 8% of the
+    corpus. Doc-frequency agg (one shuffle, map-side partials) feeds a
+    broadcast of the small frequent head back over the corpus."""
+    from pinterest_data_pipeline_spark.operators.boilerplate import (
+        boilerplate_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_fraction(docs, n=2, min_doc_frac=0.08)
+
+
+@register(
+    "decontaminate_jaccard_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gs
+        FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS ng FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY doc_id),
+    ev AS (
+        SELECT ex.doc_id AS eval_id, ex.ng, s.n_grams AS eval_grams
+        FROM ex JOIN sizes s USING (doc_id) WHERE ex.doc_id % 20 = 0
+    ),
+    tr AS (SELECT doc_id, ng FROM ex WHERE doc_id % 20 <> 0),
+    inter AS (
+        SELECT tr.doc_id, ev.eval_id, ev.eval_grams, count(*) AS inter
+        FROM tr JOIN ev ON tr.ng = ev.ng
+        GROUP BY tr.doc_id, ev.eval_id, ev.eval_grams
+    ),
+    j AS (
+        SELECT i.doc_id,
+               CAST(i.inter AS DOUBLE)
+               / (s.n_grams + i.eval_grams - i.inter) AS j
+        FROM inter i JOIN sizes s ON i.doc_id = s.doc_id
+    )
+    SELECT doc_id, round(max(j), 6) AS max_jaccard,
+           CAST(count(*) AS BIGINT) AS n_eval_overlaps
+    FROM j GROUP BY doc_id
+    """,
+)
+def decontaminate_jaccard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/decontam.jaccard_contamination):
+    max trigram Jaccard of each training doc against any eval doc
+    (doc_id % 20 = 0). Catches paraphrased leaks the exact-gram check
+    misses; eval side broadcast, pair agg output-bound."""
+    from pinterest_data_pipeline_spark.operators.decontam import (
+        jaccard_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_contamination(docs, F.col("doc_id") % 20 == 0, n=3)
+
+
+@register(
+    "deterministic_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    s AS (
+        SELECT doc_id, hx,
+               CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1))
+                    % 16 AS INT) AS shard
+        FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY hx, doc_id) AS INT) AS pos
+    FROM s
+    """,
+)
+def deterministic_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed global shuffle (operators/sampling.
+    deterministic_shuffle): md5-derived shard + within-shard position,
+    reproducible across engines/retries unlike orderBy(rand()). One
+    shuffle on the shard key; at scale the rank is replaced by
+    repartition + sortWithinPartitions with the same layout."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", n_shards=16)

@@ -122,3 +122,22 @@ def test_mixture_upsample_broadcasts_weights(spark):
     assert n_nodes(plan, "BroadcastHashJoin") == 1
     assert n_nodes(plan, "SortMergeJoin") == 0
     assert n_nodes(plan, "Exchange") == 0
+
+
+def test_gopher_rules_are_shuffle_free(spark):
+    plan = plan_of(spark, "gopher_quality_flags")
+    assert n_nodes(plan, "Exchange") == 0
+    assert "BatchScan" in plan or "Scan parquet" in plan
+
+
+def test_boilerplate_frequent_head_is_broadcast(spark):
+    plan = plan_of(spark, "boilerplate_ngram_fraction")
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "SortMergeJoin") <= 1  # only the final totals join
+
+
+def test_jaccard_decontam_broadcasts_eval_side(spark):
+    plan = plan_of(spark, "decontaminate_jaccard_overlap")
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
