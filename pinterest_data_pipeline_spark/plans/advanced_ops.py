@@ -276,3 +276,46 @@ def sql_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, orderkey ASC LIMIT 10
         """
     )
+
+
+@register(
+    "event_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    j AS (
+        SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    )
+    SELECT CAST(count(t1) AS BIGINT) AS n_step1,
+           CAST(count(t2) AS BIGINT) AS n_step2,
+           round(avg(epoch_us(t2) - epoch_us(t1)) / 1000000.0, 6)
+               AS avg_sec_1_to_2,
+           CAST(count(t3) AS BIGINT) AS n_step3,
+           round(avg(epoch_us(t3) - epoch_us(t2)) / 1000000.0, 6)
+               AS avg_sec_2_to_3
+    FROM j
+    """,
+)
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel (operators/funnel.py):
+    strictly-ordered anchors, per-step min aggregates all keyed on
+    user_id, exact-microsecond mean inter-step latency. Extends the
+    reference's per-category aggregates (reference README.md:339-592) to
+    ordered-sequence analytics."""
+    from pinterest_data_pipeline_spark.operators.funnel import funnel_summary
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_summary(events, ["view", "click", "purchase"])

@@ -1146,3 +1146,83 @@ def deterministic_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(docs, "doc_id", n_shards=16)
+
+
+# ------------------------------------------------- corpus statistics scoring
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (operators/tfidf.py): two vocabulary-sized hash aggregates over the
+    shared tf relation (Spark reuses the exchange), broadcast corpus
+    size, WindowGroupLimit top-k. Rounded-score ranking with term
+    tie-break keeps the cut engine-portable."""
+    from pinterest_data_pipeline_spark.operators.tfidf import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    freq AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln(cnt / tot.total)) / sum(tf), 6) AS avg_logprob
+    FROM tf JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM score per document
+    (operators/tfidf.unigram_logprob) — the CCNet-style statistical
+    quality signal. Model build is one vocabulary-sized aggregate; token
+    total is a broadcast aggregate of the model, never a second corpus
+    pass."""
+    from pinterest_data_pipeline_spark.operators.tfidf import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)

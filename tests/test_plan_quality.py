@@ -141,3 +141,31 @@ def test_jaccard_decontam_broadcasts_eval_side(spark):
     assert n_nodes(plan, "BroadcastHashJoin") >= 1
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    plan = plan_of(spark, "tfidf_top_terms")
+    # one Generate (explode) — the tf relation is NOT recomputed per
+    # consumer; doc-frequency comes from a window, corpus size from a
+    # scalar scan.
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "WindowGroupLimit") >= 1  # partial top-k
+    assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_unigram_logprob_two_scans_no_joins(spark):
+    plan = plan_of(spark, "unigram_logprob_quality")
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Scan parquet") == 2  # corpus + scalar total
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "HashAggregate") >= 4  # partial+final everywhere
+
+
+def test_funnel_exchanges_all_on_user_key(spark):
+    plan = plan_of(spark, "event_funnel_steps")
+    import re
+
+    keys = set(
+        re.findall(r"hashpartitioning\((\w+)#", plan)
+    )
+    assert keys == {"user_id"}, keys
