@@ -71,3 +71,44 @@ def write_curated(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training corpus as ``n_shards`` content-addressed
+    parquet shards in a deterministic global order — the write-side twin
+    of :func:`operators.sampling.deterministic_shuffle` (same md5 shard
+    key and in-shard digest order, minus the oracle-checkable rank).
+
+    ``repartition(n_shards, shard)`` is the ONLY shuffle;
+    ``sortWithinPartitions`` orders each shard with no global sort and
+    no rank materialized, so the layout cost is one exchange regardless
+    of corpus size. A retry, a re-read, or a different cluster produces
+    byte-identical shard membership and order — ``orderBy(rand(seed))``
+    guarantees neither. Shard count chooses file parallelism for the
+    trainer; md5 uniformity keeps shard sizes balanced (±O(√n))."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    sharded = deterministic_shuffle(df, id_col, n_shards).drop("pos")
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        # "shard" leads the sort so the dynamic-partition writer's
+        # required ordering (partition cols first) is already satisfied
+        # — otherwise FileFormatWriter inserts its own non-stable sort
+        # on "shard" alone and destroys the digest order.
+        .sortWithinPartitions(
+            "shard", F.md5(F.col(id_col).cast("string")), id_col
+        )
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -70,3 +70,55 @@ def test_curated_writer_zstd_smaller_than_snappy(spark, sf_dir, tmp_path):
     assert spark.read.parquet(z).count() == docs.count()
     back = {r["doc_id"] for r in spark.read.parquet(z).select("doc_id").collect()}
     assert back == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
+    """Shard directories match deterministic_shuffle's assignment, each
+    shard file is internally ordered by md5 digest, and a rewrite is
+    byte-identical in membership+order."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from pinterest_data_pipeline_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out1 = str(tmp_path / "shards1")
+    write_training_shards(docs, out1, n_shards=8)
+
+    shard_dirs = sorted(
+        d for d in os.listdir(out1) if d.startswith("shard=")
+    )
+    assert len(shard_dirs) == 8
+
+    back = spark.read.parquet(out1)
+    expect = deterministic_shuffle(docs, "doc_id", n_shards=8)
+    # membership parity per shard
+    got = {(r["doc_id"], r["shard"]) for r in back.collect()}
+    want = {(r["doc_id"], r["shard"]) for r in expect.collect()}
+    assert got == want
+
+    # in-file order must equal the rank order deterministic_shuffle
+    # assigns (read one shard's file directly, no Spark reorder)
+    import pyarrow.parquet as pq
+
+    d0 = os.path.join(out1, shard_dirs[0])
+    files = [f for f in os.listdir(d0) if f.endswith(".parquet")]
+    assert len(files) == 1  # one file per shard dir
+    ids = pq.read_table(os.path.join(d0, files[0]))["doc_id"].to_pylist()
+    ranked = [
+        r["doc_id"]
+        for r in expect.filter(F.col("shard") == 0)
+        .orderBy("pos")
+        .collect()
+    ]
+    assert ids == ranked
+
+    # rewrite determinism
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=8)
+    d0b = os.path.join(out2, shard_dirs[0])
+    fb = [f for f in os.listdir(d0b) if f.endswith(".parquet")]
+    ids2 = pq.read_table(os.path.join(d0b, fb[0]))["doc_id"].to_pylist()
+    assert ids2 == ids
