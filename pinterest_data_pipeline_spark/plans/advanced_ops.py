@@ -319,3 +319,47 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return funnel_summary(events, ["view", "click", "purchase"])
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+                   AS week
+        FROM events
+    ),
+    a AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, act.week) / 7 AS INT)
+                   AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM act JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY 1
+    )
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           a.week_offset, a.n_active, s.cohort_size,
+           round(a.n_active / s.cohort_size, 6) AS retention
+    FROM a JOIN s USING (cohort_week)
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-activity weekly cohorts x week-offset retention matrix
+    (operators/cohorts.py): min-agg, distinct, and join all keyed on
+    user_id; Monday-anchored date_trunc weeks; whole-day integer week
+    offsets."""
+    from pinterest_data_pipeline_spark.operators.cohorts import (
+        weekly_retention,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return weekly_retention(events)

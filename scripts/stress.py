@@ -55,6 +55,11 @@ QUERIES = [
     "stratified_sample_per_lang",
     "embedding_quantize_error_bound",
     "repetition_signals",
+    # corpus-statistics scorers + funnel (this round)
+    "tfidf_top_terms",
+    "unigram_logprob_quality",
+    "event_funnel_steps",
+    "boilerplate_ngram_fraction",
 ]
 
 

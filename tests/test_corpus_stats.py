@@ -115,3 +115,33 @@ def test_funnel_anchors_at_earliest_qualifying_event(spark):
     row = funnel_anchor_times(df, ["view", "click"]).collect()[0]
     assert str(row["t1"]).startswith("2024-01-01 00:00:00")
     assert str(row["t2"]).startswith("2024-01-01 00:00:10")
+
+
+def test_weekly_retention_cohort_math(spark):
+    from pinterest_data_pipeline_spark.operators.cohorts import (
+        weekly_retention,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # u1 first active Mon 2024-01-01 week; active again wk+1
+            (1, "2024-01-02 10:00:00"),
+            (1, "2024-01-09 10:00:00"),
+            # u2 same cohort, never returns
+            (2, "2024-01-03 09:00:00"),
+            # u3 cohort of the NEXT week
+            (3, "2024-01-10 12:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) as ts")
+    rows = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in weekly_retention(df).collect()
+    }
+    w1 = ("2024-01-01", 0)
+    assert rows[w1]["cohort_size"] == 2 and rows[w1]["n_active"] == 2
+    assert rows[w1]["retention"] == 1.0
+    assert rows[("2024-01-01", 1)]["n_active"] == 1
+    assert rows[("2024-01-01", 1)]["retention"] == 0.5
+    assert rows[("2024-01-08", 0)]["cohort_size"] == 1
+    assert ("2024-01-08", 1) not in rows
