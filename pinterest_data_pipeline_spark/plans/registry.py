@@ -86,19 +86,24 @@ CHECK_FIRST: list[str] = [
     "boilerplate_ngram_fraction",
     "decontaminate_jaccard_overlap",
     "deterministic_shuffle_shards",
+    # -- late round-2 additions, oracle-backed --
+    "tfidf_top_terms",
+    "unigram_logprob_quality",
+    "event_funnel_steps",
+    "weekly_cohort_retention",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",
-    # -- rows-only (no oracle), no driver row in round 1 --
-    # (argmax_literal_max_first and embedding_ivf_multiprobe_topk rotate
-    # back into the prefix next round: their oracle-backed twins —
-    # window argmax q*, embedding_ivf_topk — hold green rows already.)
-    "multimodal_decode_features",
+    # -- rows-only (no oracle), no driver row in round 1; oracle-backed
+    # entries outrank rows-only ones, so only two dedup representatives
+    # keep prefix slots. The rest rotate in next round:
+    # multimodal_decode_features, embedding_lsh_near_duplicates,
+    # ivf_kmeans_codebook_assign, corpus_curation_full,
+    # argmax_literal_max_first, embedding_ivf_multiprobe_topk (their
+    # oracle-backed twins — window argmax q*, embedding_ivf_topk,
+    # multimodal_binary_meta, corpus_curation_basic — hold green rows).
     "simhash_near_pairs",
     "minhash_dedup_clusters",
-    "embedding_lsh_near_duplicates",
-    "ivf_kmeans_codebook_assign",
-    "corpus_curation_full",
 ]
 
 CHECK_LAST: list[str] = [
