@@ -170,3 +170,47 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qty_price_corr"),
     )
+
+
+@register(
+    "incremental_rollup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_v,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY event_type, event_day
+    """,
+)
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-table maintenance
+    (operators/rollup_maintenance.py): history is aggregated ONCE into
+    mergeable partial state, each arriving slice aggregates alone, and
+    states combine associatively — the oracle recomputes from scratch and
+    must agree bit-for-bit. Three uneven slices (two history epochs + a
+    'late' delta) exercise a non-trivial merge tree."""
+    from pinterest_data_pipeline_spark.operators.rollup_maintenance import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_day", F.date_trunc("day", F.col("ts"))
+    )
+    keys = ["event_type", "event_day"]
+    slice1 = ev.filter(F.col("ts") < "2024-01-10")
+    slice2 = ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-25"))
+    delta = ev.filter(F.col("ts") >= "2024-01-25")
+    state = merge_rollups(
+        rollup_state(slice1, keys, "value"),
+        rollup_state(slice2, keys, "value"),
+        rollup_state(delta, keys, "value"),
+    )
+    return finalize_rollup(state).orderBy("event_type", "event_day")

@@ -71,7 +71,6 @@ CHECK_FIRST: list[str] = [
     "stream_interval_join_batch",
     "stream_running_totals_batch",
     "stream_static_enrich_batch",
-    "python_datasource_clean_pins",
     "chunk_documents_tokens",
     "stratified_sample_per_lang",
     "mixture_upsample_by_lang",
@@ -90,18 +89,25 @@ CHECK_FIRST: list[str] = [
     "tfidf_top_terms",
     "unigram_logprob_quality",
     "event_funnel_steps",
-    "weekly_cohort_retention",
+    # (weekly_cohort_retention waits for round 3 — the prefix is full and
+    # the new subquery/range-join plan families outrank a second
+    # time-bucketing query; event_funnel_steps covers that family.)
+    "range_join_acctbal_bands",
+    "scalar_subquery_low_qty",
     # -- changed in round 2, need a fresh green row --
     "collect_segments_per_nation",
     "limit_offset_sample",
     # -- rows-only (no oracle), no driver row in round 1; oracle-backed
     # entries outrank rows-only ones, so only two dedup representatives
     # keep prefix slots. The rest rotate in next round:
-    # multimodal_decode_features, embedding_lsh_near_duplicates,
-    # ivf_kmeans_codebook_assign, corpus_curation_full,
+    # python_datasource_clean_pins, multimodal_decode_features,
+    # embedding_lsh_near_duplicates, ivf_kmeans_codebook_assign,
+    # corpus_curation_full, semantic_dedup_survivors,
     # argmax_literal_max_first, embedding_ivf_multiprobe_topk (their
     # oracle-backed twins — window argmax q*, embedding_ivf_topk,
-    # multimodal_binary_meta, corpus_curation_basic — hold green rows).
+    # multimodal_binary_meta, corpus_curation_basic — hold green rows),
+    # plus oracle-backed exists_late_ship_orders / in_subquery_big_spenders
+    # (scalar_subquery_low_qty above represents the subquery family).
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]

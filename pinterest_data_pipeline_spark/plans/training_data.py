@@ -443,6 +443,22 @@ def embedding_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("semantic_dedup_survivors")  # iterative k-means inside: rows-only
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells bound the pair search,
+    cosine ≥ threshold within a cell marks duplicates, min-id survives
+    (operators/semantic_dedup.py). Threshold 0.4 for the same corpus
+    reason as embedding_lsh_near_duplicates above; the one-row summary
+    carries a survivor-id checksum so the rows-only driver check still
+    pins the exact survivor set across runs."""
+    from pinterest_data_pipeline_spark.operators.semantic_dedup import (
+        semantic_dedup_summary,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_summary(emb, k=8, threshold=0.4)
+
+
 @register(
     "text_top_pieces",
     oracle="""

@@ -253,3 +253,69 @@ def test_ivf_multiprobe_recall_improves_and_converges(spark, emb):
     r4, got4 = recall(4)
     assert r1 <= r2 <= r4
     assert r4 == 1.0 and got4 == exact  # all partitions == brute force
+
+
+# ------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_precision_and_counts(spark, emb):
+    """Every removed row has a genuine cosine-duplicate with a lower id
+    (precision 1 vs brute force), and counts are self-consistent."""
+    from pinterest_data_pipeline_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+
+    tau = 0.4
+    survivors = semantic_dedup(emb, k=8, threshold=tau)
+    total = emb.count()
+    kept = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    removed = {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    } - kept
+    assert len(kept) + len(removed) == total
+
+    brute = similarity.embedding_near_duplicates(emb, threshold=tau)
+    dup_b = {r["id_b"] for r in brute.select("id_b").collect()}
+    # precision: nothing removed without a brute-force duplicate witness
+    assert removed <= dup_b
+
+
+def test_semantic_dedup_removes_planted_clones(spark, emb):
+    """At production thresholds (cos≈1 clones) a clone lands in the same
+    k-means cell as its source, so semantic dedup must remove every
+    planted clone and keep every source (min-id survivor). Corpus note:
+    at weak thresholds (0.4) cell boundaries split far-apart 'pairs' and
+    recall drops to ~0.3 on this data — that regime is what the
+    partition-free embedding_near_duplicates audit path is for."""
+    from pinterest_data_pipeline_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+
+    base = emb.filter(F.col("vec_id") < 10)
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    plus = emb.unionByName(clones)
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(plus, k=8, threshold=0.98)
+        .select("vec_id")
+        .collect()
+    }
+    for i in range(10):
+        assert i in kept, f"source {i} wrongly removed"
+        assert i + 100000 not in kept, f"clone of {i} survived"
+
+
+def test_semantic_dedup_summary_deterministic(spark, emb):
+    from pinterest_data_pipeline_spark.operators.semantic_dedup import (
+        semantic_dedup_summary,
+    )
+
+    a = semantic_dedup_summary(emb, k=8, threshold=0.4).collect()[0]
+    b = semantic_dedup_summary(emb, k=8, threshold=0.4).collect()[0]
+    assert a == b
+    assert a["n_total"] == a["n_removed"] + a["n_survivors"]

@@ -169,3 +169,37 @@ def test_funnel_exchanges_all_on_user_key(spark):
         re.findall(r"hashpartitioning\((\w+)#", plan)
     )
     assert keys == {"user_id"}, keys
+
+
+def test_subqueries_decorrelate_to_hash_joins(spark):
+    """Correlated scalar/EXISTS and uncorrelated IN subqueries must all
+    decorrelate: no per-outer-row re-execution (BroadcastNestedLoopJoin)
+    and no CartesianProduct anywhere in the plans."""
+    for name in (
+        "scalar_subquery_low_qty",
+        "exists_late_ship_orders",
+        "in_subquery_big_spenders",
+    ):
+        plan = plan_of(spark, name)
+        assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0, name
+        assert n_nodes(plan, "CartesianProduct") == 0, name
+        joins = (
+            n_nodes(plan, "BroadcastHashJoin")
+            + n_nodes(plan, "SortMergeJoin")
+            + n_nodes(plan, "ShuffledHashJoin")
+        )
+        assert joins >= 1, f"{name}: no hash join in plan\n{plan}"
+
+
+def test_exists_plans_as_semi_join(spark):
+    plan = plan_of(spark, "exists_late_ship_orders")
+    assert "LeftSemi" in plan
+
+
+def test_range_join_is_binned_hash_join_not_nested_loop(spark):
+    """The band-membership theta join must run as the bin-keyed broadcast
+    hash join (operators/range_join.py), never a nested loop."""
+    plan = plan_of(spark, "range_join_acctbal_bands")
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert "__range_bin" in plan  # joined on the synthetic bin key

@@ -117,3 +117,36 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan  # no shuffle
     assert joined.count() == li.count()
+
+
+def test_rollup_merge_tree_invariance(spark, sf_dir):
+    """Any merge tree over partial rollup states yields identical state:
+    merging (a,b,c) at once equals merge(merge(a,b),c) equals one direct
+    aggregate over the union — the property that lets a 100 TB rollup
+    refresh touch only the new delta."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.rollup_maintenance import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_state,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    a = ev.filter(F.col("user_id") % 3 == 0)
+    b = ev.filter(F.col("user_id") % 3 == 1)
+    c = ev.filter(F.col("user_id") % 3 == 2)
+    flat = merge_rollups(
+        rollup_state(a, keys, "value"),
+        rollup_state(b, keys, "value"),
+        rollup_state(c, keys, "value"),
+    )
+    nested = merge_rollups(
+        merge_rollups(rollup_state(a, keys, "value"), rollup_state(b, keys, "value")),
+        rollup_state(c, keys, "value"),
+    )
+    direct = rollup_state(ev, keys, "value")
+    rows = lambda df: sorted(map(tuple, finalize_rollup(df).collect()))
+    assert rows(flat) == rows(nested) == rows(direct)
