@@ -1242,3 +1242,64 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+@register(
+    "split_leakage_check",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, md5(text) AS fp,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    fp_stats AS (
+        SELECT fp, COUNT(*) AS n_fp, COUNT(DISTINCT split) AS ns
+        FROM s GROUP BY fp
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.fp) AS BIGINT) AS n_unique_fp,
+           CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked_docs
+    FROM s JOIN fp_stats ON s.fp = fp_stats.fp
+    GROUP BY split ORDER BY split
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test hygiene audit: the hash split assigns by doc_id, so
+    byte-identical documents under different ids CAN land in different
+    splits — the classic eval-contamination leak. Per split: docs, unique
+    content fingerprints, docs whose content occurs more than once
+    anywhere (dup exposure), and docs whose content crosses splits
+    (actual leakage; 0 on clean data, and the count — not an empty result
+    set — is what the driver hashes). One fingerprint shuffle + a
+    broadcast-size stats join; scales as exact dedup does."""
+    from pinterest_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = hash_split(docs, "doc_id").withColumn("fp", F.md5(F.col("text")))
+    fp_stats = s.groupBy("fp").agg(
+        F.count("*").alias("n_fp"),
+        F.count_distinct("split").alias("ns"),
+    )
+    return (
+        s.join(fp_stats, "fp")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("fp").cast("bigint").alias("n_unique_fp"),
+            F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked_docs"),
+        )
+        .orderBy("split")
+    )

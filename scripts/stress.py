@@ -60,6 +60,12 @@ QUERIES = [
     "unigram_logprob_quality",
     "event_funnel_steps",
     "boilerplate_ngram_fraction",
+    # late round-2 operators
+    "semantic_dedup_survivors",
+    "scalar_subquery_low_qty",
+    "exists_late_ship_orders",
+    "range_join_acctbal_bands",
+    "incremental_rollup_events",
 ]
 
 
