@@ -169,3 +169,32 @@ def stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     return enrich_events_with_users(ev, cust)
+
+
+@register(
+    "stream_interval_left_join_batch",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTES
+    """,
+)
+def stream_interval_left_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode oracle row for the LEFT-OUTER stream-stream interval
+    join (streaming/joins.interval_left_join_clicks_to_views): unmatched
+    clicks appear null-padded. The streaming-only semantics — outer rows
+    emit only after the global (min-across-inputs) watermark proves no
+    match can arrive — are pinned by
+    test_stream_interval_left_join_emits_unmatched_after_watermark."""
+    from pinterest_data_pipeline_spark.streaming.joins import (
+        interval_left_join_clicks_to_views,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_left_join_clicks_to_views(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+    )

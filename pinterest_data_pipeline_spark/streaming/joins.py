@@ -53,6 +53,49 @@ def interval_join_clicks_to_views(
     ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts", "view_value")
 
 
+def interval_left_join_clicks_to_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_gap: str = "INTERVAL 30 MINUTES",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Left-outer variant of the attribution join: every click is
+    emitted; clicks with no prior view carry NULL view columns.
+
+    Streaming semantics differ from the inner join in WHEN rows leave
+    state: an unmatched click can only be emitted null-padded once the
+    watermark proves no qualifying view can still arrive — so outer
+    results trail the watermark delay. Both side's watermarks are
+    therefore mandatory here (the inner join tolerates their absence at
+    the cost of unbounded state; the outer join would never emit)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"c_user = v_user AND view_ts <= click_ts "
+            f"AND view_ts >= click_ts - {max_gap}"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "view_id",
+        "view_ts",
+        "view_value",
+    )
+
+
 def enrich_events_with_users(events: DataFrame, users: DataFrame) -> DataFrame:
     """Stream-static enrichment join: attach slowly-changing user
     dimension attributes to a stream of events.

@@ -430,3 +430,78 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
     )
     default = run("dflt")
     assert rocksdb == default == [("t0", 40), ("t1", 40), ("t2", 40)]
+
+
+def test_stream_interval_left_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer interval join: unmatched clicks must surface null-padded
+    — but only once the watermark proves no qualifying view can still
+    arrive, which takes later micro-batches to advance it."""
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+    from pinterest_data_pipeline_spark.streaming.joins import (
+        interval_left_join_clicks_to_views,
+    )
+
+    land_c = str(tmp_path / "lj_clicks")
+    land_v = str(tmp_path / "lj_views")
+    json_landing.write_landing_records(
+        [
+            {"event_id": 10, "ts": "2024-01-01 10:20:00", "user_id": 1,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 11, "ts": "2024-01-01 12:00:00", "user_id": 1,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+        ],
+        land_c, 100,
+    )
+    json_landing.write_landing_records(
+        [
+            {"event_id": 20, "ts": "2024-01-01 10:00:00", "user_id": 1,
+             "event_type": "view", "value": 7.0, "props": "{}"},
+        ],
+        land_v, 100,
+    )
+    clicks = json_landing.read_landing_stream(spark, land_c, EVENTS)
+    views = json_landing.read_landing_stream(spark, land_v, EVENTS)
+    joined = interval_left_join_clicks_to_views(clicks, views)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        matched = {
+            (r["click_id"], r["view_id"])
+            for r in spark.sql("SELECT * FROM lj_out").collect()
+        }
+        assert (10, 20) in matched
+        # unmatched click 11 can't have emitted yet: watermark hasn't
+        # passed 12:00 + gap
+        assert all(cid != 11 for cid, _ in matched)
+
+        # heartbeat batches must advance BOTH inputs: the query's global
+        # watermark is the min over every watermarked source, so a silent
+        # views stream pins it at batch-1 time forever
+        for hb_id, hb_ts in ((90, "2024-01-01 16:00:00"),
+                             (91, "2024-01-01 20:00:00")):
+            # unique file prefixes: the file source tracks seen paths, so
+            # a rewritten part-000000.json would be silently ignored
+            json_landing.write_landing_records(
+                [{"event_id": hb_id, "ts": hb_ts, "user_id": 9,
+                  "event_type": "click", "value": 0.0, "props": "{}"}],
+                land_c, 100, prefix=f"hb{hb_id}",
+            )
+            json_landing.write_landing_records(
+                [{"event_id": hb_id + 10, "ts": hb_ts, "user_id": 9,
+                  "event_type": "view", "value": 0.0, "props": "{}"}],
+                land_v, 100, prefix=f"hb{hb_id}",
+            )
+            q.processAllAvailable()
+        got = {
+            (r["click_id"], r["view_id"])
+            for r in spark.sql("SELECT * FROM lj_out").collect()
+            if r["click_id"] < 50
+        }
+        assert got == {(10, 20), (11, None)}, got
+    finally:
+        q.stop()
