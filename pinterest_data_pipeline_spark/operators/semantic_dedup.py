@@ -36,17 +36,27 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = 16,
     threshold: float = 0.97,
     iterations: int = 2,
+    target_cell_size: int = 600,
 ) -> DataFrame:
     """Drop rows whose embedding has a cosine-``threshold`` duplicate with
     a lower id in the same semantic cluster. Returns the surviving rows
     (original schema plus ``cluster``).
 
+    ``k=None`` auto-scales the codebook so expected cell size stays
+    ``target_cell_size``: the within-cell pair search costs Σ|cell|², so
+    a FIXED k degrades quadratically as the corpus grows (measured: 20×
+    wall at 30× rows with k=8, PERF.md ×30 table) while k ∝ n holds the
+    per-cell work constant and the total at O(n · target_cell_size).
+    That one count() scan is the price of a plan that survives scale-up.
+
     Deterministic end to end: codebook init/iterations are fixed
     (`kmeans_codebook`), survivor choice is min-id.
     """
+    if k is None:
+        k = max(8, df.count() // target_cell_size)
     centroids = kmeans_codebook(
         df, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations
     )
@@ -66,7 +76,7 @@ def semantic_dedup_summary(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = 16,
     threshold: float = 0.97,
 ) -> DataFrame:
     """One-row summary of a semantic-dedup pass: total / removed /

@@ -450,13 +450,15 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/semantic_dedup.py). Threshold 0.4 for the same corpus
     reason as embedding_lsh_near_duplicates above; the one-row summary
     carries a survivor-id checksum so the rows-only driver check still
-    pins the exact survivor set across runs."""
+    pins the exact survivor set across runs. ``k=None`` auto-scales the
+    codebook to the corpus (k ≈ n/600) — the fixed-k form measured 20×
+    wall at 30× rows (PERF.md), the scaled form stays ~linear."""
     from pinterest_data_pipeline_spark.operators.semantic_dedup import (
         semantic_dedup_summary,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_summary(emb, k=8, threshold=0.4)
+    return semantic_dedup_summary(emb, k=None, threshold=0.4)
 
 
 @register(
