@@ -52,6 +52,10 @@ try:
     import pinterest_data_pipeline_spark.plans.nonequi_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    import pinterest_data_pipeline_spark.plans.recursive_ops  # noqa: F401
+except ImportError:
+    pass
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -107,7 +107,10 @@ CHECK_FIRST: list[str] = [
     # oracle-backed twins — window argmax q*, embedding_ivf_topk,
     # multimodal_binary_meta, corpus_curation_basic — hold green rows),
     # plus oracle-backed exists_late_ship_orders / in_subquery_big_spenders
-    # (scalar_subquery_low_qty above represents the subquery family).
+    # (scalar_subquery_low_qty above represents the subquery family) and
+    # the final round-2 additions recursive_month_spine,
+    # heavy_hitters_error_bound, stream_dedup_batch (oracle-backed, added
+    # after the prefix froze — they head the round-3 rotation).
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]

@@ -966,6 +966,48 @@ def approx_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "heavy_hitters_error_bound",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n_total FROM events),
+         ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM events GROUP BY 1)
+    SELECT event_type, n_exact, true AS in_sketch
+    FROM ex, tot WHERE n_exact > 0.1 * n_total
+    """,
+)
+def heavy_hitters_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the frequent-items sketch (``df.stat.freqItems``,
+    a single-pass bounded-memory Karp/Shenker/Papadimitriou summary): every
+    EXACT heavy hitter (frequency > 10% of the stream) must appear in the
+    sketch output — the algorithm's no-false-negative guarantee. The exact
+    side drives the rows (deterministic), the sketch only feeds the
+    ``in_sketch`` boolean, so a sketch miss flips a value the driver
+    hash-compares instead of passing silently.
+
+    Scale notes: the sketch is one map-side pass with an O(1/support)
+    state per partition and a tiny merge — no shuffle of the data; the
+    exact twin is a partial-agg count plus a broadcast of the one-row
+    total. At 100 TB the sketch alone is the operator; the exact twin
+    exists only as this gate's oracle anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    total = ev.agg(F.count("*").alias("n_total"))
+    sketch = ev.stat.freqItems(["event_type"], 0.1)  # 1 row: array column
+    return (
+        exact.join(F.broadcast(total))
+        .where(F.col("n_exact") > 0.1 * F.col("n_total"))
+        .join(F.broadcast(sketch))
+        .select(
+            "event_type",
+            "n_exact",
+            F.array_contains(
+                F.col("event_type_freqItems"), F.col("event_type")
+            ).alias("in_sketch"),
+        )
+    )
+
+
+@register(
     "levenshtein_similar_names",
     oracle="""
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

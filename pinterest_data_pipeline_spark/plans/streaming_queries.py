@@ -198,3 +198,34 @@ def stream_interval_left_join_batch(spark: SparkSession, sf_dir: str) -> DataFra
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "view"),
     )
+
+
+@register(
+    "stream_dedup_batch",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode oracle row for within-watermark stream dedup
+    (streaming/windows.stream_dedup_within_watermark): an at-least-once
+    source is emulated by doubling every event (UNION ALL with itself),
+    then exact dedup on the event key restores exactly-once counts — the
+    oracle pins them to DISTINCT counts of the *un*-duplicated stream.
+    ``dropDuplicates`` picks an arbitrary survivor, but here duplicate
+    rows are bit-identical (same projection), so the result is
+    deterministic regardless of partitioning.
+
+    The streaming-only semantics — dedup state purged past the watermark
+    horizon (bounded memory on an unbounded stream) — are pinned by
+    tests/test_streaming.py::test_stream_dedup_within_watermark; this
+    registered twin pins the dedup arithmetic under the driver's
+    value-hash."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    at_least_once = ev.unionAll(ev)
+    return (
+        at_least_once.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
