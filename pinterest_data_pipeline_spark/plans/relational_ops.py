@@ -1008,6 +1008,73 @@ def heavy_hitters_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_cluster_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT min(c_custkey) AS klo, max(c_custkey) AS khi,
+               min(CAST(round(c_acctbal * 100) AS BIGINT)) AS alo,
+               max(CAST(round(c_acctbal * 100) AS BIGINT)) AS ahi
+        FROM customer
+    ), t AS (
+        SELECT ((c_custkey - klo) * 16) // (khi - klo + 1) AS kb,
+               ((CAST(round(c_acctbal * 100) AS BIGINT) - alo) * 16)
+                   // (ahi - alo + 1) AS ab
+        FROM customer, b
+    )
+    SELECT CAST(
+               (((kb >> 0) & 1) << 0) + (((ab >> 0) & 1) << 1)
+             + (((kb >> 1) & 1) << 2) + (((ab >> 1) & 1) << 3)
+             + (((kb >> 2) & 1) << 4) + (((ab >> 2) & 1) << 5)
+             + (((kb >> 3) & 1) << 6) + (((ab >> 3) & 1) << 7)
+           AS BIGINT) AS z,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY 1
+    """,
+)
+def zorder_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key arithmetic, hash-checked cross-
+    engine: bucketize (c_custkey, cents(c_acctbal)) into 16 rank buckets
+    each via exact integer math, interleave 4 bits of each into an 8-bit
+    z value, and emit the z histogram. This is the key `zorder_layout`
+    (operators/data_skipping.py) sorts by to make file-level min/max
+    manifests prunable on EVERY indexed column — the histogram pins the
+    bit arithmetic; the layout/pruning effect is pinned by
+    tests/test_data_skipping.py.
+
+    Scale notes: bounds come from one min/max agg broadcast to the scan
+    (no collect in-plan here, so the oracle can mirror it); the z key is
+    pure codegen bit arithmetic — zero extra shuffles beyond the final
+    metadata-sized groupBy."""
+    from pinterest_data_pipeline_spark.operators.data_skipping import (
+        zorder_value,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    bounds = cust.agg(
+        F.min("c_custkey").alias("klo"),
+        F.max("c_custkey").alias("khi"),
+        F.min(cents).alias("alo"),
+        F.max(cents).alias("ahi"),
+    )
+    t = (
+        cust.select(F.col("c_custkey"), cents.alias("cents"))
+        .join(F.broadcast(bounds))
+        .select(
+            F.expr("((c_custkey - klo) * 16) div (khi - klo + 1)").alias("kb"),
+            F.expr("((cents - alo) * 16) div (ahi - alo + 1)").alias("ab"),
+        )
+    )
+    return (
+        t.select(
+            zorder_value([F.col("kb"), F.col("ab")], bits=4).alias("z")
+        )
+        .groupBy("z")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "levenshtein_similar_names",
     oracle="""
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
