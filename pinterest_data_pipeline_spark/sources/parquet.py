@@ -27,25 +27,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, normalizing its TIMESTAMP(NANOS) column.
+    """Load the events table, normalizing its ``ts`` column to TIMESTAMP.
 
-    The fixture writes ``ts`` as parquet nanosecond timestamps, which
-    Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) under default config.
-    We flip the legacy read flag (runtime-settable) so nanos arrive as
-    int64, then floor-divide to microseconds JVM-side — integer ``div``,
-    not ``/``, because a double intermediate loses precision above 2^53.
-    DuckDB truncates ns→us the same way, so oracle timestamps agree.
+    The driver fixture's physical type has varied across rounds, so the
+    loader adapts to all three observed encodings:
+
+    - TIMESTAMP(NANOS): Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL)
+      under default config. We flip the legacy read flag (runtime-settable)
+      so nanos arrive as int64, then floor-divide to microseconds JVM-side
+      — integer ``div``, not ``/``, because a double intermediate loses
+      precision above 2^53. DuckDB truncates ns→us the same way.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ,
+      which breaks ``unix_micros``/``session_window`` call sites that
+      require the instant type. Cast to TIMESTAMP: the session timezone is
+      pinned to UTC, so the naive value maps to the same instant DuckDB's
+      naive read produces — wall-clock fields and diffs are unchanged.
+    - TIMESTAMP(MICROS, adjusted): already the instant type, no-op.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # Adaptive: the driver fixture stores nanos (arrives as long under the
-    # legacy flag); re-written/compacted copies store a real timestamp and
-    # need no conversion.
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
