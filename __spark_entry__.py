@@ -56,6 +56,18 @@ try:
     import pinterest_data_pipeline_spark.plans.recursive_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    import pinterest_data_pipeline_spark.plans.timeseries_ops  # noqa: F401
+except ImportError:
+    pass
+try:
+    import pinterest_data_pipeline_spark.plans.graph_ops  # noqa: F401
+except ImportError:
+    pass
+try:
+    import pinterest_data_pipeline_spark.plans.profiling_ops  # noqa: F401
+except ImportError:
+    pass
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

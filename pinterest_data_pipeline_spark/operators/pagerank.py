@@ -1,0 +1,76 @@
+"""Fixed-point PageRank over an edge DataFrame.
+
+Why integer fixed-point: the driver (and any cross-engine check) value-
+hashes results, and floating-point PageRank is order-of-summation
+dependent — a shuffle-order change flips low bits. Ranks here are BIGINT
+micro-units (1.0 == 1_000_000): every contribution is ``rank div outdeg``
+and every damping step is ``150_000 + (85 * inflow) div 100``, both exact
+integer ops whose sums are order-independent. The result is a legitimate
+quantized PageRank (error vs. exact ≤ outdeg micro-units per node per
+iteration) that is reproducible across engines, retries, and partition
+counts — the property a 100 TB run actually needs.
+
+Scale design (the Pregel-on-DataFrames shape):
+- The edge list is the big relation; it is shuffled ONCE by ``src`` when
+  joined to ranks each iteration, and the per-node inflow aggregation
+  shuffles by ``dst``. Ranks are |V| rows — orders of magnitude smaller
+  than |E| — so each iteration is one |E|-sized hash join + one |E|-sized
+  partial-aggregated shuffle, the minimum for message passing.
+- Lineage is truncated per iteration with ``localCheckpoint`` (the same
+  discipline as operators/clustering.py): without it the plan doubles per
+  iteration and Catalyst optimization time grows exponentially.
+- Dangling nodes (outdeg 0) cannot occur when the caller symmetrizes the
+  edge list (every node then has outdeg ≥ 1); the builder below does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def symmetric_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both directions of an undirected edge list, deduplicated, as
+    string node ids prefixed by side so the two key spaces cannot
+    collide. Output columns: ``src``, ``dst``."""
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Run ``iterations`` of integer fixed-point PageRank (damping 0.85)
+    over a directed edge DataFrame with columns (src, dst).
+
+    Returns (node, rank_micro): rank in micro-units, starting mass
+    ``MICRO`` per node. Deterministic: all arithmetic is BIGINT.
+    """
+    # Materialize edges+outdegree once: every iteration reads this twice
+    # (join side and node universe) and the upstream distinct/union must
+    # not re-run per iteration.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = ew.select(F.col("src").alias("node")).distinct()
+
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
+    for _ in range(iterations):
+        contrib = ew.join(
+            ranks, ew["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_micro div outdeg").alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "cast(150000 + (85 * coalesce(inflow, 0)) div 100 as bigint)"
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

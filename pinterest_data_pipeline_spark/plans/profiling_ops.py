@@ -1,0 +1,113 @@
+"""Data-profiling queries: equi-width histograms and per-column summary
+statistics — the "what is in this table" pass that precedes any curation
+or layout decision at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+# Histogram bounds chosen to cover TPC-H acctbal (-999.99 .. 9999.99) with
+# an exact double bucket width ((10000 - -1000) / 22 = 500.0), so the
+# boundary arithmetic below is bit-identical in both engines.
+_LO, _HI, _NB = -1000.0, 10000.0, 22
+
+
+@register(
+    "histogram_acctbal_width_bucket",
+    oracle=f"""
+    SELECT CAST(CASE WHEN c_acctbal < {_LO} THEN 0
+                WHEN c_acctbal >= {_HI} THEN {_NB} + 1
+                ELSE 1 + CAST(floor((c_acctbal - {_LO})
+                              / (({_HI} - {_LO}) / {_NB})) AS BIGINT)
+           END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents_total
+    FROM customer GROUP BY 1 ORDER BY bucket
+    """,
+)
+def histogram_acctbal_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of customer balances through the built-in
+    ``width_bucket`` (underflow → 0, overflow → n+1, in-range →
+    ``1 + floor((v - lo) / bucket_width)``). DuckDB has no width_bucket,
+    so the oracle states that arithmetic explicitly — which is exactly
+    the cross-engine pin: the histogram only matches if Spark's function
+    implements the documented boundary semantics.
+
+    Scale: a histogram is the textbook map-side-combinable aggregation —
+    partial buckets per partition, one metadata-sized exchange of ≤ nb+2
+    rows per partition. Per-bucket money totals are integer cents.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.width_bucket(
+                F.col("c_acctbal"), F.lit(_LO), F.lit(_HI), F.lit(_NB)
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("bigint")
+            ).alias("cents_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_documents_columns", oracle=_profile_oracle())
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table: row/non-null/distinct
+    counts plus min/max rendered as strings — the schema-independent
+    summary shape (one output row per column) a curation pipeline logs
+    before and after every stage.
+
+    Scale: ONE scan, not one per column. All per-column aggregates run in
+    a single ``agg`` (the multi-count-distinct is planned via Expand —
+    a constant-factor row multiply — rather than N passes over the
+    table), then the wide 1-row result is unpivoted driver-side into the
+    per-column layout with ``stack``, which is metadata work.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = doc.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nonnull, n_distinct, min_str, max_str)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_str", "max_str")

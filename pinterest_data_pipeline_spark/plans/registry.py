@@ -108,9 +108,11 @@ CHECK_FIRST: list[str] = [
     # multimodal_binary_meta, corpus_curation_basic — hold green rows),
     # plus oracle-backed exists_late_ship_orders / in_subquery_big_spenders
     # (scalar_subquery_low_qty above represents the subquery family) and
-    # the final round-2 additions recursive_month_spine,
-    # heavy_hitters_error_bound, stream_dedup_batch (oracle-backed, added
-    # after the prefix froze — they head the round-3 rotation).
+    # the oracle-backed queries added after the prefix froze —
+    # recursive_month_spine, heavy_hitters_error_bound, stream_dedup_batch,
+    # rolling_1h_user_value, event_transition_matrix,
+    # pagerank_supplier_part, histogram_acctbal_width_bucket,
+    # profile_documents_columns — which head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]

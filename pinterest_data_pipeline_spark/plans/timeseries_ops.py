@@ -1,0 +1,130 @@
+"""Time-series queries over the events table: time-RANGE window frames and
+sequential (lag-based) transition statistics.
+
+Complements the existing window coverage (`relational_ops`): those pin
+ROWS-frame running totals and rank/distribution functions; these pin the
+time-anchored RANGE frame ("everything in the trailing hour", independent
+of row count) and ordered-sequence transitions — the shapes behind rate
+limiting, rolling engagement, and next-action modeling.
+
+Determinism contract (driver value-hashes): money flows as integer cents,
+probabilities as integer parts-per-million via floor division — no double
+accumulation anywhere, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+
+@register(
+    "rolling_1h_user_value",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id,
+           SUM(cents) OVER w AS cents_1h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user activity: for every event, the sum of
+    event value (cents) and event count within [ts - 1h, ts] for the same
+    user — a time-RANGE frame, not a ROWS frame, so sparse and bursty
+    users are both windowed by wall-clock.
+
+    Both engines order by floor-epoch-seconds (Spark ``unix_timestamp``
+    floors; DuckDB ``floor(epoch(..))`` matches), so the frame boundary is
+    the identical integer comparison. Events sharing a second are RANGE
+    peers — included together by definition on both sides, which keeps the
+    result well-defined under timestamp ties.
+
+    Scale: one shuffle on ``user_id``, then a per-partition sort —
+    identical cost profile to any per-user window. No joins, no
+    self-cartesian "events within an hour" expansion; the running frame is
+    computed by the window operator's sliding aggregate state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).alias("cents_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n_trans,
+           (n_trans * 1000000) // SUM(n_trans) OVER (PARTITION BY prev_type)
+               AS p_ppm
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    P(next_type | prev_type) as integer parts-per-million. The sequence
+    order is (ts, event_id) — event_id breaks timestamp ties so ``lag``
+    is deterministic under concurrent events.
+
+    Probability is ``(n * 1_000_000) div total`` — floor division of
+    exact counts, bit-identical across engines (a rounded double ratio
+    could flip its last digit on ties).
+
+    Scale: one shuffle on ``user_id`` for the lag, one metadata-sized
+    aggregation on (prev, next) — the matrix is |event_types|² rows no
+    matter how large the input. The per-prev_type normalizing window runs
+    on that tiny aggregate, not on the events table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(seq_w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.expr("(n_trans * 1000000) div sum(n_trans) over (partition by prev_type)").alias(
+            "p_ppm"
+        ),
+    )
