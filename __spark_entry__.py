@@ -68,6 +68,10 @@ try:
     import pinterest_data_pipeline_spark.plans.profiling_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    import pinterest_data_pipeline_spark.plans.semistructured_ops  # noqa: F401
+except ImportError:
+    pass
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -53,6 +53,12 @@ def kmeans_codebook(
     iteration count is fixed. Returns the centroids (driver-side list) —
     the codebook is metadata, not data, so driver-side is the right home.
     """
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    # every iteration re-runs the k×dim assignment expression over df;
+    # fan out once so that work is parallel even off a single-row-group
+    # scan (no-op on well-split inputs)
+    df = fan_out(df)
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )

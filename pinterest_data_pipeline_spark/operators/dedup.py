@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pinterest_data_pipeline_spark.operators.parallel import fan_out
 from pinterest_data_pipeline_spark.operators.text import (
     fingerprint_md5,
     normalize_text,
@@ -181,7 +182,9 @@ def minhash_lsh_candidates(
     # barrier, Catalyst's projection collapse inlines the shingle-hash
     # expression into each of the 32 permutation transforms (and both
     # join sides), re-building every shingle string 32×+ per row.
-    hashed = df.select(
+    # fan_out first so that materialization runs at full parallelism even
+    # when the scan is a single unsplittable row group (operators/parallel).
+    hashed = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.transform(
             word_shingles(text_col, shingle_k),
@@ -244,7 +247,7 @@ def near_duplicates_minhash(
     Returns (id_a, id_b, jaccard_sim). Verification joins the (small)
     candidate set back to per-document shingle sets — the expensive exact
     comparison never touches non-candidate pairs."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_k).alias("__sh"),
     )
@@ -274,7 +277,7 @@ def ngram_jaccard_pairs(
     O(n²) by construction — the SQL-oracle-checkable baseline for the LSH
     path, meant for bounded subsets (candidate verification, sampled
     audits), never the full corpus. Returns (id_a, id_b, jaccard_sim)."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_k).alias("__sh"),
     )
@@ -354,8 +357,10 @@ def simhash_near_pairs(
     # re-running normalize+tokenize+xxhash (projection collapse would
     # otherwise inline it 64×; measured ~6× slower at sf0.1). The shuffle
     # moves only (id, ~#tokens longs) rows and hash-partitions by id,
-    # which the downstream band join partly reuses.
-    hashed = df.select(
+    # which the downstream band join partly reuses. fan_out first: the
+    # tokenize+hash projection then runs at full width even off a
+    # single-row-group scan (operators/parallel).
+    hashed = fan_out(df).select(
         F.col(id_col).alias("__id"), token_hashes(text_col).alias("__hs")
     ).repartition(F.col("__id"))
     sh = hashed.select(

@@ -55,6 +55,11 @@ def semantic_dedup(
     Deterministic end to end: codebook init/iterations are fixed
     (`kmeans_codebook`), survivor choice is min-id.
     """
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    # fan out BEFORE the assignment projection: the k×dim argmin must not
+    # run inside a single-task scan stage (operators/parallel)
+    df = fan_out(df)
     if k is None:
         k = max(8, df.count() // target_cell_size)
     centroids = kmeans_codebook(

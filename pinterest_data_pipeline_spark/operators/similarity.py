@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.operators.argmax import top_per_group
+from pinterest_data_pipeline_spark.operators.parallel import fan_out
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -70,7 +71,7 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
@@ -116,7 +117,7 @@ def ivf_topk(
         F.col(partition_col).alias("q_part"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(partition_col).alias("c_part"),
@@ -156,13 +157,14 @@ def embedding_near_duplicates(
     With ``partition_col`` the pair search stays within coarse partitions
     (the scale path); without it, all pairs (audit/oracle path). Returns
     (id_a, id_b, score)."""
-    a = df.select(
+    wide = fan_out(df)
+    a = wide.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         l2_norm(F.col(vec_col)).alias("norm_a"),
         *([F.col(partition_col).alias("part_a")] if partition_col else []),
     )
-    b = df.select(
+    b = wide.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
         l2_norm(F.col(vec_col)).alias("norm_b"),
@@ -241,11 +243,12 @@ def lsh_near_duplicates(
     mostly (intentionally) missed. Returns (id_a, id_b, score).
     ``max_bucket_size`` excludes degenerate oversized buckets (e.g. an
     all-zero-vector pile-up) — see ``dedup.cap_bucket_size``."""
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col)).alias("__norm"),
-    ).repartition(F.col("__id"))  # materialize norms/keys input once
+    ).repartition(F.col("__id"))  # materialize norms/keys input once,
+    # computed post-fan_out so a single-row-group scan can't serialize it
     keys = hyperplane_band_keys(F.col("__vec"), dim, bands, planes_per_band, seed)
     banded = base.select(
         "__id",
@@ -334,7 +337,7 @@ def ivf_topk_multiprobe(
         assign_to_codebook,
     )
 
-    c = assign_to_codebook(corpus, centroids, vec_col).select(
+    c = assign_to_codebook(fan_out(corpus), centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("cluster").alias("c_part"),

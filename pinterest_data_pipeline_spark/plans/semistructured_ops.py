@@ -1,0 +1,98 @@
+"""Semi-structured data queries: Spark 4 VARIANT over JSON payloads and
+higher-order array functions over embedding vectors.
+
+`relational_ops.json_extract_events` pins the classic path-string
+extraction (`get_json_object`); this module adds the Spark 4 way — parse
+once into a VARIANT value, then typed `variant_get` extractions, which at
+scale beats repeated string parsing because the binary variant encoding
+is parsed once per row regardless of how many fields are read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import register
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+
+@register(
+    "variant_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS max_k,
+           CAST(COUNT(*) FILTER (
+                WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+           ) AS BIGINT) AS n_big
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed JSON processing: ``parse_json`` decodes the props
+    payload into Spark 4's binary variant encoding ONCE per row, then all
+    downstream field reads are typed ``variant_get`` path accesses — no
+    re-tokenizing of the JSON string per extracted field (the
+    ``get_json_object`` twin in relational_ops re-parses per call site).
+
+    The oracle reads the same fields with DuckDB's JSON string functions,
+    so the variant decode path is value-checked against an independent
+    JSON parser.
+
+    Scale: parse + extract run scan-side in codegen; the aggregate is the
+    only exchange, over |event_types| groups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, True)).alias("n_big"),
+        )
+    )
+
+
+@register(
+    "hof_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+               AS n_pos,
+           len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
+           round(list_reduce(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               (a, b) -> a + b), 6) AS l1_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem
+    FROM embeddings
+    """,
+)
+def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class query surface:
+    ``filter`` (positive-element count), ``exists`` (any negative),
+    ``aggregate`` (sequential-fold L1 norm — same left-fold the cosine
+    kernel in operators/similarity.py relies on; DuckDB's ``list_reduce``
+    folds in the same order, so the doubles agree bit-for-bit), and
+    ``array_max``. All run scan-side in codegen — zero shuffles, no UDF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+        F.exists(vec, lambda x: x < 0).alias("has_neg"),
+        F.round(
+            F.aggregate(
+                vec,
+                F.lit(0.0),
+                lambda acc, x: acc + F.abs(x.cast("double")),
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.round(F.array_max(vec).cast("double"), 6).alias("max_elem"),
+    )

@@ -128,3 +128,126 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_ppm"
         ),
     )
+
+
+@register(
+    "gap_fill_hourly_user_value",
+    oracle="""
+    WITH sampled AS (
+        SELECT * FROM events WHERE user_id % 10 = 0
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sampled GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(hour) AS h_lo, max(hour) AS h_hi FROM hourly
+        GROUP BY 1
+    ), spine AS (
+        SELECT user_id,
+               unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT s.user_id, s.hour,
+           h.cents AS cents,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cents_filled
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+)
+def gap_fill_hourly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + forward fill: densify each (sampled) user's activity
+    to a complete hourly spine between their first and last active hour,
+    then carry the last observed hourly total across silent hours — the
+    resample/ffill shape every downstream timeseries model expects.
+
+    The spine is generated with ``sequence`` + ``explode`` per user (span
+    is data-bounded, no cross join against a global calendar), the
+    observed hours left-join onto it, and the fill is
+    ``last(ignorenulls)`` over the hour order.
+
+    Scale: everything is keyed by ``user_id`` — the hourly pre-aggregate,
+    the spine generation, the join, and the fill window reuse one
+    partitioning; spine size is Σ per-user spans, never |users|×|global
+    hours|. The ``% 10`` sample bounds this demo query's output; the
+    operator shape is sample-independent.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h_lo"), F.max("hour").alias("h_hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_lo", "h_hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.col("cents").alias("cents"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("cents", ignorenulls=True).over(fill_w).alias("cents_filled"),
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS d FROM events GROUP BY 1
+    ), daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS d, n_new,
+           SUM(n_new) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-growth curve: cumulative distinct users by day. A naive
+    count-distinct-over-expanding-window rescans history per day; the
+    scalable identity is first-seen date per user → per-day new-user
+    counts → running sum, which is two keyed aggregations plus a window
+    over |days| rows.
+
+    Scale: the only data-sized shuffle is the per-user min; the running
+    sum runs over the calendar-sized aggregate. The single-partition
+    global window is safe BECAUSE its input is |days| rows (for an
+    unbounded key space, partition the window by month and prefix-sum the
+    month totals driver-side).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    run_w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        # date emitted as yyyy-MM-dd string: engines disagree on DATE
+        # canonicalization at the comparison boundary (datetime.date vs
+        # datetime64); arithmetic upstream stays on DATE
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_new",
+        F.sum("n_new").over(run_w).alias("cum_users"),
+    )
