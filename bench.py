@@ -33,16 +33,9 @@ def main() -> None:
     # pays the whole per-core worker spawn (~3 s at local[32]), charging a
     # fixed environment cost to whichever query alphabetically hits Python
     # first rather than measuring its plan.
-    import pandas as pd  # noqa: PLC0415 - bench-only dependency
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(32).repartition(32).select(_warm("id")).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     errors: dict[str, str] = {}
     total_t0 = time.perf_counter()

@@ -32,12 +32,14 @@ MICRO = 1_000_000
 
 
 def symmetric_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
-    """Both directions of an undirected edge list, deduplicated, as
-    string node ids prefixed by side so the two key spaces cannot
-    collide. Output columns: ``src``, ``dst``."""
+    """Both directions of an undirected edge list. Callers must pass
+    DISTINCT pairs; no dedup happens here — when the two endpoint key
+    spaces are disjoint (e.g. 's#…' vs 'p#…' ids), the forward and
+    reverse sets cannot overlap, so a post-union distinct would only
+    re-shuffle 2|E| rows to remove nothing."""
     fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    return fwd.unionByName(rev)
 
 
 def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
@@ -49,13 +51,19 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """
     # Materialize edges+outdegree once: every iteration reads this twice
     # (join side and node universe) and the upstream distinct/union must
-    # not re-run per iteration.
+    # not re-run per iteration. The node universe is likewise computed
+    # and checkpointed ONCE — recomputing the distinct per iteration
+    # would add a full |E| shuffle to every round's lineage.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = ew.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = ew.join(
             ranks, ew["src"] == ranks["node"]
         ).select(
@@ -63,14 +71,14 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
             F.expr("rank_micro div outdeg").alias("c"),
         )
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    "cast(150000 + (85 * coalesce(inflow, 0)) div 100 as bigint)"
-                ).alias("rank_micro"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.expr(
+                "cast(150000 + (85 * coalesce(inflow, 0)) div 100 as bigint)"
+            ).alias("rank_micro"),
         )
+        # truncate lineage between rounds, but not after the last one —
+        # the caller's action materializes the final round itself
+        if i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -13,33 +13,51 @@ local[32] was the single-task shingle stage.
 
 ``fan_out`` inserts one round-robin repartition of the RAW rows before
 the heavy projection, so the expensive expressions execute after the
-exchange at full parallelism. When the source is already split into
-enough partitions (the normal many-files case at cluster scale), it is a
-NO-OP — it never adds a shuffle to a well-laid-out input, so the
-100 TB plan is unchanged while degenerate layouts stop serializing.
+exchange at full parallelism. When the input already passes through any
+exchange (joins, aggregations, explicit repartitions) or is split into
+enough files, it is a NO-OP — it never adds a shuffle to an
+already-parallel input, so the 100 TB plan is unchanged while degenerate
+layouts stop serializing.
 
-The shuffle it may add moves the raw projection INPUT (ids + text /
-vectors) once; every pipeline this is used in already shuffles derived
-data at least once downstream, so the added volume is bounded by one
-extra pass over the columns the projection reads — the price of turning
-a serial stage into a parallel one.
+Detection is deliberately execution-free: the first implementation asked
+``df.rdd.getNumPartitions()``, and converting an AQE plan to an RDD
+materializes its query stages — the "check" silently EXECUTED the whole
+upstream plan, doubling the work of every composite input (measured:
+the curation funnel tripled). Instead we look at the compiled physical
+plan text (compile-only, no jobs) for an existing Exchange, and fall
+back to the scan's file count for leaf plans.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
+
+
+def _physical_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's shuffle
-    parallelism iff its current partitioning is materially narrower;
-    otherwise return it untouched."""
+    parallelism iff it is a narrow (exchange-free) plan over too few file
+    splits; otherwise return it untouched."""
     spark = df.sparkSession
     target = min_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    # getNumPartitions inspects the planned RDD lineage — no job runs
-    current = df.rdd.getNumPartitions()
-    if current * 2 >= target:
+    # Any exchange (shuffle or AQE stage boundary) already widens
+    # parallelism to the shuffle-partition count downstream of it.
+    if "Exchange" in _physical_plan(df):
+        return df
+    # Leaf plan: parallelism is bounded by file splits. One row group per
+    # file is the worst case, so count files, not bytes.
+    n_files = len(df.inputFiles())
+    if n_files * 2 >= target:
         return df
     return df.repartition(target)

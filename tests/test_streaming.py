@@ -14,6 +14,14 @@ from pinterest_data_pipeline_spark.sources import json_landing
 from pinterest_data_pipeline_spark.sources.fixtures import generate_raw_rows
 from pinterest_data_pipeline_spark.streaming import clean_stream, windows
 
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
 _SCHEMAS = {"pin": PIN_RAW, "geo": GEO_RAW, "user": USER_RAW}
 _CLEANERS = {
     "pin": cleaning.clean_pin,
@@ -505,3 +513,58 @@ def test_stream_interval_left_join_emits_unmatched_after_watermark(spark, tmp_pa
         assert got == {(10, 20), (11, None)}, got
     finally:
         q.stop()
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state server requires protobuf, "
+    "absent in this environment (documented in streaming/tws.py); the "
+    "operator itself is plain public API and runs wherever pyspark's "
+    "connect/protobuf extra is installed",
+)
+def test_tws_running_totals_matches_classic_stateful(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) must carry
+    state across micro-batches and agree with the applyInPandasWithState
+    twin's final emissions — same operator, two stateful APIs."""
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+    from pinterest_data_pipeline_spark.streaming.tws import running_totals_tws
+
+    land = str(tmp_path / "tws_land")
+    json_landing.write_landing_records(
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1,
+             "event_type": "view", "value": 10.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2,
+             "event_type": "view", "value": 5.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 3,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        ],
+        land, 100,
+    )
+    stream = json_landing.read_landing_stream(
+        spark, land, EVENTS, max_files_per_trigger=1
+    )
+    q = (
+        running_totals_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        json_landing.write_landing_records(
+            [
+                {"event_id": 4, "ts": "2024-01-01 10:03:00", "user_id": 4,
+                 "event_type": "view", "value": 2.5, "props": "{}"},
+            ],
+            land, 100, prefix="late",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM tws_out").collect()
+    views = [r for r in rows if r["event_type"] == "view"]
+    assert views[-1]["n_events"] == 3 and views[-1]["total_value"] == 17.5, rows
+    clicks = [r for r in rows if r["event_type"] == "click"]
+    assert clicks[-1]["n_events"] == 1 and clicks[-1]["total_value"] == 1.0
