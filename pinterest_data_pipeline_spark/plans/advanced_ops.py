@@ -363,3 +363,100 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return weekly_retention(events)
+
+
+@register(
+    "zonemap_prefilter_join",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+    """,
+)
+def zonemap_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-prefiltered join: aggregate the SELECTIVE side's join-key
+    range (one (min,max) row), broadcast it, and drop probe-side rows
+    outside the range BEFORE the join shuffle — the join-level analog of
+    the file-level min/max skipping in operators/data_skipping.py, and
+    the hand-rolled form of the runtime bloom pruning the session
+    enables adaptively (tests/test_scale_configs.py pins the injected
+    ``might_contain``; Spark keeps `bloom_filter_agg` internal to that
+    rule, so the explicit variant uses the public min/max summary).
+    Range false-positives only cost extra shuffle — the equi-join still
+    verifies every survivor, so the result is exactly the plain join,
+    which is what the oracle states.
+
+    Scale: turns "shuffle 100 TB of lineitem, then join" into "shuffle
+    only rows whose key can match". The summary build aggregates
+    map-side partials to one row; the probe-side range test is scan-side
+    codegen against a broadcast value and reaches the parquet scan as a
+    pushable predicate once the literal range is known at runtime.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    )
+    zone = orders.agg(
+        F.min("o_orderkey").alias("k_lo"), F.max("o_orderkey").alias("k_hi")
+    )
+    prefiltered = li.join(F.broadcast(zone)).where(
+        F.col("l_orderkey").between(F.col("k_lo"), F.col("k_hi"))
+    )
+    return (
+        prefiltered.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "pandas_grouped_agg_median",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           median(c_acctbal) AS median_acctbal,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pandas_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (the Python UDAF surface): per-nation
+    median balance computed by a vectorized aggregation UDF — one Arrow
+    batch per group in, one scalar out. pandas' even-count median (mean
+    of the two middle values) is the same interpolation DuckDB's
+    ``median``/``quantile_cont(0.5)`` uses, so the doubles agree exactly.
+
+    This completes the UDF matrix: scalar pandas (bucket_counts),
+    grouped map (top2_per_nation), grouped agg (here), UDTF
+    (udtf_split_sentences), plus native-expression primaries. The native
+    form of this exact query is ``F.percentile(0.5)``
+    (`agg_percentiles`); the UDAF exists for aggregation logic
+    expressions can't state.
+    """
+
+    @F.pandas_udf("double")
+    def median_udaf(bal: pd.Series) -> float:
+        return float(bal.median())
+
+    # Spark plans GROUPED_AGG pandas UDFs on a dedicated Arrow aggregate
+    # path that cannot mix with native aggregate functions in one agg, so
+    # the row count is a (trivial) pandas UDAF too.
+    @F.pandas_udf("long")
+    def count_udaf(bal: pd.Series) -> int:
+        return len(bal)
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        median_udaf("c_acctbal").alias("median_acctbal"),
+        count_udaf("c_acctbal").alias("n"),
+    )

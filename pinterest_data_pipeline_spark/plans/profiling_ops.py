@@ -111,3 +111,61 @@ def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(col_name, n_nonnull, n_distinct, min_str, max_str)",
         "n_rows",
     ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_str", "max_str")
+
+
+@register(
+    "equidepth_histogram_acctbal",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(c_acctbal,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        FROM customer
+    )
+    SELECT CAST(len(list_filter(q, c -> c_acctbal >= c)) AS INTEGER)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS lo_cents,
+           MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS hi_cents
+    FROM customer, cuts
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def equidepth_histogram_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets): exact interpolated decile
+    cutpoints via one ``percentile`` aggregate, broadcast to the scan,
+    and each row's bucket = how many cutpoints it is ≥ — a higher-order
+    ``filter``+``size`` over the 9-element array, zero per-row joins.
+
+    This is the quantile machinery behind range partitioning and sorted
+    layouts (`repartitionByRange` samples; this computes exact bounds).
+    The global ntile() alternative is a single-partition window over the
+    whole table — the canonical scale-killer this formulation avoids:
+    here the only full-data exchange is the percentile aggregate's
+    partial/final pair, and bucketing is scan-side codegen.
+
+    Both engines use the same (n-1)·q linear interpolation for
+    ``percentile``/``quantile_cont``, so cutpoints and therefore bucket
+    boundaries agree bit-for-bit (pinned already by `agg_percentiles`).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cuts = cust.agg(
+        F.percentile(
+            "c_acctbal",
+            F.array(*[F.lit(q / 10.0) for q in range(1, 10)]),
+        ).alias("q")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return (
+        cust.join(F.broadcast(cuts))
+        .groupBy(
+            F.size(
+                F.filter(F.col("q"), lambda c: F.col("c_acctbal") >= c)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min(cents).alias("lo_cents"),
+            F.max(cents).alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -113,8 +113,9 @@ CHECK_FIRST: list[str] = [
     # rolling_1h_user_value, event_transition_matrix,
     # pagerank_supplier_part, histogram_acctbal_width_bucket,
     # profile_documents_columns, gap_fill_hourly_user_value,
-    # cumulative_unique_users, variant_extract_events, hof_array_ops —
-    # which head the round-3 rotation.
+    # cumulative_unique_users, variant_extract_events, hof_array_ops,
+    # zonemap_prefilter_join, pandas_grouped_agg_median,
+    # equidepth_histogram_acctbal — which head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]
