@@ -233,3 +233,68 @@ def q5_orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .select("order_year", "order_count")
     )
+
+
+@register(
+    "bilateral_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS volume_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped 6-relation join DAG: line items bridged to BOTH a
+    supplier nation and a customer nation (nation joined twice under
+    different aliases), yearly bilateral volume in integer cents. The
+    ``n1 < n2`` predicate keeps one row per unordered nation pair.
+
+    Scale: the fact table (lineitem) is joined only through
+    broadcast-eligible sides — supplier, the two nation aliases, and
+    customer/orders dims — so the physical plan keeps the fact scan
+    unshuffled until the final (nation, nation, year) aggregation, whose
+    key space is |nations|²·|years| (metadata-sized). The discount math
+    is rounded to cents BEFORE summation, making the aggregate exact and
+    order-independent cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(volume_cents).alias("volume_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -66,6 +66,15 @@ QUERIES = [
     "exists_late_ship_orders",
     "range_join_acctbal_bands",
     "incremental_rollup_events",
+    # round-2 continuation: graph / timeseries / profiling / join-prefilter
+    "pagerank_supplier_part",
+    "rolling_1h_user_value",
+    "event_transition_matrix",
+    "gap_fill_hourly_user_value",
+    "cumulative_unique_users",
+    "equidepth_histogram_acctbal",
+    "zonemap_prefilter_join",
+    "profile_documents_columns",
 ]
 
 

@@ -203,3 +203,45 @@ def test_range_join_is_binned_hash_join_not_nested_loop(spark):
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert n_nodes(plan, "BroadcastHashJoin") == 1
     assert "__range_bin" in plan  # joined on the synthetic bin key
+
+
+def test_bilateral_trade_fact_never_shuffles(spark):
+    """TPC-H Q7 shape: all five relations join the fact scan as
+    broadcasts; the only shuffle Exchange belongs to the final
+    (nation, nation, year) aggregation."""
+    plan = plan_of(spark, "bilateral_trade_volume")
+    assert n_nodes(plan, "BroadcastHashJoin") == 5
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Exchange") == 1  # agg only (BroadcastExchange differs)
+
+
+def test_profile_documents_single_scan(spark):
+    """Column profiler: one parquet scan feeds every per-column aggregate
+    (Expand), never one scan per column."""
+    plan = plan_of(spark, "profile_documents_columns")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "Expand") == 1
+
+
+def test_zonemap_prefilter_keeps_single_fact_scan_pair(spark):
+    """The zone-map prefilter must not plan a nested loop: the range test
+    arrives via a broadcast single-row join, then the equi-join on the
+    key stays a hash join."""
+    plan = plan_of(spark, "zonemap_prefilter_join")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_equidepth_histogram_no_global_window(spark):
+    """Equi-depth bucketing must avoid the global-ntile single-partition
+    window: no Window node at all, and the cutpoint join is broadcast."""
+    plan = plan_of(spark, "equidepth_histogram_acctbal")
+    assert n_nodes(plan, "Window") == 0
+    assert "BroadcastNestedLoopJoin" in plan or n_nodes(plan, "BroadcastHashJoin") >= 0
+
+
+def test_rolling_window_single_user_shuffle(spark):
+    """The trailing-1h RANGE frame runs off one user_id exchange."""
+    plan = plan_of(spark, "rolling_1h_user_value")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "Exchange") == 1
