@@ -263,6 +263,11 @@ def lsh_near_duplicates(
             )
         ).alias("bk"),
     ).select("__id", "__vec", "__norm", "bk.band", "bk.key")
+    # barrier on the JOIN keys: both self-join sides would otherwise carry
+    # the hyperplane-key lineage and compute the bands×planes dot
+    # products twice per row; the exchange also IS the join's (and the
+    # bucket-cap window's) required partitioning
+    banded = banded.repartition(F.col("band"), F.col("key"))
     if max_bucket_size is not None:
         from pinterest_data_pipeline_spark.operators.dedup import cap_bucket_size
 

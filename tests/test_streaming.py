@@ -568,3 +568,47 @@ def test_tws_running_totals_matches_classic_stateful(spark, tmp_path):
     assert views[-1]["n_events"] == 3 and views[-1]["total_value"] == 17.5, rows
     clicks = [r for r in rows if r["event_type"] == "click"]
     assert clicks[-1]["n_events"] == 1 and clicks[-1]["total_value"] == 1.0
+
+
+def test_available_now_backfill_processes_backlog_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: drain the ENTIRE landing backlog in bounded
+    micro-batches, then terminate on its own — the scheduled-backfill
+    mode (the reference ran its notebook daily via its DAG; availableNow
+    is the Spark-native form of that contract: catch up, then exit).
+    Rate-limit options still apply per batch, so a 100 TB backlog drains
+    as many bounded batches, not one giant one."""
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+
+    land = str(tmp_path / "backfill_land")
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 10:{i:02d}:00", "user_id": i % 3,
+         "event_type": "view", "value": 1.0, "props": "{}"}
+        for i in range(7)
+    ]
+    json_landing.write_landing_records(rows, land, 100)
+    stream = json_landing.read_landing_stream(
+        spark, land, EVENTS, max_files_per_trigger=2  # backlog > one batch
+    )
+    out = str(tmp_path / "backfill_out")
+    ckpt = str(tmp_path / "backfill_ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-stop"
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    # a second availableNow run over the same checkpoint sees no new data
+    q2 = (
+        json_landing.read_landing_stream(spark, land, EVENTS, max_files_per_trigger=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 7  # exactly-once: no re-append
