@@ -426,3 +426,16 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def containment(a: Column, b: Column) -> Column:
+    """Asymmetric-set containment, symmetrized by the smaller side:
+    |A∩B| / min(|A|,|B|). Catches near-CONTAINMENT pairs (one document
+    quoting or wrapping another) that Jaccard under-scores — a 50-gram
+    doc fully inside a 5000-gram doc has Jaccard ≈ 0.01 but containment
+    1.0. Standard companion to Jaccard in dedup audits."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return F.round(
+        inter / F.greatest(F.least(F.size(a), F.size(b)).cast("double"), F.lit(1.0)),
+        6,
+    )

@@ -115,8 +115,9 @@ CHECK_FIRST: list[str] = [
     # profile_documents_columns, gap_fill_hourly_user_value,
     # cumulative_unique_users, variant_extract_events, hof_array_ops,
     # zonemap_prefilter_join, pandas_grouped_agg_median,
-    # equidepth_histogram_acctbal, bilateral_trade_volume — which head
-    # the round-3 rotation.
+    # equidepth_histogram_acctbal, bilateral_trade_volume,
+    # lateral_topk_orders_per_customer, ngram_containment_pairs — which
+    # head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]

@@ -133,3 +133,43 @@ def in_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment ORDER BY segment
         """
     )
+
+
+@register(
+    "lateral_topk_orders_per_customer",
+    oracle="""
+    SELECT c_custkey AS custkey, t.o_orderkey AS orderkey,
+           CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t
+    WHERE c_custkey < 300
+    """,
+)
+def lateral_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL): each customer's top-3
+    orders by price — the per-row-subquery formulation of grouped top-k.
+    Catalyst decorrelates the LATERAL into a ranked window / limited join
+    rather than executing a per-customer probe, which is what makes the
+    construct survive a 100 TB orders table; the DataFrame twin of this
+    exact shape is `window_rank_top3`.
+
+    Total price is emitted in integer cents on both sides so the hash
+    compare never sees raw float arithmetic.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey AS custkey, t.o_orderkey AS orderkey,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM lat_customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t
+        WHERE c_custkey < 300
+        """
+    )

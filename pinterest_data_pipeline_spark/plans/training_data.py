@@ -174,6 +174,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
 
 
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / greatest(CAST(least(len(a.g), len(b.g)) AS DOUBLE), 1),
+                 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / greatest(CAST(least(len(a.g), len(b.g)) AS DOUBLE), 1) >= 0.4
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ 0.4 over 3-gram
+    sets on the bounded audit slice. The asymmetric companion to Jaccard
+    — a short document fully quoted inside a long one scores ~1.0 here
+    but near-0 on Jaccard, which is exactly the quote/wrapper-dedup case
+    Jaccard-only pipelines miss. Same all-pairs-on-a-slice audit scope as
+    `ngram_jaccard_pairs`; at corpus scale the candidate set comes from
+    the banded LSH path first."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sh = dedup.fan_out(docs).select(
+        F.col("doc_id").alias("__id"),
+        dedup.word_shingles("text", 3).alias("__sh"),
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "containment", dedup.containment(F.col("sh_a"), F.col("sh_b"))
+        )
+        .filter(F.col("containment") >= 0.4)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 @register("minhash_lsh_near_duplicates")  # banded hashing: rows-only check
 def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: MinHash(32)×8-band LSH candidates verified with exact
