@@ -460,3 +460,166 @@ def pandas_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_udaf("c_acctbal").alias("median_acctbal"),
         count_udaf("c_acctbal").alias("n"),
     )
+
+
+@register(
+    "arrow_map_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def arrow_map_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy RecordBatch UDF surface (lower-level
+    than mapInPandas — no pandas conversion at all; the batch arrives and
+    leaves as pyarrow). Whitespace token counts computed with pyarrow
+    compute kernels, value-checked against the SQL regexp formulation.
+
+    This completes the Python-boundary matrix: scalar pandas_udf,
+    grouped map (applyInPandas), grouped agg, UDTF, mapInPandas
+    (multimodal), and mapInArrow — each with a native-expression primary
+    elsewhere in the registry (here: `text_token_stats`).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = pc.utf8_trim_whitespace(batch.column("text"))
+            # split_pattern_regex then list_value_length, all in Arrow
+            toks = pc.split_pattern_regex(text, r"\s+")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.list_value_length(toks)],
+                ["doc_id", "n_tokens"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(count_tokens, "doc_id long, n_tokens int")
+
+
+@register(
+    "ols_price_vs_quantity",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+        FROM lineitem
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS slope_cents_per_unit,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept_cents
+    FROM s
+    """,
+)
+def ols_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least squares (price ~ quantity) via the normal
+    equations over EXACT aggregate sums — the distributed-ML-as-
+    aggregation pattern: one partial-combinable pass computes
+    (n, Σx, Σy, Σxy, Σx²) with DECIMAL/BIGINT arithmetic (bit-exact,
+    order-independent), and the driver-side arithmetic that turns sums
+    into slope/intercept is a handful of identical double ops on both
+    engines. No gradient loop, no per-row Python, no second scan — and
+    the same shape extends to k features via the k×k normal matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(qty * cents).alias("sxy"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_unit"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_cents"),
+    )
+
+
+@register(
+    "zscore_outlier_events",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS s1,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (WHERE
+               abs(CAST(round(e.value * 100) AS BIGINT)
+                   - CAST(s.s1 AS DOUBLE) / s.n)
+               > 3 * sqrt((CAST(s.s2 AS DOUBLE)
+                           - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+                          / (s.n - 1))
+           ) AS BIGINT) AS n_outliers,
+           s.n AS n_events
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, s.n
+    """,
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier counts (|value − μ| > 3σ): group
+    moments from EXACT integer-cents sums (s1, s2 — partial-combinable,
+    order-independent), broadcast back to the scan, outliers counted in
+    a second pass. Both engines derive μ and σ from the same exact
+    integers with the same double ops, so the 3σ threshold is
+    bit-identical — no tolerance needed even at the hash-compare
+    boundary.
+
+    Scale: two scans + one broadcast join; no window over raw events, no
+    per-group collect. (A one-scan variant exists via `observe`-style
+    two-level aggregation; the two-scan form keeps the outlier WHICH
+    information available, not just counts.)
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    stats = ev.groupBy("event_type").agg(
+        F.count(cents).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", F.col("n").alias("n_events"))
+        .agg(
+            F.count(
+                F.when(F.abs(cents - mu) > 3 * sd, True)
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n_outliers", "n_events")
+    )

@@ -116,8 +116,9 @@ CHECK_FIRST: list[str] = [
     # cumulative_unique_users, variant_extract_events, hof_array_ops,
     # zonemap_prefilter_join, pandas_grouped_agg_median,
     # equidepth_histogram_acctbal, bilateral_trade_volume,
-    # lateral_topk_orders_per_customer, ngram_containment_pairs — which
-    # head the round-3 rotation.
+    # lateral_topk_orders_per_customer, ngram_containment_pairs,
+    # arrow_map_token_count, ols_price_vs_quantity,
+    # zscore_outlier_events — which head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]
