@@ -118,7 +118,8 @@ CHECK_FIRST: list[str] = [
     # equidepth_histogram_acctbal, bilateral_trade_volume,
     # lateral_topk_orders_per_customer, ngram_containment_pairs,
     # arrow_map_token_count, ols_price_vs_quantity,
-    # zscore_outlier_events — which head the round-3 rotation.
+    # zscore_outlier_events, collated_compare_segments,
+    # try_arithmetic_funcs — which head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]

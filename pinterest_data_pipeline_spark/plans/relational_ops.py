@@ -1242,3 +1242,80 @@ def python_datasource_clean_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("follower_count").alias("total_followers"),
         )
     )
+
+
+@register(
+    "collated_compare_segments",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE lower(c_mktsegment) = 'building')
+                AS BIGINT) AS n_building_ci,
+           CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'building')
+                AS BIGINT) AS n_building_cs
+    FROM customer
+    """,
+)
+def collated_compare_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: the SAME equality predicate evaluated
+    under UTF8_LCASE (case-insensitive) vs UTF8_BINARY (default)
+    collation — declarative case-insensitivity instead of wrapping every
+    operand in lower() (at scale that matters: a collated comparison
+    keeps the column expression clean for pushdown and stats, where a
+    lower() wrapper blocks both). The oracle states the lower() twin.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    ci = F.collate(F.col("c_mktsegment"), "UTF8_LCASE") == F.lit("building")
+    cs = F.col("c_mktsegment") == F.lit("building")
+    return cust.agg(
+        F.count(F.when(ci, True)).alias("n_building_ci"),
+        F.count(F.when(cs, True)).alias("n_building_cs"),
+    )
+
+
+@register(
+    "try_arithmetic_funcs",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+               AS n_div_null,
+           CAST(COUNT(*) AS BIGINT) AS n_add_null,
+           CAST(COUNT(*) FILTER (
+               WHERE NOT regexp_matches(o_orderpriority, '^[0-9]+$')
+           ) AS BIGINT) AS n_tonum_null
+    FROM orders
+    """,
+)
+def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` arithmetic family: under Spark 4's default
+    ANSI mode, division by zero / long overflow / bad numeric parses
+    THROW; the try_ variants return NULL instead — the per-row error
+    quarantine a 100 TB batch job needs (one dirty row must not kill a
+    12-hour run). Counts of NULL results per failure class, checked
+    against an oracle that states each failure condition directly
+    (even order keys make the denominator ``o_orderkey % 2`` zero;
+    Long.MAX + 1 overflows every row; priorities like '1-URGENT' never
+    parse as numbers).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(
+            F.when(
+                F.try_divide(
+                    F.col("o_totalprice"), F.col("o_orderkey") % 2
+                ).isNull(),
+                True,
+            )
+        ).alias("n_div_null"),
+        F.count(
+            F.when(
+                F.try_add(
+                    F.lit(9223372036854775807), F.col("o_orderkey") + 1
+                ).isNull(),
+                True,
+            )
+        ).alias("n_add_null"),
+        F.count(
+            F.when(
+                F.try_to_number(F.col("o_orderpriority"), F.lit("99999")).isNull(),
+                True,
+            )
+        ).alias("n_tonum_null"),
+    )
