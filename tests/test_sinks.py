@@ -122,3 +122,75 @@ def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
     fb = [f for f in os.listdir(d0b) if f.endswith(".parquet")]
     ids2 = pq.read_table(os.path.join(d0b, fb[0]))["doc_id"].to_pylist()
     assert ids2 == ids
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic must replace
+    ONLY the partitions present in the incoming data — the idempotent
+    daily-backfill contract (static mode would wipe the whole table; at
+    100 TB that difference is the whole table)."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    out = str(tmp_path / "dyn_part")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("order_year").mode("overwrite").parquet(out)
+    before = {
+        r["order_year"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("order_year").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    some_year = sorted(before)[0]
+    # rewrite ONE year's partition with a single sentinel row
+    replacement = orders.where(F.col("order_year") == some_year).limit(1)
+    (
+        replacement.write.partitionBy("order_year")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    after = {
+        r["order_year"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("order_year").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after[some_year] == 1  # touched partition replaced
+    for y in before:
+        if y != some_year:
+            assert after[y] == before[y]  # untouched partitions intact
+
+
+def test_analyze_table_stats_enable_broadcast_without_hint(spark, sf_dir, tmp_path):
+    """Cost-based broadcast from catalog statistics: after ANALYZE TABLE,
+    a small dimension joins as BroadcastHashJoin with NO broadcast()
+    hint — the optimizer decides from row-count/size stats, which is how
+    an un-hinted 100 TB query still gets the right join strategy."""
+    import contextlib
+    import io
+
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    spark.sql("DROP TABLE IF EXISTS stats_customer")
+    load_table(spark, sf_dir, "nation").write.saveAsTable("stats_nation")
+    load_table(spark, sf_dir, "customer").write.saveAsTable("stats_customer")
+    spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE stats_customer COMPUTE STATISTICS")
+    joined = spark.sql(
+        """
+        SELECT c.c_custkey, n.n_name
+        FROM stats_customer c JOIN stats_nation n
+          ON c.c_nationkey = n.n_nationkey
+        """
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan

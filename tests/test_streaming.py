@@ -612,3 +612,66 @@ def test_available_now_backfill_processes_backlog_and_stops(spark, tmp_path):
     )
     assert q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 7  # exactly-once: no re-append
+
+
+def test_streaming_materialized_view_matches_batch_rollup(spark, tmp_path):
+    """Streaming materialized view: after two micro-batches, the stored
+    mergeable state must equal the one-shot batch rollup over all data —
+    per-batch partial merge, never a history re-scan, bit-exact sums."""
+    from pinterest_data_pipeline_spark.operators.rollup_maintenance import (
+        finalize_rollup,
+        rollup_state,
+    )
+    from pinterest_data_pipeline_spark.schemas import EVENTS
+    from pinterest_data_pipeline_spark.streaming.materialized_view import (
+        materialized_rollup_stream,
+    )
+    from pinterest_data_pipeline_spark.streaming.sinks import read_target
+
+    land = str(tmp_path / "mv_land")
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1,
+         "event_type": "view", "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2,
+         "event_type": "view", "value": 5.5, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 3,
+         "event_type": "click", "value": 1.25, "props": "{}"},
+    ]
+    json_landing.write_landing_records(batch1, land, 100)
+    stream = json_landing.read_landing_stream(
+        spark, land, EVENTS, max_files_per_trigger=1
+    )
+    target = str(tmp_path / "mv_target")
+    q = materialized_rollup_stream(
+        stream, target, ["event_type"], "value",
+        checkpoint_dir=str(tmp_path / "mv_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        batch2 = [
+            {"event_id": 4, "ts": "2024-01-01 10:03:00", "user_id": 4,
+             "event_type": "view", "value": 2.25, "props": "{}"},
+        ]
+        json_landing.write_landing_records(batch2, land, 100, prefix="late")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["event_type"]: r
+        for r in finalize_rollup(read_target(spark, target)).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [(r["event_type"], r["value"]) for r in batch1 + batch2],
+        "event_type string, value double",
+    )
+    want = {
+        r["event_type"]: r
+        for r in finalize_rollup(
+            rollup_state(all_rows, ["event_type"], "value")
+        ).collect()
+    }
+    assert set(got) == set(want) == {"view", "click"}
+    for k in want:
+        for c in ("n", "sum_v", "avg_v", "min_v", "max_v"):
+            assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
