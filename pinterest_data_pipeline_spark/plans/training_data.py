@@ -364,6 +364,21 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_raw_decode_features")  # numpy float64 reductions: rows-only (byte-slicing + stddev not portably SQL-expressible)
+def multimodal_raw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-bitmap decode (no codec needed): payload bytes read as
+    16×16 grayscale, numpy mean/std + 4×4 block-mean thumbnail over
+    Arrow batches. Bit-exactness vs a driver-side numpy recompute is
+    pinned by tests/test_corpus_hygiene.py::
+    test_raw_bitmap_decode_matches_numpy_recompute."""
+    from pinterest_data_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_raw_bitmap_features(
+        multimodal.attach_binary_payload(docs)
+    )
+
+
 @register(
     "multimodal_frame_offsets",
     oracle="""

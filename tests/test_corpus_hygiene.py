@@ -18,6 +18,7 @@ from pinterest_data_pipeline_spark.operators.quality_rules import (
 from pinterest_data_pipeline_spark.operators.sampling import (
     deterministic_shuffle,
 )
+from pinterest_data_pipeline_spark.sources.parquet import load_table
 
 
 def test_gopher_flags_rule_boundaries(spark):
@@ -103,3 +104,30 @@ def test_deterministic_shuffle_layout(spark):
     again = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
     first = {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
     assert first == again
+
+
+def test_raw_bitmap_decode_matches_numpy_recompute(spark, sf_dir):
+    """The raw-bitmap decode path is REAL math, not a stub: Spark's
+    output must equal a driver-side numpy recompute from the same
+    bytes, bit for bit (float64 ops on identical inputs)."""
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    assets = multimodal.attach_binary_payload(docs)
+    got = {
+        r["asset_id"]: r
+        for r in multimodal.decode_raw_bitmap_features(assets).collect()
+    }
+    raw = {r["asset_id"]: bytes(r["content"]) for r in assets.collect()}
+    assert set(got) == set(raw)
+    npx = multimodal.RAW_TILE ** 2
+    for aid, buf in raw.items():
+        buf = buf[:npx] + b"\x00" * max(0, npx - len(buf[:npx]))
+        px = np.frombuffer(buf, dtype=np.uint8).astype(np.float64) / 255.0
+        assert got[aid]["mean_px"] == px.mean()
+        assert got[aid]["std_px"] == px.std()
+        img = px.reshape(16, 16)
+        thumb = img.reshape(4, 4, 4, 4).mean(axis=(1, 3)).reshape(16)
+        assert np.array_equal(np.array(got[aid]["thumb_4x4"]), thumb)
