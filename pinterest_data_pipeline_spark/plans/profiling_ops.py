@@ -169,3 +169,96 @@ def equidepth_histogram_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "key_skew_profile_events",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS r
+        FROM per_key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           SUM(n) AS n_rows,
+           MAX(n) AS max_key_rows,
+           (1000000 * MAX(n) * COUNT(*)) // SUM(n) AS skew_ppm,
+           SUM(n) FILTER (WHERE r <= 10) AS top10_rows
+    FROM ranked
+    """,
+)
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg key-skew profile for ``events.user_id``: key count, max
+    per-key rows, the hottest key's load as ppm of a perfectly uniform
+    share (1,000,000 = uniform; 30,000,000 = one key carries 30× its
+    share), and the top-10 keys' combined rows. This is the measurement
+    you run BEFORE choosing salting / AQE-skew-join / broadcast for a
+    100 TB join — operators/skew.py is the cure, this is the diagnosis.
+
+    Scale: one partial-combinable count per key, then every further stat
+    runs over the |keys|-sized aggregate — the top-10 ranking window
+    orders keys, not rows. The skew ratio is integer ppm (floor div of
+    exact counts), hash-exact cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    r = F.row_number().over(
+        Window.orderBy(F.desc("n"), F.asc("user_id"))
+    )
+    ranked = per_key.select("n", r.alias("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("(1000000 * max(n) * count(*)) div sum(n)").alias("skew_ppm"),
+        F.sum(F.when(F.col("r") <= 10, F.col("n"))).alias("top10_rows"),
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          AS orphan_lineitems,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+          AS orphan_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey))
+          AS childless_orders
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphaned fact
+    rows (lineitem keys with no order, orders with no customer) and
+    childless parents (orders with no line items) — the checks a
+    pipeline runs after every ingest, since a broken FK silently turns
+    inner joins into row loss.
+
+    Scale: each check is an anti-join (LeftAnti hash join — NOT IN's
+    naive form would be a per-row subquery), counted map-side. The three
+    counts cross-join into one row — each side is a single scalar.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orphan_li = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    childless = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "anti")
+        .agg(F.count(F.lit(1)).alias("childless_orders"))
+    )
+    return orphan_li.crossJoin(orphan_o).crossJoin(childless)

@@ -119,7 +119,8 @@ CHECK_FIRST: list[str] = [
     # lateral_topk_orders_per_customer, ngram_containment_pairs,
     # arrow_map_token_count, ols_price_vs_quantity,
     # zscore_outlier_events, collated_compare_segments,
-    # try_arithmetic_funcs, plus rows-only multimodal_raw_decode_features
+    # try_arithmetic_funcs, key_skew_profile_events,
+    # fk_integrity_audit, plus rows-only multimodal_raw_decode_features
     # — which head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
