@@ -1319,3 +1319,52 @@ def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_tonum_null"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT)
+               AS first_cents,
+           CAST(round(last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) * 100) AS BIGINT) AS last_cents,
+           CAST(round(nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) * 100) AS BIGINT) AS second_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE functions over each customer's order history:
+    first/last/nth order price. The frame subtlety this pins: with a
+    default frame (unbounded-preceding → current-row), ``last_value`` is
+    just the current row and ``nth_value(2)`` is NULL until row 2 — the
+    full-partition answer requires the explicit UNBOUNDED FOLLOWING
+    frame, identically on both engines. Ordering carries the orderkey
+    tie-break so value functions are deterministic under equal dates.
+
+    Scale: one customer-keyed exchange; full-partition frames evaluate
+    with a single pass per partition (no per-row rescans).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    default_w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    full_w = default_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        cents(F.first("o_totalprice").over(default_w)).alias("first_cents"),
+        cents(F.last("o_totalprice").over(full_w)).alias("last_cents"),
+        cents(F.nth_value("o_totalprice", 2).over(full_w)).alias(
+            "second_cents"
+        ),
+    )
