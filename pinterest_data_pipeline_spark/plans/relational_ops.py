@@ -1368,3 +1368,53 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_cents"
         ),
     )
+
+
+@register(
+    "hll_sketch_union_gate",
+    oracle="""
+    WITH exact AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events
+    )
+    SELECT n_exact, n_days,
+           CAST(0 AS BIGINT) AS n_violations
+    FROM exact
+    """,
+)
+def hll_sketch_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch TABLES (Spark 4 Datasketches HLL): one HLL sketch
+    per day is built and stored as binary state, and "distinct users over
+    any date range" is answered by UNIONING the per-day sketches —
+    never by rescanning events. This is the warehouse pattern for
+    distinct-counting 100 TB of history: the sketch table is |days| rows,
+    refresh is one new sketch per day, and range queries are
+    O(days-in-range) merges.
+
+    The driver-checked gate: the unioned estimate must sit within the
+    ±3σ band of HLL at lgConfigK=12 (~2.5% rel. error) of the exact
+    distinct — emitted as a violation count the oracle pins to 0, next
+    to the exact values both engines compute directly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    unioned = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return exact.crossJoin(unioned).select(
+        "n_exact",
+        "n_days",
+        F.when(
+            F.abs(F.col("est") - F.col("n_exact"))
+            > 0.025 * F.col("n_exact") + 1,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_violations"),
+    )
