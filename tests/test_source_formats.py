@@ -74,3 +74,22 @@ def test_parameterized_sql_binds_named_args(spark, sf_dir):
         .count()
     )
     assert got == want
+
+
+def test_file_metadata_hidden_columns(spark, sf_dir):
+    """The _metadata hidden struct (file_path/file_name/size/row_index)
+    rides every file-source scan — the audit/lineage columns a curation
+    pipeline stamps into provenance records without any extra bookkeeping
+    table."""
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    rows = docs.collect()
+    assert all(r["file_name"] == "documents.parquet" for r in rows)
+    # row_index is the within-file ordinal: dense 0..n-1 for one file
+    idx = sorted(r["row_index"] for r in rows)
+    assert idx == list(range(len(rows)))
