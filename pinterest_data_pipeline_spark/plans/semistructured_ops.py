@@ -96,3 +96,49 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l1_norm"),
         F.round(F.array_max(vec).cast("double"), 6).alias("max_elem"),
     )
+
+
+@register(
+    "hof_map_ops",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT status, priority, n * 2 AS n_doubled
+    FROM counts WHERE n >= 20
+    """,
+)
+def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions, round-tripped: per order status the
+    (priority → count) map is BUILT (`map_from_entries` over collected
+    structs), FILTERED (`map_filter` keeps entries with count ≥ 20),
+    TRANSFORMED (`transform_values` doubles), and EXPLODED back to rows.
+    The oracle states the same result relationally, so the driver hash
+    checks that a value survives the full map pipeline unchanged.
+
+    Scale note: per-group maps hold |priorities| entries (bounded domain)
+    — collect_list into a map is safe ONLY for such metadata-sized
+    domains; an unbounded key domain stays relational.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mapped = counts.groupBy("status").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("priority", "n")))
+        ).alias("m")
+    )
+    processed = mapped.select(
+        "status",
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda _k, v: v >= 20),
+            lambda _k, v: v * 2,
+        ).alias("m2"),
+    )
+    return processed.select(
+        "status", F.explode(F.col("m2")).alias("priority", "n_doubled")
+    )
