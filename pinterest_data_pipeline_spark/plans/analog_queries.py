@@ -298,3 +298,68 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS volume_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                  AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1, 2
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the supplier and the
+    customer share a nation ("local" supply), per Asian nation and year.
+    The interesting predicate is the two-column supplier join
+    (``l_suppkey`` AND same-nation) — a join condition spanning
+    relations, which Catalyst still plans as one broadcast hash join
+    with a composite key.
+
+    Scale: as in `bilateral_trade_volume`, the fact scan joins only
+    broadcast-eligible sides (orders/customer carry the probe; supplier/
+    nation/region broadcast, with the region filter pruning nations
+    BEFORE anything touches lineitem), and the single shuffle is the
+    (nation, year) aggregation. Money is exact integer cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    volume_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.sum(volume_cents).alias("volume_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

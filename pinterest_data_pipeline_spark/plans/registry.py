@@ -121,8 +121,9 @@ CHECK_FIRST: list[str] = [
     # zscore_outlier_events, collated_compare_segments,
     # try_arithmetic_funcs, key_skew_profile_events,
     # fk_integrity_audit, window_value_functions,
-    # hll_sketch_union_gate, hof_map_ops, plus rows-only
-    # multimodal_raw_decode_features — which head the round-3 rotation.
+    # hll_sketch_union_gate, hof_map_ops, local_supplier_volume,
+    # plus rows-only multimodal_raw_decode_features — which head the
+    # round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]
