@@ -623,3 +623,35 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_outliers", "n_events")
     )
+
+
+@register(
+    "group_by_all_sql",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL ergonomics surface: ``GROUP BY ALL`` (group on every
+    non-aggregate select item) and ``ORDER BY ALL`` — the DuckDB-origin
+    shorthand Spark 4 adopted, so the oracle runs the IDENTICAL statement
+    text on both engines. Semantically the plan is the ordinary
+    partial+final hash aggregate; the feature removes the
+    positional-list drift bug class (adding a select item silently
+    changing grouping)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
