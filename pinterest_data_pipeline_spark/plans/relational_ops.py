@@ -1418,3 +1418,78 @@ def hll_sketch_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_violations"),
     )
+
+
+@register(
+    "bitmap_exact_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events
+    """,
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmap aggregation
+    (Spark 3.5+ bitmap functions): ids bucket into 32k-bit bitmaps
+    (`bitmap_bucket_number`/`bitmap_bit_position`), each bucket ORs its
+    members' bits (`bitmap_construct_agg` — partial-combinable), and the
+    distinct count is the sum of per-bucket popcounts. Unlike HLL this
+    is exact — the oracle is plain COUNT(DISTINCT) — while shuffling
+    only |buckets| bitmap blobs instead of every distinct id, and the
+    stored per-bucket bitmaps are mergeable state for incremental
+    refresh (the same property rollup_maintenance exploits for sums).
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def bitmap_distinct(col: str) -> DataFrame:
+        return (
+            ev.selectExpr(
+                f"bitmap_bucket_number({col}) AS b",
+                f"bitmap_bit_position({col}) AS p",
+            )
+            .groupBy("b")
+            .agg(F.expr("bitmap_construct_agg(p)").alias("bm"))
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        )
+
+    return (
+        bitmap_distinct("user_id")
+        .select(F.col("n").alias("n_users"))
+        .crossJoin(
+            bitmap_distinct("event_id").select(F.col("n").alias("n_events"))
+        )
+    )
+
+
+@register(
+    "approx_top_k_gate",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS n_missing,
+           CAST(3 AS BIGINT) AS k_true
+    """,
+)
+def approx_top_k_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the `approx_top_k` sketch (Spark 4): every TRUE
+    top-3 event type (by exact count, |event_types| is small so the
+    sketch is effectively exact here) must appear in the sketch's top-5 —
+    emitted as a missing-count the oracle pins to 0. Same gate pattern
+    as `heavy_hitters_error_bound` (freqItems) and the HLL/percentile
+    bounds: sketch outputs never enter the hash directly, their
+    guaranteed properties do.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.selectExpr("approx_top_k(event_type, 5) AS tk").select(
+        F.explode("tk").alias("e")
+    ).select(F.col("e.item").alias("event_type"))
+    exact_top3 = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+        .select("event_type")
+    )
+    missing = exact_top3.join(sketch, "event_type", "anti")
+    return missing.agg(
+        F.count(F.lit(1)).alias("n_missing"),
+        F.lit(3).cast("bigint").alias("k_true"),
+    )
