@@ -122,9 +122,9 @@ CHECK_FIRST: list[str] = [
     # try_arithmetic_funcs, key_skew_profile_events,
     # fk_integrity_audit, window_value_functions,
     # hll_sketch_union_gate, hof_map_ops, local_supplier_volume,
-    # group_by_all_sql, bitmap_exact_distinct, approx_top_k_gate, plus
-    # rows-only multimodal_raw_decode_features — which head the round-3
-    # rotation.
+    # group_by_all_sql, bitmap_exact_distinct, approx_top_k_gate,
+    # parse_url_features, regex_function_matrix, plus rows-only
+    # multimodal_raw_decode_features — which head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",
 ]

@@ -142,3 +142,87 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return processed.select(
         "status", F.explode(F.col("m2")).alias("priority", "n_doubled")
     )
+
+
+@register(
+    "parse_url_features",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com:8443/corpus/' || lang
+               || '/doc?id=' || CAST(doc_id AS VARCHAR) || '&rev=2' AS u
+        FROM documents
+    )
+    SELECT doc_id,
+           split_part(split_part(u, '://', 2), ':', 1) AS host,
+           '/corpus/' || split_part(split_part(u, '/corpus/', 2), '/', 1)
+               || '/doc' AS path,
+           split_part(split_part(u, 'id=', 2), '&', 1) AS id_param,
+           split_part(u, '://', 1) AS protocol
+    FROM urls
+    """,
+)
+def parse_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the dedicated `parse_url` kernel (HOST /
+    PATH / QUERY-parameter / PROTOCOL) over deterministic synthesized
+    URLs — the web-corpus provenance columns (registrable domain, path,
+    tracking params) a crawl-derived training pipeline extracts for
+    per-domain quality stats and dedup blocking. The oracle reassembles
+    the same fields with generic string splitting, so the URL grammar
+    Spark implements is cross-checked against a parser-free
+    decomposition.
+
+    Scale: pure scan-side codegen; the synthesized-URL column exercises
+    the identical expression pipeline a real `url` column would.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com:8443/corpus/"),
+        F.col("lang"),
+        F.lit("/doc?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&rev=2"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.parse_url(u, F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@register(
+    "regex_function_matrix",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+               AS n_number_runs,
+           COALESCE(regexp_extract(text, '[0-9]+'), '') AS first_number,
+           CAST(CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1 ELSE 0
+                END AS INTEGER) AS ends_terminal
+    FROM documents
+    """,
+)
+def regex_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting/locating regex kernels beyond extract/replace:
+    `regexp_count` (occurrences), `regexp_substr` (first match —
+    NULL-safe, coalesced to '' so both engines agree on no-match), and
+    an anchored `rlike` (terminal punctuation). All scan-side codegen;
+    RE2-safe patterns (no backtracking blowup on adversarial documents,
+    same discipline as the PII redaction pass).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_number_runs"),
+        F.coalesce(
+            F.regexp_substr("text", F.lit("[0-9]+")), F.lit("")
+        ).alias("first_number"),
+        F.col("text")
+        .rlike("[.!?]\\s*$")
+        .cast("int")
+        .alias("ends_terminal"),
+    )
