@@ -1493,3 +1493,47 @@ def approx_top_k_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_missing"),
         F.lit(3).cast("bigint").alias("k_true"),
     )
+
+
+@register(
+    "pivot_multi_value",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS urgent_n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cents,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')
+                AS BIGINT) AS low_n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (WHERE o_orderpriority = '5-LOW') AS low_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_multi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted column (count + money
+    per priority): Spark names the outputs `<pivot>_<agg-alias>`, aliased
+    here to the oracle's FILTER-clause formulation — which is also
+    exactly how Catalyst lowers pivot internally (conditional
+    aggregation), so the plan stays one partial+final hash aggregate
+    with the explicit value list avoiding a distinct-scan for pivot
+    values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    return piv.select(
+        "status",
+        F.col("1-URGENT_n").alias("urgent_n"),
+        F.col("1-URGENT_cents").alias("urgent_cents"),
+        F.col("5-LOW_n").alias("low_n"),
+        F.col("5-LOW_cents").alias("low_cents"),
+    )

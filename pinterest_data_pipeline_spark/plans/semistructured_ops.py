@@ -226,3 +226,53 @@ def regex_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("ends_terminal"),
     )
+
+
+@register(
+    "from_csv_embedded_records",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           split_part(csv_line, ',', 1) AS status,
+           CAST(split_part(csv_line, ',', 2) AS BIGINT) AS cents,
+           CAST(split_part(csv_line, ',', 3) AS INTEGER) AS yr
+    FROM (
+        SELECT o_orderkey,
+               o_orderstatus || ',' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || ',' || CAST(year(o_orderdate) AS VARCHAR) AS csv_line
+        FROM orders
+    )
+    """,
+)
+def from_csv_embedded_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-column CSV codec (`from_csv`, the sibling of from_json /
+    parse_json): a CSV line embedded in a string column is parsed with a
+    DECLARED schema into a struct, then unpacked — the landing pattern
+    for log lines and legacy feeds that arrive CSV-in-a-field. The line
+    is synthesized deterministically from orders so the oracle can parse
+    it back with generic string splitting.
+
+    Scale: schema-declared single-pass parse in codegen — no inference
+    scan, no Python; malformed lines yield NULL fields rather than
+    failures (PERMISSIVE mode), the same quarantine discipline as the
+    JSON landing reader.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.year("o_orderdate").cast("string"),
+    )
+    parsed = orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.from_csv(
+            line, F.lit("status string, cents bigint, yr int")
+        ).alias("rec"),
+    )
+    return parsed.select(
+        "orderkey",
+        F.col("rec.status").alias("status"),
+        F.col("rec.cents").alias("cents"),
+        F.col("rec.yr").alias("yr"),
+    )
