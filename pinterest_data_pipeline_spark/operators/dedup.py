@@ -439,3 +439,36 @@ def containment(a: Column, b: Column) -> Column:
         inter / F.greatest(F.least(F.size(a), F.size(b)).cast("double"), F.lit(1.0)),
         6,
     )
+
+
+def incremental_exact_survivors(
+    increment: DataFrame,
+    existing_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact-dedup an INCREMENT against an already-deduplicated corpus —
+    the daily-ingest pattern: the existing corpus is never reprocessed;
+    only its fingerprint set (one md5 per kept doc — the mergeable dedup
+    state) participates.
+
+    A new document survives iff (a) its fingerprint is absent from the
+    existing set (anti join) and (b) it is the min-id holder of its
+    fingerprint WITHIN the increment (same survivor rule as the full
+    pass, so repeated increments converge to the identical corpus a
+    one-shot dedup would build). Returns surviving increment rows plus
+    their fingerprints — the caller appends those fingerprints to the
+    state table for the next increment.
+
+    Scale: cost is O(|increment| + |existing state|) per ingest, with
+    the anti join shuffling on the fingerprint key both sides are
+    already keyed by; the corpus text is never touched again.
+    """
+    fp = increment.withColumn("fingerprint", fingerprint_md5(text_col))
+    fresh = fp.join(existing_fingerprints, "fingerprint", "anti")
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -124,7 +124,8 @@ CHECK_FIRST: list[str] = [
     # hll_sketch_union_gate, hof_map_ops, local_supplier_volume,
     # group_by_all_sql, bitmap_exact_distinct, approx_top_k_gate,
     # parse_url_features, regex_function_matrix,
-    # from_csv_embedded_records, pivot_multi_value, plus rows-only
+    # from_csv_embedded_records, pivot_multi_value,
+    # incremental_dedup_new_docs, plus rows-only
     # multimodal_raw_decode_features — which head the round-3 rotation.
     "simhash_near_pairs",
     "minhash_dedup_clusters",

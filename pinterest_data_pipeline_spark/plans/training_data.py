@@ -1360,3 +1360,44 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle=f"""
+    WITH existing AS (
+        SELECT DISTINCT md5({_NORM_TEXT}) AS fingerprint
+        FROM documents WHERE doc_id < 300
+    ), increment AS (
+        SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint
+        FROM documents WHERE doc_id >= 300
+    ), fresh AS (
+        SELECT i.doc_id, i.fingerprint FROM increment i
+        WHERE NOT EXISTS (SELECT 1 FROM existing e
+                          WHERE e.fingerprint = i.fingerprint)
+    )
+    SELECT doc_id, fingerprint FROM (
+        SELECT doc_id, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                  ORDER BY doc_id) AS rn
+        FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: docs ≥ 300 arrive as today's increment
+    and are deduplicated against the ALREADY-KEPT corpus (docs < 300)
+    using only its fingerprint state — the corpus text is never
+    rescanned (operators/dedup.incremental_exact_survivors). Repeated
+    increments converge to the same corpus a one-shot dedup builds,
+    which is what makes daily-ingest dedup sound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") < 300)
+        .select(dedup.fingerprint_md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    increment = docs.filter(F.col("doc_id") >= 300)
+    return dedup.incremental_exact_survivors(
+        increment, existing, "doc_id", "text"
+    ).select("doc_id", "fingerprint")

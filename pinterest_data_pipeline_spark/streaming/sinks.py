@@ -73,3 +73,32 @@ def upsert_stream_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def vacuum_versions(target_dir: str, keep: int = 2) -> list[str]:
+    """Storage hygiene for the manifest-commit sink: delete version
+    directories older than the ``keep`` most recent, NEVER including the
+    manifest's current pointer. Returns the removed version names.
+
+    Retention discipline at scale: every micro-batch writes a full new
+    version, so without vacuuming the sink stores O(batches) copies.
+    Keeping ≥2 versions preserves a rollback target and protects
+    concurrent readers that resolved the previous manifest just before a
+    commit."""
+    import shutil
+
+    current = _current_version_dir(target_dir)
+    versions = sorted(
+        d
+        for d in os.listdir(target_dir)
+        if d.startswith("v") and os.path.isdir(os.path.join(target_dir, d))
+    )
+    survivors = set(versions[-keep:])
+    if current is not None:
+        survivors.add(current)
+    removed = []
+    for v in versions:
+        if v not in survivors:
+            shutil.rmtree(os.path.join(target_dir, v))
+            removed.append(v)
+    return removed

@@ -319,3 +319,33 @@ def test_semantic_dedup_summary_deterministic(spark, emb):
     b = semantic_dedup_summary(emb, k=8, threshold=0.4).collect()[0]
     assert a == b
     assert a["n_total"] == a["n_removed"] + a["n_survivors"]
+
+
+def test_incremental_dedup_converges_to_one_shot(spark, sf_dir):
+    """existing-survivors ∪ increment-survivors must equal the one-shot
+    dedup of the whole corpus — the property that makes daily-ingest
+    dedup sound."""
+    from pinterest_data_pipeline_spark.operators import dedup as d
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = (
+        docs.withColumn("fp", d.fingerprint_md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    want = {r["doc_id"] for r in full.collect()}
+
+    old = docs.filter(F.col("doc_id") < 300)
+    inc = docs.filter(F.col("doc_id") >= 300)
+    old_survivors = (
+        old.withColumn("fp", d.fingerprint_md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    state = old_survivors.select(F.col("fp").alias("fingerprint"))
+    inc_survivors = d.incremental_exact_survivors(inc, state, "doc_id", "text")
+    got = {r["doc_id"] for r in old_survivors.collect()} | {
+        r["doc_id"] for r in inc_survivors.collect()
+    }
+    assert got == want

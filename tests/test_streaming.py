@@ -675,3 +675,24 @@ def test_streaming_materialized_view_matches_batch_rollup(spark, tmp_path):
     for k in want:
         for c in ("n", "sum_v", "avg_v", "min_v", "max_v"):
             assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
+
+
+def test_vacuum_keeps_current_and_recent_versions(spark, tmp_path):
+    """vacuum_versions must drop old version dirs but never the
+    manifest's current pointer or the keep-window."""
+    import json as _json
+
+    from pinterest_data_pipeline_spark.streaming import sinks as s
+
+    target = str(tmp_path / "vac")
+    for i in range(5):
+        d = f"{target}/v{i:010d}"
+        spark.range(3).write.mode("overwrite").parquet(d)
+    os.makedirs(target, exist_ok=True)
+    with open(f"{target}/_MANIFEST.json", "w") as f:
+        _json.dump({"current": "v0000000004", "batch_id": 4}, f)
+    removed = s.vacuum_versions(target, keep=2)
+    assert removed == ["v0000000000", "v0000000001", "v0000000002"]
+    left = sorted(x for x in os.listdir(target) if x.startswith("v"))
+    assert left == ["v0000000003", "v0000000004"]
+    assert s.read_target(spark, target).count() == 3
