@@ -154,7 +154,7 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -162,28 +162,26 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
+    """The banded MinHash signature table (__id, band, key) — the
+    join-able LSH STATE. Persist this per corpus and incremental ingest
+    joins new rows against it without re-signaturing history
+    (:func:`incremental_minhash_candidates`).
 
-    Signature is split into ``bands`` bands of ``n_hashes/bands`` rows;
-    documents sharing any band hash become a candidate pair. Returns
-    distinct (id_a, id_b) with id_a < id_b. The self-join keys on
-    (band, band_key): only same-bucket rows meet, so the shuffle volume is
-    the bucket histogram, not |df|². ``max_bucket_size`` (recommended at
-    corpus scale) excludes degenerate oversized buckets — see
-    :func:`cap_bucket_size`."""
+    PERFORMANCE TRAP, measured 10× at sf0.1: the shingle construction
+    (regex split + per-gram slice/concat) and xxhash64 must be
+    materialized ONCE per row behind a shuffle barrier. Without the
+    barrier, Catalyst's projection collapse inlines the shingle-hash
+    expression into each of the 32 permutation transforms (and both
+    join sides), re-building every shingle string 32×+ per row.
+    fan_out first so that materialization runs at full parallelism even
+    when the scan is a single unsplittable row group (operators/parallel).
+    The output is exchanged on (band, key): band keys materialize once
+    and the exchange IS the candidate join's (and the bucket-cap
+    window's) required partitioning."""
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows = n_hashes // bands
-    # PERFORMANCE TRAP, measured 10× at sf0.1: the shingle construction
-    # (regex split + per-gram slice/concat) and xxhash64 must be
-    # materialized ONCE per row behind a shuffle barrier. Without the
-    # barrier, Catalyst's projection collapse inlines the shingle-hash
-    # expression into each of the 32 permutation transforms (and both
-    # join sides), re-building every shingle string 32×+ per row.
-    # fan_out first so that materialization runs at full parallelism even
-    # when the scan is a single unsplittable row group (operators/parallel).
     hashed = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.transform(
@@ -215,12 +213,31 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.key")
-    # Barrier on the JOIN keys: without it, both self-join sides carry the
-    # full signature lineage and the 32 permutation mins run twice per
-    # row. Exchanging the tiny (id, band, key) rows materializes the band
-    # keys once AND pre-partitions exactly as the join (and the
-    # bucket-cap window) require — the join adds no further exchange.
-    banded = banded.repartition(F.col("band"), F.col("key"))
+    return banded.repartition(F.col("band"), F.col("key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``n_hashes/bands`` rows;
+    documents sharing any band hash become a candidate pair. Returns
+    distinct (id_a, id_b) with id_a < id_b. The self-join keys on
+    (band, band_key): only same-bucket rows meet, so the shuffle volume is
+    the bucket histogram, not |df|². ``max_bucket_size`` (recommended at
+    corpus scale) excludes degenerate oversized buckets — see
+    :func:`cap_bucket_size`."""
+    banded = minhash_banded(
+        df, id_col, text_col, n_hashes, bands, shingle_k, seed
+    )
     if max_bucket_size is not None:
         banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
     left = banded.alias("l")
@@ -471,4 +488,48 @@ def incremental_exact_survivors(
         fresh.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def incremental_minhash_candidates(
+    increment: DataFrame,
+    existing_banded: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup CANDIDATES for an increment against a stored corpus —
+    only the new documents are signatured; the corpus participates as
+    its persisted band table (:func:`minhash_banded` output), so per
+    ingest the LSH work is O(|increment|) plus one bucket-keyed join
+    against state. Emits every candidate pair with ≥1 new member
+    (new-new AND new-old; old-old pairs were emitted by earlier runs —
+    union over ingests converges to the one-shot candidate set, which
+    the convergence test pins). Pairs are normalized to id_a < id_b.
+
+    ``max_bucket_size`` caps the COMBINED bucket (state + increment),
+    mirroring the one-shot operator's straggler guard."""
+    new_banded = minhash_banded(
+        increment, id_col, text_col, n_hashes, bands, shingle_k, seed
+    ).withColumn("__new", F.lit(True))
+    all_banded = existing_banded.withColumn(
+        "__new", F.lit(False)
+    ).unionByName(new_banded)
+    if max_bucket_size is not None:
+        all_banded = cap_bucket_size(all_banded, ["band", "key"], max_bucket_size)
+    left, right = all_banded.alias("l"), all_banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id"))
+            & (F.col("l.__new") | F.col("r.__new")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
     )

@@ -1401,3 +1401,19 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_exact_survivors(
         increment, existing, "doc_id", "text"
     ).select("doc_id", "fingerprint")
+
+
+@register("incremental_minhash_new_pairs")  # banded hashing: rows-only check (LSH band keys, like minhash_lsh_near_duplicates)
+def incremental_minhash_new_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates: docs ≥ 300 signatured and joined
+    against the STORED band table of docs < 300 — per-ingest LSH cost is
+    O(increment) + one bucket join against state; union over ingests
+    equals the one-shot candidate set (convergence pinned by
+    tests/test_dedup_similarity.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    state = dedup.minhash_banded(
+        docs.filter(F.col("doc_id") < 300), "doc_id", "text"
+    )
+    return dedup.incremental_minhash_candidates(
+        docs.filter(F.col("doc_id") >= 300), state, "doc_id", "text"
+    )

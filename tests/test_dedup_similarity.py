@@ -349,3 +349,34 @@ def test_incremental_dedup_converges_to_one_shot(spark, sf_dir):
         r["doc_id"] for r in inc_survivors.collect()
     }
     assert got == want
+
+
+def test_incremental_minhash_candidates_converge_to_one_shot(spark, sf_dir):
+    """Candidates(old) ∪ incremental-candidates(new | old-state) must
+    equal the one-shot candidate set over everything: incremental LSH
+    signatured ONLY the increment, yet no pair is missed and no spurious
+    pair appears."""
+    from pinterest_data_pipeline_spark.operators import dedup as d
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 300)
+    inc = docs.filter(F.col("doc_id") >= 300)
+
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in d.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    old_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in d.minhash_lsh_candidates(old, "doc_id", "text").collect()
+    }
+    state = d.minhash_banded(old, "doc_id", "text")
+    inc_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in d.incremental_minhash_candidates(
+            inc, state, "doc_id", "text"
+        ).collect()
+    }
+    assert old_pairs | inc_pairs == want
+    assert not (old_pairs & inc_pairs)  # increment emits only ≥1-new pairs
