@@ -102,3 +102,81 @@ def vacuum_versions(target_dir: str, keep: int = 2) -> list[str]:
             shutil.rmtree(os.path.join(target_dir, v))
             removed.append(v)
     return removed
+
+
+def read_target_version(
+    spark: SparkSession, target_dir: str, version: str
+) -> DataFrame:
+    """Time-travel read: load a specific retained version directory
+    (``v<batchId>``) regardless of the manifest pointer — valid for any
+    version `vacuum_versions` has not removed."""
+    return spark.read.parquet(os.path.join(target_dir, version))
+
+
+def table_changes(
+    spark: SparkSession,
+    target_dir: str,
+    from_version: str,
+    to_version: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change data feed between two retained versions of the manifest
+    sink: one full-outer join on the keys classifies every row as
+    ``insert`` (key only in ``to``), ``delete`` (only in ``from``), or
+    ``update`` (both sides present, any non-key column changed);
+    unchanged rows are dropped. Output: key columns + ``_change_type`` +
+    the ``to``-side (or, for deletes, ``from``-side) payload as a JSON
+    string — schema-stable for downstream consumers regardless of the
+    table's own columns.
+
+    This is the Delta-CDF analog for the plain-parquet sink: because
+    every version is a complete snapshot, the diff is one co-keyed join
+    — no log replay — and feeds the same incremental consumers
+    (rollup_maintenance deltas, downstream MERGEs) a transactional
+    format would.
+    """
+    from pyspark.sql import functions as F
+
+    a = read_target_version(spark, target_dir, from_version)
+    b = read_target_version(spark, target_dir, to_version)
+    payload_cols = [c for c in b.columns if c not in key_cols]
+    a_sel = a.select(
+        *[F.col(c).alias(f"__a_{c}") for c in a.columns]
+    )
+    b_sel = b.select(
+        *[F.col(c).alias(f"__b_{c}") for c in b.columns]
+    )
+    cond = [
+        a_sel[f"__a_{k}"].eqNullSafe(b_sel[f"__b_{k}"]) for k in key_cols
+    ]
+    joined = a_sel.join(b_sel, cond, "full_outer")
+    in_a = F.col(f"__a_{key_cols[0]}").isNotNull()
+    in_b = F.col(f"__b_{key_cols[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in payload_cols:
+        changed = changed | ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+    change_type = (
+        F.when(in_a & ~in_b, "delete")
+        .when(in_b & ~in_a, "insert")
+        .when(changed, "update")
+    )
+    keys = [
+        F.coalesce(F.col(f"__b_{k}"), F.col(f"__a_{k}")).alias(k)
+        for k in key_cols
+    ]
+    payload = F.to_json(
+        F.struct(
+            *[
+                F.coalesce(F.col(f"__b_{c}"), F.col(f"__a_{c}")).alias(c)
+                for c in payload_cols
+            ]
+        )
+    )
+    return (
+        joined.select(
+            *keys,
+            change_type.alias("_change_type"),
+            payload.alias("payload_json"),
+        )
+        .where(F.col("_change_type").isNotNull())
+    )

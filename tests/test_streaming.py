@@ -696,3 +696,40 @@ def test_vacuum_keeps_current_and_recent_versions(spark, tmp_path):
     left = sorted(x for x in os.listdir(target) if x.startswith("v"))
     assert left == ["v0000000003", "v0000000004"]
     assert s.read_target(spark, target).count() == 3
+
+
+def test_table_changes_classifies_insert_update_delete(spark, tmp_path):
+    """CDF over the versioned sink: diffing two snapshot versions yields
+    exactly the inserted/updated/deleted keys, unchanged rows dropped."""
+    import json as _json
+
+    from pinterest_data_pipeline_spark.streaming import sinks as s
+
+    target = str(tmp_path / "cdf")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    v1 = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    v0.write.parquet(f"{target}/v0000000000")
+    v1.write.parquet(f"{target}/v0000000001")
+    with open(f"{target}/_MANIFEST.json", "w") as f:
+        _json.dump({"current": "v0000000001", "batch_id": 1}, f)
+
+    changes = {
+        r["k"]: r
+        for r in s.table_changes(
+            spark, target, "v0000000000", "v0000000001", ["k"]
+        ).collect()
+    }
+    assert set(changes) == {1, 2, 4}  # 3 unchanged → absent
+    assert changes[1]["_change_type"] == "delete"
+    assert changes[2]["_change_type"] == "update"
+    assert changes[4]["_change_type"] == "insert"
+    assert _json.loads(changes[2]["payload_json"])["v"] == 25.0
+    assert _json.loads(changes[1]["payload_json"])["v"] == 10.0  # from-side
+    # time travel still reads the old snapshot
+    assert s.read_target_version(spark, target, "v0000000000").count() == 3
