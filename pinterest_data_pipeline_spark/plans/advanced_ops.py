@@ -655,3 +655,70 @@ def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "mad_outlier_events",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM c GROUP BY event_type
+    ), mad AS (
+        SELECT c.event_type,
+               quantile_cont(abs(c.cents - m.med), 0.5) AS mad
+        FROM c JOIN med m USING (event_type) GROUP BY c.event_type
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) FILTER (
+               WHERE abs(c.cents - m.med) > 3 * 1.4826 * d.mad
+           ) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM c JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via Median Absolute Deviation — the
+    heavy-tail-safe companion to `zscore_outlier_events`: one extreme
+    value inflates σ and hides its peers from a 3σ test, while the
+    median/MAD pair is 50%-breakdown robust. Threshold is the standard
+    3·1.4826·MAD (σ-consistent scaling).
+
+    Two grouped exact-percentile aggregations over integer cents (the
+    second over |x − median|), each broadcast back to the scan; both
+    engines interpolate quantiles identically from exact integers, so
+    the robust threshold is bit-identical. Three scans total — the price
+    of exact medians; at 100 TB swap `percentile` for
+    `approx_percentile` and keep the identical shape.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("cents") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    return (
+        c.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    True,
+                )
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
