@@ -262,3 +262,98 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("childless_orders"))
     )
     return orphan_li.crossJoin(orphan_o).crossJoin(childless)
+
+
+@register(
+    "per_source_lang_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), ranked AS (
+        SELECT source, lang, n,
+               SUM(n) OVER (PARTITION BY source) AS total,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS rn
+        FROM counts
+    )
+    SELECT source,
+           CAST(total AS BIGINT) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM counts c
+            WHERE c.source = ranked.source) AS n_langs,
+           lang AS top_lang,
+           (n * 1000000) // total AS top_lang_ppm
+    FROM ranked WHERE rn = 1
+    """,
+)
+def per_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix dashboard: document count, distinct
+    languages, dominant language and its share (integer ppm) — the
+    per-domain composition report a multilingual corpus build reviews
+    before setting mixture weights (`mixture_upsample_by_lang` is the
+    actuator; this is the report).
+
+    All-integer outputs (floor-div ppm) so the hash compare never sees
+    a ratio double. Scale: one (source, lang) aggregate — the ranking
+    window and share arithmetic run over that metadata-sized table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    ranked = counts.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_langs"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang")))
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "source",
+        F.col("total").alias("n_docs"),
+        F.col("n_langs"),
+        F.col("lang").alias("top_lang"),
+        F.expr("(n * 1000000) div total").alias("top_lang_ppm"),
+    )
+
+
+@register(
+    "first_digit_profile",
+    oracle="""
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(COUNT(*) AS BIGINT) * 1000000)
+               // (SELECT COUNT(*) FROM orders) AS share_ppm
+    FROM orders GROUP BY 1 ORDER BY first_digit
+    """,
+)
+def first_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals — the data-forensics
+    screen for fabricated or truncated monetary data (natural
+    multi-magnitude amounts follow log-decaying digit frequencies; flat
+    or spiked profiles flag synthetic injection or unit bugs upstream).
+    Digits come from the integer-cents rendering; shares are integer
+    ppm, normalized by a window over the ≤9-row aggregate (no second
+    scan, no driver-side count). One map-side-combinable aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents_str = F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")
+    return (
+        orders.groupBy(
+            F.substring(cents_str, 1, 1).cast("int").alias("first_digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "first_digit",
+            "n",
+            F.expr("(n * 1000000) div sum(n) over ()").alias("share_ppm"),
+        )
+        .orderBy("first_digit")
+    )

@@ -125,7 +125,8 @@ CHECK_FIRST: list[str] = [
     # group_by_all_sql, bitmap_exact_distinct, approx_top_k_gate,
     # parse_url_features, regex_function_matrix,
     # from_csv_embedded_records, pivot_multi_value,
-    # incremental_dedup_new_docs, mad_outlier_events, plus rows-only
+    # incremental_dedup_new_docs, mad_outlier_events,
+    # per_source_lang_mix, first_digit_profile, plus rows-only
     # multimodal_raw_decode_features and incremental_minhash_new_pairs —
     # which head the round-3 rotation.
     "simhash_near_pairs",
