@@ -126,7 +126,8 @@ CHECK_FIRST: list[str] = [
     # parse_url_features, regex_function_matrix,
     # from_csv_embedded_records, pivot_multi_value,
     # incremental_dedup_new_docs, mad_outlier_events,
-    # per_source_lang_mix, first_digit_profile, plus rows-only
+    # per_source_lang_mix, first_digit_profile,
+    # minhash_estimate_accuracy_gate, plus rows-only
     # multimodal_raw_decode_features and incremental_minhash_new_pairs —
     # which head the round-3 rotation.
     "simhash_near_pairs",

@@ -1417,3 +1417,68 @@ def incremental_minhash_new_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.incremental_minhash_candidates(
         docs.filter(F.col("doc_id") >= 300), state, "doc_id", "text"
     )
+
+
+@register(
+    "minhash_estimate_accuracy_gate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents WHERE doc_id < 150
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / greatest(len(a.g) + len(b.g)
+                         - len(list_intersect(a.g, b.g)), 1) >= 0.2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(0 AS BIGINT) AS n_violations
+    FROM pairs
+    """,
+)
+def minhash_estimate_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the MinHash JACCARD ESTIMATOR itself: on the
+    bounded audit slice, every pair with exact trigram Jaccard ≥ 0.2
+    must have its 32-hash signature agreement fraction within ±0.35 of
+    the exact value (> 4σ of the binomial estimator at its worst-case
+    variance, so a violation means a broken permutation family, not bad
+    luck). The oracle pins the pair count and a zero violation count —
+    the estimate itself never enters the hash, its guaranteed property
+    does (same pattern as the HLL/percentile/top-k gates).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sig = dedup.fan_out(docs).select(
+        F.col("doc_id").alias("__id"),
+        dedup.minhash_signature("text").alias("__sig"),
+        dedup.word_shingles("text", 3).alias("__sh"),
+    ).repartition(F.col("__id"))
+    a = sig.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sig").alias("sig_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    b = sig.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sig").alias("sig_b"),
+        F.col("__sh").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("exact_j", dedup.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("exact_j") >= 0.2)
+    )
+    # agreement count = size(filter(zip_with(==), identity))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.select(
+        (agree / F.lit(32.0)).alias("est_j"), "exact_j"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(
+            F.when(F.abs(F.col("est_j") - F.col("exact_j")) > 0.35, True)
+        ).alias("n_violations"),
+    )
