@@ -38,6 +38,35 @@ _MASK32 = (1 << 32) - 1
 _MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 
+# ------------------------------------------------------------ portable hashes
+#
+# xxhash64 / murmur3 are Spark-only, so any query whose OUTPUT is a
+# function of hash values can't be verified by the DuckDB oracle. These
+# md5-prefix hashes compute bit-identically on both engines
+# (Spark: conv(substr(md5(x),1,k),16,10); DuckDB:
+# CAST(concat('0x', substr(md5(x),1,k)) AS BIGINT)), so the registered
+# correctness queries run the SAME banded algorithms end-to-end under a
+# hash the oracle can reproduce. Production paths default to xxhash64
+# (one JVM intrinsic vs md5's digest + hex + parse — measurably cheaper
+# per token at corpus scale); `portable=True` is the verification mode.
+
+
+def portable_hash60(c: Column) -> Column:
+    """60-bit hash (15 md5 hex chars) — fits signed 64 with headroom."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash32(c: Column) -> Column:
+    """32-bit hash (8 md5 hex chars) — ANSI-safe under the minhash mix."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def minhash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The (a, b) permutation constants — public so oracle SQL can bake
+    the identical literals into the DuckDB side."""
+    return _minhash_params(n_hashes, seed)
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -162,6 +191,7 @@ def minhash_banded(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """The banded MinHash signature table (__id, band, key) — the
     join-able LSH STATE. Persist this per corpus and incremental ingest
@@ -182,11 +212,16 @@ def minhash_banded(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows = n_hashes // bands
+    shingle_hash = (
+        portable_hash32
+        if portable
+        else (lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)))
+    )
     hashed = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.transform(
             word_shingles(text_col, shingle_k),
-            lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)),
+            lambda s: shingle_hash(s),
         ).alias("__h"),
     ).repartition(F.col("__id"))
     params = _minhash_params(n_hashes, seed)
@@ -199,15 +234,20 @@ def minhash_banded(
         )
         for a, b in params
     ]
+
+    def band_key(b: int) -> Column:
+        band_mins = mins[b * rows : (b + 1) * rows]
+        if portable:
+            # md5 over the decimal-rendered mins: identical in DuckDB
+            return F.md5(F.concat_ws(",", F.lit(b), *band_mins))
+        return F.hash(F.lit(b), *band_mins)
+
     banded = hashed.select(
         "__id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.lit(b), *mins[b * rows : (b + 1) * rows]).alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
                     for b in range(bands)
                 ]
             )
@@ -225,6 +265,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -236,7 +277,7 @@ def minhash_lsh_candidates(
     corpus scale) excludes degenerate oversized buckets — see
     :func:`cap_bucket_size`."""
     banded = minhash_banded(
-        df, id_col, text_col, n_hashes, bands, shingle_k, seed
+        df, id_col, text_col, n_hashes, bands, shingle_k, seed, portable
     )
     if max_bucket_size is not None:
         banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
@@ -264,6 +305,7 @@ def near_duplicates_minhash(
     shingle_k: int = 3,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard ≥ threshold.
 
@@ -275,7 +317,15 @@ def near_duplicates_minhash(
         word_shingles(text_col, shingle_k).alias("__sh"),
     )
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n_hashes, bands, shingle_k, seed, max_bucket_size
+        df,
+        id_col,
+        text_col,
+        n_hashes,
+        bands,
+        shingle_k,
+        seed,
+        max_bucket_size,
+        portable,
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -317,9 +367,16 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- simhash
 
 
-def token_hashes(text: Column | str) -> Column:
-    """xxhash64 per normalized token — the SimHash input array."""
-    return F.transform(tokens(normalize_text(text)), lambda t: F.xxhash64(t))
+def token_hashes(text: Column | str, portable: bool = False) -> Column:
+    """Hash per normalized token — the SimHash input array.
+
+    xxhash64 by default; ``portable=True`` switches to the md5-prefix
+    hash (:func:`portable_hash60`) so the DuckDB oracle can recompute
+    the identical SimHash — only bits 0..59 are then ever set, which
+    leaves the 4×16-bit chunking and its pigeonhole recall guarantee
+    untouched (chunk 3 simply has 4 constant-zero high bits)."""
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    return F.transform(tokens(normalize_text(text)), lambda t: hash_fn(t))
 
 
 def simhash_chunks_from_hashes(hs: Column, chunk_bits: int = 16) -> Column:
@@ -378,6 +435,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -385,7 +443,11 @@ def simhash_near_pairs(
     come from 4 chunk-equality joins (unioned), then exact Hamming via
     bit_count(xor) filters. Returns (id_a, id_b, hamming).
     ``max_bucket_size`` excludes degenerate oversized chunk buckets — see
-    :func:`cap_bucket_size`."""
+    :func:`cap_bucket_size`. ``portable=True`` hashes tokens with the
+    md5-prefix hash so the pair set is DuckDB-reproducible (banding is
+    pigeonhole-COMPLETE for Hamming ≤ 3, so the output is exactly the
+    set of all pairs at distance ≤ 3 — oracle-checkable from first
+    principles, not just sampled)."""
     # Compute tokenize+hash+fold in ONE post-fan_out projection (the
     # single-pass fold references the token-hash array a handful of
     # times; codegen subexpression elimination materializes it once per
@@ -400,7 +462,9 @@ def simhash_near_pairs(
         fan_out(df)
         .select(
             F.col(id_col).alias("__id"),
-            simhash_chunks_from_hashes(token_hashes(text_col)).alias("__sh"),
+            simhash_chunks_from_hashes(
+                token_hashes(text_col, portable=portable)
+            ).alias("__sh"),
         )
         .repartition(F.col("__id"))
     )

@@ -224,11 +224,72 @@ def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("simhash_near_pairs")  # banded hashing: rows-only check
+# Portable-hash SimHash, mirrored exactly in DuckDB: per normalized token
+# h = 60-bit md5-prefix int; per doc, bit b of the simhash is the majority
+# vote 2*ones(b) > n; 4×16-bit chunks; banding is pigeonhole-complete for
+# Hamming ≤ 3, so the engine's banded join provably emits EXACTLY the
+# all-pairs distance-≤3 set the oracle computes from first principles.
+# Bit masks are Python-generated decimal literals (DuckDB folds `1 << 63`
+# eagerly and raises even inside a dead CASE branch; literals side-step
+# shifts entirely). Bits 60..63 are constant 0 under the 60-bit hash on
+# both engines, so chunk 3 only sums bits 48..59.
+
+
+def _simhash_chunk_sql(j: int) -> str:
+    terms = [
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << (j * 16 + b)})"
+        f" != 0)) > len(hs) THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+        if j * 16 + b < 60
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_SIMHASH_DOC_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                   regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                   tok -> CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+               ) AS hs
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               [{_simhash_chunk_sql(0)}, {_simhash_chunk_sql(1)},
+                {_simhash_chunk_sql(2)}, {_simhash_chunk_sql(3)}] AS ch
+        FROM t
+    )
+"""
+
+_SIMHASH_HAMMING_SQL = """
+    (bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
+     + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4])))
+"""
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    {_SIMHASH_DOC_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({_SIMHASH_HAMMING_SQL} AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE {_SIMHASH_HAMMING_SQL} <= 3
+    """,
+)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit near-dup pairs (Hamming ≤ 3) via 16-bit chunk bands."""
+    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit chunk bands.
+
+    Registered in portable-hash mode (md5-prefix token hash) so the
+    DuckDB oracle recomputes the identical simhash and verifies the FULL
+    pair set — banding recall is 1 for Hamming ≤ 3 by pigeonhole, so
+    engine output == oracle's all-pairs set, not a sampled subset. The
+    production path keeps xxhash64 (``portable=False`` default)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", portable=True
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------- embeddings
@@ -359,8 +420,16 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinterest_data_pipeline_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_image_features(
+    feats = multimodal.decode_image_features(
         multimodal.attach_binary_payload(docs)
+    )
+    # array → '|'-joined string: registered outputs must stay hashable
+    # by the driver comparator (no list cells)
+    return feats.withColumn(
+        "features",
+        F.array_join(
+            F.transform(F.col("features"), lambda x: x.cast("string")), "|"
+        ),
     )
 
 
@@ -374,8 +443,15 @@ def multimodal_raw_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
     from pinterest_data_pipeline_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_raw_bitmap_features(
+    feats = multimodal.decode_raw_bitmap_features(
         multimodal.attach_binary_payload(docs)
+    )
+    return feats.withColumn(
+        "thumb_4x4",
+        F.array_join(
+            F.transform(F.col("thumb_4x4"), lambda x: F.round(x, 6).cast("string")),
+            "|",
+        ),
     )
 
 
@@ -384,19 +460,37 @@ def multimodal_raw_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT doc_id AS asset_id,
            CAST((doc_id * 7) % 600 AS DOUBLE) AS duration_s,
-           list_transform(range(0, 4),
-               i -> round(CAST(i AS DOUBLE) * CAST((doc_id * 7) % 600 AS DOUBLE)
-                          / 4.0, 3)) AS frame_offsets_s
+           array_to_string(list_transform(range(0, 4),
+               i -> CAST(CAST(i AS DOUBLE)
+                         * CAST((doc_id * 7) % 600 AS DOUBLE)
+                         * 1000.0 / 4.0 AS BIGINT)), '|') AS frame_offsets_ms
     FROM documents WHERE doc_id % 3 = 2
     """,
 )
 def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic frame-sampling offsets for video payloads."""
+    """Deterministic frame-sampling offsets for video payloads.
+
+    The offsets are emitted as a '|'-joined millisecond string, not an
+    array column: the driver comparator value-hashes pandas frames and
+    can't hash Python lists (the round-2 TypeError), and integer ms need
+    no float formatting pinning. duration is integer-valued so i*dur*250
+    is exact in double math — both engines render identical digits."""
     from pinterest_data_pipeline_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.frame_sample_offsets(
+    offsets = multimodal.frame_sample_offsets(
         multimodal.attach_binary_payload(docs)
+    )
+    return offsets.select(
+        "asset_id",
+        "duration_s",
+        F.array_join(
+            F.transform(
+                F.col("frame_offsets_s"),
+                lambda s: (s * F.lit(1000.0)).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("frame_offsets_ms"),
     )
 
 
@@ -451,17 +545,86 @@ def corpus_curation_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_dedup_clusters")  # iterative label propagation: rows-only
+# The identical MinHash permutation constants, baked as SQL literals so
+# DuckDB runs the same 32 hashes the engine does (seed 42).
+_MH_PARAMS_SQL = (
+    "["
+    + ", ".join(f"[{a}, {b}]" for a, b in dedup.minhash_params(32, 42))
+    + "]"
+)
+
+
+@register(
+    "minhash_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(g,
+                   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({_MH_PARAMS_SQL},
+                   p -> list_min(list_transform(hs,
+                            h -> (p[1] * h + p[2]) % 4294967311))) AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, bb.band AS band,
+               md5(concat_ws(',', bb.band,
+                   sig[bb.band * 4 + 1], sig[bb.band * 4 + 2],
+                   sig[bb.band * 4 + 3], sig[bb.band * 4 + 4])) AS key
+        FROM sig, (SELECT unnest(range(0, 8)) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1)
+              >= 0.5
+    ),
+    und AS (
+        SELECT id_a AS s, id_b AS t FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(node, r) AS (
+        SELECT s, s FROM und
+        UNION
+        SELECT u.t, reach.r FROM reach JOIN und u ON u.s = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
 def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → (doc_id, cluster_id)
     canonical assignment. The full dedup story: LSH candidates, exact
     verification, then cluster formation so each duplicate group keeps
-    exactly one canonical document."""
+    exactly one canonical document.
+
+    Registered in portable-hash mode: DuckDB recomputes the identical
+    MinHash signatures (md5-prefix shingle hash, same baked (a,b)
+    constants, md5 band keys), the identical verified-pair edge set, and
+    the connected components via recursive CTE — end-to-end parity for
+    an iterative graph algorithm, not a rows-only count."""
     from pinterest_data_pipeline_spark.operators.clustering import duplicate_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.near_duplicates_minhash(docs, "doc_id", "text", threshold=0.5)
-    return duplicate_clusters(pairs).orderBy("doc_id")
+    pairs = dedup.near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.5, portable=True
+    )
+    # iterations bounds hop count; min-label propagation early-stops at
+    # the fixpoint, so a generous bound costs nothing once converged
+    return duplicate_clusters(pairs, iterations=12).orderBy("doc_id")
 
 
 @register("ivf_kmeans_codebook_assign")  # iterative k-means: rows-only

@@ -29,6 +29,21 @@ def test_entry_smoke(spark):
     assert df.columns == ["nation", "customer", "acctbal"]
 
 
+def test_no_complex_types_in_registered_outputs(spark, sf_dir):
+    """The driver comparator value-hashes pandas frames and cannot hash
+    list/dict cells (round-2 `multimodal_frame_offsets` TypeError), so no
+    registered query may emit array/map/struct columns — join arrays to
+    pinned-format strings instead (see collect_segments_per_nation)."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append((name, field.name, str(field.dataType)))
+    assert not offenders, offenders
+
+
 def test_every_query_has_callable_and_most_have_oracles():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert qs, "no queries registered"
