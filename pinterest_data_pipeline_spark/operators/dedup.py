@@ -572,11 +572,16 @@ def incremental_minhash_candidates(
     ingest the LSH work is O(|increment|) plus one bucket-keyed join
     against state. Emits every candidate pair with ≥1 new member
     (new-new AND new-old; old-old pairs were emitted by earlier runs —
-    union over ingests converges to the one-shot candidate set, which
-    the convergence test pins). Pairs are normalized to id_a < id_b.
+    with ``max_bucket_size=None`` the union over ingests converges to
+    the one-shot candidate set, which the convergence test pins). Pairs
+    are normalized to id_a < id_b.
 
-    ``max_bucket_size`` caps the COMBINED bucket (state + increment),
-    mirroring the one-shot operator's straggler guard."""
+    ``max_bucket_size`` caps the COMBINED bucket (state + increment) as
+    a straggler guard — but the convergence guarantee holds ONLY
+    uncapped: an earlier ingest sees smaller (not-yet-capped) buckets
+    than the final corpus, so it may emit pairs a capped one-shot run
+    would drop; the union can strictly EXCEED the capped one-shot set.
+    Capped incremental runs over-emit (never under-emit) vs one-shot."""
     new_banded = minhash_banded(
         increment, id_col, text_col, n_hashes, bands, shingle_k, seed
     ).withColumn("__new", F.lit(True))

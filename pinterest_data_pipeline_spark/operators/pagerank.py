@@ -56,8 +56,13 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # would add a full |E| shuffle to every round's lineage.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    # node universe = src ∪ dst: on a general directed edge list a pure
+    # SINK node appears only as dst — building the universe from sources
+    # alone would silently drop it (and its inflow mass). On symmetrized
+    # input the union dedups to the same set, so this is strictly safer.
     nodes = (
         ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -151,30 +151,110 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     partition_col: str | None = None,
+    n_blocks: int | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     With ``partition_col`` the pair search stays within coarse partitions
     (the scale path); without it, all pairs (audit/oracle path). Returns
-    (id_a, id_b, score)."""
+    (id_a, id_b, score).
+
+    ``n_blocks=B`` decomposes each cell's triangle of pairs into
+    B(B+1)/2 independent join keys (the classic 1-bucket theta-join
+    partitioning, Okcan & Riedewald 2011): rows are split into B id
+    blocks, a row in block i serves the (i, j≥i) keys on the left side
+    and the (i'≤i, i) keys on the right, so every unordered pair meets
+    on EXACTLY one key. The output is identical to the plain path —
+    it's pure parallelism: without it a whole cell's |cell|² comparisons
+    land in one task (the measured 58× wall blow-up at 30× data on a
+    dup-dense corpus was one straggler per cell), with it a cell spreads
+    over B(B+1)/2 tasks and per-task work drops ~B²/2-fold. At cluster
+    scale this is what keeps a hot cell inside one executor's task
+    budget. Shuffle cost: each side is replicated ≤ B+1 times, but rows
+    are (id, vec, norm) — cheap relative to the quadratic compare.
+
+    ``max_cell_size`` excludes cells larger than the cap outright (the
+    degenerate pile-up guard, same recall argument as
+    ``dedup.cap_bucket_size``: a cell that big is almost always a
+    collapsed/zero-vector pile that exact dedup should have removed).
+    For genuinely high-similarity thresholds at corpus scale, prefer
+    :func:`lsh_near_duplicates` — an all-pairs-within-cell search is
+    inherently output-bound on dup-dense data."""
     wide = fan_out(df)
-    a = wide.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        l2_norm(F.col(vec_col)).alias("norm_a"),
-        *([F.col(partition_col).alias("part_a")] if partition_col else []),
+    part = F.col(partition_col) if partition_col else F.lit(0)
+    base = wide.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+        part.alias("__part"),
     )
-    b = wide.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        l2_norm(F.col(vec_col)).alias("norm_b"),
-        *([F.col(partition_col).alias("part_b")] if partition_col else []),
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__part")
+        base = (
+            base.withColumn("__cell_n", F.count("*").over(w))
+            .filter(F.col("__cell_n") <= max_cell_size)
+            .drop("__cell_n")
+        )
+    if n_blocks is not None and n_blocks > 1:
+        bb = F.lit(n_blocks)
+        # barrier: materialize the norm once before the two exploded
+        # sides re-read it (same pattern as the LSH path)
+        base = base.withColumn(
+            "__blk", F.pmod(F.col("__id"), bb).cast("int")
+        ).repartition(F.col("__id"))
+        a = base.withColumn(
+            "__kj", F.explode(F.sequence(F.col("__blk"), bb - 1))
+        ).alias("l")
+        b = base.withColumn(
+            "__ki", F.explode(F.sequence(F.lit(0), F.col("__blk")))
+        ).alias("r")
+        joined = a.join(
+            b,
+            (F.col("l.__part") == F.col("r.__part"))
+            & (F.col("l.__blk") == F.col("r.__ki"))
+            & (F.col("l.__kj") == F.col("r.__blk"))
+            # same-block pairs meet on (i,i) in both orders: keep one.
+            # cross-block pairs meet on exactly one key, either order.
+            & (
+                (F.col("l.__blk") != F.col("r.__blk"))
+                | (F.col("l.__id") < F.col("r.__id"))
+            )
+            & (F.col("l.__id") != F.col("r.__id")),
+        )
+        return (
+            joined.select(
+                F.least(F.col("l.__id"), F.col("r.__id")).alias("id_a"),
+                F.greatest(F.col("l.__id"), F.col("r.__id")).alias("id_b"),
+                F.round(
+                    dot(F.col("l.__vec"), F.col("r.__vec"))
+                    / (F.col("l.__norm") * F.col("r.__norm")),
+                    6,
+                ).alias("score"),
+            )
+            .filter(F.col("score") >= threshold)
+        )
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__vec").alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
+        F.col("__part").alias("part_a"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__vec").alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
+        F.col("__part").alias("part_b"),
     )
     cond = F.col("id_a") < F.col("id_b")
     if partition_col:
-        joined = a.join(b, (F.col("part_a") == F.col("part_b")) & cond)
-    else:
-        joined = a.join(b, cond)
+        # equi-join on the cell key; without a partition_col the lit(0)
+        # key would funnel everything into one hash partition, so the
+        # audit path keeps the plain theta join
+        cond = (F.col("part_a") == F.col("part_b")) & cond
+    joined = a.join(b, cond)
     return (
         joined.select(
             "id_a",
@@ -232,6 +312,7 @@ def lsh_near_duplicates(
     planes_per_band: int = 8,
     seed: int = 7,
     max_bucket_size: int | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded hyperplane LSH + exact cosine
     verification — the vector analog of MinHash LSH: candidates come from
@@ -242,11 +323,17 @@ def lsh_near_duplicates(
     (cos ≥ ~0.95) collide with probability ≈1; weakly-similar pairs are
     mostly (intentionally) missed. Returns (id_a, id_b, score).
     ``max_bucket_size`` excludes degenerate oversized buckets (e.g. an
-    all-zero-vector pile-up) — see ``dedup.cap_bucket_size``."""
+    all-zero-vector pile-up) — see ``dedup.cap_bucket_size``.
+    ``partition_col`` scopes buckets to a coarse partition (semantic
+    cell): the bucket key becomes (partition, band, key), so only
+    same-cell collisions ever become candidates — the within-cell
+    search path ``semantic_dedup`` uses once cells outgrow all-pairs."""
+    part = F.col(partition_col) if partition_col else F.lit(0)
     base = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col)).alias("__norm"),
+        part.alias("__part"),
     ).repartition(F.col("__id"))  # materialize norms/keys input once,
     # computed post-fan_out so a single-row-group scan can't serialize it
     keys = hyperplane_band_keys(F.col("__vec"), dim, bands, planes_per_band, seed)
@@ -254,6 +341,7 @@ def lsh_near_duplicates(
         "__id",
         "__vec",
         "__norm",
+        "__part",
         F.explode(
             F.array(
                 *[
@@ -262,21 +350,24 @@ def lsh_near_duplicates(
                 ]
             )
         ).alias("bk"),
-    ).select("__id", "__vec", "__norm", "bk.band", "bk.key")
+    ).select("__id", "__vec", "__norm", "__part", "bk.band", "bk.key")
     # barrier on the JOIN keys: both self-join sides would otherwise carry
     # the hyperplane-key lineage and compute the bands×planes dot
     # products twice per row; the exchange also IS the join's (and the
     # bucket-cap window's) required partitioning
-    banded = banded.repartition(F.col("band"), F.col("key"))
+    banded = banded.repartition(F.col("__part"), F.col("band"), F.col("key"))
     if max_bucket_size is not None:
         from pinterest_data_pipeline_spark.operators.dedup import cap_bucket_size
 
-        banded = cap_bucket_size(banded, ["band", "key"], max_bucket_size)
+        banded = cap_bucket_size(
+            banded, ["__part", "band", "key"], max_bucket_size
+        )
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
+            (F.col("l.__part") == F.col("r.__part"))
+            & (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.__id") < F.col("r.__id")),
         )

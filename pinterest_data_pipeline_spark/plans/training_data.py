@@ -379,10 +379,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse partitions
     (the scale path: same-cluster candidates only — near-dups land in the
     same partition by construction; the unpartitioned all-pairs variant
-    exists for bounded audits)."""
+    exists for bounded audits). ``n_blocks=8`` spreads each cell's pair
+    triangle over 36 join keys — output-identical to the plain
+    within-cell join (so the oracle is unchanged) but a hot cell runs as
+    36 tasks instead of one straggler."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
-        emb, threshold=0.4, partition_col="label"
+        emb, threshold=0.4, partition_col="label", n_blocks=8
     )
 
 
@@ -665,18 +668,22 @@ def embedding_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pair search,
     cosine ≥ threshold within a cell marks duplicates, min-id survives
-    (operators/semantic_dedup.py). Threshold 0.4 for the same corpus
-    reason as embedding_lsh_near_duplicates above; the one-row summary
-    carries a survivor-id checksum so the rows-only driver check still
-    pins the exact survivor set across runs. ``k=None`` auto-scales the
-    codebook to the corpus (k ≈ n/600) — the fixed-k form measured 20×
-    wall at 30× rows (PERF.md), the scaled form stays ~linear."""
+    (operators/semantic_dedup.py). Runs the BOUNDED configuration the
+    100 TB design requires: the codebook auto-scales with the corpus but
+    caps at ``max_k=32`` (a codebook that grows ∝ n is infeasible
+    broadcast metadata at scale), and once cells outgrow the all-pairs
+    cap the within-cell search switches to per-cell hyperplane LSH
+    (``within_cell='auto'``). Threshold 0.97 per the SemDeDup recipe —
+    exact/near-exact clones collide in every LSH band, so the scale path
+    keeps recall ≈ 1 on true duplicates. The one-row summary carries a
+    survivor-id checksum so the rows-only driver check pins the exact
+    survivor set across runs."""
     from pinterest_data_pipeline_spark.operators.semantic_dedup import (
         semantic_dedup_summary,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_summary(emb, k=None, threshold=0.4)
+    return semantic_dedup_summary(emb, k=None, threshold=0.97, max_k=32)
 
 
 @register(

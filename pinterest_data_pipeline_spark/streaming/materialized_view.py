@@ -47,6 +47,18 @@ def materialized_rollup_stream(
     os.makedirs(target_dir, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pinterest_data_pipeline_spark.streaming.sinks import (
+            _already_committed,
+        )
+
+        # Replay guard — load-bearing here: merge_rollups is ADDITIVE,
+        # so a batch replayed after the manifest commit (but before the
+        # checkpoint recorded it) would merge its delta into a state
+        # that already contains it, double-counting every sum/count.
+        # With the guard, the read below always resolves batch_id-1's
+        # version, so the overwrite target is never the read path.
+        if _already_committed(target_dir, batch_id):
+            return
         spark = batch_df.sparkSession
         delta = rollup_state(batch_df, keys, value_col)
         current = read_target(spark, target_dir)

@@ -23,12 +23,30 @@ from pinterest_data_pipeline_spark.operators.merge import merge_upsert
 _MANIFEST = "_MANIFEST.json"
 
 
-def _current_version_dir(target_dir: str) -> str | None:
+def read_manifest(target_dir: str) -> dict | None:
+    """The committed manifest ({"current": version, "batch_id": n}), or
+    None before the first commit."""
     manifest = os.path.join(target_dir, _MANIFEST)
     if not os.path.exists(manifest):
         return None
     with open(manifest) as f:
-        return json.load(f)["current"]
+        return json.load(f)
+
+
+def _current_version_dir(target_dir: str) -> str | None:
+    m = read_manifest(target_dir)
+    return None if m is None else m["current"]
+
+
+def _already_committed(target_dir: str, batch_id: int) -> bool:
+    """Replay guard: True iff the manifest already records this batch (or
+    a later one). Without it, a batch replayed after a crash *between*
+    the manifest commit and the streaming checkpoint would re-read the
+    manifest — which now points at its OWN output version — and either
+    double-apply a non-idempotent merge or wedge on Spark's
+    'cannot overwrite a path that is also being read from'."""
+    m = read_manifest(target_dir)
+    return m is not None and int(m.get("batch_id", -1)) >= batch_id
 
 
 def read_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
@@ -53,6 +71,8 @@ def upsert_stream_to_parquet(
     os.makedirs(target_dir, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_committed(target_dir, batch_id):
+            return  # replayed batch: its version is already live
         spark = batch_df.sparkSession
         current = read_target(spark, target_dir)
         merged = (
@@ -140,18 +160,23 @@ def table_changes(
     a = read_target_version(spark, target_dir, from_version)
     b = read_target_version(spark, target_dir, to_version)
     payload_cols = [c for c in b.columns if c not in key_cols]
+    # presence comes from a literal marker per side, NOT key nullness:
+    # the eqNullSafe join deliberately supports NULL key values, which
+    # key-isNotNull presence tests would misclassify as absent rows
     a_sel = a.select(
-        *[F.col(c).alias(f"__a_{c}") for c in a.columns]
+        F.lit(True).alias("__a_present"),
+        *[F.col(c).alias(f"__a_{c}") for c in a.columns],
     )
     b_sel = b.select(
-        *[F.col(c).alias(f"__b_{c}") for c in b.columns]
+        F.lit(True).alias("__b_present"),
+        *[F.col(c).alias(f"__b_{c}") for c in b.columns],
     )
     cond = [
         a_sel[f"__a_{k}"].eqNullSafe(b_sel[f"__b_{k}"]) for k in key_cols
     ]
     joined = a_sel.join(b_sel, cond, "full_outer")
-    in_a = F.col(f"__a_{key_cols[0]}").isNotNull()
-    in_b = F.col(f"__b_{key_cols[0]}").isNotNull()
+    in_a = F.coalesce(F.col("__a_present"), F.lit(False))
+    in_b = F.coalesce(F.col("__b_present"), F.lit(False))
     changed = F.lit(False)
     for c in payload_cols:
         changed = changed | ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
@@ -160,16 +185,19 @@ def table_changes(
         .when(in_b & ~in_a, "insert")
         .when(changed, "update")
     )
+    # keys and payload are selected SIDE-WISE, not per-column coalesce:
+    # an update that sets a payload column to NULL must report the new
+    # NULL, not the stale from-side value a coalesce would resurrect
     keys = [
-        F.coalesce(F.col(f"__b_{k}"), F.col(f"__a_{k}")).alias(k)
+        F.when(in_b, F.col(f"__b_{k}")).otherwise(F.col(f"__a_{k}")).alias(k)
         for k in key_cols
     ]
     payload = F.to_json(
-        F.struct(
-            *[
-                F.coalesce(F.col(f"__b_{c}"), F.col(f"__a_{c}")).alias(c)
-                for c in payload_cols
-            ]
+        F.when(
+            in_b,
+            F.struct(*[F.col(f"__b_{c}").alias(c) for c in payload_cols]),
+        ).otherwise(
+            F.struct(*[F.col(f"__a_{c}").alias(c) for c in payload_cols])
         )
     )
     return (

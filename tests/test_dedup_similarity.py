@@ -380,3 +380,127 @@ def test_incremental_minhash_candidates_converge_to_one_shot(spark, sf_dir):
     }
     assert old_pairs | inc_pairs == want
     assert not (old_pairs & inc_pairs)  # increment emits only ≥1-new pairs
+
+
+# ---------------------------------------------------- blocked triangle join
+
+
+def test_blocked_near_duplicates_matches_plain(spark, emb):
+    """The triangle block decomposition is pure parallelism: for any
+    n_blocks the pair set (ids AND scores) must equal the plain
+    within-cell join's — that equivalence is what keeps the DuckDB
+    oracle valid for the blocked registered query."""
+    plain = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.4, partition_col="label"
+        ).collect()
+    }
+    assert plain, "fixture produced no pairs — test would be vacuous"
+    for n_blocks in (2, 3, 8):
+        blocked = {
+            (r["id_a"], r["id_b"], r["score"])
+            for r in similarity.embedding_near_duplicates(
+                emb, threshold=0.4, partition_col="label", n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == plain, n_blocks
+
+
+def test_blocked_near_duplicates_matches_plain_unpartitioned(spark, emb):
+    """Same equivalence on the partition-free audit path."""
+    plain = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.4
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.4, n_blocks=4
+        ).collect()
+    }
+    assert blocked == plain
+
+
+def test_near_duplicates_cell_cap_drops_oversized_cell(spark, emb):
+    """max_cell_size excludes a degenerate pile-up cell entirely while
+    small cells keep their pairs (the cap_bucket_size recall argument
+    applied to coarse partitions)."""
+    base = emb.filter(F.col("vec_id") == 0)
+    # pile must exceed the cap while every NATURAL cell stays under it
+    # (the sf0.001 fixture's largest label cell is 63 rows)
+    pile = spark.range(200).join(base.drop("vec_id", "label")).select(
+        (F.col("id") + 300000).alias("vec_id"),
+        "embedding",
+        F.lit(999).alias("label"),
+    )
+    plus = emb.unionByName(pile)
+    capped = similarity.embedding_near_duplicates(
+        plus, threshold=0.4, partition_col="label", max_cell_size=100
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a >= 300000 or b >= 300000 for a, b in got)  # pile gone
+    uncapped_small = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.4, partition_col="label"
+        ).collect()
+    }
+    assert got == uncapped_small  # small cells untouched
+
+
+# ------------------------------------------------- partition-scoped LSH
+
+
+def test_partitioned_lsh_scopes_buckets_to_cells(spark, emb):
+    """With partition_col, every emitted pair is same-cell, clones inside
+    a cell are still found (identical vectors collide in every band),
+    and the pair set is exactly the unpartitioned LSH set restricted to
+    same-cell pairs."""
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    scoped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_near_duplicates(
+            emb, threshold=0.4, partition_col="label"
+        ).collect()
+    }
+    assert all(labels[a] == labels[b] for a, b in scoped)
+    unscoped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_near_duplicates(emb, threshold=0.4).collect()
+    }
+    assert scoped == {
+        (a, b) for a, b in unscoped if labels[a] == labels[b]
+    }
+
+
+def test_semantic_dedup_lsh_path_removes_clones(spark, emb):
+    """The bounded-codebook scale path (within_cell='lsh') must remove
+    planted exact clones (identical vectors share every LSH bucket →
+    recall 1 on true duplicates) and can only remove a SUBSET of what
+    all-pairs removes (LSH candidates ⊆ all pairs)."""
+    from pinterest_data_pipeline_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+
+    base = emb.filter(F.col("vec_id") < 10)
+    clones = base.select(
+        (F.col("vec_id") + 400000).alias("vec_id"), "embedding", "label"
+    )
+    plus = emb.unionByName(clones)
+    lsh_survivors = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            plus, k=8, threshold=0.98, within_cell="lsh"
+        ).collect()
+    }
+    assert not any(v >= 400000 for v in lsh_survivors)  # clones removed
+    ap_survivors = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            plus, k=8, threshold=0.98, within_cell="all_pairs"
+        ).collect()
+    }
+    assert ap_survivors <= lsh_survivors  # LSH removes a subset of pairs
