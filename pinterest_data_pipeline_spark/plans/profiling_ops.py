@@ -357,3 +357,108 @@ def first_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ----------------------------------------------- statistical dependence
+
+
+@register(
+    "corr_cov_value_hour",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+        FROM events
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(cents) AS sx, SUM(hr) AS sy,
+               SUM(cents * cents) AS sxx, SUM(hr * hr) AS syy,
+               SUM(cents * hr) AS sxy
+        FROM t
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr_cents_hour,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (n - 1), 6) AS covar_cents_hour
+    FROM s
+    """,
+)
+def corr_cov_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance between event value and
+    hour-of-day — the 'is this metric seasonal?' profile. Computed from
+    EXACT integer aggregate sums (cents, hour) with the closed-form
+    identities, like ols_price_vs_quantity: the one-pass sums are
+    bit-exact and order-independent, and only the final handful of
+    double ops runs per engine — the float-parity recipe for
+    distributed statistics (df.stat.corr's streaming co-moment would
+    differ between engines in low bits)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum("hr").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("hr") * F.col("hr")).alias("syy"),
+        F.sum(F.col("cents") * F.col("hr")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_cents_hour"),
+        F.round((sxy - sx * sy / F.col("n")) / (F.col("n") - 1), 6).alias(
+            "covar_cents_hour"
+        ),
+    )
+
+
+@register(
+    "crosstab_type_value_band",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE CAST(floor(value / 25.0) AS BIGINT) <= 0)
+               AS BIGINT) AS band_0,
+           CAST(COUNT(*) FILTER (WHERE CAST(floor(value / 25.0) AS BIGINT) = 1)
+               AS BIGINT) AS band_1,
+           CAST(COUNT(*) FILTER (WHERE CAST(floor(value / 25.0) AS BIGINT) = 2)
+               AS BIGINT) AS band_2,
+           CAST(COUNT(*) FILTER (WHERE CAST(floor(value / 25.0) AS BIGINT) >= 3)
+               AS BIGINT) AS band_3
+    FROM events GROUP BY event_type
+    """,
+)
+def crosstab_type_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table event_type × value band (the df.stat.crosstab
+    shape with a FIXED band dimension, so the output schema is stable —
+    raw crosstab's data-dependent columns can't be schema-checked).
+    One groupBy with conditional counts: a single shuffle on the row
+    dimension regardless of band count."""
+    ev = load_table(spark, sf_dir, "events")
+    band = F.floor(F.col("value") / F.lit(25.0))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return ev.groupBy("event_type").agg(
+        cnt(band <= 0).alias("band_0"),
+        cnt(band == 1).alias("band_1"),
+        cnt(band == 2).alias("band_2"),
+        cnt(band >= 3).alias("band_3"),
+    )

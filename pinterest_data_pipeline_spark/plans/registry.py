@@ -115,6 +115,9 @@ CHECK_FIRST: list[str] = [
     "split_distribution_drift",
     "packing_efficiency_report",
     "length_zipf_slope",
+    "corr_cov_value_hour",
+    "crosstab_type_value_band",
+    "near_dup_triangle_count",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their r2-green rows stand as evidence, refreshed when slots free:
     "embedding_near_dup_pairs",

@@ -2014,3 +2014,52 @@ def length_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "near_dup_triangle_count",
+    oracle=f"""
+    {_SIMHASH_DOC_SQL},
+    pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE {_SIMHASH_HAMMING_SQL} <= 3
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM pr e1 JOIN pr e2 ON e2.id_a = e1.id_b
+                   JOIN pr e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def near_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-duplicate graph — high triangle density
+    vs edge count means duplicates form tight cliques (template spam)
+    rather than chains (quote propagation), which picks the dedup
+    strategy. Distributed triangle counting in its canonical DataFrame
+    form: orient every edge low→high id (each triangle counted exactly
+    once), then two self-joins — shuffle cost is |E| per hop, never a
+    matrix. The DuckDB oracle recomputes the identical portable-hash
+    graph and the same oriented join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pr = dedup.simhash_near_pairs(
+        docs, "doc_id", "text", portable=True
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    e1, e2, e3 = pr.alias("e1"), pr.alias("e2"), pr.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_edges = pr.count()
+    return tri.select(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.col("t").cast("bigint").alias("n_triangles"),
+    )

@@ -249,3 +249,26 @@ def test_rolling_window_single_user_shuffle(spark):
     plan = plan_of(spark, "rolling_1h_user_value")
     assert n_nodes(plan, "Window") == 1
     assert n_nodes(plan, "Exchange") == 1
+
+
+def test_round3_reports_single_shuffle(spark):
+    """The round-3 profiling reports must stay one-shuffle aggregations:
+    crosstab is one hash agg on the row dimension (conditional counts,
+    no per-band shuffle), corr/cov is a single global agg over exact
+    sums, and the per-source sample's only exchange is the window's
+    source partitioning — no global sort."""
+    plan = plan_of(spark, "crosstab_type_value_band")
+    assert n_nodes(plan, "Exchange") == 1
+    plan = plan_of(spark, "corr_cov_value_hour")
+    assert n_nodes(plan, "Exchange") == 1  # single-partition final agg
+    plan = plan_of(spark, "reservoir_sample_per_source")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_blocked_near_dup_numpy_is_arrow_batched(spark):
+    """The BLAS pair scorer must plan as FlatMapGroupsInPandas (Arrow),
+    never a row-at-a-time Python UDF, and keep the block-key exchange."""
+    plan = plan_of(spark, "embedding_near_dup_pairs")
+    assert n_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
