@@ -722,3 +722,100 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "bloom_semi_join_prune",
+    oracle="""
+    WITH keys AS (
+        SELECT s_suppkey
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    bloom AS (
+        SELECT DISTINCT
+            CAST(concat('0x', substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 4096 AS pos
+        FROM keys
+    ),
+    fact AS (
+        SELECT l_suppkey,
+            CAST(concat('0x', substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 4096 AS pos
+        FROM lineitem
+    ),
+    passed AS (
+        SELECT l_suppkey FROM fact WHERE pos IN (SELECT pos FROM bloom)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN k.s_suppkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_match,
+           round(AVG(CASE WHEN k.s_suppkey IS NULL THEN 1.0 ELSE 0.0 END), 6)
+               AS false_positive_rate
+    FROM passed p LEFT JOIN keys k ON p.l_suppkey = k.s_suppkey
+    """,
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, made oracle-checkable: build a
+    4096-slot single-hash Bloom set over the EUROPE supplier keys, prune
+    the lineitem fact scan with it BEFORE the exact semi join, and report
+    pass/true-match counts plus the realized false-positive rate. This is
+    the runtime-filter technique Spark's own `spark.sql.optimizer.
+    runtimeFilter.bloomFilter` applies to shuffle joins — expressed
+    explicitly so the FP behavior is measurable (and bit-reproducible:
+    the position hash is the portable md5-prefix both engines compute
+    identically, see operators/dedup.py portable_hash32).
+
+    Scale: the Bloom relation is ≤4096 rows regardless of dimension
+    cardinality — broadcast stays O(bits) while the dimension itself may
+    be too big to broadcast; the fact side is filtered map-side before
+    any shuffle, which is the entire point at 100 TB (ship only rows
+    whose key MIGHT match). The residual exact join then sees only the
+    pruned stream. With k=1 hash and |keys|≈m the realized FP rate is
+    high by design at test SF — the report makes the m/k tradeoff
+    visible rather than hiding it."""
+    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    keys = (
+        supplier.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    bloom = keys.select(
+        (portable_hash32(F.col("s_suppkey").cast("string")) % 4096).alias(
+            "pos"
+        )
+    ).distinct()
+    fact = li.select(
+        "l_suppkey",
+        (portable_hash32(F.col("l_suppkey").cast("string")) % 4096).alias(
+            "pos"
+        ),
+    )
+    passed = fact.join(F.broadcast(bloom), "pos", "left_semi")
+    marked = passed.join(
+        F.broadcast(keys.withColumn("hit", F.lit(1))),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_match"),
+        F.round(
+            F.avg(F.when(F.col("hit").isNull(), 1.0).otherwise(0.0)), 6
+        ).alias("false_positive_rate"),
+    )

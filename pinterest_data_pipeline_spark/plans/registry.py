@@ -118,6 +118,10 @@ CHECK_FIRST: list[str] = [
     "corr_cov_value_hour",
     "crosstab_type_value_band",
     "near_dup_triangle_count",
+    "passage_dedup_report",
+    "token_entropy_by_lang",
+    "unigram_kl_by_source",
+    "bloom_semi_join_prune",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their r2-green rows stand as evidence, refreshed when slots free:
     "embedding_near_dup_pairs",

@@ -2063,3 +2063,213 @@ def near_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.col("t").cast("bigint").alias("n_triangles"),
     )
+
+
+# ---------------------------------------- passage dedup + distribution drift
+#
+# RefinedWeb/C4-style sub-document dedup and per-source distribution
+# monitoring. The synthetic documents carry no newline structure, so the
+# passage unit is a fixed 20-token span (the same unit chunk_documents
+# uses) — on real corpora the splitter would be '\n\n'. All three carry
+# full DuckDB oracles.
+
+
+@register(
+    "passage_dedup_report",
+    oracle=f"""
+    WITH toks AS (SELECT source, doc_id, {_TOKS} AS t FROM documents),
+    p AS (
+        SELECT source, doc_id,
+               unnest(list_transform(range(CAST(ceil(len(t)/20.0) AS BIGINT)),
+                   i -> md5(array_to_string(t[(20*i+1):(20*i+20)], ' '))))
+                   AS ph
+        FROM toks
+    ),
+    g AS (SELECT ph, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY ph)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(AVG(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS shared_rate
+    FROM p JOIN g USING (ph)
+    GROUP BY source
+    """,
+)
+def passage_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) exact dedup report, the RefinedWeb /
+    C4 'line dedup' primitive: split every document into fixed 20-token
+    passages, hash each, and report per source how many passages also
+    appear in some OTHER document. Whole-document dedup misses this —
+    boilerplate headers/footers duplicate across otherwise-unique pages.
+
+    Scale: the passage relation is ~n_tokens/20 rows; the duplicate test
+    is one shuffle on the passage hash (uniformly distributed by md5, so
+    no skew), the join back is on the same key (no second repartition
+    under AQE), and the report is a partial-aggregated rollup on source.
+    Nothing is quadratic and no state leaves the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    p = (
+        docs.select("source", "doc_id", t.alias("t"))
+        .select(
+            "source",
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / F.lit(20.0)).cast("int") - F.lit(1),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.slice("t", F.col("i") * F.lit(20) + F.lit(1), F.lit(20)),
+                    " ",
+                )
+            ).alias("ph"),
+        )
+    )
+    g = p.groupBy("ph").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        p.join(g, "ph")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.round(
+                F.avg(F.when(F.col("nd") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("shared_rate"),
+        )
+    )
+
+
+@register(
+    "token_entropy_by_lang",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_TOKS_LOWER}) AS term FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, lang, term, COUNT(*) AS c FROM tok GROUP BY ALL
+    ),
+    pd AS (
+        SELECT lang,
+               round(ln(CAST(SUM(c) AS DOUBLE))
+                     - SUM(c * ln(CAST(c AS DOUBLE)))
+                       / CAST(SUM(c) AS DOUBLE), 6) AS h,
+               round(CAST(COUNT(*) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE), 6) AS ttr
+        FROM tc GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(h), 6) AS avg_entropy,
+           round(AVG(ttr), 6) AS avg_ttr
+    FROM pd GROUP BY lang
+    """,
+)
+def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution and
+    type-token ratio, averaged per language — the standard repetition /
+    degenerate-text quality signals (low entropy = template or spam).
+    Uses the algebraic identity H = ln N − (Σ c·ln c)/N so one pass over
+    (doc, term) counts suffices; both engines fold doubles and round to
+    6, which absorbs their different summation orders.
+
+    Scale: token explode → partial-agg on (doc_id, term) → per-doc
+    reduce → per-lang reduce. The wide (doc, term) relation is hash-
+    partitioned by doc_id in the second agg so the per-doc rollup is
+    map-side after the first shuffle; no window, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tc = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").cast("double")
+    pd_ = tc.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("h"),
+        F.round(F.count(F.lit(1)).cast("double") / n, 6).alias("ttr"),
+    )
+    return pd_.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("h"), 6).alias("avg_entropy"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+    )
+
+
+@register(
+    "unigram_kl_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_LOWER}) AS term FROM documents
+    ),
+    sc AS (
+        SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY ALL
+    ),
+    corpus AS (SELECT term, SUM(c) AS cc FROM sc GROUP BY term),
+    tot AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY source),
+    nn AS (SELECT SUM(cc) AS nn FROM corpus)
+    SELECT source,
+           round(SUM((c/ns) * ln((c/ns) / (cc/nn))), 6) AS kl_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(MAX(ns) AS BIGINT) AS n_tokens
+    FROM sc JOIN corpus USING (term)
+            JOIN tot USING (source)
+            CROSS JOIN nn
+    GROUP BY source
+    """,
+)
+def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus-wide distribution — the drift gate a mixture build runs per
+    ingest (a feed whose KL jumps changed its content mix). KL(P_s‖P) is
+    finite by construction: every source term is in the corpus vocab.
+
+    Scale: one token explode feeding THREE reuses of the same
+    (source, term) partial aggregate — corpus marginals, source totals
+    and the scored join all derive from `sc`, so the corpus is tokenized
+    once. The corpus-marginal join shuffles on term; source totals and
+    the grand total are broadcast (5 rows / 1 row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    sc = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    corpus = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    tot = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    nn = corpus.agg(F.sum("cc").alias("nn"))
+    p_s = F.col("c") / F.col("ns")
+    p_c = F.col("cc") / F.col("nn")
+    return (
+        sc.join(corpus, "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_nats"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.max("ns").cast("bigint").alias("n_tokens"),
+        )
+    )
