@@ -36,6 +36,39 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # Warm the codegen/JIT paths a 32-task shuffle with heavyweight
+    # aggregates exercises (decimal sums, sort-based percentile, distinct).
+    # Measured effect: without this, ONE early query absorbs a 15-40 s
+    # first-compilation storm (observed on agg_stats_exact 42 s /
+    # agg_pricing_summary 18 s — same plans are 0.5-4 s steady-state and
+    # the spike moves between runs, so it is environment, not plan).
+    from pyspark.sql import functions as _F
+
+    (
+        spark.range(1_000_000)
+        .select(
+            (_F.col("id") % 7).alias("k"),
+            (_F.col("id") % 1000).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(
+            _F.sum(
+                _F.col("v").cast("decimal(18,2)")
+                * _F.col("v").cast("decimal(18,2)")
+            ).alias("s"),
+            _F.percentile("v", _F.lit(0.5)).alias("p"),
+            _F.count_distinct("v").alias("cd"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    # Build the file indexes / footer caches for the big tables once, so the
+    # alphabetically-first query touching each table isn't charged for it.
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).select(_F.lit(1)).limit(1).count()
 
     errors: dict[str, str] = {}
     total_t0 = time.perf_counter()

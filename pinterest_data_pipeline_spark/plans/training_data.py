@@ -749,7 +749,10 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-dedup survivor set feeds its own count, the LSH input, and the
     # final anti-join without recomputation. At 100 TB, re-running quality
     # scoring and MinHash per reported count would dominate the pipeline.
-    scored = docs.select(
+    # fan_out: the driver fixture stores documents as ONE row group, so
+    # without it the regex-heavy scoring projection runs as a single task
+    # (measured 5.6 s single-threaded vs sub-second fanned at sf0.1).
+    scored = dedup.fan_out(docs).select(
         "doc_id",
         "text",
         text.quality_score("text").alias("quality"),
