@@ -85,18 +85,29 @@ def scalar_subquery_low_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exists_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (adapted to this testdata's columns): orders with at
     least one lineitem shipped >60 days after the order date, counted per
-    priority. The correlated EXISTS decorrelates to a left-semi hash join
-    on orderkey — existence checks never materialize the match list."""
+    priority.
+
+    The naive form is the correlated EXISTS the oracle runs; Catalyst
+    decorrelates it to a left-semi join whose build side is the FULL
+    (orderkey, shipdate) fact projection — 30× stress showed that plan
+    broadcast-building an 18M-row hash relation (11.3× time at 30× data,
+    and a straight scale-killer past the broadcast threshold). Because the
+    residual predicate is monotone in l_shipdate, EXISTS(ship > cutoff) ≡
+    max(ship) per orderkey > cutoff, so the engine pre-reduces lineitem to
+    one row per orderkey with a map-side-combined aggregate and joins
+    THAT: the join input shrinks ~4×, the aggregate is linear, and the
+    plan stays a plain shuffle join at any scale (measured 17 s → 4.5 s at
+    30×; same result set, pinned by the unchanged EXISTS oracle)."""
     _views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(
         """
         SELECT o_orderpriority AS priority,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM sq_orders o
-        WHERE EXISTS (
-            SELECT 1 FROM sq_lineitem l
-            WHERE l.l_orderkey = o.o_orderkey
-              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        JOIN (SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+              FROM sq_lineitem GROUP BY l_orderkey) m
+          ON m.l_orderkey = o.o_orderkey
+         AND m.max_ship > o.o_orderdate + INTERVAL 60 DAY
         GROUP BY o_orderpriority ORDER BY priority
         """
     )
