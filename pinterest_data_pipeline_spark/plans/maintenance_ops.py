@@ -214,3 +214,77 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup_state(delta, keys, "value"),
     )
     return finalize_rollup(state).orderBy("event_type", "event_day")
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS revenue_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (co-located) fact-to-fact join: write orders and lineitem
+    as 8-bucket tables hashed and sorted on orderkey, then join them —
+    the scans come out hash-distributed AND sorted on the join key, so
+    the sort-merge join runs with NO exchange and NO sort on either side
+    (pinned by tests/test_plan_quality.py). This is the pattern for the
+    joins broadcast can't help at 100 TB — two fact tables co-bucketed at
+    write time turn every subsequent join on that key into a local merge,
+    paying the shuffle once at layout time instead of per query.
+
+    The MERGE hint keeps the demo honest at test SF (the optimizer would
+    rightly broadcast a 1 MB orders side; at production scale neither
+    side fits). Results are identical to the plain join, which is what
+    the oracle checks — bucketing is a physical property, not a semantic
+    one."""
+    import os
+
+    # Spark 3+ drops the sortBy metadata at read time unless this flag is
+    # on (one-file-per-bucket scans then report their output ordering);
+    # without it the merge join re-sorts each bucket locally.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = f"/tmp/spark_graft_buckets_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name, df, key in (
+        (f"bkt_orders_{tag}", orders, "o_orderkey"),
+        (f"bkt_lineitem_{tag}", li, "l_orderkey"),
+    ):
+        (
+            # one writer task per bucket → exactly one file per bucket;
+            # Spark only honors the sortBy metadata at read time when a
+            # bucket is a single file, and the whole point is a merge
+            # join with neither Exchange NOR Sort
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table(f"bkt_orders_{tag}")
+    l = spark.table(f"bkt_lineitem_{tag}")
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        o.hint("merge")
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(revenue_cents).alias("revenue_cents"),
+        )
+    )

@@ -122,6 +122,7 @@ CHECK_FIRST: list[str] = [
     "token_entropy_by_lang",
     "unigram_kl_by_source",
     "bloom_semi_join_prune",
+    "bucketed_colocated_join",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their r2-green rows stand as evidence, refreshed when slots free:
     "embedding_near_dup_pairs",

@@ -75,6 +75,16 @@ QUERIES = [
     "equidepth_histogram_acctbal",
     "zonemap_prefilter_join",
     "profile_documents_columns",
+    # round 3: curation funnel (clustering-barrier fix), corpus reports,
+    # passage dedup, distribution drift, bloom pruning, EXISTS rewrite
+    "corpus_curation_full",
+    "exists_late_ship_orders",
+    "passage_dedup_report",
+    "token_entropy_by_lang",
+    "unigram_kl_by_source",
+    "bloom_semi_join_prune",
+    "dedup_rate_by_source",
+    "near_dup_cluster_size_histogram",
 ]
 
 

@@ -191,9 +191,29 @@ def test_subqueries_decorrelate_to_hash_joins(spark):
         assert joins >= 1, f"{name}: no hash join in plan\n{plan}"
 
 
-def test_exists_plans_as_semi_join(spark):
+def test_exists_rewrite_preaggregates_fact_side(spark):
+    """exists_late_ship_orders is rewritten from the correlated EXISTS
+    (whose decorrelated semi join hash-builds the FULL fact projection —
+    an 18M-row broadcast at 30× stress) to a per-orderkey MAX pre-
+    aggregation joined to orders. The plan must show the aggregate
+    sitting below the join, and a partial (map-side) aggregation so the
+    reduction happens before the shuffle."""
     plan = plan_of(spark, "exists_late_ship_orders")
-    assert "LeftSemi" in plan
+    assert plan.index("HashAggregate") < plan.index("Join")
+    assert "partial_max(l_shipdate" in plan
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark):
+    """Both sides of bucketed_colocated_join are written bucketed+sorted
+    on the join key, so the sort-merge join must read them co-located:
+    no Exchange and no Sort on either join input (the only exchange in
+    the plan belongs to the final aggregation)."""
+    plan = plan_of(spark, "bucketed_colocated_join")
+    assert n_nodes(plan, "SortMergeJoin") == 1
+    join_section = plan[: plan.index("HashAggregate")]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert n_nodes(plan, "Sort") == 0, join_section
 
 
 def test_range_join_is_binned_hash_join_not_nested_loop(spark):
