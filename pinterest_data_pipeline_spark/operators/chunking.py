@@ -107,3 +107,97 @@ def pack_sequences(
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mask: int = 16,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking (the rsync/CDC primitive): split each
+    document at positions where a polynomial rolling hash of the last
+    ``window`` tokens lands in a ``1/mask`` target band, instead of at
+    fixed offsets. Fixed-width passages (see chunk_documents) break on
+    INSERTION — one added token shifts every later boundary, so a
+    near-identical document shares no passage hashes; CDC boundaries are
+    functions of local content only, so unmodified regions re-chunk
+    identically and dedup across document versions keeps working.
+
+    Emits one row per chunk: (id, chunk_idx, chunk_hash, chunk_tokens).
+    The whole pipeline is one codegen expression chain over the token
+    array (token hash → boundary filter → span zip → per-span slice+md5
+    inside a transform) followed by a single posexplode — no shuffle, no
+    UDF, no join; nothing but the final chunk rows leaves the projection.
+    The token hash is the portable md5 prefix so a SQL oracle reproduces
+    the identical chunking (DuckDB twin: cdc_chunk_dedup_report).
+
+    Expected chunk length is ``mask`` tokens (geometric); ``window``
+    controls boundary context. At 100 TB this is a pure map stage —
+    cost linear in tokens, output Σ n_tokens/mask rows."""
+    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+
+    b1, b2, b3 = 31, 31 * 31, 31 * 31 * 31
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    t, th = F.col("__t"), F.col("__th")
+    n = F.size(t)
+
+    def rolling_ok(i: Column) -> Column:
+        h = (
+            F.element_at(th, i)
+            + F.lit(b1) * F.element_at(th, i - 1)
+            + F.lit(b2) * F.element_at(th, i - 2)
+            + F.lit(b3) * F.element_at(th, i - 3)
+        ) % F.lit(1048576)
+        return (h % F.lit(mask)) == 0
+
+    # boundary END positions (1-based, inclusive); docs shorter than the
+    # window yield no boundaries (guard: Spark's sequence(a, b) runs
+    # BACKWARDS when a > b rather than returning empty)
+    bnd = F.when(
+        n >= window, F.filter(F.sequence(F.lit(window), n), rolling_ok)
+    ).otherwise(F.array().cast("array<int>"))
+    b = F.col("__bnd")
+    ends = F.when(
+        (F.size(b) > 0) & (F.element_at(b, -1) == n), b
+    ).otherwise(F.concat(b, F.array(n)))
+    e_ = F.col("__ends")
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(F.slice(e_, 1, F.size(e_) - 1), lambda x: x + 1),
+    )
+    chunks = F.transform(
+        F.arrays_zip(F.col("__starts").alias("s"), e_.alias("e")),
+        lambda sp: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(t, sp["s"], sp["e"] - sp["s"] + 1), " "
+                )
+            ).alias("chunk_hash"),
+            (sp["e"] - sp["s"] + 1).alias("chunk_tokens"),
+        ),
+    )
+    return (
+        df.select(
+            id_col,
+            *extra_cols,
+            toks.alias("__t"),
+            F.transform(toks, lambda x: portable_hash32(x)).alias("__th"),
+        )
+        .withColumn("__bnd", bnd)
+        .withColumn("__ends", ends)
+        .withColumn("__starts", starts)
+        .select(
+            id_col, *extra_cols, F.posexplode(chunks).alias("chunk_idx", "__c")
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            "chunk_idx",
+            F.col("__c.chunk_hash").alias("chunk_hash"),
+            F.col("__c.chunk_tokens").alias("chunk_tokens"),
+        )
+    )

@@ -123,6 +123,7 @@ CHECK_FIRST: list[str] = [
     "unigram_kl_by_source",
     "bloom_semi_join_prune",
     "bucketed_colocated_join",
+    "cdc_chunk_dedup_report",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their r2-green rows stand as evidence, refreshed when slots free:
     "embedding_near_dup_pairs",

@@ -2276,3 +2276,90 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ns").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "cdc_chunk_dedup_report",
+    oracle=f"""
+    WITH toks AS (SELECT source, doc_id, {_TOKS} AS t FROM documents),
+    h AS (
+        SELECT source, doc_id, t, len(t) AS n,
+               list_transform(t, x ->
+                   CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+        FROM toks
+    ),
+    r AS (
+        SELECT source, doc_id, t, n,
+               list_filter(range(4, n + 1),
+                   i -> ((th[i] + 31*th[i-1] + 961*th[i-2]
+                          + 29791*th[i-3]) % 1048576) % 16 = 0) AS bnd
+        FROM h
+    ),
+    sp AS (
+        SELECT source, doc_id, t,
+               CASE WHEN len(bnd) > 0 AND bnd[-1] = n THEN bnd
+                    ELSE bnd || [n] END AS ends
+        FROM r
+    ),
+    chunks AS (
+        SELECT source, doc_id,
+               unnest(list_transform(range(1, len(ends) + 1), j ->
+                   md5(array_to_string(
+                       t[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]],
+                       ' ')))) AS chunk_hash,
+               unnest(list_transform(range(1, len(ends) + 1), j ->
+                   ends[j] - (CASE WHEN j = 1 THEN 1
+                              ELSE ends[j-1] + 1 END) + 1)) AS chunk_tokens
+        FROM sp
+    ),
+    g AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+          FROM chunks GROUP BY chunk_hash)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(AVG(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS shared_rate,
+           round(AVG(CAST(chunk_tokens AS DOUBLE)), 6) AS avg_chunk_tokens
+    FROM chunks JOIN g USING (chunk_hash)
+    GROUP BY source
+    """,
+)
+def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunk dedup report: the CDC analog of
+    passage_dedup_report. Boundaries come from a rolling hash of the
+    last 4 tokens (operators/chunking.py cdc_chunks), so chunking is
+    insertion-robust — a one-token edit shifts every FIXED passage after
+    it but leaves all CDC chunks outside the edited span identical,
+    which is what makes chunk-level dedup work across document
+    versions/mirrors. Per source: chunk count, chunks shared with some
+    other document, shared rate and mean chunk length (expected ≈ the
+    16-token mask).
+
+    Scale: chunking is a shuffle-free expression map; the duplicate test
+    is one shuffle on the (uniform) chunk hash and a same-key join back,
+    then a rollup on source — the passage_dedup_report plan with a
+    smarter chunker. The DuckDB oracle reproduces the identical rolling
+    hash, boundaries, and chunk hashes from the portable md5-prefix
+    token hash."""
+    from pinterest_data_pipeline_spark.operators.chunking import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, extra_cols=("source",))
+    g = ch.groupBy("chunk_hash").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        ch.join(g, "chunk_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.round(
+                F.avg(F.when(F.col("nd") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("shared_rate"),
+            F.round(F.avg(F.col("chunk_tokens").cast("double")), 6).alias(
+                "avg_chunk_tokens"
+            ),
+        )
+    )

@@ -179,3 +179,43 @@ def test_extended_curation_composition(spark, sf_dir):
         .count()
     )
     assert fps == 1
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """The property that motivates CDC over fixed passages: inserting one
+    token at the FRONT of a document shifts every fixed-offset passage
+    (so none of their hashes survive) but leaves most content-defined
+    chunks identical — only chunks overlapping the edit change."""
+    from pinterest_data_pipeline_spark.operators.chunking import cdc_chunks
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(400))
+    edited = "INSERTED " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(docs).collect()
+    h1 = {r["chunk_hash"] for r in ch if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in ch if r["doc_id"] == 2}
+    shared = len(h1 & h2) / max(len(h1), 1)
+    assert shared >= 0.5, f"CDC shared only {shared:.2%} of chunks"
+    # chunk accounting: tokens partition exactly, every chunk non-empty
+    for doc_id, n_tokens in ((1, 400), (2, 401)):
+        rows = [r for r in ch if r["doc_id"] == doc_id]
+        assert sum(r["chunk_tokens"] for r in rows) == n_tokens
+        assert all(r["chunk_tokens"] >= 1 for r in rows)
+
+
+def test_cdc_chunks_short_doc_single_chunk(spark):
+    from pinterest_data_pipeline_spark.operators.chunking import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "only"), (3, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sum(r["chunk_tokens"] for r in by_doc[1]) == 2
+    assert sum(r["chunk_tokens"] for r in by_doc[2]) == 1
+    assert sum(r["chunk_tokens"] for r in by_doc[3]) == 8
