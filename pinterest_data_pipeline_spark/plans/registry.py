@@ -124,6 +124,7 @@ CHECK_FIRST: list[str] = [
     "bloom_semi_join_prune",
     "bucketed_colocated_join",
     "cdc_chunk_dedup_report",
+    "cross_source_containment",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their r2-green rows stand as evidence, refreshed when slots free:
     "embedding_near_dup_pairs",

@@ -2363,3 +2363,96 @@ def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cross_source_containment",
+    oracle=f"""
+    WITH toks AS (SELECT source, doc_id, {_TOKS} AS t FROM documents),
+    p AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(CAST(ceil(len(t)/20.0) AS BIGINT)),
+                   i -> md5(array_to_string(t[(20*i+1):(20*i+20)], ' '))))
+                   AS ph
+        FROM toks
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM p GROUP BY source),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM p a JOIN p b
+          ON a.ph = b.ph AND a.source <> b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / ta.n, 6) AS containment
+    FROM common JOIN tot ta ON ta.source = src_a
+    """,
+)
+def cross_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment matrix between sources over PASSAGE
+    hashes: |p(A) ∩ p(B)| / |p(A)| for every ordered source pair with
+    any shared 20-token passage — the mirror/syndication detector
+    (containment(A→B) ≈ 1 with small |A| means A is a subset mirror of
+    B). Passage-level, not whole-document: mirrors rewrap boilerplate
+    around copied bodies, so document fingerprints rarely collide across
+    feeds while their passages do.
+
+    Scale: distinct (source, passage-hash) — output bounded by corpus
+    passages — then a self-equi-join ON THE HASH (never source×source;
+    pairs materialize only for passages actually shared), one rollup,
+    and a broadcast of per-source totals. A passage shared by many
+    sources fans out |sources|² in its own key only."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    p = (
+        docs.select("source", t.alias("t"))
+        .select(
+            "source",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / F.lit(20.0)).cast("int") - F.lit(1),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice("t", F.col("i") * F.lit(20) + F.lit(1), F.lit(20)),
+                    " ",
+                )
+            ).alias("ph"),
+        )
+        .distinct()
+    )
+    tot = p.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = p.alias("a"), p.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.ph") == F.col("b.ph"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(tot.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n").cast("bigint").alias("n_a"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n"), 6
+            ).alias("containment"),
+        )
+    )
