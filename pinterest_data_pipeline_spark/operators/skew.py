@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,3 +70,46 @@ def salted_broadcast_left_join(
         "left",
     )
     return joined.drop("__salt")
+
+
+def salted_top_k(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int = 10,
+    n_salts: int = 16,
+    rank_alias: str = "rk",
+) -> DataFrame:
+    """Skew-safe per-key top-k.
+
+    The naive form — ``row_number() OVER (PARTITION BY keys ORDER BY
+    ...)`` — is the one hot-key shape NO planner can fix: every row of a
+    key must reach one task for the global rank, so a celebrity key
+    serializes (measured: half the corpus on one key puts half the
+    corpus in one window task; partial aggregation rescues groupBy but
+    nothing rescues a window). Top-k, however, is salvageable because it
+    is DECOMPOSABLE: phase 1 ranks within (keys, salt) — the hot key's
+    rows spread over ``n_salts`` tasks, each keeping its local top-k —
+    and phase 2 re-ranks the ≤ n_salts·k survivors per key. Identical
+    output to the naive window for any deterministic (total) ordering.
+
+    ``order_by`` must be a total order (break ties — e.g. ``[F.desc(
+    "value"), F.asc("event_id")]``) or neither form is well-defined."""
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+        ),
+    )
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_alias, F.row_number().over(w2))
+        .filter(F.col(rank_alias) <= k)
+    )

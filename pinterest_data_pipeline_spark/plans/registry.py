@@ -125,6 +125,7 @@ CHECK_FIRST: list[str] = [
     "bucketed_colocated_join",
     "cdc_chunk_dedup_report",
     "cross_source_containment",
+    "salted_topk_events_per_user",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their r2-green rows stand as evidence, refreshed when slots free:
     "embedding_near_dup_pairs",

@@ -1537,3 +1537,43 @@ def pivot_multi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("5-LOW_n").alias("low_n"),
         F.col("5-LOW_cents").alias("low_cents"),
     )
+
+
+@register(
+    "salted_topk_events_per_user",
+    oracle="""
+    SELECT user_id, CAST(rk AS INTEGER) AS rk, event_id, value
+    FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC, event_id ASC
+               ) AS rk
+        FROM events
+    ) WHERE rk <= 5
+    """,
+)
+def salted_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-key top-k (operators/skew.salted_top_k): phase 1
+    ranks within (user, salt) so a celebrity key's rows spread over 16
+    tasks, phase 2 re-ranks the ≤ 16·k survivors. Output is IDENTICAL to
+    the naive window for any total order — the oracle runs the naive
+    window.
+
+    Why it exists: a window over the hot key is the one skew shape no
+    planner fixes (every row of the key must reach one task; partial
+    aggregation rescues groupBy, AQE rescues joins — nothing rescues a
+    window). Measured on a 30M-row corpus with 50% of rows on one key
+    (scripts/skew_stress.py, SKEW.json): naive window 21.5 s vs salted
+    4.6 s — and the same harness shows the flip side, that salting the
+    plain count/sum AGGREGATION is a loss because map-side partial
+    aggregation already absorbs the hot key."""
+    from pinterest_data_pipeline_spark.operators.skew import salted_top_k
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_top_k(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"],
+        [F.desc("value"), F.asc("event_id")],
+        k=5,
+    ).select("user_id", "rk", "event_id", "value")

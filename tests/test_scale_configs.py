@@ -112,3 +112,37 @@ def test_aqe_splits_skewed_join_partition(spark):
         assert joined.count() == 100_000
     finally:
         _restore(spark, old)
+
+
+def test_salted_topk_equals_naive_window_on_skewed_input(spark):
+    """salted_top_k must return EXACTLY the naive window's top-k — rank,
+    ties, everything — on an input where one key owns half the rows and
+    k exceeds some groups' sizes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.skew import salted_top_k
+
+    df = (
+        spark.range(20_000)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.pmod(F.col("id"), F.lit(500)))
+            .alias("k"),
+            F.col("id").alias("row_id"),
+            (F.pmod(F.col("id") * 37, F.lit(1000))).cast("double").alias("v"),
+        )
+    )
+    order = [F.desc("v"), F.asc("row_id")]
+    w = Window.partitionBy("k").orderBy(*order)
+    naive = (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    )
+    salted = salted_top_k(df, ["k"], order, k=10).collect()
+    key = lambda r: (r["k"], r["rk"], r["row_id"], r["v"])  # noqa: E731
+    assert sorted(map(key, naive)) == sorted(map(key, salted))
+    # the hot key (7) and a sparse key both produced rows
+    ks = {r["k"] for r in salted}
+    assert 7 in ks and len(ks) > 100
