@@ -127,9 +127,14 @@ CHECK_FIRST: list[str] = [
     "cross_source_containment",
     "salted_topk_events_per_user",
     # -- implementation changed in round 3 (per the re-queue policy);
-    # their r2-green rows stand as evidence, refreshed when slots free:
+    # their prior green rows stand as evidence, refreshed when slots
+    # free (operators/skew.py gained salted_top_k; clustering.py gained
+    # the pair-materialization barrier; subquery_ops rewrote the EXISTS
+    # plan — exists_late_ship_orders already queues in the head):
     "embedding_near_dup_pairs",
     "semantic_dedup_survivors",
+    "salted_agg_events",
+    "salted_join_orders_customer",
     # -- rows-only, never driver-checked; weaker signal, so they queue
     # behind every oracle-backed entry:
     "python_datasource_clean_pins",
