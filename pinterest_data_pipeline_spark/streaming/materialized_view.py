@@ -45,6 +45,19 @@ def materialized_rollup_stream(
     state) with :func:`streaming.sinks.read_target` +
     ``rollup_maintenance.finalize_rollup``."""
     os.makedirs(target_dir, exist_ok=True)
+    apply_batch = make_rollup_batch_fn(target_dir, keys, value_col)
+    return (
+        events.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def make_rollup_batch_fn(target_dir: str, keys: list[str], value_col: str):
+    """The foreachBatch function, exposed so the crash-replay contract is
+    directly testable (tests invoke it twice with one batch_id and assert
+    idempotence — the streaming runtime only replays on real crashes)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pinterest_data_pipeline_spark.streaming.sinks import (
@@ -72,9 +85,4 @@ def materialized_rollup_stream(
             json.dump({"current": version, "batch_id": batch_id}, f)
         os.replace(tmp, os.path.join(target_dir, _MANIFEST))
 
-    return (
-        events.writeStream.outputMode("update")
-        .foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return apply_batch

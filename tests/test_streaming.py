@@ -733,3 +733,43 @@ def test_table_changes_classifies_insert_update_delete(spark, tmp_path):
     assert _json.loads(changes[1]["payload_json"])["v"] == 10.0  # from-side
     # time travel still reads the old snapshot
     assert s.read_target_version(spark, target, "v0000000000").count() == 3
+
+
+def test_materialized_view_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: foreachBatch re-delivers a batch whose
+    manifest commit already landed (checkpoint lagged the sink). The
+    rollup merge is additive, so without the batch_id guard the replay
+    double-counts; with it the second delivery is a no-op and a LATER
+    batch still merges normally."""
+    from pinterest_data_pipeline_spark.operators.rollup_maintenance import (
+        finalize_rollup,
+    )
+    from pinterest_data_pipeline_spark.streaming.materialized_view import (
+        make_rollup_batch_fn,
+    )
+    from pinterest_data_pipeline_spark.streaming.sinks import read_target
+
+    target = str(tmp_path / "mv")
+    os.makedirs(target, exist_ok=True)
+    fn = make_rollup_batch_fn(target, ["k"], "v")
+    b0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"
+    )
+    fn(b0, 0)
+    snapshot = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in finalize_rollup(read_target(spark, target)).collect()
+    }
+    fn(b0, 0)  # replayed delivery of the SAME committed batch
+    replayed = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in finalize_rollup(read_target(spark, target)).collect()
+    }
+    assert replayed == snapshot, "replayed batch double-counted"
+    b1 = spark.createDataFrame([("a", 10.0)], "k string, v double")
+    fn(b1, 1)  # a genuinely new batch still merges
+    after = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in finalize_rollup(read_target(spark, target)).collect()
+    }
+    assert after["a"] == (3, 13.0) and after["b"] == (1, 5.0)
