@@ -363,3 +363,215 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------- round-3 TPC-H shape fill-in
+#
+# Four more canonical TPC-H plan shapes, adapted to this testdata's
+# columns (no partsupp/phone): the left-join count histogram (Q13), the
+# HAVING-gated IN subquery (Q18), the aggregate-over-aggregate share
+# gate (Q11), and the anti-join + scalar-average gate (Q22). Each brings
+# a distinct optimizer shape the suite didn't yet pin.
+
+
+@register(
+    "order_count_histogram",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by (filtered) order
+    count, INCLUDING zero-order customers — which is why the join must
+    be a left outer with the filter in the JOIN CONDITION, not a WHERE
+    (a WHERE would silently turn it inner and drop the zero bucket).
+
+    Scale: one shuffle join on custkey (orders side pre-filtered
+    map-side), one partial-agg count per customer, then a tiny
+    histogram rollup. COUNT(col) ignores the left join's NULLs — no
+    special-casing."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "big_order_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 120
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding orders whose total quantity
+    crosses a threshold — the HAVING-gated IN subquery. Catalyst plans
+    the IN as a left-semi join against the aggregated subquery, so the
+    fact table is scanned twice but SHUFFLED once per purpose, and the
+    gate aggregation is partial-combined map-side. Quantity totals go
+    through DECIMAL so both engines sum exactly."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gate = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            gate.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+            "semi",
+        )
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+@register(
+    "part_revenue_share_gate",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(rev_cents AS BIGINT) AS rev_cents
+    FROM pr
+    WHERE rev_cents > (SELECT 1.5 * AVG(rev_cents) FROM pr)
+    """,
+)
+def part_revenue_share_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: keep parts whose revenue exceeds a multiple of
+    the MEAN part revenue — aggregate filtered by an aggregate over
+    itself (share-of-total adapted to a scale-invariant gate: a fixed
+    fraction of the grand total selects nothing once the part count
+    grows, while k×mean keeps a stable tail at every SF).
+    The per-part rollup is computed once and reused for both the gate
+    scalar and the output (self-referencing CTE); exact integer cents
+    make the share comparison bit-stable.
+
+    Scale: one shuffle on partkey; the grand total is a 1-row broadcast
+    (scalar subquery), never a second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_cents"))
+    total = pr.agg((F.lit(1.5) * F.avg("rev_cents")).alias("gate"))
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_cents") > F.col("gate"))
+        .select("l_partkey", F.col("rev_cents").cast("bigint").alias("rev_cents"))
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    oracle="""
+    WITH gate AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS ab
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey % 2 = 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer, gate
+    WHERE c_nationkey % 2 = 0
+      AND c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nationkey band instead of phone
+    prefixes): customers in selected nations with above-average balance
+    and no RECENT order (none since 1998 — in this testdata every
+    customer has some order, so Q22's "never ordered" is adapted to
+    dormancy, keeping the anti-join shape with a pushed-down date
+    predicate on the anti side). The average is
+    computed as exact-DECIMAL sum / count so both engines derive the
+    identical threshold (a streamed double AVG is partition-order
+    dependent in its last bits, and a boundary-sitting balance would
+    then flip membership between engines).
+
+    Scale: gate is a 1-row broadcast; the anti join shuffles on custkey
+    only for customers passing the balance filter (selectivity applied
+    before the join); one final rollup on nationkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    band = F.col("c_nationkey") % 2 == 0
+    gate = (
+        cust.filter((F.col("c_acctbal") > 0.0) & band)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    return (
+        cust.filter(band)
+        .crossJoin(F.broadcast(gate))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate")
+                >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -126,6 +126,10 @@ CHECK_FIRST: list[str] = [
     "cdc_chunk_dedup_report",
     "cross_source_containment",
     "salted_topk_events_per_user",
+    "order_count_histogram",
+    "big_order_customers",
+    "part_revenue_share_gate",
+    "dormant_rich_customers",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their prior green rows stand as evidence, refreshed when slots
     # free (operators/skew.py gained salted_top_k; clustering.py gained
