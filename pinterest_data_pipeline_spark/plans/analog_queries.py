@@ -496,7 +496,16 @@ def part_revenue_share_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
-    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_cents"))
+    # materialize the per-part rollup once: the gate scalar and the
+    # output both read it, and Catalyst's ReuseExchange did not dedupe
+    # the two aggregate branches here (verified in the formatted plan) —
+    # without the barrier the FACT table is scanned and shuffled twice.
+    # The checkpointed relation is |parts| rows, tiny next to lineitem.
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev).alias("rev_cents"))
+        .localCheckpoint(eager=False)
+    )
     total = pr.agg((F.lit(1.5) * F.avg("rev_cents")).alias("gate"))
     return (
         pr.crossJoin(F.broadcast(total))
