@@ -130,6 +130,8 @@ CHECK_FIRST: list[str] = [
     "big_order_customers",
     "part_revenue_share_gate",
     "dormant_rich_customers",
+    "set_except_all_multiset",
+    "set_intersect_all_multiset",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their prior green rows stand as evidence, refreshed when slots
     # free (operators/skew.py gained salted_top_k; clustering.py gained

@@ -1577,3 +1577,49 @@ def salted_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("value"), F.asc("event_id")],
         k=5,
     ).select("user_id", "rk", "event_id", "value")
+
+
+@register(
+    "set_except_all_multiset",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) difference: each left occurrence is
+    cancelled by at most one right occurrence, so duplicate
+    multiplicities survive (the DISTINCT form would collapse them).
+    Spark plans this as a single shuffle with per-key counters, not an
+    anti join; the inputs deliberately overlap so multiplicity handling
+    is actually exercised."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return big.exceptAll(urgent)
+
+
+@register(
+    "set_intersect_all_multiset",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection: min of the two multiplicities
+    per value survives."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return big.intersectAll(urgent)
