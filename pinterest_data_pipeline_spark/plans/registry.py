@@ -141,6 +141,10 @@ CHECK_FIRST: list[str] = [
     "semantic_dedup_survivors",
     "salted_agg_events",
     "salted_join_orders_customer",
+    # corpus_curation_full gained a full end-to-end oracle this round
+    # (portable-hash funnel: scoring, exact dedup, LSH clusters, counts
+    # all recomputed in DuckDB) — queue with the oracle-backed changed set:
+    "corpus_curation_full",
     # -- rows-only, never driver-checked; weaker signal, so they queue
     # behind every oracle-backed entry:
     "python_datasource_clean_pins",
@@ -148,7 +152,6 @@ CHECK_FIRST: list[str] = [
     "multimodal_raw_decode_features",
     "ivf_kmeans_codebook_assign",
     "embedding_lsh_near_duplicates",
-    "corpus_curation_full",
     "embedding_ivf_multiprobe_topk",
     "incremental_minhash_new_pairs",
     "argmax_literal_max_first",

@@ -723,7 +723,93 @@ def text_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("corpus_curation_full")  # iterative near-dup clustering: rows-only
+@register(
+    "corpus_curation_full",
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, text,
+               round(0.4 * least((CAST({_hits("en")} AS DOUBLE)
+                       / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 4.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+                                        / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)
+                                        BETWEEN 3.0 AND 12.0
+                              THEN 1.0 ELSE 0.0 END)
+                     + 0.2 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0))
+                     + 0.1 * (1.0 - least((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                           / greatest(length(text), 1)) * 5.0, 1.0)), 6)
+                   AS quality,
+               md5({_NORM_TEXT}) AS fingerprint
+        FROM documents
+    ),
+    surv AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM scored WHERE quality >= 0.5 GROUP BY fingerprint
+    ),
+    sdocs AS (
+        SELECT sc.doc_id, sc.text FROM surv s JOIN scored sc USING (doc_id)
+    ),
+    sh AS (SELECT doc_id, {_TRIGRAMS} AS g FROM sdocs),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(g,
+                   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({_MH_PARAMS_SQL},
+                   p -> list_min(list_transform(hs,
+                            h -> (p[1] * h + p[2]) % 4294967311))) AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, bb.band AS band,
+               md5(concat_ws(',', bb.band,
+                   sig[bb.band * 4 + 1], sig[bb.band * 4 + 2],
+                   sig[bb.band * 4 + 3], sig[bb.band * 4 + 4])) AS key
+        FROM sig, (SELECT unnest(range(0, 8)) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1)
+              >= 0.5
+    ),
+    und AS (
+        SELECT id_a AS s, id_b AS t FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(node, r) AS (
+        SELECT s, s FROM und
+        UNION
+        SELECT u.t, reach.r FROM reach JOIN und u ON u.s = reach.node
+    ),
+    noncanon AS (
+        SELECT node AS doc_id FROM (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ) WHERE cluster_id <> node
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+        SELECT 'input' AS stage, (SELECT COUNT(*) FROM scored) AS n_docs
+        UNION ALL
+        SELECT 'quality_pass', (SELECT COUNT(*) FROM scored WHERE quality >= 0.5)
+        UNION ALL
+        SELECT 'exact_dedup', (SELECT COUNT(*) FROM surv)
+        UNION ALL
+        SELECT 'near_dedup_final',
+               (SELECT COUNT(*) FROM surv
+                WHERE doc_id NOT IN (SELECT doc_id FROM noncanon))
+    )
+    """,
+)
 def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete curation pipeline a training-data build runs:
 
@@ -771,10 +857,15 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving_docs = scored.select("doc_id", "text").join(
         exact_survivors, "doc_id", "semi"
     )
+    # portable=True: the md5-prefix hash lets the DuckDB oracle recompute
+    # the IDENTICAL signatures/bands/verified pairs, so the whole funnel
+    # — scoring, exact dedup, LSH clustering, final counts — is value-
+    # verified end-to-end. Production callers keep the operator default
+    # (xxhash64); the delta is the cost of a cross-engine gate (PERF.md).
     pairs = dedup.near_duplicates_minhash(
-        surviving_docs, "doc_id", "text", threshold=0.5
+        surviving_docs, "doc_id", "text", threshold=0.5, portable=True
     )
-    clusters = duplicate_clusters(pairs)
+    clusters = duplicate_clusters(pairs, iterations=12)
     # drop non-canonical cluster members (cluster_id == canonical doc_id)
     non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
