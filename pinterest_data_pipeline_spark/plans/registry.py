@@ -145,13 +145,15 @@ CHECK_FIRST: list[str] = [
     # (portable-hash funnel: scoring, exact dedup, LSH clusters, counts
     # all recomputed in DuckDB) — queue with the oracle-backed changed set:
     "corpus_curation_full",
+    # embedding_lsh_near_duplicates likewise gained a full oracle (baked
+    # hyperplane literals; DuckDB recomputes bands + verified scores):
+    "embedding_lsh_near_duplicates",
     # -- rows-only, never driver-checked; weaker signal, so they queue
     # behind every oracle-backed entry:
     "python_datasource_clean_pins",
     "multimodal_decode_features",
     "multimodal_raw_decode_features",
     "ivf_kmeans_codebook_assign",
-    "embedding_lsh_near_duplicates",
     "embedding_ivf_multiprobe_topk",
     "incremental_minhash_new_pairs",
     "argmax_literal_max_first",

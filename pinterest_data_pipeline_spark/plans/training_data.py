@@ -654,7 +654,52 @@ def ivf_kmeans_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
-@register("embedding_lsh_near_duplicates")  # banded hyperplane LSH: rows-only
+# The identical seed-7 hyperplanes baked as SQL literals (repr round-trips
+# doubles exactly, so DuckDB parses bit-identical plane components), and
+# the projections use the same list_sum/list_transform fold _cos_sql
+# already hash-matches — which makes even banded VECTOR LSH portable.
+_PLANES_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + "]"
+        for plane in similarity._hyperplanes(64, 32, 7)
+    )
+    + "]"
+)
+
+
+@register(
+    "embedding_lsh_near_duplicates",
+    oracle=f"""
+    WITH planes AS (
+        SELECT i AS pidx, {_PLANES_SQL}[i] AS p
+        FROM (SELECT unnest(range(1, 33)) AS i)
+    ),
+    proj AS (
+        SELECT e.vec_id,
+               CAST((pl.pidx - 1) // 8 AS BIGINT) AS band,
+               CAST((pl.pidx - 1) % 8 AS BIGINT) AS bit,
+               list_sum(list_transform(range(1, 65), j ->
+                   CAST(e.embedding[j] AS DOUBLE) * pl.p[j])) AS pr
+        FROM embeddings e, planes pl
+    ),
+    keys AS (
+        SELECT vec_id, band,
+               SUM(CASE WHEN pr >= 0 THEN (1 << bit) ELSE 0 END) AS key
+        FROM proj GROUP BY vec_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM keys l JOIN keys r
+          ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+    )
+    SELECT DISTINCT c.id_a, c.id_b, {_cos_sql('a', 'b')} AS score
+    FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+                JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {_cos_sql('a', 'b')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
 def embedding_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector analog of MinHash LSH: banded random-hyperplane buckets +
     exact cosine verification (threshold 0.4 here so the corpus — whose
