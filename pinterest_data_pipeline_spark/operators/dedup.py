@@ -565,6 +565,7 @@ def incremental_minhash_candidates(
     shingle_k: int = 3,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup CANDIDATES for an increment against a stored corpus —
     only the new documents are signatured; the corpus participates as
@@ -583,7 +584,7 @@ def incremental_minhash_candidates(
     would drop; the union can strictly EXCEED the capped one-shot set.
     Capped incremental runs over-emit (never under-emit) vs one-shot."""
     new_banded = minhash_banded(
-        increment, id_col, text_col, n_hashes, bands, shingle_k, seed
+        increment, id_col, text_col, n_hashes, bands, shingle_k, seed, portable
     ).withColumn("__new", F.lit(True))
     all_banded = existing_banded.withColumn(
         "__new", F.lit(False)

@@ -148,6 +148,7 @@ CHECK_FIRST: list[str] = [
     # embedding_lsh_near_duplicates likewise gained a full oracle (baked
     # hyperplane literals; DuckDB recomputes bands + verified scores):
     "embedding_lsh_near_duplicates",
+    "incremental_minhash_new_pairs",
     # -- rows-only, never driver-checked; weaker signal, so they queue
     # behind every oracle-backed entry:
     "python_datasource_clean_pins",
@@ -155,7 +156,6 @@ CHECK_FIRST: list[str] = [
     "multimodal_raw_decode_features",
     "ivf_kmeans_codebook_assign",
     "embedding_ivf_multiprobe_topk",
-    "incremental_minhash_new_pairs",
     "argmax_literal_max_first",
 ]
 

@@ -1715,19 +1715,58 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fingerprint")
 
 
-@register("incremental_minhash_new_pairs")  # banded hashing: rows-only check (LSH band keys, like minhash_lsh_near_duplicates)
+@register(
+    "incremental_minhash_new_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(g,
+                   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({_MH_PARAMS_SQL},
+                   p -> list_min(list_transform(hs,
+                            h -> (p[1] * h + p[2]) % 4294967311))) AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, bb.band AS band,
+               md5(concat_ws(',', bb.band,
+                   sig[bb.band * 4 + 1], sig[bb.band * 4 + 2],
+                   sig[bb.band * 4 + 3], sig[bb.band * 4 + 4])) AS key
+        FROM sig, (SELECT unnest(range(0, 8)) AS band) bb
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    WHERE l.doc_id >= 300 OR r.doc_id >= 300
+    """,
+)
 def incremental_minhash_new_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup candidates: docs ≥ 300 signatured and joined
     against the STORED band table of docs < 300 — per-ingest LSH cost is
     O(increment) + one bucket join against state; union over ingests
     equals the one-shot candidate set (convergence pinned by
-    tests/test_dedup_similarity.py)."""
+    tests/test_dedup_similarity.py). Registered in portable-hash mode so
+    the oracle recomputes the full-corpus band table and keeps exactly
+    the candidates with ≥1 new member — the same set the incremental
+    join emits (production callers keep xxhash via the operator
+    default)."""
     docs = load_table(spark, sf_dir, "documents")
     state = dedup.minhash_banded(
-        docs.filter(F.col("doc_id") < 300), "doc_id", "text"
+        docs.filter(F.col("doc_id") < 300), "doc_id", "text", portable=True
     )
     return dedup.incremental_minhash_candidates(
-        docs.filter(F.col("doc_id") >= 300), state, "doc_id", "text"
+        docs.filter(F.col("doc_id") >= 300),
+        state,
+        "doc_id",
+        "text",
+        portable=True,
     )
 
 
