@@ -180,8 +180,13 @@ def cdc_chunks(
             (sp["e"] - sp["s"] + 1).alias("chunk_tokens"),
         ),
     )
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    # fan_out: per-token md5 + rolling-hash filters are expensive per-row
+    # expressions; a one-row-group input would otherwise run them in a
+    # single task (same hazard as every other heavy text projection)
     return (
-        df.select(
+        fan_out(df).select(
             id_col,
             *extra_cols,
             toks.alias("__t"),

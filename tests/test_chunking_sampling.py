@@ -219,3 +219,20 @@ def test_cdc_chunks_short_doc_single_chunk(spark):
     assert sum(r["chunk_tokens"] for r in by_doc[1]) == 2
     assert sum(r["chunk_tokens"] for r in by_doc[2]) == 1
     assert sum(r["chunk_tokens"] for r in by_doc[3]) == 8
+
+
+def test_cdc_chunks_partition_invariant(spark):
+    """CDC chunking must be a pure function of each row — identical
+    output under any partitioning/row order (hash determinism is what
+    lets incremental runs re-chunk history-free)."""
+    from pinterest_data_pipeline_spark.operators.chunking import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 31 + j) % 101}" for j in range(120)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["chunk_hash"], r["chunk_tokens"])  # noqa: E731
+    one = sorted(map(key, cdc_chunks(docs.repartition(1)).collect()))
+    many = sorted(map(key, cdc_chunks(docs.repartition(7)).collect()))
+    assert one == many
