@@ -132,6 +132,7 @@ CHECK_FIRST: list[str] = [
     "dormant_rich_customers",
     "set_except_all_multiset",
     "set_intersect_all_multiset",
+    "weighted_sample_per_source",
     # -- implementation changed in round 3 (per the re-queue policy);
     # their prior green rows stand as evidence, refreshed when slots
     # free (operators/skew.py gained salted_top_k; clustering.py gained

@@ -2631,3 +2631,76 @@ def cross_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT)
+               // (CAST(floor(round(
+                      0.4 * least((CAST({_hits("en")} AS DOUBLE)
+                              / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 4.0, 1.0)
+                      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+                                         / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)
+                                         BETWEEN 3.0 AND 12.0
+                               THEN 1.0 ELSE 0.0 END)
+                      + 0.2 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                            / greatest(length(text), 1)) * 5.0, 1.0))
+                      + 0.1 * (1.0 - least((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                            / greatest(length(text), 1)) * 5.0, 1.0)), 6)
+                    * 10) AS BIGINT) + 1) AS priority
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY priority ASC, doc_id ASC
+               ) AS rk
+        FROM w
+    ) WHERE rk <= 10
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic QUALITY-WEIGHTED sample, 10 docs per source: each
+    document draws an md5-uniform 60-bit priority divided (integer
+    division) by its integer-scaled quality weight, and the k lowest
+    priorities win — higher-quality documents systematically draw lower
+    priorities, so inclusion probability rises with weight while the
+    draw stays reproducible across engines, retries and partitionings.
+
+    Why integer arithmetic and not textbook A-Res (u^(1/w)): pow/ln are
+    libm calls whose last ulp differs between the JVM and DuckDB, and a
+    1-ulp flip near a rank boundary would flip the SAMPLE — the same
+    determinism discipline that bans streamed double sums from
+    thresholds (see dormant_rich_customers). Integer division of the
+    60-bit hash by the 1..11 weight is exact everywhere.
+
+    Scale: one window per source partition, WindowGroupLimit pushes the
+    top-k below the shuffle; no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    # floor (not round/cast): Spark's double→long cast truncates while
+    # DuckDB's rounds, and round() half-cases depend on engine rounding
+    # mode — floor is identical everywhere on identical doubles. `div`
+    # (not /): Spark's / on longs is DOUBLE division, lossy above 2^53.
+    w_int = F.floor(text.quality_score("text") * 10).cast("bigint") + F.lit(1)
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    win = Window.partitionBy("source").orderBy(
+        F.asc("priority"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", h60.alias("__h"), w_int.alias("__w")
+        )
+        .select(
+            "source", "doc_id", F.expr("__h div __w").alias("priority")
+        )
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "rk")
+    )
