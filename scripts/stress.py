@@ -85,6 +85,16 @@ QUERIES = [
     "bloom_semi_join_prune",
     "dedup_rate_by_source",
     "near_dup_cluster_size_histogram",
+    # round-3 continuation: CDC chunking, containment, skew-safe top-k,
+    # TPC-H shape fill-ins, bucketed layout join, weighted sampling
+    "cdc_chunk_dedup_report",
+    "cross_source_containment",
+    "salted_topk_events_per_user",
+    "order_count_histogram",
+    "big_order_customers",
+    "part_revenue_share_gate",
+    "bucketed_colocated_join",
+    "weighted_sample_per_source",
 ]
 
 
