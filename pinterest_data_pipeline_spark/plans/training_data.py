@@ -439,7 +439,30 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_raw_decode_features")  # numpy float64 reductions: rows-only (byte-slicing + stddev not portably SQL-expressible)
+@register(
+    "multimodal_raw_decode_features",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id AS asset_id,
+               list_transform(range(1, 257), i ->
+                   CASE WHEN i <= length(text)
+                        THEN CAST(ascii(substr(text, i, 1)) AS BIGINT)
+                        ELSE 0 END) AS v
+        FROM documents
+    )
+    SELECT asset_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(list_sum(v) AS BIGINT) AS sum_px,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+               AS sum_sq_px,
+           array_to_string(list_transform(range(0, 16), b ->
+               list_sum(list_transform(range(0, 16), k ->
+                   v[((b // 4) * 4 + (k // 4)) * 16
+                     + ((b % 4) * 4 + (k % 4)) + 1]))), '|') AS thumb_sums
+    FROM px
+    """,
+)
 def multimodal_raw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL raw-bitmap decode (no codec needed): payload bytes read as
     16×16 grayscale, numpy mean/std + 4×4 block-mean thumbnail over
@@ -452,12 +475,25 @@ def multimodal_raw_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
     feats = multimodal.decode_raw_bitmap_features(
         multimodal.attach_binary_payload(docs)
     )
-    return feats.withColumn(
-        "thumb_4x4",
+    # Oracle-portable output: EXACT integer statistics. Byte sums (and
+    # squared-byte sums) are exact in int64/float64 under ANY summation
+    # order, so numpy's pairwise reduction and DuckDB's sequential fold
+    # agree bit-for-bit with no rounding anywhere — float means hit
+    # round-half boundaries (0.3703125 rounds differently under HALF_UP
+    # vs half-to-even) and double→string rendering differs between
+    # engines. mean = sum_px/(255·256), var = the usual moments — any
+    # consumer derives the float stats; the cross-engine CONTRACT is
+    # integer-exact.
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "sum_px",
+        "sum_sq_px",
         F.array_join(
-            F.transform(F.col("thumb_4x4"), lambda x: F.round(x, 6).cast("string")),
+            F.transform(F.col("thumb_sums"), lambda x: x.cast("string")),
             "|",
-        ),
+        ).alias("thumb_sums"),
     )
 
 

@@ -131,3 +131,8 @@ def test_raw_bitmap_decode_matches_numpy_recompute(spark, sf_dir):
         img = px.reshape(16, 16)
         thumb = img.reshape(4, 4, 4, 4).mean(axis=(1, 3)).reshape(16)
         assert np.array_equal(np.array(got[aid]["thumb_4x4"]), thumb)
+        ints = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        assert got[aid]["sum_px"] == int(ints.sum())
+        assert got[aid]["sum_sq_px"] == int((ints * ints).sum())
+        tsum = ints.reshape(4, 4, 4, 4).sum(axis=(1, 3)).reshape(16)
+        assert list(got[aid]["thumb_sums"]) == [int(x) for x in tsum]
