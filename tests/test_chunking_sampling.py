@@ -236,3 +236,27 @@ def test_cdc_chunks_partition_invariant(spark):
     one = sorted(map(key, cdc_chunks(docs.repartition(1)).collect()))
     many = sorted(map(key, cdc_chunks(docs.repartition(7)).collect()))
     assert one == many
+
+
+def test_weighted_sample_biases_toward_quality(spark, sf_dir):
+    """weighted_sample_per_source must actually BIAS: the sampled docs'
+    mean quality exceeds the corpus mean (integer priority division by
+    the weight makes high-quality docs draw lower priorities), while the
+    same md5 priority WITHOUT weighting has no such pull."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from pinterest_data_pipeline_spark.operators import text
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.quality_score("text").alias("q")
+    )
+    corpus_mean = docs.agg(F.avg("q")).first()[0]
+    sample = entry_mod.queries()["weighted_sample_per_source"](
+        spark, sf_dir
+    )
+    sampled_mean = (
+        sample.join(docs, "doc_id").agg(F.avg("q")).first()[0]
+    )
+    assert sampled_mean > corpus_mean, (sampled_mean, corpus_mean)
