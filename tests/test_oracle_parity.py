@@ -49,3 +49,17 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert qs, "no queries registered"
     for name in oracles:
         assert name in qs, f"oracle {name} has no query"
+
+
+def test_rotation_lists_only_name_registered_queries():
+    """A typo'd name in CHECK_FIRST/CHECK_LAST silently drops out of
+    ordered_queries() — so pin that every rotation entry resolves, has
+    no duplicates, and the ordering covers the full registry."""
+    from pinterest_data_pipeline_spark.plans import registry
+
+    qs = set(entry_mod.queries())
+    for name in registry.CHECK_FIRST + registry.CHECK_LAST:
+        assert name in qs, f"rotation entry not registered: {name}"
+    assert len(set(registry.CHECK_FIRST)) == len(registry.CHECK_FIRST)
+    assert len(set(registry.CHECK_LAST)) == len(registry.CHECK_LAST)
+    assert set(registry.ordered_queries()) == qs
