@@ -139,20 +139,26 @@ def cdc_chunks(
     cost linear in tokens, output Σ n_tokens/mask rows."""
     from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
 
-    b1, b2, b3 = 31, 31 * 31, 31 * 31 * 31
+    if window < 1:
+        raise ValueError(f"cdc_chunks window must be >= 1, got {window}")
+    # polynomial taps 31^j for the last `window` token hashes, reduced
+    # mod the 2^20 hash ring up front: keeps every addend < 2^52 so the
+    # sum can't overflow LONG under ANSI mode at any window size, and
+    # (a*b) % m == ((a%m)*b) % m keeps the boundary decision identical
+    coeffs = [pow(31, j, 1048576) for j in range(window)]
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
 
     t, th = F.col("__t"), F.col("__th")
     n = F.size(t)
 
     def rolling_ok(i: Column) -> Column:
-        h = (
-            F.element_at(th, i)
-            + F.lit(b1) * F.element_at(th, i - 1)
-            + F.lit(b2) * F.element_at(th, i - 2)
-            + F.lit(b3) * F.element_at(th, i - 3)
-        ) % F.lit(1048576)
-        return (h % F.lit(mask)) == 0
+        terms = [
+            F.lit(c) * F.element_at(th, i - j) for j, c in enumerate(coeffs)
+        ]
+        total = terms[0]
+        for term in terms[1:]:
+            total = total + term
+        return ((total % F.lit(1048576)) % F.lit(mask)) == 0
 
     # boundary END positions (1-based, inclusive); docs shorter than the
     # window yield no boundaries (guard: Spark's sequence(a, b) runs

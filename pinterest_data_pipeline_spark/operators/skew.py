@@ -19,6 +19,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _content_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts): xxhash64 of every
+    column of the row.
+
+    NOT ``monotonically_increasing_id()``/``rand()``: those are
+    nondeterministic across task attempts, and a salt feeding a shuffle
+    must survive stage retries — on a fetch-failure re-run a row must
+    land in the SAME partial group, or phase-1 local filtering (top-k)
+    can drop/duplicate survivors. Content-hashing the full row is
+    attempt-stable; exact-duplicate rows share a salt, which only
+    (slightly) widens the spread of a key made of identical rows, never
+    changes the result. Requires hashable column types (no MapType)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
 def salted_count_sum(
     df: DataFrame,
     keys: Sequence[str],
@@ -33,9 +48,7 @@ def salted_count_sum(
     ``n_salts`` reducers; phase 2 re-aggregates the ≤ ``n_salts`` partials
     per key. The sum goes through DECIMAL so the two-phase result is
     bit-identical to the direct aggregation (and the oracle)."""
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    salted = df.withColumn("__salt", _content_salt(df, n_salts))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count("*").alias("__pn"),
         F.sum(F.col(sum_col).cast("decimal(18,2)")).alias("__psum"),
@@ -61,9 +74,7 @@ def salted_broadcast_left_join(
         F.col("id").cast("long").alias("__salt")
     )
     small_rep = small.crossJoin(salts)  # |small| × n_salts replicas
-    big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    big_salted = big.withColumn("__salt", _content_salt(big, n_salts))
     joined = big_salted.join(
         F.broadcast(small_rep),
         [key, "__salt"],
@@ -96,12 +107,7 @@ def salted_top_k(
     ``order_by`` must be a total order (break ties — e.g. ``[F.desc(
     "value"), F.asc("event_id")]``) or neither form is well-defined."""
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    salted = df.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
-        ),
-    )
+    salted = df.withColumn("__salt", _content_salt(df, n_salts))
     w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_cols)
     survivors = (
         salted.withColumn("__r1", F.row_number().over(w1))

@@ -370,8 +370,8 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS revenue_cents
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
     """,
@@ -630,7 +630,8 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
     FROM orders
     GROUP BY ALL
     ORDER BY ALL

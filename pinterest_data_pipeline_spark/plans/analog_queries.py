@@ -240,8 +240,8 @@ def q5_orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                    AS BIGINT)) AS volume_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS volume_cents,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
@@ -305,8 +305,8 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                    AS BIGINT)) AS volume_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS volume_cents,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -474,10 +474,14 @@ def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                         AS BIGINT)) AS rev_cents
         FROM lineitem GROUP BY l_partkey
+    ), g AS (
+        SELECT CAST(SUM(rev_cents) AS HUGEINT) AS tot,
+               CAST(COUNT(*) AS HUGEINT) AS n
+        FROM pr
     )
     SELECT l_partkey, CAST(rev_cents AS BIGINT) AS rev_cents
-    FROM pr
-    WHERE rev_cents > (SELECT 1.5 * AVG(rev_cents) FROM pr)
+    FROM pr, g
+    WHERE 2 * CAST(rev_cents AS HUGEINT) * n > 3 * tot
     """,
 )
 def part_revenue_share_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,6 +493,13 @@ def part_revenue_share_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-part rollup is computed once and reused for both the gate
     scalar and the output (self-referencing CTE); exact integer cents
     make the share comparison bit-stable.
+
+    The gate itself is exact integer arithmetic: ``rev > 1.5·mean`` is
+    evaluated as ``2·rev·n > 3·total`` (no division, no double
+    accumulation — an AVG-based gate sums doubles in partition order
+    and a boundary-sitting part could flip membership between engines;
+    same discipline as dormant_rich_customers). The products run in
+    DECIMAL/HUGEINT internally so they cannot overflow at any SF.
 
     Scale: one shuffle on partkey; the grand total is a 1-row broadcast
     (scalar subquery), never a second scan of lineitem."""
@@ -506,10 +517,16 @@ def part_revenue_share_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("rev_cents"))
         .localCheckpoint(eager=False)
     )
-    total = pr.agg((F.lit(1.5) * F.avg("rev_cents")).alias("gate"))
+    total = pr.agg(
+        F.sum("rev_cents").cast("decimal(20,0)").alias("__tot"),
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("__n"),
+    )
     return (
         pr.crossJoin(F.broadcast(total))
-        .filter(F.col("rev_cents") > F.col("gate"))
+        .filter(
+            F.col("rev_cents").cast("decimal(20,0)") * F.lit(2) * F.col("__n")
+            > F.lit(3) * F.col("__tot")
+        )
         .select("l_partkey", F.col("rev_cents").cast("bigint").alias("rev_cents"))
     )
 

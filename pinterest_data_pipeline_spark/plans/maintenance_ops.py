@@ -221,8 +221,8 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                    AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -241,50 +241,91 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rightly broadcast a 1 MB orders side; at production scale neither
     side fits). Results are identical to the plain join, which is what
     the oracle checks — bucketing is a physical property, not a semantic
-    one."""
-    import os
+    one.
 
-    # Spark 3+ drops the sortBy metadata at read time unless this flag is
-    # on (one-file-per-bucket scans then report their output ordering);
-    # without it the merge join re-sorts each bucket locally.
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
+    Session hygiene: the bucketed-scan conf is snapshot/restored and the
+    catalog tables + /tmp layout are dropped before returning, so no
+    state leaks into subsequent queries in a shared bench/stress session.
+    That requires the (|priorities|-row) aggregate to be materialized
+    eagerly via ``localCheckpoint`` while the bucketed layout still
+    exists — the returned DataFrame reads the checkpointed blocks. (The
+    merge-join physical plan itself is pinned by
+    tests/test_plan_quality.py explaining the LAZY frame from
+    ``build_bucketed_colocated_join`` before cleanup.)"""
+    joined, cleanup = build_bucketed_colocated_join(spark, sf_dir)
+    try:
+        return joined.localCheckpoint(eager=True)
+    finally:
+        cleanup()
+
+
+def build_bucketed_colocated_join(spark: SparkSession, sf_dir: str):
+    """Write the 8-bucket orders/lineitem layout, return the LAZY joined
+    aggregate plus a cleanup callable that restores the bucketed-scan
+    conf and drops the catalog tables + /tmp files. Callers must run or
+    explain the frame BEFORE invoking cleanup."""
+    import os
+    import shutil
+
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     base = f"/tmp/spark_graft_buckets_{tag}"
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    for name, df, key in (
-        (f"bkt_orders_{tag}", orders, "o_orderkey"),
-        (f"bkt_lineitem_{tag}", li, "l_orderkey"),
-    ):
-        (
-            # one writer task per bucket → exactly one file per bucket;
-            # Spark only honors the sortBy metadata at read time when a
-            # bucket is a single file, and the whole point is a merge
-            # join with neither Exchange NOR Sort
-            df.repartition(8, F.col(key))
-            .write.mode("overwrite")
-            .option("path", os.path.join(base, name))
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(name)
+
+    def cleanup() -> None:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+        for name in (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(base, ignore_errors=True)
+
+    try:
+        # Spark 3+ drops the sortBy metadata at read time unless this
+        # flag is on (one-file-per-bucket scans then report their output
+        # ordering); without it the merge join re-sorts each bucket.
+        spark.conf.set(conf_key, "true")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
         )
-    o = spark.table(f"bkt_orders_{tag}")
-    l = spark.table(f"bkt_lineitem_{tag}")
-    revenue_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("bigint")
-    return (
-        o.hint("merge")
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.sum(revenue_cents).alias("revenue_cents"),
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
         )
-    )
+        for name, df, key in (
+            (f"bkt_orders_{tag}", orders, "o_orderkey"),
+            (f"bkt_lineitem_{tag}", li, "l_orderkey"),
+        ):
+            (
+                # one writer task per bucket → exactly one file per
+                # bucket; Spark only honors the sortBy metadata at read
+                # time when a bucket is a single file, and the whole
+                # point is a merge join with neither Exchange NOR Sort
+                df.repartition(8, F.col(key))
+                .write.mode("overwrite")
+                .option("path", os.path.join(base, name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        o = spark.table(f"bkt_orders_{tag}")
+        l = spark.table(f"bkt_lineitem_{tag}")
+        revenue_cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint")
+        joined = (
+            o.hint("merge")
+            .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.sum(revenue_cents).alias("revenue_cents"),
+            )
+        )
+        return joined, cleanup
+    except BaseException:
+        cleanup()
+        raise

@@ -26,7 +26,8 @@ _LO, _HI, _NB = -1000.0, 10000.0, 22
                               / (({_HI} - {_LO}) / {_NB})) AS BIGINT)
            END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents_total
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
     FROM customer GROUP BY 1 ORDER BY bucket
     """,
 )
@@ -182,10 +183,11 @@ def equidepth_histogram_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_key
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-           SUM(n) AS n_rows,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
            MAX(n) AS max_key_rows,
-           (1000000 * MAX(n) * COUNT(*)) // SUM(n) AS skew_ppm,
-           SUM(n) FILTER (WHERE r <= 10) AS top10_rows
+           CAST((1000000 * MAX(n) * COUNT(*)) // SUM(n) AS BIGINT)
+               AS skew_ppm,
+           CAST(SUM(n) FILTER (WHERE r <= 10) AS BIGINT) AS top10_rows
     FROM ranked
     """,
 )
@@ -282,7 +284,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM counts c
             WHERE c.source = ranked.source) AS n_langs,
            lang AS top_lang,
-           (n * 1000000) // total AS top_lang_ppm
+           CAST((n * 1000000) // total AS BIGINT) AS top_lang_ppm
     FROM ranked WHERE rn = 1
     """,
 )

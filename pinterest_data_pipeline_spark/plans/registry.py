@@ -42,72 +42,36 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # -- round-2 red rows, fixed in round 3: these MUST get fresh rows.
-    # multimodal_frame_offsets now emits '|'-joined integer ms (the driver
-    # comparator can't hash list cells); simhash_near_pairs and
-    # minhash_dedup_clusters run in portable-hash mode with full DuckDB
-    # oracles (md5-prefix hashes both engines compute identically).
-    "multimodal_frame_offsets",
-    "simhash_near_pairs",
-    "minhash_dedup_clusters",
-    # -- oracle-backed queries with no driver row in rounds 1-2 (47 of the
-    # 48 outstanding; with the 3 fixes above the 50-row window is full —
-    # ngram_containment_pairs waits one more round, its family twin
-    # ngram_jaccard_pairs holds a green r1 row).
-    "recursive_month_spine",
-    "lateral_topk_orders_per_customer",
-    "exists_late_ship_orders",
-    "in_subquery_big_spenders",
+    # ---- ROUND 4 WINDOW: exactly 50 entries, chosen so that after this
+    # round EVERY registered query has at least one driver row
+    # (36 never-checked + 12 round-3 reds + 2 changed-module refreshes,
+    # with bucketed_colocated_join counted once in both the red-fix and
+    # never-checked sets). Registry growth is FROZEN this round so the
+    # arithmetic holds.
+    #
+    # -- (1) the 13 HUGEINT-oracle fixes: round 3's 12 hash-fail rows
+    # plus the latent 13th (bucketed_colocated_join, never checked).
+    # Root cause was oracle-side only — DuckDB SUM(BIGINT) → HUGEINT →
+    # fetchdf float64 → dtype-sensitive driver hash mismatch vs Spark's
+    # int64. All now CAST(... AS BIGINT) at the outermost select and
+    # verified dtype-strictly at sf0.01 (tests/oracle_utils.py).
     "bilateral_trade_volume",
     "local_supplier_volume",
-    "pagerank_supplier_part",
-    "weekly_cohort_retention",
     "rolling_1h_user_value",
     "event_transition_matrix",
     "gap_fill_hourly_user_value",
     "cumulative_unique_users",
-    "incremental_rollup_events",
-    "window_value_functions",
     "zonemap_prefilter_join",
-    "zorder_cluster_histogram",
-    "fk_integrity_audit",
-    "heavy_hitters_error_bound",
-    "hll_sketch_union_gate",
-    "approx_top_k_gate",
-    "bitmap_exact_distinct",
-    "minhash_estimate_accuracy_gate",
     "histogram_acctbal_width_bucket",
-    "equidepth_histogram_acctbal",
-    "profile_documents_columns",
     "key_skew_profile_events",
     "per_source_lang_mix",
-    "first_digit_profile",
-    "mad_outlier_events",
-    "zscore_outlier_events",
-    "ols_price_vs_quantity",
-    "collated_compare_segments",
-    "try_arithmetic_funcs",
     "group_by_all_sql",
     "pivot_multi_value",
-    "variant_extract_events",
-    "hof_array_ops",
-    "hof_map_ops",
-    "parse_url_features",
-    "regex_function_matrix",
-    "from_csv_embedded_records",
-    "pandas_grouped_agg_median",
-    "arrow_map_token_count",
-    "split_leakage_check",
-    "incremental_dedup_new_docs",
-    "stream_dedup_batch",
-    "stream_interval_left_join_batch",
-    # ---- 50-row window boundary (3 + 47 above) ----
-    # next in line if the window grows, and the round-4 head:
+    "bucketed_colocated_join",
+    # -- (2) the 30 oracle-backed never-checked queries, in prior
+    # registration order (ngram_containment_pairs was explicitly queued
+    # first in round 3).
     "ngram_containment_pairs",
-    # -- new in round 3, oracle-backed (registered WITH their slot in the
-    # same commit per the registry discipline; they queue behind the
-    # never-checked backlog so (registered − ever-checked) keeps
-    # shrinking):
     "dedup_rate_by_source",
     "reservoir_sample_per_source",
     "quality_quartiles_by_lang",
@@ -122,7 +86,6 @@ CHECK_FIRST: list[str] = [
     "token_entropy_by_lang",
     "unigram_kl_by_source",
     "bloom_semi_join_prune",
-    "bucketed_colocated_join",
     "cdc_chunk_dedup_report",
     "cross_source_containment",
     "salted_topk_events_per_user",
@@ -133,33 +96,25 @@ CHECK_FIRST: list[str] = [
     "set_except_all_multiset",
     "set_intersect_all_multiset",
     "weighted_sample_per_source",
-    # -- implementation changed in round 3 (per the re-queue policy);
-    # their prior green rows stand as evidence, refreshed when slots
-    # free (operators/skew.py gained salted_top_k; clustering.py gained
-    # the pair-materialization barrier; subquery_ops rewrote the EXISTS
-    # plan — exists_late_ship_orders already queues in the head):
-    "embedding_near_dup_pairs",
     "semantic_dedup_survivors",
-    "salted_agg_events",
-    "salted_join_orders_customer",
-    # corpus_curation_full gained a full end-to-end oracle this round
-    # (portable-hash funnel: scoring, exact dedup, LSH clusters, counts
-    # all recomputed in DuckDB) — queue with the oracle-backed changed set:
     "corpus_curation_full",
-    # embedding_lsh_near_duplicates likewise gained a full oracle (baked
-    # hyperplane literals; DuckDB recomputes bands + verified scores):
     "embedding_lsh_near_duplicates",
     "incremental_minhash_new_pairs",
-    # multimodal_raw_decode_features switched to exact integer byte
-    # statistics, which both engines compute bit-identically — oracle'd:
     "multimodal_raw_decode_features",
-    # -- rows-only, never driver-checked; weaker signal, so they queue
-    # behind every oracle-backed entry:
+    # -- (3) changed-module refreshes (operators/skew.py switched to a
+    # deterministic salt this round per the advisor finding; their r1
+    # green rows refresh with the new implementation).
+    "salted_agg_events",
+    "salted_join_orders_customer",
+    # -- (4) the 5 rows-only never-checked entries close the window —
+    # weaker signal (no oracle), but each gets its first driver row,
+    # including the documented-nondeterministic argmax literal form.
     "python_datasource_clean_pins",
     "multimodal_decode_features",
     "ivf_kmeans_codebook_assign",
     "embedding_ivf_multiprobe_topk",
     "argmax_literal_max_first",
+    # ---- 50-row window boundary ----
 ]
 
 CHECK_LAST: list[str] = [
@@ -191,6 +146,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
+            if "--" in oracle:
+                # whitespace collapse below strips newlines, so a `--`
+                # line comment would swallow the rest of the statement
+                raise ValueError(
+                    f"oracle for {name} contains a `--` SQL comment; "
+                    "explain in a Python comment instead"
+                )
             ORACLE[name] = " ".join(oracle.split())
         return fn
 

@@ -1501,12 +1501,14 @@ def approx_top_k_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
                 AS BIGINT) AS urgent_n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-               FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+               AS urgent_cents,
            CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')
                 AS BIGINT) AS low_n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-               FILTER (WHERE o_orderpriority = '5-LOW') AS low_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT)
+               AS low_cents
     FROM orders GROUP BY 1
     """,
 )

@@ -31,7 +31,7 @@ from pinterest_data_pipeline_spark.sources.parquet import load_table
         FROM events
     )
     SELECT event_id, user_id,
-           SUM(cents) OVER w AS cents_1h,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
     FROM t
     WINDOW w AS (PARTITION BY user_id ORDER BY sec
@@ -90,7 +90,8 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY prev_type, event_type
     )
     SELECT prev_type, next_type, n_trans,
-           (n_trans * 1000000) // SUM(n_trans) OVER (PARTITION BY prev_type)
+           CAST((n_trans * 1000000) //
+                SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
                AS p_ppm
     FROM counts
     """,
@@ -137,7 +138,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM events WHERE user_id % 10 = 0
     ), hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hour,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM sampled GROUP BY 1, 2
     ), bounds AS (
@@ -148,7 +150,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS hour
         FROM bounds
     )
-    SELECT s.user_id, s.hour,
+    SELECT s.user_id,
+           strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
            h.cents AS cents,
            COALESCE(h.n_events, 0) AS n_events,
            last_value(h.cents IGNORE NULLS) OVER (
@@ -201,7 +204,11 @@ def gap_fill_hourly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "user_id",
-        "hour",
+        # hour emitted as a formatted string: pandas renders Spark
+        # timestamps as datetime64[ns] but DuckDB's as datetime64[us],
+        # and the driver's value hash is dtype-sensitive (same trap
+        # class as HUGEINT→float64); arithmetic upstream stays TIMESTAMP
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("cents").alias("cents"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("cents", ignorenulls=True).over(fill_w).alias("cents_filled"),
@@ -217,8 +224,9 @@ def gap_fill_hourly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1
     )
     SELECT strftime(d, '%Y-%m-%d') AS d, n_new,
-           SUM(n_new) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(n_new) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
     FROM daily
     """,
 )

@@ -5,6 +5,17 @@ tables, normalizes both results (columns sorted by name, rows sorted), and
 compares values. Exact equality for ints/strings/timestamps; tight
 tolerance for floats (the driver value-hashes, so any float drift here is
 flagged loudly by the strict variant).
+
+DTYPE STRICTNESS (round-4 hardening): the driver's value hash is
+dtype-sensitive, so `3` (int64) vs `3.0` (float64) is a driver FAIL even
+though the values are equal. Round 3 shipped 12 red rows precisely because
+this mirror compared values loosely: DuckDB's SUM(BIGINT) returns HUGEINT,
+fetchdf() degrades HUGEINT to float64, and the mirror's `3.0 == 3` hid the
+mismatch. `compare_frames` now fails on any dtype-class drift between the
+two frames (int vs float vs bool vs datetime-with-unit), and `check_query`
+additionally DESCRIBEs the oracle and rejects HUGEINT/UHUGEINT/DECIMAL
+output columns outright — wrap the aggregate in CAST(... AS BIGINT) (or
+CAST(... AS DOUBLE) for intentional floats) in the oracle SQL.
 """
 
 from __future__ import annotations
@@ -41,6 +52,58 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+#: DuckDB output types fetchdf() degrades to float64/object, breaking the
+#: driver's dtype-sensitive hash against Spark's int64. Oracle SQL must
+#: cast these away at the outermost select.
+EXOTIC_DUCKDB_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _dtype_class(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's hash is
+    sensitive to: int vs float vs bool vs datetime vs object.
+
+    Integer widths collapse together (the repo's CAST conventions already
+    align them); int64-vs-float64 is the drift that turned all 12
+    round-3 rows red. Datetime UNITS also collapse: Spark's toPandas
+    yields datetime64[ns] while DuckDB's fetchdf yields [us] for every
+    timestamp column, yet timestamp-emitting queries
+    (scalar_datetime_funcs, scalar_date_arithmetic, r1) were hash-GREEN
+    in the driver — empirical proof the driver normalizes units, so
+    flagging them here would be a false-positive class.
+    """
+    kind = getattr(dtype, "kind", "O")
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    if kind == "m":
+        return "timedelta"
+    return "object"
+
+
+def oracle_output_types(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs for an oracle query, without running it."""
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return [(r[0], r[1]) for r in rows]
+
+
+def exotic_oracle_columns(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """Oracle output columns whose DuckDB type degrades under fetchdf()."""
+    return [
+        (c, t)
+        for c, t in oracle_output_types(con, sql)
+        if any(x in t for x in EXOTIC_DUCKDB_TYPES)
+    ]
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -48,6 +111,19 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         return [f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"]
     if len(spark_pdf) != len(oracle_pdf):
         return [f"row counts differ: {len(spark_pdf)} vs {len(oracle_pdf)}"]
+    # dtype-class strictness BEFORE value comparison: equal values in
+    # drifted dtypes (int64 vs float64, datetime64[ns] vs [us]) are a
+    # driver hash fail, so they must be a local fail too.
+    for col in sorted(spark_pdf.columns):
+        sc = _dtype_class(spark_pdf[col].dtype)
+        oc = _dtype_class(oracle_pdf[col].dtype)
+        if sc != oc:
+            problems.append(
+                f"{col}: dtype-class drift spark={spark_pdf[col].dtype}"
+                f"({sc}) vs oracle={oracle_pdf[col].dtype}({oc})"
+            )
+    if problems:
+        return problems
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
@@ -77,6 +153,13 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
         return [] if len(spark_pdf) >= 0 else ["unreachable"]
     con = duckdb_connection(sf_dir)
     try:
+        exotic = exotic_oracle_columns(con, ORACLE[name])
+        if exotic:
+            return [
+                f"oracle emits fetchdf-degrading type {t} in column {c} — "
+                "wrap the aggregate in CAST(... AS BIGINT/DOUBLE)"
+                for c, t in exotic
+            ]
         oracle_pdf = con.execute(ORACLE[name]).fetchdf()
     finally:
         con.close()

@@ -221,6 +221,37 @@ def test_cdc_chunks_short_doc_single_chunk(spark):
     assert sum(r["chunk_tokens"] for r in by_doc[3]) == 8
 
 
+def test_cdc_chunks_window_parameter_honored(spark):
+    """Round-4 advisor regression: the rolling hash hardcoded 4 taps, so
+    window<4 crashed (element_at index <= 0) and window>4 silently hashed
+    only the last 4 tokens. The taps now derive from `window`: every
+    window size runs, partitions tokens exactly, and — because the hash
+    context differs — at least one window size must chunk differently
+    from another on content-varying text. window=4 keeps byte-identical
+    behavior (coefficients 1, 31, 961, 29791 mod 2^20), pinned by the
+    DuckDB twin cdc_chunk_dedup_report."""
+    import pytest
+
+    from pinterest_data_pipeline_spark.operators.chunking import cdc_chunks
+
+    text = " ".join(f"tok{(i * 17) % 89}y{i % 7}" for i in range(300))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    boundaries = {}
+    for window in (1, 2, 4, 7):
+        rows = cdc_chunks(docs, window=window).collect()
+        assert sum(r["chunk_tokens"] for r in rows) == 300, window
+        assert all(r["chunk_tokens"] >= 1 for r in rows), window
+        boundaries[window] = tuple(
+            r["chunk_tokens"] for r in sorted(rows, key=lambda r: r["chunk_idx"])
+        )
+    assert len(set(boundaries.values())) > 1, (
+        "different window sizes must produce different chunkings on "
+        f"content-varying text: {boundaries}"
+    )
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, window=0)
+
+
 def test_cdc_chunks_partition_invariant(spark):
     """CDC chunking must be a pure function of each row — identical
     output under any partitioning/row order (hash determinism is what

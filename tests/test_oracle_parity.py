@@ -44,6 +44,52 @@ def test_no_complex_types_in_registered_outputs(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_compare_frames_flags_equal_values_in_drifted_dtypes():
+    """Round-3 regression: the driver's value hash is dtype-sensitive, so
+    `3` (int64) vs `3.0` (float64) is a driver FAIL even though the values
+    are equal — and the old loose mirror certified it green. The mirror
+    must flag dtype-class drift (and datetime unit drift) loudly."""
+    import pandas as pd
+
+    from tests.oracle_utils import compare_frames
+
+    ints = pd.DataFrame({"k": ["a", "b"], "v": pd.array([3, 4], dtype="int64")})
+    floats = pd.DataFrame({"k": ["a", "b"], "v": pd.array([3.0, 4.0], dtype="float64")})
+    problems = compare_frames(ints, floats)
+    assert problems and "dtype-class drift" in problems[0], problems
+
+    # datetime UNIT drift is NOT flagged: Spark toPandas yields [ns],
+    # DuckDB fetchdf yields [us], and timestamp-emitting queries were
+    # hash-green in the driver (scalar_datetime_funcs r1) — the driver
+    # normalizes units, so the mirror must not false-positive on them.
+    ns = pd.DataFrame({"t": pd.to_datetime(["2024-01-01"]).as_unit("ns")})
+    us = pd.DataFrame({"t": pd.to_datetime(["2024-01-01"]).as_unit("us")})
+    assert compare_frames(ns, us) == []
+
+    # identical dtypes and values still pass
+    assert compare_frames(ints, ints.copy()) == []
+
+
+def test_no_exotic_types_in_any_oracle(sf_dir):
+    """DESCRIBE every oracle and assert none emits HUGEINT/UHUGEINT/
+    DECIMAL output columns — DuckDB's SUM(BIGINT) returns HUGEINT, which
+    fetchdf() degrades to float64 and the driver's dtype-sensitive hash
+    then mismatches Spark's int64 (the single root cause of all 12
+    round-3 red rows). New oracles must CAST such aggregates away."""
+    from tests.oracle_utils import duckdb_connection, exotic_oracle_columns
+
+    con = duckdb_connection(sf_dir)
+    offenders = {}
+    try:
+        for name, sql in entry_mod.oracle_sql().items():
+            exotic = exotic_oracle_columns(con, sql)
+            if exotic:
+                offenders[name] = exotic
+    finally:
+        con.close()
+    assert not offenders, offenders
+
+
 def test_every_query_has_callable_and_most_have_oracles():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert qs, "no queries registered"

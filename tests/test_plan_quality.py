@@ -203,12 +203,55 @@ def test_exists_rewrite_preaggregates_fact_side(spark):
     assert "partial_max(l_shipdate" in plan
 
 
+def test_bucketed_join_leaves_no_session_state(spark):
+    """Round-4 advisor regression: the registered query used to leave
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true, two catalog
+    tables, and /tmp bucket files behind, shifting behavior of every
+    later query in a shared bench session. It must now restore the conf,
+    drop the tables, remove the files — and still return correct rows
+    (materialized before cleanup)."""
+    import os
+
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    try:
+        before = spark.conf.get(conf_key)
+    except Exception:
+        before = None
+    df = entry_mod.queries()["bucketed_colocated_join"](spark, SF)
+    assert df.count() >= 1
+    try:
+        after = spark.conf.get(conf_key)
+    except Exception:
+        after = None
+    assert after == before, f"conf leaked: {before!r} -> {after!r}"
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_")
+    ]
+    assert not leftover, leftover
+    assert not os.path.exists("/tmp/spark_graft_buckets_sf0_01")
+
+
 def test_bucketed_join_has_no_exchange_or_sort(spark):
     """Both sides of bucketed_colocated_join are written bucketed+sorted
     on the join key, so the sort-merge join must read them co-located:
     no Exchange and no Sort on either join input (the only exchange in
     the plan belongs to the final aggregation)."""
-    plan = plan_of(spark, "bucketed_colocated_join")
+    # the REGISTERED query returns an eagerly-materialized checkpoint
+    # (session-hygiene: conf restored, temp tables dropped before
+    # return), so the merge-join plan is pinned on the lazy frame the
+    # builder exposes, explained while the bucketed layout still exists
+    from pinterest_data_pipeline_spark.plans.maintenance_ops import (
+        build_bucketed_colocated_join,
+    )
+
+    joined, cleanup = build_bucketed_colocated_join(spark, SF)
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        cleanup()
     assert n_nodes(plan, "SortMergeJoin") == 1
     join_section = plan[: plan.index("HashAggregate")]
     assert "Exchange hashpartitioning(l_orderkey" not in plan
