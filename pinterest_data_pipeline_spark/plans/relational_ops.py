@@ -1565,11 +1565,15 @@ def salted_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why it exists: a window over the hot key is the one skew shape no
     planner fixes (every row of the key must reach one task; partial
     aggregation rescues groupBy, AQE rescues joins — nothing rescues a
-    window). Measured on a 30M-row corpus with 50% of rows on one key
-    (scripts/skew_stress.py, SKEW.json): naive window 21.5 s vs salted
-    4.6 s — and the same harness shows the flip side, that salting the
-    plain count/sum AGGREGATION is a loss because map-side partial
-    aggregation already absorbs the hot key."""
+    window). When it pays is a BOUNDED-TASK-MEMORY question
+    (scripts/skew_stress.py, SKEW.json): under memory pressure the
+    single hot-task sort spills and salting wins 21.5 s → 4.6 s
+    (30M rows, 50% hot); on an idle 128 GiB single JVM the straggler
+    never spills and the naive window wins at every size tried — so on
+    a real cluster (one core + a few GB per task) salt past a few
+    million hot rows, and profile first via key_skew_profile_events.
+    The same harness shows salting the plain count/sum AGGREGATION is
+    always a loss: map-side partial aggregation absorbs the hot key."""
     from pinterest_data_pipeline_spark.operators.skew import salted_top_k
 
     ev = load_table(spark, sf_dir, "events")

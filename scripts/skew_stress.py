@@ -40,16 +40,22 @@ HOT_KEY = 42
 
 def build_skewed(spark, out_path: str, factor: int, hot_fraction: float):
     """Replicate events ``factor``× and point ``hot_fraction`` of all rows
-    at one user_id. Deterministic: the hot assignment hashes event_id."""
+    at one user_id. Deterministic: the hot assignment hashes event_id.
+
+    Replication is a single explode over a replica-index sequence (one
+    scan, flat plan) rather than a ``factor``-way union — at factor 900
+    the union built a plan tree Catalyst spent minutes folding."""
     base = load_table(spark, SRC_SF, "events")
-    parts = []
-    for r in range(factor):
-        parts.append(
-            base.withColumn("event_id", F.col("event_id") + F.lit(r * 10_000_000))
+    df = (
+        base.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
         )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+        .withColumn(
+            "event_id",
+            F.col("event_id") + F.col("__r").cast("long") * F.lit(10_000_000),
+        )
+        .drop("__r")
+    )
     bound = int(hot_fraction * 1_000_000)
     df = df.withColumn(
         "user_id",
