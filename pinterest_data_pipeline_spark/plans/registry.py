@@ -144,15 +144,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        # validate BEFORE inserting: a rejected registration must leave
+        # no partial entry behind
+        if oracle is not None and "--" in oracle:
+            # whitespace collapse below strips newlines, so a `--`
+            # line comment would swallow the rest of the statement
+            raise ValueError(
+                f"oracle for {name} contains a `--` SQL comment; "
+                "explain in a Python comment instead"
+            )
         QUERIES[name] = fn
         if oracle is not None:
-            if "--" in oracle:
-                # whitespace collapse below strips newlines, so a `--`
-                # line comment would swallow the rest of the statement
-                raise ValueError(
-                    f"oracle for {name} contains a `--` SQL comment; "
-                    "explain in a Python comment instead"
-                )
             ORACLE[name] = " ".join(oracle.split())
         return fn
 

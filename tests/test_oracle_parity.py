@@ -90,6 +90,23 @@ def test_no_exotic_types_in_any_oracle(sf_dir):
     assert not offenders, offenders
 
 
+def test_register_rejects_sql_line_comments():
+    """register() collapses oracle whitespace, so a `--` line comment
+    would silently swallow the rest of the statement (it broke three
+    oracles' DESCRIBE during round 4 before the guard existed)."""
+    import pytest
+
+    from pinterest_data_pipeline_spark.plans import registry
+
+    with pytest.raises(ValueError, match="SQL comment"):
+        registry.register("___tmp_comment_guard", oracle="SELECT 1 -- boom")(
+            lambda spark, sf: None
+        )
+    # the rejected registration must leave no partial entry behind
+    assert "___tmp_comment_guard" not in registry.QUERIES
+    assert "___tmp_comment_guard" not in registry.ORACLE
+
+
 def test_every_query_has_callable_and_most_have_oracles():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert qs, "no queries registered"
