@@ -114,6 +114,37 @@ def test_aqe_splits_skewed_join_partition(spark):
         _restore(spark, old)
 
 
+def test_content_salt_is_deterministic_and_spreads_hot_key(spark):
+    """Round-4 advisor regression: the salt feeding the two-phase shuffle
+    must be a pure function of row content (attempt-stable), not
+    monotonically_increasing_id()/rand() — on a stage retry a row must
+    land in the SAME partial group or phase-1 top-k filtering drops or
+    duplicates survivors. Pin (a) re-evaluating the salt expression
+    yields identical values row-for-row, under different partitioning,
+    and (b) a hot key's rows still spread across many salt buckets."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.skew import _content_salt
+
+    df = spark.range(10_000).select(
+        F.lit(7).alias("k"),
+        F.col("id").alias("row_id"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    a = {
+        r["row_id"]: r["s"]
+        for r in df.withColumn("s", _content_salt(df, 16)).collect()
+    }
+    rep = df.repartition(13)
+    b = {
+        r["row_id"]: r["s"]
+        for r in rep.withColumn("s", _content_salt(rep, 16)).collect()
+    }
+    assert a == b, "salt not a pure function of row content"
+    buckets = set(a.values())
+    assert len(buckets) == 16 and all(0 <= s < 16 for s in buckets)
+
+
 def test_salted_topk_equals_naive_window_on_skewed_input(spark):
     """salted_top_k must return EXACTLY the naive window's top-k — rank,
     ties, everything — on an input where one key owns half the rows and
