@@ -90,6 +90,54 @@ def test_no_exotic_types_in_any_oracle(sf_dir):
     assert not offenders, offenders
 
 
+def test_unverified_queries_sit_inside_the_driver_window():
+    """The external driver checks only the FIRST 50 of queries(); the
+    rotation lists must therefore place every query that still needs a
+    row — never checked in any CORRECTNESS_r*.json, or red in its most
+    recent row — inside that window. Self-maintaining: as rounds close
+    the backlog this asserts progressively less, and a round that adds
+    queries without queueing them (or forgets a red row) fails here
+    before the driver ever runs."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            latest[name] = row
+
+    oracles = entry_mod.oracle_sql()
+
+    def green(name: str, row: dict) -> bool:
+        if name not in oracles:
+            # rows-only query: a recorded run (the driver marks it
+            # err='no_oracle' with spark_rows set) is its maximal
+            # achievable evidence
+            return row.get("err") in (None, "no_oracle") and (
+                row.get("spark_rows") is not None
+            )
+        return bool(
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match", True)
+            and not row.get("err")
+        )
+
+    window = list(entry_mod.queries())[:50]
+    needs_row = [
+        name
+        for name in entry_mod.queries()
+        if name not in latest or not green(name, latest[name])
+    ]
+    missing = [n for n in needs_row if n not in window]
+    assert not missing, (
+        f"{len(missing)} queries need a driver row but sit outside the "
+        f"50-entry window: {missing}"
+    )
+
+
 def test_register_rejects_sql_line_comments():
     """register() collapses oracle whitespace, so a `--` line comment
     would silently swallow the rest of the statement (it broke three
