@@ -146,3 +146,62 @@ def jaccard_contamination(
         )
         .filter(F.col("max_jaccard") >= min_jaccard)
     )
+
+
+def embedding_contamination(
+    df: DataFrame,
+    eval_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Semantic decontamination: flag training vectors whose cosine
+    similarity to ANY evaluation vector (``eval_pred`` selects eval
+    rows) reaches ``threshold`` — the embedding-space complement of the
+    n-gram matchers above, catching translated or heavily reworded eval
+    leaks that share no surface n-grams.
+
+    Returns (id_col, n_eval_hits, top_score) for contaminated vectors
+    only, same contract as :func:`ngram_contamination` (anti-join the
+    result to drop leaked rows). ``top_score`` is cosine rounded to 6dp
+    (the repo's engine-portable rounding, operators/similarity.cosine).
+
+    Scale: eval sets are benchmark-sized (thousands), so the eval side —
+    with norms precomputed once — is BROADCAST and the training corpus
+    streams through a single scan with no shuffle of vectors; the only
+    shuffle carries (train_id) partial aggregates of hit counts. If the
+    eval set outgrew broadcast range, the same plan degrades to the
+    banded hyperplane-LSH join (operators/similarity.lsh_near_duplicates)
+    with this exact scorer as the verify stage."""
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    evals = df.filter(eval_pred).select(
+        F.col(id_col).alias("__eval_id"),
+        F.col(vec_col).alias("__e_vec"),
+        l2_norm(F.col(vec_col)).alias("__e_norm"),
+    )
+    train = fan_out(df.filter(~eval_pred)).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__t_vec"),
+        l2_norm(F.col(vec_col)).alias("__t_norm"),
+    )
+    scored = train.crossJoin(F.broadcast(evals)).select(
+        F.col(id_col),
+        F.round(
+            dot(F.col("__t_vec"), F.col("__e_vec"))
+            / (F.col("__t_norm") * F.col("__e_norm")),
+            6,
+        ).alias("__score"),
+    )
+    return (
+        scored.filter(F.col("__score") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("__score").alias("top_score"),
+        )
+    )

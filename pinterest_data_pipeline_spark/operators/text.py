@@ -205,3 +205,40 @@ def dup_trigram_frac(text: Column | str) -> Column:
         ),
         0,
     )
+
+
+def linear_quality_margin(
+    text: Column | str,
+    w_stop: int = 3000,
+    w_punct: int = -2000,
+    w_digit: int = -2000,
+    w_token: int = -100,
+) -> Column:
+    """Model-based quality gate: the integer margin of a linear
+    classifier over exact count features —
+
+        margin = w_stop·stopword_hits + w_punct·punct_chars
+               + w_digit·digit_chars + w_token·n_tokens
+
+    with ``margin >= 0`` meaning "keep". The shape is a trained linear
+    quality filter (fastText-style: weighted counts vs a length
+    regularizer); the weights here are fixed milli-units standing in for
+    learned coefficients, so the operator is deterministic and
+    SQL-oracle-expressible. The ``w_token`` term is the per-token prior
+    that makes the gate density-based (stopword signal must outrun
+    document length) WITHOUT any division — ratios would force
+    double math or floor division, and Spark's ``div`` truncates toward
+    zero while DuckDB's ``//`` floors, which diverges on negative
+    numerators; a pure integer dot product is bit-identical everywhere
+    and still sorts documents by classifier confidence."""
+    c = F.col(text) if isinstance(text, str) else text
+    stop = stopword_hits(c, LANG_STOPWORDS["en"]).cast("bigint")
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("bigint")
+    digits = F.regexp_count(c, F.lit(r"[0-9]")).cast("bigint")
+    ntok = token_count(c).cast("bigint")
+    return (
+        F.lit(w_stop) * stop
+        + F.lit(w_punct) * punct
+        + F.lit(w_digit) * digits
+        + F.lit(w_token) * ntok
+    ).cast("bigint")

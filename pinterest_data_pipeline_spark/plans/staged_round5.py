@@ -1,0 +1,154 @@
+"""ROUND-5 STAGING AREA — implemented, tested, NOT driver-registered.
+
+Round 4 froze registry growth so its 50-row driver window could give
+every already-registered query a correctness row (plans/registry.py).
+These queries are fully built — Spark plan, DuckDB oracle, behavioral
+tests (tests/test_decontam_packing.py, tests/test_corpus_stats.py) and
+a strict-mirror parity test (tests/test_staged_round5.py) — and wait
+here so registering them is a zero-risk one-step move once the window
+reopens.
+
+TO PROMOTE IN ROUND 5: replace ``_stage`` with
+``pinterest_data_pipeline_spark.plans.registry.register`` (same
+signature), import this module from ``__spark_entry__``, and queue the
+names at the head of ``CHECK_FIRST``. The rotation-discipline test
+(tests/test_oracle_parity.py::
+test_unverified_queries_sit_inside_the_driver_window) fails until the
+queueing step is done — that is by design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def _stage(name: str, oracle: str | None = None):
+    """Same contract as registry.register, but into the staging dicts."""
+
+    def deco(fn):
+        if oracle is not None and "--" in oracle:
+            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLE[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+# Same sequential-fold double cosine as plans/training_data._cos_sql, so
+# staged scores hash-match the engine (kept local: training_data is a
+# registered module and staging must not import-cycle into it).
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+    round(list_sum(list_transform(range(1, 65),
+              i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))))
+          , 6)
+    """
+
+
+@_stage(
+    "decontaminate_embedding_cosine",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 3
+    ), tr AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 3
+    ), scored AS (
+        SELECT tr.vec_id AS vec_id, {_cos_sql('tr', 'ev')} AS score
+        FROM tr, ev
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(score) AS top_score
+    FROM scored WHERE score >= 0.3
+    GROUP BY vec_id
+    """,
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (operators/decontam.embedding_contamination):
+    training vectors within cosine 0.3 of ANY held-out eval vector
+    (vec_id % 97 == 3, ~1% of the table) are flagged with hit count and
+    max score — the embedding-space complement of the n-gram
+    decontamination pair, for eval leaks that survive paraphrase.
+    Real text embeddings would gate at ~0.8 (the operator default); the
+    synthetic fixture's random 64-dim vectors top out at cosine ~0.45
+    (sigma ~ 1/8), so 0.3 is the tail that yields a non-trivial flagged
+    set (26 vectors at sf0.01) for the driver to hash.
+
+    Scale: eval side broadcast with precomputed norms; one corpus scan;
+    the only shuffle carries per-train-id hit aggregates. Degrades to
+    the hyperplane-LSH banded join when the eval set outgrows broadcast
+    (docstring of the operator)."""
+    from pinterest_data_pipeline_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_contamination(
+        emb, F.col("vec_id") % 97 == 3, "vec_id", "embedding", threshold=0.3
+    )
+
+
+@_stage(
+    "quality_linear_gate",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   t -> list_contains(['and','is','of','that','the','to'], t)
+               )) AS BIGINT) AS stop_hits,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g'))
+                    AS BIGINT) AS punct_n,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS digit_n,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(3000 * stop_hits - 2000 * punct_n - 2000 * digit_n
+                - 100 * n_tokens AS BIGINT) AS margin,
+           CAST(CASE WHEN 3000 * stop_hits - 2000 * punct_n
+                          - 2000 * digit_n - 100 * n_tokens >= 0
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM feats
+    """,
+)
+def quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/text.linear_quality_margin):
+    per-document integer margin of a linear classifier over exact count
+    features (stopword hits vs punctuation/digit noise vs a per-token
+    length prior) and the keep/drop gate at margin >= 0 — the
+    learned-filter stage of an LLM data pipeline with fixed stand-in
+    weights, expressed division-free so both engines agree bit-for-bit
+    (Spark ``div`` truncates, DuckDB ``//`` floors — a ratio-based
+    score would diverge on negative numerators).
+
+    Scale: pure codegen expression scan, zero shuffle."""
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    margin = linear_quality_margin("text")
+    # keep as 0/1 BIGINT, not boolean: no registered query has shipped a
+    # bool column through the driver comparator yet, int is the proven path
+    return docs.select(
+        "doc_id",
+        margin.alias("margin"),
+        (margin >= 0).cast("bigint").alias("keep"),
+    )

@@ -1,0 +1,94 @@
+"""Round-5 staging parity: the staged queries must already pass the
+exact check the driver will run once they are registered — strict-mirror
+value comparison against their DuckDB oracles, plus the repo's output
+hygiene rules (no exotic oracle types, no complex Spark output columns).
+
+Staged queries are deliberately NOT in plans/registry (round 4 froze
+registry growth); see plans/staged_round5.py for the promotion recipe.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.staged_round5 import (
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+from tests.oracle_utils import (
+    compare_frames,
+    duckdb_connection,
+    exotic_oracle_columns,
+)
+
+
+def test_staged_queries_are_not_registered():
+    """The round-4 freeze: staging must not leak into the driver
+    surface."""
+    import __spark_entry__ as entry_mod
+
+    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, sf_dir, name):
+    spark_pdf = STAGED_QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
+        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_embedding_contamination_flags_planted_clone(spark):
+    """Behavioral pin independent of the oracle: a train vector that is a
+    near-copy of an eval vector must be flagged with top_score ~1; an
+    orthogonal vector must not appear."""
+    from pinterest_data_pipeline_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    dim = 8
+    eval_vec = [1.0] * dim
+    clone = [1.0] * (dim - 1) + [0.9]          # cosine ~0.999
+    ortho = [1.0, -1.0] * (dim // 2)            # cosine 0 vs eval_vec
+    df = spark.createDataFrame(
+        [(0, eval_vec), (1, clone), (2, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["n_eval_hits"], r["top_score"])
+        for r in embedding_contamination(
+            df, F.col("vec_id") == 0, threshold=0.8
+        ).collect()
+    }
+    assert 1 in out and out[1][0] == 1 and out[1][1] > 0.99
+    assert 2 not in out
+
+
+def test_linear_quality_margin_orders_by_noise(spark):
+    """Clean prose (stopwords, few symbols) must out-margin symbol/digit
+    noise, and the margin must be an exact integer."""
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    rows = [
+        (1, "the cat is one of the animals that walk to the house"),
+        (2, "$$$ 123 456 789 !!! ### 000 %%% 111 @@@"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", linear_quality_margin("text").alias("m")
+        ).collect()
+    }
+    assert out[1] > 0 > out[2]
+    assert all(isinstance(v, int) for v in out.values())
