@@ -603,3 +603,115 @@ def incremental_minhash_candidates(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer et al., SIGMOD'03): hash every word ``k``-gram, slide a
+    ``window`` over the hash sequence, keep each window's MINIMUM — the
+    selected set is guaranteed to contain at least one hash from every
+    run of ``window`` consecutive grams, so any shared substring of
+    ``k + window - 1`` tokens between two documents yields a shared
+    fingerprint, while storage shrinks to ~2/(window+1) of the gram
+    stream. This is the "document fingerprinting (rolling hash)" scheme
+    proper — exact dedup hashes whole docs, MinHash approximates global
+    Jaccard; winnowing localizes: it finds documents sharing PASSAGES.
+
+    Returns distinct (id_col, fp) rows (set semantics: the selected
+    minima VALUES per document — positional tie-break variants select
+    the same value set). Documents shorter than ``k`` tokens fingerprint
+    their whole text; gram streams shorter than ``window`` keep their
+    single global minimum.
+
+    Scale: one pure-expression scan (tokens → gram hashes → window
+    minima inside a single projection, no UDF, no shuffle); output is
+    the winnowed fingerprint relation, ~2n_grams/(window+1) rows. Pair
+    generation downstream is a fingerprint-keyed join — bucket-bounded
+    like every LSH join here (cap_bucket_size applies unchanged).
+
+    ``portable=True`` switches the gram hash to the md5-prefix form both
+    engines compute bit-identically (oracle twin in
+    plans/staged_round5.py)."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1 (got k={k}, window={window})")
+    toks = tokens(text_col)
+    t = F.col("__t")
+    n = F.size(t)
+    gram = lambda i: F.concat_ws(" ", F.slice(t, i, k))  # noqa: E731
+    hash_fn = portable_hash32 if portable else (
+        lambda c: F.xxhash64(c).cast("long")
+    )
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), gram),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    gh = F.col("__gh")
+    m = F.size(gh)
+    minima = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - (window - 1)),
+            lambda j: F.array_min(F.slice(gh, j, window)),
+        ),
+    ).otherwise(F.array(F.array_min(gh)))
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    return (
+        fan_out(df)
+        .select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col,
+            F.transform(grams, lambda g: hash_fn(g)).alias("__gh"),
+        )
+        .select(
+            id_col,
+            F.explode(F.array_distinct(minima)).alias("fp"),
+        )
+    )
+
+
+def winnowing_shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Passage-overlap pairs via winnowing: documents sharing at least
+    ``min_shared`` winnowed fingerprints, with the shared count — the
+    plagiarism/near-copy detector over local passages (contrast:
+    MinHash pairs approximate WHOLE-document Jaccard).
+
+    Scale: fingerprint-keyed self-join; hot fingerprints (boilerplate
+    passages) are dropped whole by ``cap_bucket_size`` exactly like LSH
+    band buckets, so pair output stays bucket-bounded."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window, portable)
+    fps = fps.withColumnRenamed(id_col, "__id")
+    if max_bucket_size is not None:
+        fps = cap_bucket_size(fps, ["fp"], max_bucket_size)
+    left, right = fps.alias("l"), fps.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .groupBy(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -152,3 +152,68 @@ def quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         (margin >= 0).cast("bigint").alias("keep"),
     )
+
+
+@_stage(
+    "winnowing_passage_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(range(1, len(tk) - 3),
+                         i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS grams
+        FROM t
+    ), h AS (
+        SELECT doc_id,
+               list_transform(grams,
+                   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT))
+                   AS gh
+        FROM g
+    ), w AS (
+        SELECT doc_id,
+               CASE WHEN len(gh) >= 4
+                    THEN list_transform(range(1, len(gh) - 2),
+                         j -> list_min(list_slice(gh, j, j + 3)))
+                    ELSE [list_min(gh)] END AS minima
+        FROM h
+    ), fp AS (
+        SELECT DISTINCT doc_id, unnest(minima) AS fp FROM w
+    ), capped AS (
+        SELECT doc_id, fp FROM fp
+        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 64
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnowing_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level near-copy pairs via winnowing fingerprints
+    (operators/dedup.winnowing_fingerprints, k=5 window=4, portable
+    md5-prefix hash): document pairs sharing >= 2 winnowed k-gram-hash
+    minima — the rolling-hash document fingerprinting scheme (MOSS),
+    which localizes overlap to shared PASSAGES where MinHash
+    approximates whole-document Jaccard. The winnowing guarantee: any
+    shared run of k + window - 1 = 8 tokens produces a shared
+    fingerprint, at ~2/(window+1) of the gram-stream storage.
+
+    Scale: one expression-only scan builds fingerprints; the pair join
+    is fingerprint-keyed with hot buckets (boilerplate passages)
+    dropped by cap_bucket_size(64) — identical bucketing discipline to
+    every LSH join in the repo, so pair work is cap-bounded."""
+    from pinterest_data_pipeline_spark.operators.dedup import (
+        winnowing_shared_passages,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_shared_passages(
+        docs, "doc_id", "text", k=5, window=4, min_shared=2,
+        max_bucket_size=64, portable=True,
+    ).select("id_a", "id_b", "n_shared")

@@ -92,3 +92,38 @@ def test_linear_quality_margin_orders_by_noise(spark):
     }
     assert out[1] > 0 > out[2]
     assert all(isinstance(v, int) for v in out.values())
+
+
+def test_winnowing_guarantee_shared_passage_yields_shared_fingerprint(spark):
+    """The winnowing contract (Schleimer et al.): two documents sharing
+    any run of k + window - 1 tokens MUST share at least one selected
+    fingerprint; disjoint-vocabulary documents must share none. Also pin
+    the compression: per doc, selected minima are (far) fewer than the
+    gram stream."""
+    from pinterest_data_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_shared_passages,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(12))  # 12-token passage
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon"),
+        (2, "zeta eta theta " + shared + " iota kappa"),
+        (3, " ".join(f"other{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 5, 4
+    fps = winnowing_fingerprints(docs, k=k, window=w, portable=True).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 12-token passage lost"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    for doc_id, text in rows:
+        n_grams = len(text.split()) - k + 1
+        assert len(by_doc[doc_id]) < n_grams, "no compression"
+
+    pairs = winnowing_shared_passages(
+        docs, min_shared=1, portable=True
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
