@@ -89,9 +89,13 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     set (26 vectors at sf0.01) for the driver to hash.
 
     Scale: eval side broadcast with precomputed norms; one corpus scan;
-    the only shuffle carries per-train-id hit aggregates. Degrades to
-    the hyperplane-LSH banded join when the eval set outgrows broadcast
-    (docstring of the operator)."""
+    the only shuffle carries per-train-id hit aggregates. Work is
+    |train|x|eval| by construction (exact brute force) — in production
+    the eval set is FIXED benchmark-sized so cost scales linearly with
+    the corpus; the x30 stress grows BOTH sides (900x pairwise work,
+    measured 0.75 s -> 16.6 s = 22x, sublinear in work via
+    vectorization), and past broadcast range the operator degrades to
+    the hyperplane-LSH banded join (operator docstring)."""
     from pinterest_data_pipeline_spark.operators.decontam import (
         embedding_contamination,
     )
@@ -207,7 +211,11 @@ def winnowing_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one expression-only scan builds fingerprints; the pair join
     is fingerprint-keyed with hot buckets (boilerplate passages)
     dropped by cap_bucket_size(64) — identical bucketing discipline to
-    every LSH join in the repo, so pair work is cap-bounded."""
+    every LSH join in the repo, so pair work is cap-bounded. Measured
+    pre-registration on the x30 stress corpus: 1.7 s -> 8.1 s (4.7x)
+    while pair OUTPUT grew x9360 (251 -> 2.35M; uniform replication
+    makes every replica a verbatim passage-dup) — pair-output-bound,
+    the correct asymptotic."""
     from pinterest_data_pipeline_spark.operators.dedup import (
         winnowing_shared_passages,
     )
