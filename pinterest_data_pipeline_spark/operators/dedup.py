@@ -677,6 +677,13 @@ def winnowing_fingerprints(
             id_col,
             F.explode(F.array_distinct(minima)).alias("fp"),
         )
+        # exchange on fp: same pattern as minhash_banded — the pair
+        # self-join and the bucket-cap window both need this exact
+        # partitioning, and the shared Exchange subtree lets
+        # ReuseExchange materialize the (expensive, md5-per-gram)
+        # fingerprint computation ONCE for both join sides instead of
+        # re-scanning the corpus per side
+        .repartition(F.col("fp"))
     )
 
 
@@ -702,6 +709,12 @@ def winnowing_shared_passages(
     fps = fps.withColumnRenamed(id_col, "__id")
     if max_bucket_size is not None:
         fps = cap_bucket_size(fps, ["fp"], max_bucket_size)
+    # materialize the fingerprint relation once: the self-join otherwise
+    # re-executes the whole corpus scan + md5-per-gram pipeline for each
+    # side (ReuseExchange cannot dedupe them when the planner broadcasts
+    # one side). The checkpointed relation is the winnowed ~2/(window+1)
+    # fraction of the gram stream, small next to the text it came from.
+    fps = fps.localCheckpoint(eager=False)
     left, right = fps.alias("l"), fps.alias("r")
     return (
         left.join(

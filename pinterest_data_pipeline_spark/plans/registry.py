@@ -115,6 +115,20 @@ CHECK_FIRST: list[str] = [
     "embedding_ivf_multiprobe_topk",
     "argmax_literal_max_first",
     # ---- 50-row window boundary ----
+    #
+    # ROUND-5 ROTATION NOTES (for the next window):
+    # - Promote plans/staged_round5.py (decontaminate_embedding_cosine,
+    #   quality_linear_gate, winnowing_passage_pairs — full oracles,
+    #   strict-mirror green at sf0.001+sf0.01, x30-measured) to the head;
+    #   the promotion recipe is in that module's docstring.
+    # - operators/dedup.py changed in round 4 by PURE ADDITION (the
+    #   winnowing functions were appended; no existing function was
+    #   touched) and its registered dependents (exact_dedup_fingerprint,
+    #   ngram_jaccard_pairs, simhash_near_pairs, minhash_dedup_clusters)
+    #   were re-verified green under a stock session — no re-queue
+    #   obligation beyond normal rotation.
+    # - After round 4 closes the backlog, rotate long-green rows oldest
+    #   first into the remaining slots.
 ]
 
 CHECK_LAST: list[str] = [

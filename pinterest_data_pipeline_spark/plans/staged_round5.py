@@ -211,11 +211,15 @@ def winnowing_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one expression-only scan builds fingerprints; the pair join
     is fingerprint-keyed with hot buckets (boilerplate passages)
     dropped by cap_bucket_size(64) — identical bucketing discipline to
-    every LSH join in the repo, so pair work is cap-bounded. Measured
-    pre-registration on the x30 stress corpus: 1.7 s -> 8.1 s (4.7x)
-    while pair OUTPUT grew x9360 (251 -> 2.35M; uniform replication
-    makes every replica a verbatim passage-dup) — pair-output-bound,
-    the correct asymptotic."""
+    every LSH join in the repo, so pair work is cap-bounded, and the
+    fingerprint relation is checkpoint-materialized once so the
+    self-join never re-runs the corpus scan + per-gram md5 (the planner
+    broadcasts a side at small SF, which defeats ReuseExchange).
+    Measured pre-registration on the x30 stress corpus: 1.7 s -> 9.6 s
+    (5.5x; ~1.5 s of that is the checkpoint write of the 30x fingerprint
+    relation, the price of single computation) while pair OUTPUT grew
+    x9360 (251 -> 2.35M; uniform replication makes every replica a
+    verbatim passage-dup) — pair-output-bound, the correct asymptotic."""
     from pinterest_data_pipeline_spark.operators.dedup import (
         winnowing_shared_passages,
     )
