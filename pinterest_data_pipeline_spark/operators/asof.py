@@ -30,11 +30,18 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` on the same key (inclusive). Left rows with no
     prior right row keep NULLs. Output: all left columns +
-    ``<value_col><suffix>`` columns."""
+    ``<value_col><suffix>`` columns.
+
+    ``direction='forward'`` flips the scan: attach the EARLIEST right
+    row with ``right.ts >= left.ts`` (the "next reading" join — same
+    union-spine window with the order reversed, so cost is identical).
+    For the closest row in either direction use
+    :func:`asof_join_nearest`."""
     left_cols = left.columns
     # All value columns ride in ONE struct, carried atomically: the struct is
     # non-NULL exactly when the row is a right row, so last(ignorenulls) always
@@ -65,10 +72,18 @@ def asof_join(
     # struct (lexicographic by field), so the carried row is deterministic
     # (the max tuple). Callers wanting different tie semantics should
     # pre-aggregate the right side to one row per (key, ts).
+    # Forward direction reverses only the timestamp order: the window
+    # then walks future-first, so last(ignorenulls) carries the nearest
+    # FUTURE right row; the equal-ts inclusive rule is unchanged.
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy("__key")
         .orderBy(
-            F.col("__ts").asc(),
+            ts_order,
             F.col("__is_left").asc(),
             F.col("__r").asc_nulls_first(),
         )
@@ -83,3 +98,62 @@ def asof_join(
         *[F.col(f"__left.{c}").alias(c) for c in left_cols],
         *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): for each left row, attach the right row with
+    the minimum ``|right.ts - left.ts|`` on the same key, optionally
+    bounded by ``tolerance_seconds`` (beyond it the columns stay NULL).
+    Delta ties prefer the BACKWARD (earlier) row — deterministic, and
+    what "state as of this moment, else the next known state" means.
+
+    Composition: one backward and one forward pass (each a single
+    key-shuffle + in-partition sort — the nearest candidate is always
+    either the latest prior or earliest future row), then a row-level
+    chooser. Deltas compare as exact epoch doubles (timestamp → double
+    keeps microseconds; both engines compute the identical subtraction,
+    so the choice is engine-portable). Cost: two windows over the same
+    key partitioning — Catalyst runs them in one shuffle pipeline."""
+    carry = [right_ts] + [c for c in value_cols if c != right_ts]
+    b = asof_join(
+        left, right, key, left_ts, right_ts, carry,
+        suffix="__b", direction="backward",
+    )
+    bf = asof_join(
+        b, right, key, left_ts, right_ts, carry,
+        suffix="__f", direction="forward",
+    )
+    lts = F.col(left_ts).cast("double")
+    d_b = lts - F.col(f"{right_ts}__b").cast("double")
+    d_f = F.col(f"{right_ts}__f").cast("double") - lts
+    if tolerance_seconds is not None:
+        b_ok = F.col(f"{right_ts}__b").isNotNull() & (
+            d_b <= F.lit(float(tolerance_seconds))
+        )
+        f_ok = F.col(f"{right_ts}__f").isNotNull() & (
+            d_f <= F.lit(float(tolerance_seconds))
+        )
+    else:
+        b_ok = F.col(f"{right_ts}__b").isNotNull()
+        f_ok = F.col(f"{right_ts}__f").isNotNull()
+    # row-level side choice (all carried columns come from the SAME row):
+    # backward wins when in-tolerance and (forward missing or d_b <= d_f)
+    choose_b = b_ok & (~f_ok | (d_b <= d_f))
+    out_cols = [F.col(c) for c in left.columns]
+    for c in value_cols:
+        out_cols.append(
+            F.when(choose_b, F.col(f"{c}__b"))
+            .when(f_ok, F.col(f"{c}__f"))
+            .alias(f"{c}{suffix}")
+        )
+    return bf.select(*out_cols)

@@ -229,3 +229,61 @@ def winnowing_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=5, window=4, min_shared=2,
         max_bucket_size=64, portable=True,
     ).select("id_a", "id_b", "n_shared")
+
+
+@_stage(
+    "asof_nearest_view_per_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+        SELECT event_id AS v_event_id, user_id, ts AS vts,
+               CAST(round(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'view'
+    ), cand AS (
+        SELECT c.event_id, v.v_event_id, v.v_cents,
+               abs(epoch(c.ts) - epoch(v.vts)) AS d, epoch(v.vts) AS vte
+        FROM clicks c JOIN views v ON c.user_id = v.user_id
+        WHERE abs(epoch(c.ts) - epoch(v.vts)) <= 600.0
+    ), pick AS (
+        SELECT event_id, v_event_id, v_cents,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                   ORDER BY d ASC, vte ASC, v_event_id DESC) AS rn
+        FROM cand
+    )
+    SELECT c.event_id, p.v_event_id, p.v_cents
+    FROM clicks c LEFT JOIN pick p
+      ON p.event_id = c.event_id AND p.rn = 1
+    """,
+)
+def asof_nearest_view_per_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/asof.asof_join_nearest,
+    the pandas merge_asof direction='nearest' surface): each click event
+    gets the view event closest in time for the same user, within a
+    10-minute tolerance, NULL otherwise; delta ties prefer the earlier
+    (backward) view. Completes the as-of family next to the registered
+    backward join (asof_join_latest_view).
+
+    Scale: two union-spine windows over ONE user_id shuffle (the
+    nearest candidate is always the latest-prior or earliest-future
+    row) — no range-replicated join, no |clicks|x|views| product; the
+    oracle's bounded product formulation is the O(n^2/window) shape the
+    operator exists to avoid."""
+    from pinterest_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    out = asof_join_nearest(
+        clicks, views, "user_id", "ts", "vts",
+        value_cols=["v_event_id", "v_cents"],
+        tolerance_seconds=600.0, suffix="",
+    )
+    return out.select("event_id", "v_event_id", "v_cents")

@@ -127,3 +127,57 @@ def test_winnowing_guarantee_shared_passage_yields_shared_fingerprint(spark):
         docs, min_shared=1, portable=True
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_asof_directions_and_nearest_semantics(spark):
+    """Pin the as-of family laws on a hand-built timeline: backward takes
+    the latest prior row, forward the earliest future row, nearest the
+    closer of the two with delta ties preferring backward, and the
+    tolerance nulls out matches beyond the bound."""
+    import datetime as dt
+
+    from pinterest_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, s(100)),   # prior@90 (d=10) vs future@130 (d=30) -> backward
+         (2, 1, s(120)),   # prior@90 (d=30) vs future@130 (d=10) -> forward
+         (3, 1, s(110)),   # tie d=20 both sides -> backward wins
+         (4, 1, s(5000)),  # nearest is future@130 at d=4870 -> tolerance NULL
+         (5, 2, s(50))],   # key with no right rows at all -> NULL
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(90, 1, s(90), 900), (130, 1, s(130), 1300)],
+        "rid long, k long, rts timestamp, rv long",
+    )
+    back = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(left, right, "k", "lts", "rts", ["rid"]).collect()
+    }
+    assert back == {1: 90, 2: 90, 3: 90, 4: 130, 5: None}
+    fwd = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["rid"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 130, 2: 130, 3: 130, 4: None, 5: None}
+    near = {
+        r["lid"]: (r["rid_asof"], r["rv_asof"])
+        for r in asof_join_nearest(
+            left, right, "k", "lts", "rts", ["rid", "rv"],
+            tolerance_seconds=600.0,
+        ).collect()
+    }
+    assert near == {
+        1: (90, 900),
+        2: (130, 1300),
+        3: (90, 900),       # tie -> backward
+        4: (None, None),    # out of tolerance
+        5: (None, None),    # no right rows for key
+    }
