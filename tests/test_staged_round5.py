@@ -181,3 +181,66 @@ def test_asof_directions_and_nearest_semantics(spark):
         4: (None, None),    # out of tolerance
         5: (None, None),    # no right rows for key
     }
+
+
+def test_asof_family_matches_pandas_merge_asof(spark):
+    """Differential test against an independent reference implementation:
+    on random timelines (unique (key, ts) on the right side — pandas
+    breaks duplicate-ts ties positionally, ours by value struct), all
+    three directions of the operator must agree with pandas.merge_asof,
+    including the nearest tie rule (pandas also prefers backward) and
+    tolerance handling."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from pinterest_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    rng = random.Random(20240814)
+    t0 = dt.datetime(2024, 1, 1)
+    for trial in range(4):
+        keys = [1, 2, 3]
+        left_rows = [
+            (i, rng.choice(keys), t0 + dt.timedelta(seconds=rng.randrange(0, 500)))
+            for i in range(40)
+        ]
+        right_ts = {(k, s) for k in keys for s in rng.sample(range(0, 500), 25)}
+        right_rows = [
+            (k, t0 + dt.timedelta(seconds=s), k * 1000 + s) for k, s in sorted(right_ts)
+        ]
+        left = spark.createDataFrame(left_rows, "lid long, k long, lts timestamp")
+        right = spark.createDataFrame(right_rows, "k long, rts timestamp, rv long")
+        lpdf = pd.DataFrame(left_rows, columns=["lid", "k", "lts"]).sort_values("lts")
+        rpdf = pd.DataFrame(right_rows, columns=["k", "rts", "rv"]).sort_values("rts")
+
+        for direction, tol in [
+            ("backward", None),
+            ("forward", None),
+            ("nearest", None),
+            ("nearest", 30.0),
+        ]:
+            if direction == "nearest":
+                ours_df = asof_join_nearest(
+                    left, right, "k", "lts", "rts", ["rv"],
+                    tolerance_seconds=tol,
+                )
+            else:
+                ours_df = asof_join(
+                    left, right, "k", "lts", "rts", ["rv"],
+                    direction=direction,
+                )
+            ours = {r["lid"]: r["rv_asof"] for r in ours_df.collect()}
+            expected_pdf = pd.merge_asof(
+                lpdf, rpdf, left_on="lts", right_on="rts", by="k",
+                direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            expected = {
+                int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+                for r in expected_pdf.itertuples()
+            }
+            assert ours == expected, (trial, direction, tol)
