@@ -244,3 +244,55 @@ def test_asof_family_matches_pandas_merge_asof(spark):
                 for r in expected_pdf.itertuples()
             }
             assert ours == expected, (trial, direction, tol)
+
+
+def test_winnowing_matches_pure_python_reference(spark):
+    """Differential test: the Spark expression chain must reproduce a
+    naive Python implementation of winnowing (k-gram md5-prefix hashes,
+    window minima, distinct) on random documents, and be invariant to
+    input partitioning."""
+    import hashlib
+    import random
+
+    from pinterest_data_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    def ref_fingerprints(text: str, k: int, window: int) -> set:
+        toks = text.strip().split()
+        if len(toks) >= k:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            grams = [" ".join(toks)]
+        gh = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        if len(gh) >= window:
+            minima = [min(gh[j : j + window]) for j in range(len(gh) - window + 1)]
+        else:
+            minima = [min(gh)]
+        return set(minima)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 60))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in [(5, 4), (3, 2), (1, 1)]:
+        got: dict[int, set] = {}
+        for r in winnowing_fingerprints(docs, k=k, window=w, portable=True).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        for doc_id, text in rows:
+            assert got[doc_id] == ref_fingerprints(text, k, w), (doc_id, k, w)
+    # partition invariance
+    one = sorted(
+        (r["doc_id"], r["fp"])
+        for r in winnowing_fingerprints(docs.repartition(1), portable=True).collect()
+    )
+    many = sorted(
+        (r["doc_id"], r["fp"])
+        for r in winnowing_fingerprints(docs.repartition(7), portable=True).collect()
+    )
+    assert one == many
