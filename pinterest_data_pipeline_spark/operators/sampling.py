@@ -131,3 +131,49 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(win))
         .drop("__h")
     )
+
+
+def sqrt_temperature_shares(
+    df: DataFrame, part_col: str
+) -> DataFrame:
+    """Temperature-scaled mixture planning at T=2 (the multilingual
+    rebalancing rule: sample source i with probability ∝ n_i^(1/2),
+    boosting low-resource sources relative to their raw share): per
+    ``part_col`` value, the corpus count, its square-root weight, and
+    the normalized target share.
+
+    Exactness contract: T=2 specifically because ``sqrt`` is
+    IEEE-754-exact (correctly rounded) in every engine, unlike libm
+    ``pow``, whose last ulp differs across implementations and would
+    break cross-engine value hashes at other temperatures. The
+    normalizer folds the per-source weights in SORTED ``part_col``
+    order (sort_array + sequential ``aggregate``), so the double sum is
+    order-deterministic and reproducible by an ordered list fold on the
+    oracle side; outputs round to 6dp (the repo's engine-portable
+    rounding).
+
+    Scale: one partial-combinable count per source, then everything runs
+    on the |sources|-row aggregate — a broadcast crossJoin of one row.
+    The plan's output feeds :func:`repeat_by_weight` (integer epochs) or
+    a Bernoulli sampler downstream."""
+    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    norm = counts.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(part_col), F.col("n_docs")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_docs"].cast("double")),
+        ).alias("__norm")
+    )
+    return (
+        counts.crossJoin(F.broadcast(norm))
+        .select(
+            part_col,
+            "n_docs",
+            F.round(F.sqrt(F.col("n_docs").cast("double")), 6).alias("w_r6"),
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double")) / F.col("__norm"), 6
+            ).alias("share_r6"),
+        )
+    )

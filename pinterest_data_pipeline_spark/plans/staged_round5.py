@@ -287,3 +287,41 @@ def asof_nearest_view_per_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=600.0, suffix="",
     )
     return out.select("event_id", "v_event_id", "v_cents")
+
+
+@_stage(
+    "mixture_sqrt_temperature_plan",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ), t AS (
+        SELECT list_sum(list_transform(list(n_docs ORDER BY source),
+                   x -> sqrt(CAST(x AS DOUBLE)))) AS norm
+        FROM c
+    )
+    SELECT source, n_docs,
+           round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS w_r6,
+           round(sqrt(CAST(n_docs AS DOUBLE)) / norm, 6) AS share_r6
+    FROM c, t
+    """,
+)
+def mixture_sqrt_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning
+    (operators/sampling.sqrt_temperature_shares): per-source corpus
+    counts and T=2 target shares (probability ∝ sqrt(n), the standard
+    low-resource-boosting rebalancing rule). T=2 is deliberate: sqrt is
+    correctly rounded in IEEE-754 everywhere while libm pow is not, so
+    the plan is engine-portable; the normalizer folds weights in sorted
+    source order on both sides (sequential aggregate here, ordered list
+    fold in the oracle), making even the double summation
+    order-deterministic.
+
+    Scale: one partial-combinable count shuffle; everything else runs on
+    the |sources|-row aggregate with a 1-row broadcast normalizer."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        sqrt_temperature_shares,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sqrt_temperature_shares(docs, "source")

@@ -296,3 +296,37 @@ def test_winnowing_matches_pure_python_reference(spark):
         for r in winnowing_fingerprints(docs.repartition(7), portable=True).collect()
     )
     assert one == many
+
+
+def test_sqrt_temperature_shares_boost_low_resource_sources(spark):
+    """The T=2 rule's defining property on skewed counts: every source's
+    sqrt-share sits between its raw share and the uniform share
+    (low-resource boosted, high-resource damped), shares sum to 1, and
+    values match a sorted-order Python fold exactly."""
+    import math
+
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        sqrt_temperature_shares,
+    )
+
+    counts = {"web": 9000, "wiki": 900, "code": 90, "books": 10}
+    rows = [(f"d{s}{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = {
+        r["source"]: (r["n_docs"], r["w_r6"], r["share_r6"])
+        for r in sqrt_temperature_shares(df, "source").collect()
+    }
+    total = sum(counts.values())
+    norm = 0.0
+    for s in sorted(counts):  # the operator's documented fold order
+        norm += math.sqrt(counts[s])
+    uniform = 1 / len(counts)
+    for s, n in counts.items():
+        n_docs, w, share = out[s]
+        assert n_docs == n
+        assert w == round(math.sqrt(n), 6)
+        assert share == round(math.sqrt(n) / norm, 6)
+        raw = n / total
+        lo, hi = min(raw, uniform), max(raw, uniform)
+        assert lo <= share <= hi, (s, raw, share, uniform)
+    assert abs(sum(v[2] for v in out.values()) - 1.0) < 1e-5
