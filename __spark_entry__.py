@@ -72,6 +72,14 @@ try:
     import pinterest_data_pipeline_spark.plans.semistructured_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    import pinterest_data_pipeline_spark.plans.round5_promotions  # noqa: F401
+except ImportError:
+    pass
+try:
+    import pinterest_data_pipeline_spark.plans.pinterest_driver  # noqa: F401
+except ImportError:
+    pass
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -70,6 +70,22 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).select(_F.lit(1)).limit(1).count()
 
+    # Prior-round per-query records: any query whose first run exceeds
+    # 2× its last recorded time gets a confirmation re-run, so a one-off
+    # JIT/host storm can't masquerade as a plan regression in the round
+    # file (r3's agg_stats_exact and r4's try_arithmetic_funcs both
+    # cried wolf this way — each adjudicated as noise on re-measurement).
+    prior: dict[str, float] = {}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(
+        p for p in os.listdir(repo)
+        if p.startswith("BENCH_r") and p.endswith(".json")
+    ):
+        try:
+            prior.update(json.load(open(os.path.join(repo, path))).get("queries", {}))
+        except (json.JSONDecodeError, OSError):
+            continue
+
     errors: dict[str, str] = {}
     total_t0 = time.perf_counter()
     for name in sorted(queries):
@@ -86,12 +102,12 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         t1 = time.perf_counter() - t0
-        if t1 > 2.0:
-            # heavy queries: first run folds per-plan codegen/JIT
-            # compilation and whatever the host is doing into the number
-            # (measured 2-3× run-to-run swings on identical plans);
-            # re-run once and keep the min so the record reflects the
-            # PLAN. Sub-2s queries are overhead-dominated and stable.
+        if t1 > 2.0 or t1 > 2.0 * prior.get(name, float("inf")):
+            # heavy queries (first run folds per-plan codegen/JIT
+            # compilation and host noise into the number — measured 2-3×
+            # run-to-run swings on identical plans) and apparent
+            # regressions vs the prior round: re-run once and keep the
+            # min so the record reflects the PLAN.
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -122,8 +122,13 @@ def asof_join_nearest(
     either the latest prior or earliest future row), then a row-level
     chooser. Deltas compare as exact epoch doubles (timestamp → double
     keeps microseconds; both engines compute the identical subtraction,
-    so the choice is engine-portable). Cost: two windows over the same
-    key partitioning — Catalyst runs them in one shuffle pipeline."""
+    so the choice is engine-portable). Cost: TWO sequential key
+    shuffles, not one — each pass builds its own union spine (the
+    forward pass unions the backward pass's output with ``right``
+    again), so the second window cannot reuse the first exchange.
+    Still linear in rows with no range replication; a shared-spine
+    single-shuffle variant would save one exchange at the price of a
+    much hairier carry-column layout."""
     carry = [right_ts] + [c for c in value_cols if c != right_ts]
     b = asof_join(
         left, right, key, left_ts, right_ts, carry,

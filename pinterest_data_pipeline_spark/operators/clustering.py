@@ -85,7 +85,10 @@ def kmeans_codebook(
 
 
 def assign_to_codebook(
-    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Attach ``cluster`` = argmin distance to the codebook.
 
@@ -95,7 +98,14 @@ def assign_to_codebook(
     lowest-cluster-id tie-break, and the expression stays LINEAR in
     k×dim. (A chained ``when(d < best_d, ...)`` formulation embeds the
     running best twice per step — O(2^k) tree nodes; at k=8 that took
-    minutes of driver-side planning for 500 rows.)"""
+    minutes of driver-side planning for 500 rows.)
+
+    ``score_col`` additionally attaches the winning affinity value
+    (``‖c‖² − 2v·c`` of the assigned centroid — squared distance minus
+    the per-row constant ``‖v‖²``). Summed over a fixed row set it
+    differs from the true k-means objective by a codebook-independent
+    constant, so objective COMPARISONS between codebooks are exact —
+    the basis of the Lloyd-monotonicity driver gate."""
     candidates = F.array(
         *[
             F.struct(
@@ -105,7 +115,12 @@ def assign_to_codebook(
             for c, centroid in enumerate(centroids)
         ]
     )
-    return df.withColumn("cluster", F.array_min(candidates).getField("c"))
+    best = F.array_min(candidates)
+    out = df.withColumn("cluster", best.getField("c"))
+    if score_col is not None:
+        # the duplicated array_min is CSE'd by codegen, not recomputed
+        out = out.withColumn(score_col, best.getField("d"))
+    return out
 
 
 def duplicate_clusters(

@@ -179,15 +179,27 @@ def embedding_contamination(
         l2_norm,
     )
 
-    evals = df.filter(eval_pred).select(
-        F.col(id_col).alias("__eval_id"),
-        F.col(vec_col).alias("__e_vec"),
-        l2_norm(F.col(vec_col)).alias("__e_norm"),
+    # Zero-norm vectors cannot be cosine-scored: Spark yields NULL on
+    # 0/0 while DuckDB doubles yield inf/NaN, so a degenerate row could
+    # split the engines. A zero vector is similar to nothing — drop it
+    # from BOTH sides before scoring (mirrored in every oracle).
+    evals = (
+        df.filter(eval_pred)
+        .select(
+            F.col(id_col).alias("__eval_id"),
+            F.col(vec_col).alias("__e_vec"),
+            l2_norm(F.col(vec_col)).alias("__e_norm"),
+        )
+        .filter(F.col("__e_norm") > 0)
     )
-    train = fan_out(df.filter(~eval_pred)).select(
-        F.col(id_col),
-        F.col(vec_col).alias("__t_vec"),
-        l2_norm(F.col(vec_col)).alias("__t_norm"),
+    train = (
+        fan_out(df.filter(~eval_pred))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("__t_vec"),
+            l2_norm(F.col(vec_col)).alias("__t_norm"),
+        )
+        .filter(F.col("__t_norm") > 0)
     )
     scored = train.crossJoin(F.broadcast(evals)).select(
         F.col(id_col),

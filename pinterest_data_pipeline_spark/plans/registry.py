@@ -42,93 +42,92 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 4 WINDOW: exactly 50 entries, chosen so that after this
-    # round EVERY registered query has at least one driver row
-    # (36 never-checked + 12 round-3 reds + 2 changed-module refreshes,
-    # with bucketed_colocated_join counted once in both the red-fix and
-    # never-checked sets). Registry growth is FROZEN this round so the
-    # arithmetic holds.
+    # ---- ROUND 5 WINDOW: exactly 50 entries. Round 4 closed the
+    # never-checked backlog (181/181 ever checked, latest rows all
+    # green), so this window = the round's NEW/CHANGED queries plus the
+    # OLDEST-evidence green rows, per the standing rule at the bottom.
+    # Arithmetic: 5 promotions + 5 pinterest + 2 oracle upgrades = 12
+    # new/changed; 38 slots refresh the r1-evidence set oldest-first
+    # (46 candidates outside CHECK_LAST; the 8 remainder rotate in r6).
     #
-    # -- (1) the 13 HUGEINT-oracle fixes: round 3's 12 hash-fail rows
-    # plus the latent 13th (bucketed_colocated_join, never checked).
-    # Root cause was oracle-side only — DuckDB SUM(BIGINT) → HUGEINT →
-    # fetchdf float64 → dtype-sensitive driver hash mismatch vs Spark's
-    # int64. All now CAST(... AS BIGINT) at the outermost select and
-    # verified dtype-strictly at sf0.01 (tests/oracle_utils.py).
-    "bilateral_trade_volume",
-    "local_supplier_volume",
-    "rolling_1h_user_value",
-    "event_transition_matrix",
-    "gap_fill_hourly_user_value",
-    "cumulative_unique_users",
-    "zonemap_prefilter_join",
-    "histogram_acctbal_width_bucket",
-    "key_skew_profile_events",
-    "per_source_lang_mix",
-    "group_by_all_sql",
-    "pivot_multi_value",
-    "bucketed_colocated_join",
-    # -- (2) the 30 oracle-backed never-checked queries, in prior
-    # registration order (ngram_containment_pairs was explicitly queued
-    # first in round 3).
-    "ngram_containment_pairs",
-    "dedup_rate_by_source",
-    "reservoir_sample_per_source",
-    "quality_quartiles_by_lang",
-    "near_dup_cluster_size_histogram",
-    "split_distribution_drift",
-    "packing_efficiency_report",
-    "length_zipf_slope",
-    "corr_cov_value_hour",
-    "crosstab_type_value_band",
-    "near_dup_triangle_count",
-    "passage_dedup_report",
-    "token_entropy_by_lang",
-    "unigram_kl_by_source",
-    "bloom_semi_join_prune",
-    "cdc_chunk_dedup_report",
-    "cross_source_containment",
-    "salted_topk_events_per_user",
-    "order_count_histogram",
-    "big_order_customers",
-    "part_revenue_share_gate",
-    "dormant_rich_customers",
-    "set_except_all_multiset",
-    "set_intersect_all_multiset",
-    "weighted_sample_per_source",
-    "semantic_dedup_survivors",
-    "corpus_curation_full",
-    "embedding_lsh_near_duplicates",
-    "incremental_minhash_new_pairs",
-    "multimodal_raw_decode_features",
-    # -- (3) changed-module refreshes (operators/skew.py switched to a
-    # deterministic salt this round per the advisor finding; their r1
-    # green rows refresh with the new implementation).
-    "salted_agg_events",
-    "salted_join_orders_customer",
-    # -- (4) the 5 rows-only never-checked entries close the window —
-    # weaker signal (no oracle), but each gets its first driver row,
-    # including the documented-nondeterministic argmax literal form.
-    "python_datasource_clean_pins",
-    "multimodal_decode_features",
+    # -- (1) the five round-4-staged queries, now registered
+    # (plans/round5_promotions.py — full oracles, strict-mirror green,
+    # differential-tested; built in r4, first driver rows here).
+    "decontaminate_embedding_cosine",
+    "quality_linear_gate",
+    "winnowing_passage_pairs",
+    "asof_nearest_view_per_click",
+    "mixture_sqrt_temperature_plan",
+    # -- (2) the five exact-semantics Pinterest queries over
+    # hash-regenerated dirty fixtures (plans/pinterest_driver.py) — the
+    # flagship parity surface finally earning driver rows of its own.
+    "pinterest_q1_top_category_per_country",
+    "pinterest_q2_top_category_per_year",
+    "pinterest_q3_top_user_per_country",
+    "pinterest_q4_top_category_per_age_group",
+    "pinterest_q5_users_joined_per_year",
+    # -- (3) rows-only → oracle-backed upgrades: the IVF pair now
+    # carries gate-style oracles (fixed-codebook assignment replay /
+    # recall-vs-bruteforce zero-violation gate), so their r4 rows-only
+    # evidence upgrades to hash rows.
     "ivf_kmeans_codebook_assign",
     "embedding_ivf_multiprobe_topk",
-    "argmax_literal_max_first",
+    # -- (4) oldest-evidence rotation: the r1-green set in registration
+    # order (their last driver rows were produced by round-1 code; the
+    # local strict mirror re-verifies them every pytest run, but the
+    # driver evidence refreshes here).
+    "q1_top_segment_per_nation",
+    "q2_top_priority_per_year",
+    "q3a_top_customer_per_nation",
+    "q3b_top_nation_overall",
+    "q4_top_priority_per_balance_bucket",
+    "q5_orders_per_year",
+    "project_rename_drop",
+    "filter_pushdown_scan",
+    "null_standardize_replace",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "conditional_null_funcs",
+    "cast_funcs",
+    "join_inner_large",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "agg_pricing_summary",
+    "agg_distinct_counts",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets_sql",
+    "topk_orders",
+    "window_rank_top3",
+    "window_running_and_lag",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "pivot_status_counts",
+    "unpivot_part_attrs",
+    "json_extract_events",
+    "sessionize_events",
+    "array_funcs_embeddings",
+    "to_json_envelope",
+    "approx_distinct_events",
     # ---- 50-row window boundary ----
     #
-    # ROUND-5 ROTATION NOTES (for the next window):
-    # - Promote plans/staged_round5.py (decontaminate_embedding_cosine,
-    #   quality_linear_gate, winnowing_passage_pairs — full oracles,
-    #   strict-mirror green at sf0.001+sf0.01, x30-measured) to the head;
-    #   the promotion recipe is in that module's docstring.
-    # - operators/dedup.py changed in round 4 by PURE ADDITION (the
-    #   winnowing functions were appended; no existing function was
-    #   touched) and its registered dependents (exact_dedup_fingerprint,
-    #   ngram_jaccard_pairs, simhash_near_pairs, minhash_dedup_clusters)
-    #   were re-verified green under a stock session — no re-queue
-    #   obligation beyond normal rotation.
-    # - After round 4 closes the backlog, rotate long-green rows oldest
-    #   first into the remaining slots.
+    # STANDING ROTATION RULE (written into policy in round 5, after the
+    # round-4 arithmetic proved out): each round's window must fit
+    # new + changed + reds; cap net-new registrations so that holds
+    # (new + changed + oldest-stale ≤ 50), and fill every remaining
+    # slot with green rows oldest-evidence-first. Never let a query sit
+    # never-checked across a round boundary.
+    #
+    # ROUND-6 ROTATION NOTES: the r1-evidence remainder to rotate next —
+    # levenshtein_similar_names, window_distribution_funcs,
+    # scalar_date_arithmetic, approx_percentiles_sketch,
+    # text_token_stats, text_quality_scores, text_lang_id,
+    # exact_dedup_fingerprint — then the CHECK_LAST pair, then r2.
 ]
 
 CHECK_LAST: list[str] = [
@@ -152,6 +151,19 @@ def ordered_queries() -> dict[str, QueryFn]:
     return ordered
 
 
+def has_sql_line_comment(sql: str) -> bool:
+    """True if ``sql`` contains a `--` line comment OUTSIDE string
+    literals. A `--` inside a quoted literal (LIKE '%--%', a regex
+    class with a literal double dash) is legitimate SQL; only a bare
+    `--` would be swallowed by the whitespace collapse in register()."""
+    import re
+
+    # '' inside a literal is SQL's escaped quote; consume it within the
+    # literal so "it''s--x" doesn't end the literal early.
+    stripped = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    return "--" in stripped
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query (and its oracle SQL, if expressible)."""
 
@@ -160,7 +172,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             raise ValueError(f"duplicate query name: {name}")
         # validate BEFORE inserting: a rejected registration must leave
         # no partial entry behind
-        if oracle is not None and "--" in oracle:
+        if oracle is not None and has_sql_line_comment(oracle):
             # whitespace collapse below strips newlines, so a `--`
             # line comment would swallow the rest of the statement
             raise ValueError(

@@ -1,47 +1,23 @@
-"""ROUND-5 STAGING AREA — implemented, tested, NOT driver-registered.
+"""Round-4 staged queries, PROMOTED to the registry in round 5.
 
-Round 4 froze registry growth so its 50-row driver window could give
-every already-registered query a correctness row (plans/registry.py).
-These queries are fully built — Spark plan, DuckDB oracle, behavioral
-tests (tests/test_decontam_packing.py, tests/test_corpus_stats.py) and
-a strict-mirror parity test (tests/test_staged_round5.py) — and wait
-here so registering them is a zero-risk one-step move once the window
-reopens.
-
-TO PROMOTE IN ROUND 5: replace ``_stage`` with
-``pinterest_data_pipeline_spark.plans.registry.register`` (same
-signature), import this module from ``__spark_entry__``, and queue the
-names at the head of ``CHECK_FIRST``. The rotation-discipline test
-(tests/test_oracle_parity.py::
-test_unverified_queries_sit_inside_the_driver_window) fails until the
-queueing step is done — that is by design.
+These five queries were built and fully tested in round 4 (Spark plan,
+DuckDB oracle, behavioral tests in tests/test_decontam_packing.py and
+tests/test_corpus_stats.py, differential tests vs pandas merge_asof and
+a pure-Python winnowing reference) but held out of the registry so
+round 4's 50-row driver window could close the never-checked backlog.
+Round 5 registers them; they lead CHECK_FIRST so each earns its first
+driver correctness row. The registry-wide strict mirror
+(tests/test_oracle_parity.py) re-verifies them every pytest run like
+any other registered query.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pinterest_data_pipeline_spark.plans.registry import register
 from pinterest_data_pipeline_spark.sources.parquet import load_table
-
-STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-STAGED_ORACLE: dict[str, str] = {}
-
-
-def _stage(name: str, oracle: str | None = None):
-    """Same contract as registry.register, but into the staging dicts."""
-
-    def deco(fn):
-        if oracle is not None and "--" in oracle:
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
-        STAGED_QUERIES[name] = fn
-        if oracle is not None:
-            STAGED_ORACLE[name] = " ".join(oracle.split())
-        return fn
-
-    return deco
 
 
 # Same sequential-fold double cosine as plans/training_data._cos_sql, so
@@ -59,13 +35,17 @@ def _cos_sql(a: str, b: str) -> str:
     """
 
 
-@_stage(
+@register(
     "decontaminate_embedding_cosine",
     oracle=f"""
     WITH ev AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 3
+          AND list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
     ), tr AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 3
+          AND list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
     ), scored AS (
         SELECT tr.vec_id AS vec_id, {_cos_sql('tr', 'ev')} AS score
         FROM tr, ev
@@ -106,7 +86,7 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@_stage(
+@register(
     "quality_linear_gate",
     oracle=r"""
     WITH feats AS (
@@ -158,7 +138,7 @@ def quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@register(
     "winnowing_passage_pairs",
     oracle=r"""
     WITH t AS (
@@ -231,7 +211,7 @@ def winnowing_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "n_shared")
 
 
-@_stage(
+@register(
     "asof_nearest_view_per_click",
     oracle="""
     WITH clicks AS (
@@ -289,7 +269,7 @@ def asof_nearest_view_per_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "v_event_id", "v_cents")
 
 
-@_stage(
+@register(
     "mixture_sqrt_temperature_plan",
     oracle="""
     WITH c AS (

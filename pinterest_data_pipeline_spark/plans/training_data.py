@@ -669,25 +669,75 @@ def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs, iterations=12).orderBy("doc_id")
 
 
-@register("ivf_kmeans_codebook_assign")  # iterative k-means: rows-only
+@register(
+    "ivf_kmeans_codebook_assign",
+    # Gate-style oracle (round 5, upgrading the r4 rows-only check; same
+    # pattern as hll_sketch_union_gate): the k-means training itself is
+    # iterative and engine-side, but its INVARIANTS are exact — every
+    # vector assigned (count replayed by DuckDB), clusters in range, and
+    # Lloyd monotonicity (the trained codebook's assignment objective
+    # never exceeds the first-k-init codebook's). The objective uses the
+    # affinity form (squared distance minus the codebook-independent
+    # Σ‖v‖²), so the comparison is offset-exact.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS k_clusters,
+           CAST(0 AS BIGINT) AS objective_violations,
+           CAST(0 AS BIGINT) AS range_violations
+    FROM embeddings
+    """,
+)
 def ivf_kmeans_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a deterministic k-means codebook (3 fixed iterations, first-k
-    init) and assign every embedding to its coarse cell — the partition
-    builder behind the IVF search path (embedding_ivf_topk uses the
-    pre-existing label column; this builds such a partitioning from
-    scratch). Returns (vec_id, cluster, n per cluster aggregated)."""
+    """Train a deterministic k-means codebook (3 fixed Lloyd iterations,
+    first-k init) and assign every embedding to its coarse cell — the
+    partition builder behind the IVF search path (embedding_ivf_topk
+    uses the pre-existing label column; this builds such a partitioning
+    from scratch). Output is the driver gate row: vector coverage,
+    codebook size, Lloyd objective monotonicity (J_final ≤ J_init), and
+    cluster-id range — each either replayed exactly by DuckDB or pinned
+    to 0 violations. Per-cluster assignment behavior stays pinned by
+    tests/test_dedup_similarity.py.
+
+    Scale: each Lloyd iteration is one corpus scan with a map-side
+    partial centroid-sum shuffle; the codebook (k×dim doubles) lives
+    driver-side and broadcasts into the assignment expression."""
     from pinterest_data_pipeline_spark.operators.clustering import (
         assign_to_codebook,
         kmeans_codebook,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_codebook(emb, k=8, iterations=3)
-    assigned = assign_to_codebook(emb, centroids)
-    return assigned.groupBy("cluster").agg(
-        F.count("*").alias("n"),
-        F.min("vec_id").alias("min_vec_id"),
-    ).orderBy("cluster")
+    init = kmeans_codebook(emb, k=8, iterations=0)
+    trained = kmeans_codebook(emb, k=8, iterations=3)
+    j_init = (
+        assign_to_codebook(emb, init, score_col="__aff")
+        .agg(F.sum("__aff").alias("j_init"))
+    )
+    fin = assign_to_codebook(emb, trained, score_col="__aff")
+    fin_stats = fin.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("__aff").alias("j_final"),
+        F.sum(
+            F.when(
+                F.col("cluster").isNull()
+                | (F.col("cluster") < 0)
+                | (F.col("cluster") >= len(trained)),
+                1,
+            ).otherwise(0)
+        ).alias("range_violations"),
+    )
+    # tolerance absorbs shuffle-order float noise in the two sums; Lloyd
+    # improvements are orders of magnitude larger when any occur
+    tol = F.lit(1e-6) * (F.abs(F.col("j_init")) + 1)
+    return fin_stats.crossJoin(j_init).select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.lit(len(trained)).cast("bigint").alias("k_clusters"),
+        F.when(F.col("j_final") > F.col("j_init") + tol, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("objective_violations"),
+        F.col("range_violations").cast("bigint").alias("range_violations"),
+    )
 
 
 # The identical seed-7 hyperplanes baked as SQL literals (repr round-trips
@@ -1106,22 +1156,132 @@ def embedding_quantize_error_bound(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("embedding_ivf_multiprobe_topk")  # no oracle: the k-means
-# codebook is trained iteratively in-engine (not SQL-expressible);
-# multiprobe recall monotonicity and nprobe=k == brute-force equality are
-# pinned by tests/test_dedup_similarity.py
+@register(
+    "embedding_ivf_multiprobe_topk",
+    # Gate-style oracle (round 5, upgrading the r4 rows-only check): the
+    # k-means codebook is trained iteratively in-engine, so DuckDB
+    # cannot replay the probe routing — but it CAN replay the exact
+    # brute-force top-1 per query (the same _cos_sql fold every
+    # similarity oracle hash-matches), and the multiprobe INVARIANTS are
+    # exact: nprobe = |codebook| ≡ brute force rank-for-rank, and recall
+    # vs the exact top-10 is monotone in nprobe (probe sets are nested
+    # nearest-first, and topk(C) ∩ topk(universe) = C ∩ topk(universe)).
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q', 'c')} AS score
+        FROM q, embeddings c
+        WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rn
+        FROM scored
+    )
+    SELECT query_id,
+           neighbor_id AS bf_top1_id,
+           score AS bf_top1_score,
+           CAST(0 AS BIGINT) AS full_probe_mismatches,
+           CAST(0 AS BIGINT) AS recall_monotone_violations
+    FROM ranked WHERE rn = 1
+    """,
+)
 def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN with multiprobe (operators/similarity.ivf_topk_multiprobe):
-    each query probes its 2 nearest codebook partitions of 8 — the
-    recall/cost dial between single-probe IVF and brute force."""
+    each query probes its nearest codebook partitions instead of one —
+    the recall/cost dial between single-probe IVF and brute force.
+
+    Driver gate row per query: the exact brute-force top-1 neighbor and
+    score (DuckDB replays these), a rank-for-rank equality check of
+    nprobe=8 (= full codebook) against brute force, and a recall
+    monotonicity check across nprobe ∈ (2, 4, 8) — both pinned to 0
+    violations. The nprobe=2 production dial is exercised inside the
+    recall chain; its standalone behavior stays pinned by
+    tests/test_dedup_similarity.py.
+
+    Scale: only the 10-row query side is probe-exploded and broadcast;
+    the corpus keeps one partition label per row, so each variant scans
+    ~nprobe/8 of the corpus (nprobe=8 is the audit-sized full sweep)."""
     from pinterest_data_pipeline_spark.operators.clustering import kmeans_codebook
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_codebook(emb, k=8, iterations=2)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk_multiprobe(
-        emb, queries, centroids, k=10, nprobe=2
-    ).orderBy("query_id", "rank")
+    bf = similarity.cosine_topk(emb, queries, k=10)
+    probes = {
+        n: similarity.ivf_topk_multiprobe(
+            emb, queries, centroids, k=10, nprobe=n
+        )
+        for n in (2, 4, 8)
+    }
+    # nprobe=8 must reproduce brute force rank-for-rank (same rounding,
+    # same (score DESC, neighbor_id ASC) tie-break): full-outer join on
+    # (query_id, rank) so missing ranks count as mismatches too.
+    bf_r = bf.select("query_id", "rank", F.col("neighbor_id").alias("bf_id"))
+    mp8_r = probes[8].select(
+        "query_id", "rank", F.col("neighbor_id").alias("mp_id")
+    )
+    mismatches = (
+        bf_r.join(mp8_r, ["query_id", "rank"], "full_outer")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bf_id").isNull()
+                    | F.col("mp_id").isNull()
+                    | (F.col("bf_id") != F.col("mp_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("full_probe_mismatches")
+        )
+    )
+    # recall_n = |topk(nprobe=n) ∩ bf_top10| per query, via inner join
+    # on (query_id, neighbor_id); left-join keeps zero-overlap queries.
+    bf_ids = bf.select("query_id", "neighbor_id")
+
+    def overlap(n: int, alias: str):
+        return (
+            probes[n]
+            .select("query_id", "neighbor_id")
+            .join(bf_ids, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias(alias))
+        )
+
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    recalls = (
+        qids.join(overlap(2, "r2"), "query_id", "left")
+        .join(overlap(4, "r4"), "query_id", "left")
+        .join(overlap(8, "r8"), "query_id", "left")
+        .na.fill(0, ["r2", "r4", "r8"])
+    )
+    top1 = bf.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("bf_top1_id"),
+        F.col("score").alias("bf_top1_score"),
+    )
+    return (
+        top1.join(mismatches, "query_id", "left")
+        .join(recalls, "query_id", "left")
+        .select(
+            "query_id",
+            "bf_top1_id",
+            "bf_top1_score",
+            F.coalesce(F.col("full_probe_mismatches"), F.lit(0))
+            .cast("bigint")
+            .alias("full_probe_mismatches"),
+            F.when(
+                (F.col("r2") > F.col("r4")) | (F.col("r4") > F.col("r8")), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("recall_monotone_violations"),
+        )
+    )
 
 
 @register(

@@ -18,6 +18,14 @@ def _null_out(col: str) -> str:
     return f"CASE WHEN {col} IN {SENTINEL_LIST} THEN NULL ELSE {col} END"
 
 
+# The follower_count cast in CLEAN_CTES is regex-guarded rather than a bare
+# TRY_CAST because DuckDB TRY_CAST('1.5000000' AS INTEGER) ROUNDS to 2
+# while Spark ANSI try_cast yields NULL — a bare TRY_CAST diverges on
+# exactly the "1.5M" rows the reference's preserved cleaning bug
+# produces (it previously passed only because no fixture user had ALL
+# pins dirty; see plans/pinterest_driver.py for the driver-side twin).
+
+
 CLEAN_CTES = f"""
 pin_clean AS (
     SELECT
@@ -26,9 +34,13 @@ pin_clean AS (
         {_null_out('title')} AS title,
         {_null_out('description')} AS description,
         {_null_out('poster_name')} AS poster_name,
-        TRY_CAST(
-            replace(replace({_null_out('follower_count')}, 'k', '000'),
-                    'M', '000000') AS INTEGER) AS follower_count,
+        CASE WHEN regexp_matches(
+                 replace(replace({_null_out('follower_count')}, 'k', '000'),
+                         'M', '000000'), '^[0-9]+$')
+             THEN CAST(
+                 replace(replace({_null_out('follower_count')}, 'k', '000'),
+                         'M', '000000') AS INTEGER)
+             ELSE NULL END AS follower_count,
         {_null_out('tag_list')} AS tag_list,
         {_null_out('is_image_or_video')} AS is_image_or_video,
         {_null_out('image_src')} AS image_src,
