@@ -95,6 +95,13 @@ QUERIES = [
     "part_revenue_share_gate",
     "bucketed_colocated_join",
     "weighted_sample_per_source",
+    # round 5: the promoted as-of (nearest direction — records the
+    # "two sequential key shuffles, linear in rows" claim), winnowing,
+    # the Pinterest end-to-end flagship, and the IVF gate pipelines
+    "asof_nearest_view_per_click",
+    "winnowing_passage_pairs",
+    "pinterest_q3_top_user_per_country",
+    "embedding_ivf_multiprobe_topk",
 ]
 
 
