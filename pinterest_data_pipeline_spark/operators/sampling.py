@@ -177,3 +177,156 @@ def sqrt_temperature_shares(
             ).alias("share_r6"),
         )
     )
+
+
+def token_budget_selection(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    margin_col: str = "margin",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Budget-bounded corpus selection: keep the prefix of documents in
+    global (``margin_col`` DESC, ``id_col`` ASC) order whose running
+    token total stays within ``budget`` — the "best data under a token
+    budget" curation stage of an LLM pipeline. Returns the selected rows
+    with their running total (``cum_tokens``).
+
+    Scale: a naive global running sum is a single-partition window —
+    dead at 100 TB. This is two-phase instead: (1) one partial-combined
+    aggregate per distinct margin gives |margins| bucket totals, and the
+    cumulative-before-bucket sum runs on THAT metadata-sized relation;
+    (2) only buckets the budget reaches at all survive the broadcast
+    semi-join back, and the exact per-row running sum is a window
+    PARTITIONED BY margin — distributed across buckets, never a global
+    sort. Selection semantics are identical to the single-window
+    formulation (the oracle uses that formulation as the cross-check).
+    All arithmetic is integer, so engines agree bit-for-bit."""
+    per_margin = df.groupBy(margin_col).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__bucket_tokens")
+    )
+    wb = Window.orderBy(F.col(margin_col).desc())
+    cum_before = per_margin.withColumn(
+        "__cum_before",
+        F.coalesce(
+            F.sum("__bucket_tokens").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    eligible = cum_before.filter(F.col("__cum_before") < F.lit(int(budget)))
+    wd = Window.partitionBy(margin_col).orderBy(F.col(id_col).asc())
+    return (
+        df.join(
+            F.broadcast(eligible.select(margin_col, "__cum_before")),
+            margin_col,
+        )
+        .withColumn(
+            "cum_tokens",
+            F.col("__cum_before")
+            + F.sum(F.col(tokens_col).cast("bigint")).over(wd),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .select(id_col, margin_col, tokens_col, "cum_tokens")
+    )
+
+
+def epoch_capped_mixture(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """Token-budget mixture planning with per-source epoch caps
+    (water-filling): each source asks for a share of ``budget``
+    proportional to ``sqrt(n_docs)`` (the T=2 low-resource boost of
+    :func:`sqrt_temperature_shares`), but no source may be allocated
+    more than ``max_epochs`` passes over its own tokens; one fixed
+    redistribution round hands capped sources' surplus to the uncapped
+    ones by the same rule. Returns per source: doc/token counts, the
+    cap, the final allocation, and epochs (6dp).
+
+    Exactness contract: allocations are integers (floor of a double
+    ask), caps and leftovers are exact integer sums, and both
+    normalizers fold sqrt weights in SORTED source order — the
+    engine-portable discipline of :func:`sqrt_temperature_shares`, so a
+    SQL oracle replays the plan bit-for-bit.
+
+    Scale: one partial-combinable aggregate per source; every later
+    step runs on the |sources|-row relation with 1-row broadcast
+    normalizers."""
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("bigint")).alias("n_tokens"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    cap = (F.col("n_tokens") * F.lit(int(max_epochs))).cast("bigint")
+    norm1 = counts.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(source_col), F.col("n_docs")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_docs"].cast("double")),
+        ).alias("__w1")
+    )
+    r1 = (
+        counts.crossJoin(F.broadcast(norm1))
+        .withColumn("cap_tokens", cap)
+        .withColumn(
+            "__alloc1",
+            F.least(
+                F.col("cap_tokens"),
+                F.floor(
+                    F.lit(float(budget)) * w / F.col("__w1")
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn("__uncapped", F.col("__alloc1") < F.col("cap_tokens"))
+    )
+    # integer leftover (exact, order-independent); sqrt-weight mass of
+    # the still-uncapped sources folds in sorted order again
+    norm2 = r1.agg(
+        (F.lit(int(budget)) - F.sum("__alloc1")).alias("__left"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(source_col),
+                        F.when(F.col("__uncapped"), F.col("n_docs"))
+                        .otherwise(0)
+                        .alias("n_docs"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_docs"].cast("double")),
+        ).alias("__w2"),
+    )
+    extra = F.when(
+        F.col("__uncapped") & (F.col("__w2") > 0),
+        F.least(
+            F.col("cap_tokens") - F.col("__alloc1"),
+            F.floor(
+                F.col("__left").cast("double") * w / F.col("__w2")
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        r1.crossJoin(F.broadcast(norm2))
+        .withColumn("alloc_tokens", (F.col("__alloc1") + extra).cast("bigint"))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            F.round(
+                F.col("alloc_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("epochs_r6"),
+        )
+    )

@@ -16,7 +16,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword inventories for the heuristic language ID.
@@ -242,3 +242,34 @@ def linear_quality_margin(
         + F.lit(w_digit) * digits
         + F.lit(w_token) * ntok
     ).cast("bigint")
+
+
+def adjacent_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the statistic the
+    first BPE/WordPiece merge step ranks on (most frequent adjacent
+    pair wins the merge). Tokens are lowercased whitespace words;
+    returns the ``top_n`` pairs as (pair, n), ordered by
+    (n DESC, pair ASC) for a deterministic cut.
+
+    Scale: the pair explosion is per-row expression work (zip of the
+    token array with its own tail — no join); the count shuffles
+    vocabulary-sized partial aggregates, and the global cut is
+    TakeOrdered (per-partition top-n, then a |partitions|×top_n merge
+    on the driver — never a full sort)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(int(top_n))
+    )

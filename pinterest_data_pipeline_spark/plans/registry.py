@@ -123,7 +123,11 @@ CHECK_FIRST: list[str] = [
     # slot with green rows oldest-evidence-first. Never let a query sit
     # never-checked across a round boundary.
     #
-    # ROUND-6 ROTATION NOTES: the r1-evidence remainder to rotate next —
+    # ROUND-6 ROTATION NOTES: promote plans/staged_round6.py first
+    # (dedup_keep_best_quality, leakage_safe_split_assign,
+    # token_budget_selection, mixture_epoch_capped_plan,
+    # bpe_pair_stats — full oracles, strict-mirror green at
+    # sf0.001+sf0.01); then the r1-evidence remainder —
     # levenshtein_similar_names, window_distribution_funcs,
     # scalar_date_arithmetic, approx_percentiles_sketch,
     # text_token_stats, text_quality_scores, text_lang_id,

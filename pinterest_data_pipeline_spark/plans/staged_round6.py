@@ -1,0 +1,414 @@
+"""ROUND-6 STAGING AREA — implemented, tested, NOT driver-registered.
+
+Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
+queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
+exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
+these five new composition queries stage here: each has a full DuckDB
+oracle and a strict-mirror parity test (tests/test_staged_round6.py)
+at sf0.001 + sf0.01, and registering them in round 6 is the same
+one-step move round 5 performed on plans/round5_promotions.py —
+replace ``_stage`` with ``registry.register``, import the module from
+``__spark_entry__``, and queue the names at the head of CHECK_FIRST.
+
+The set completes the LLM-curation story with the COMPOSITION stages
+that sit between the already-registered primitives:
+
+- ``dedup_keep_best_quality`` — near-dup clusters keep their
+  highest-quality member, not their lowest id (cluster formation ×
+  model-based quality gate).
+- ``leakage_safe_split_assign`` — train/val/test hash split that routes
+  every near-dup cluster through ONE split (dedup × hash_split): the
+  guard against eval contamination via duplicates straddling splits.
+- ``token_budget_selection`` — best-documents-first selection under a
+  token budget, two-phase so no global sort exists at scale.
+- ``mixture_epoch_capped_plan`` — sqrt-temperature mixture with
+  per-source epoch caps and one water-filling redistribution round.
+- ``bpe_pair_stats`` — corpus-wide adjacent-token-pair frequencies,
+  the first BPE merge ranking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.training_data import (
+    _MH_PARAMS_SQL,
+    _TRIGRAMS,
+)
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def _stage(name: str, oracle: str | None = None):
+    """Same contract as registry.register, but into the staging dicts."""
+
+    def deco(fn):
+        if oracle is not None and has_sql_line_comment(oracle):
+            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLE[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+# The portable-hash MinHash near-dup clusters, exactly as the
+# oracle-green `minhash_dedup_clusters` registration computes them
+# (same trigrams, same baked seed-42 permutations, same md5 band keys,
+# same 0.5 Jaccard verification, recursive-CTE connected components),
+# then extended with singleton ownership: every document not in any
+# near-dup cluster owns itself.
+_OWNER_CTES = f"""
+    sh AS (
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(g,
+                   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({_MH_PARAMS_SQL},
+                   p -> list_min(list_transform(hs,
+                            h -> (p[1] * h + p[2]) % 4294967311))) AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, bb.band AS band,
+               md5(concat_ws(',', bb.band,
+                   sig[bb.band * 4 + 1], sig[bb.band * 4 + 2],
+                   sig[bb.band * 4 + 3], sig[bb.band * 4 + 4])) AS key
+        FROM sig, (SELECT unnest(range(0, 8)) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1)
+              >= 0.5
+    ),
+    und AS (
+        SELECT id_a AS s, id_b AS t FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(node, r) AS (
+        SELECT s, s FROM und
+        UNION
+        SELECT u.t, reach.r FROM reach JOIN und u ON u.s = reach.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    owner AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )"""
+
+# The integer quality margin, exactly as the oracle-green
+# `quality_linear_gate` registration computes it.
+_MARGIN_CTE = r"""
+    margins AS (
+        SELECT doc_id,
+               CAST(3000 * len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> list_contains(
+                            ['and','is','of','that','the','to'], t)))
+                    - 2000 * length(regexp_replace(
+                        text, '[a-zA-Z0-9_\s]', '', 'g'))
+                    - 2000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - 100 * len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS margin,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )"""
+
+
+def _cluster_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: portable MinHash near-dup
+    connected components, singletons owning themselves."""
+    from pinterest_data_pipeline_spark.operators import dedup
+    from pinterest_data_pipeline_spark.operators.clustering import (
+        duplicate_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.5, portable=True
+    )
+    clusters = duplicate_clusters(pairs, iterations=12)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+@_stage(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_OWNER_CTES}, {_MARGIN_CTE},
+    ranked AS (
+        SELECT o.cluster_id, o.doc_id, m.margin,
+               CAST(COUNT(*) OVER (PARTITION BY o.cluster_id) AS BIGINT)
+                   AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY o.cluster_id
+                   ORDER BY m.margin DESC, o.doc_id ASC) AS rn
+        FROM owner o JOIN margins m ON m.doc_id = o.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, margin AS keep_margin,
+           cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: each MinHash duplicate cluster
+    keeps its HIGHEST-QUALITY member (linear-gate margin, doc_id
+    tie-break) instead of the conventional lowest-id canonical — the
+    production rule when duplicates differ in cleanliness (one copy has
+    boilerplate, another doesn't). Singletons keep themselves, so the
+    output is the full post-dedup corpus manifest.
+
+    Scale: cluster formation is the registered banded pipeline (never
+    cartesian); the quality margin is a zero-shuffle expression scan;
+    the keep-choice is one WindowGroupLimit over |docs| rows keyed by
+    cluster — the same argmax discipline as every q* query."""
+    from pinterest_data_pipeline_spark.operators.argmax import top_per_group
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    owners = _cluster_owners(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", linear_quality_margin("text").alias("margin")
+    ).join(owners, "doc_id")
+    sized = scored.withColumn(
+        "cluster_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("bigint"),
+    )
+    return top_per_group(
+        sized,
+        ["cluster_id"],
+        [F.desc("margin"), F.asc("doc_id")],
+    ).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("margin").alias("keep_margin"),
+        "cluster_size",
+    )
+
+
+@_stage(
+    "leakage_safe_split_assign",
+    oracle=f"""
+    WITH RECURSIVE {_OWNER_CTES}
+    SELECT doc_id, cluster_id AS owner_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '0d'
+                THEN 'test'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '1a'
+                THEN 'val'
+                ELSE 'train' END AS split
+    FROM owner
+    """,
+)
+def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the content-hash split
+    (operators/sampling.hash_split) keyed by each document's near-dup
+    CLUSTER owner rather than the document itself, so duplicate and
+    near-duplicate documents can never straddle a split boundary — the
+    standard guard against test-set contamination via duplicates. A
+    plain per-doc hash split leaks: two near-identical docs hash
+    independently and land in train and test ~9.3% of the time per
+    pair.
+
+    Scale: one broadcast-able cluster map joined onto the corpus; the
+    split itself is a per-row md5 expression with zero shuffle."""
+    from pinterest_data_pipeline_spark.operators.sampling import hash_split
+
+    owners = _cluster_owners(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("owner_id")
+    )
+    return hash_split(owners, id_col="owner_id").select(
+        "doc_id", "owner_id", "split"
+    )
+
+
+@_stage(
+    "token_budget_selection",
+    oracle=f"""
+    WITH {_MARGIN_CTE},
+    cum AS (
+        SELECT doc_id, margin, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY margin DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM margins
+    )
+    SELECT doc_id, margin, CAST(n_tokens AS INTEGER) AS n_tokens,
+           cum_tokens
+    FROM cum WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-documents-first selection under a 20k-token budget
+    (operators/sampling.token_budget_selection): the curation stage
+    that spends a fixed training-token budget on the highest
+    quality-margin documents, with the running total returned for
+    auditability. The oracle states the semantics as ONE global running
+    sum; the operator computes the identical set two-phase (per-margin
+    bucket totals + within-bucket windows) so no single-partition
+    global sort exists at 100 TB — the cross-check pins the two
+    formulations equal."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        token_budget_selection as select_op,
+    )
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        linear_quality_margin("text").alias("margin"),
+        token_count("text").alias("n_tokens"),
+    )
+    return select_op(feats, budget=20000)
+
+
+@_stage(
+    "mixture_epoch_capped_plan",
+    oracle=r"""
+    WITH feats AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens
+        FROM feats GROUP BY 1
+    ),
+    n1 AS (
+        SELECT list_sum(list_transform(list(n_docs ORDER BY source),
+                   x -> sqrt(CAST(x AS DOUBLE)))) AS w1
+        FROM c
+    ),
+    r1 AS (
+        SELECT c.source, c.n_docs, c.n_tokens,
+               CAST(c.n_tokens * 2 AS BIGINT) AS cap_tokens,
+               CAST(least(CAST(c.n_tokens * 2 AS BIGINT),
+                   CAST(floor(CAST(30000 AS DOUBLE)
+                        * sqrt(CAST(c.n_docs AS DOUBLE)) / n1.w1)
+                        AS BIGINT)) AS BIGINT) AS alloc1
+        FROM c, n1
+    ),
+    n2 AS (
+        SELECT CAST(30000 - SUM(alloc1) AS BIGINT) AS leftover,
+               list_sum(list_transform(
+                   list(CASE WHEN alloc1 < cap_tokens THEN n_docs
+                        ELSE 0 END ORDER BY source),
+                   x -> sqrt(CAST(x AS DOUBLE)))) AS w2
+        FROM r1
+    )
+    SELECT r1.source, r1.n_docs, r1.n_tokens, r1.cap_tokens,
+           CAST(r1.alloc1 + CASE
+               WHEN r1.alloc1 < r1.cap_tokens AND n2.w2 > 0
+               THEN least(r1.cap_tokens - r1.alloc1,
+                   CAST(floor(CAST(n2.leftover AS DOUBLE)
+                        * sqrt(CAST(r1.n_docs AS DOUBLE)) / n2.w2)
+                        AS BIGINT))
+               ELSE 0 END AS BIGINT) AS alloc_tokens,
+           round(CAST(r1.alloc1 + CASE
+               WHEN r1.alloc1 < r1.cap_tokens AND n2.w2 > 0
+               THEN least(r1.cap_tokens - r1.alloc1,
+                   CAST(floor(CAST(n2.leftover AS DOUBLE)
+                        * sqrt(CAST(r1.n_docs AS DOUBLE)) / n2.w2)
+                        AS BIGINT))
+               ELSE 0 END AS DOUBLE)
+               / CAST(r1.n_tokens AS DOUBLE), 6) AS epochs_r6
+    FROM r1, n2
+    """,
+)
+def mixture_epoch_capped_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture with per-source epoch caps
+    (operators/sampling.epoch_capped_mixture): a 30k-token budget is
+    split across sources ∝ sqrt(n_docs) (the T=2 rebalancing rule),
+    clamped at 2 epochs per source, with one water-filling round
+    redistributing capped surplus to the uncapped sources — the plan a
+    real pretraining mix uses when small sources would otherwise be
+    over-epoched into memorization. Integer allocations + sorted-order
+    sqrt folds keep every value engine-portable.
+
+    Scale: one partial-combinable aggregate per source; all later steps
+    run on the |sources|-row relation with 1-row broadcast
+    normalizers."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        epoch_capped_mixture,
+    )
+    from pinterest_data_pipeline_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select("source", token_count("text").alias("toks"))
+    return epoch_capped_mixture(
+        feats, "source", "toks", budget=30000, max_epochs=2
+    )
+
+
+@_stage(
+    "bpe_pair_stats",
+    oracle=r"""
+    WITH t AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents
+    ),
+    pairs AS (
+        SELECT tk[CAST(g.i AS INTEGER)] || ' ' ||
+               tk[CAST(g.i AS INTEGER) + 1] AS pair
+        FROM t, UNNEST(range(1, len(tk))) AS g(i)
+        WHERE len(tk) >= 2
+    ),
+    counts AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+    )
+    SELECT pair, n FROM counts ORDER BY n DESC, pair ASC LIMIT 50
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token-pair frequencies
+    (operators/text.adjacent_pair_counts) — the ranking statistic of
+    the first BPE/WordPiece merge step, and the tokenizer-training
+    counterpart of the registered unigram/TF-IDF statistics. The
+    (n DESC, pair ASC) total order makes the cut deterministic in both
+    engines.
+
+    Scale: per-row pair explosion (array zip, no join), vocabulary-sized
+    partial-aggregate shuffle, TakeOrdered global cut — no full sort."""
+    from pinterest_data_pipeline_spark.operators.text import (
+        adjacent_pair_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adjacent_pair_counts(docs, "text", top_n=50)

@@ -1,0 +1,225 @@
+"""Round-6 staging parity + behavior: the staged composition queries
+must already pass the exact check the driver will run once registered —
+strict-mirror value comparison against their DuckDB oracles plus the
+repo's output hygiene rules — and the new operators' semantic
+guarantees (budget prefix equivalence, water-filling invariants,
+cluster-coherent splits, best-quality keeps) are pinned directly.
+
+Staged queries are deliberately NOT in plans/registry (the round-5
+window is fully allocated); see plans/staged_round6.py for the
+promotion recipe.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.staged_round6 import (
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+from tests.oracle_utils import (
+    compare_frames,
+    duckdb_connection,
+    exotic_oracle_columns,
+)
+
+
+def test_staged_queries_are_not_registered():
+    """The round-5 window freeze: staging must not leak into the driver
+    surface until round 6 queues it."""
+    import __spark_entry__ as entry_mod
+
+    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, sf_dir, name):
+    spark_pdf = STAGED_QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
+        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: {problems}"
+    assert len(spark_pdf) > 0
+
+
+# ------------------------------------------------------------ operators
+
+
+@pytest.fixture(scope="module")
+def doc_feats(spark, sf_dir):
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+        token_count,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        linear_quality_margin("text").alias("margin"),
+        token_count("text").alias("n_tokens"),
+    ).cache()
+
+
+def test_budget_selection_equals_single_window(spark, doc_feats):
+    """The two-phase plan must select the exact global-prefix set the
+    naive single-window formulation defines."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    budget = 20000
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_selection(doc_feats, budget).collect()
+    }
+    w = Window.orderBy(F.desc("margin"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in doc_feats.withColumn(
+            "cum", F.sum(F.col("n_tokens").cast("bigint")).over(w)
+        )
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(got) < doc_feats.count()  # budget actually binds
+
+
+def test_budget_selection_edges(spark, doc_feats):
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    assert token_budget_selection(doc_feats, 0).count() == 0
+    total = doc_feats.agg(
+        F.sum(F.col("n_tokens").cast("bigint"))
+    ).collect()[0][0]
+    assert (
+        token_budget_selection(doc_feats, int(total)).count()
+        == doc_feats.count()
+    )
+
+
+def test_epoch_capped_mixture_invariants(spark, doc_feats):
+    """Water-filling invariants: no source exceeds its cap, the total
+    stays within budget, and the redistribution round only ever raises
+    allocations of uncapped sources."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        epoch_capped_mixture,
+    )
+
+    budget = 30000
+    rows = epoch_capped_mixture(
+        doc_feats.select("source", F.col("n_tokens").alias("toks")),
+        "source",
+        "toks",
+        budget=budget,
+        max_epochs=2,
+    ).collect()
+    assert rows
+    assert all(r["alloc_tokens"] <= r["cap_tokens"] for r in rows)
+    assert all(r["alloc_tokens"] >= 0 for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) <= budget
+    assert all(r["epochs_r6"] <= 2.0 for r in rows)
+
+    # at the 30k budget no cap binds at this SF, so exercise the
+    # water-filling path with a near-saturating budget: some sources
+    # must cap out, totals must still respect cap and budget, and the
+    # redistribution must push the total above the naive
+    # proportional-only round-1 sum.
+    total = sum(r["n_tokens"] for r in rows)
+    big = int(total * 1.8)
+    rows2 = epoch_capped_mixture(
+        doc_feats.select("source", F.col("n_tokens").alias("toks")),
+        "source",
+        "toks",
+        budget=big,
+        max_epochs=2,
+    ).collect()
+    assert any(r["alloc_tokens"] == r["cap_tokens"] for r in rows2)
+    assert all(r["alloc_tokens"] <= r["cap_tokens"] for r in rows2)
+    assert sum(r["alloc_tokens"] for r in rows2) <= big
+    # redistribution actually moved surplus: the allocated total exceeds
+    # what capped sources alone lost to their caps under round 1
+    assert sum(r["alloc_tokens"] for r in rows2) > 0.9 * big
+
+
+def test_leakage_safe_split_is_cluster_coherent(spark, sf_dir):
+    """THE guarantee: no near-dup cluster straddles a split boundary."""
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        leakage_safe_split_assign,
+    )
+
+    out = leakage_safe_split_assign(spark, sf_dir).cache()
+    spans = (
+        out.groupBy("owner_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert spans.count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert "train" in splits
+
+
+def test_keep_best_quality_keeps_cluster_argmax(spark, sf_dir, doc_feats):
+    """Every keeper carries the maximum margin of its cluster, and the
+    cluster sizes account for the whole corpus."""
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        _cluster_owners,
+        dedup_keep_best_quality,
+    )
+
+    kept = dedup_keep_best_quality(spark, sf_dir).cache()
+    n_docs = doc_feats.count()
+    assert kept.agg(F.sum("cluster_size")).collect()[0][0] == n_docs
+    # recompute per-cluster max margin independently and compare
+    owners = _cluster_owners(spark, sf_dir)
+    best = (
+        doc_feats.join(owners, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("margin").alias("max_margin"))
+    )
+    bad = kept.join(best, "cluster_id").filter(
+        F.col("keep_margin") != F.col("max_margin")
+    )
+    assert bad.count() == 0
+    # some real multi-doc clusters exist at this SF
+    assert kept.filter(F.col("cluster_size") > 1).count() > 0
+
+
+def test_adjacent_pair_counts_tiny_fixture(spark):
+    from pinterest_data_pipeline_spark.operators.text import (
+        adjacent_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat sat on the cat",), ("single",), ("THE cat",)],
+        "text string",
+    )
+    got = {
+        (r["pair"], r["n"])
+        for r in adjacent_pair_counts(df, "text", top_n=10).collect()
+    }
+    assert got == {
+        ("the cat", 3),  # lowercased: 'THE cat' merges in
+        ("cat sat", 1),
+        ("sat on", 1),
+        ("on the", 1),
+    }
