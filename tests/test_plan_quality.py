@@ -365,3 +365,65 @@ def test_q18_gate_is_semi_join_with_partial_agg(spark):
     plan = plan_of(spark, "big_order_customers")
     assert "LeftSemi" in plan
     assert "partial_sum" in plan
+
+
+def test_pinterest_driver_joins_broadcast_and_prune(spark):
+    """The end-to-end Pinterest pipeline: every fixture side must reach
+    the join as a broadcast (the synthesis input is one pruned
+    o_orderkey column per side), and no sort-merge join may appear."""
+    plan = plan_of(spark, "pinterest_q3_top_user_per_country")
+    assert n_nodes(plan, "BroadcastHashJoin") == 2
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    # each of the 3 synthesis scans reads ONLY the spine column
+    widths = [
+        line.split("struct<", 1)[1].count(":")
+        for line in plan.splitlines()
+        if "ReadSchema" in line
+    ]
+    assert widths == [1, 1, 1], widths
+
+
+def test_token_budget_selection_has_no_global_row_window(spark):
+    """The two-phase budget selection must never sort the corpus
+    globally: the only single-partition exchange feeds the
+    |margins|-bucket cumulative (metadata-sized), and the per-row
+    running sum is a window PARTITIONED by margin."""
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        STAGED_QUERIES,
+    )
+
+    df = STAGED_QUERIES["token_budget_selection"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # exactly two Window nodes: the metadata-sized bucket cumulative
+    # (global-ordered over |margins| rows — no partition key), and the
+    # per-row running sum PARTITIONED BY margin (distributed)
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert len(specs) == 2, specs
+    per_row = [s for s in specs if re.search(r"\], \[margin#\d+L\], \[doc_id", s)]
+    assert per_row, f"per-row window not partitioned by margin: {specs}"
+    # ...and a broadcast carries the eligible buckets back to the corpus
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_adjacent_pairs_use_take_ordered(spark):
+    """The BPE pair cut must be TakeOrdered (per-partition top-n +
+    driver merge), never a full global sort."""
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        STAGED_QUERIES,
+    )
+
+    df = STAGED_QUERIES["bpe_pair_stats"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert n_nodes(plan, "HashAggregate") >= 2  # partial + final
