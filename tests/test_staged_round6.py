@@ -74,14 +74,15 @@ def doc_feats(spark, sf_dir):
     ).cache()
 
 
-def test_budget_selection_equals_single_window(spark, doc_feats):
+@pytest.mark.parametrize("budget", [137, 2000, 20000, 33333])
+def test_budget_selection_equals_single_window(spark, doc_feats, budget):
     """The two-phase plan must select the exact global-prefix set the
-    naive single-window formulation defines."""
+    naive single-window formulation defines — at budgets that cut
+    mid-bucket, at bucket boundaries, and in the tail."""
     from pinterest_data_pipeline_spark.operators.sampling import (
         token_budget_selection,
     )
 
-    budget = 20000
     got = {
         r["doc_id"]: r["cum_tokens"]
         for r in token_budget_selection(doc_feats, budget).collect()
@@ -98,7 +99,8 @@ def test_budget_selection_equals_single_window(spark, doc_feats):
         .collect()
     }
     assert got == want
-    assert 0 < len(got) < doc_feats.count()  # budget actually binds
+    if 2000 <= budget <= 20000:
+        assert 0 < len(got) < doc_feats.count()  # budget actually binds
 
 
 def test_budget_selection_edges(spark, doc_feats):
