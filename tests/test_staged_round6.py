@@ -225,3 +225,90 @@ def test_adjacent_pair_counts_tiny_fixture(spark):
         ("sat on", 1),
         ("on the", 1),
     }
+
+
+def test_epoch_capped_mixture_matches_pure_python(spark):
+    """Differential test: replicate the water-filling arithmetic in
+    plain Python (sorted-order sqrt folds, float asks, integer floors)
+    over a controlled fixture and require exact equality — pins the
+    float/floor semantics the oracle also encodes."""
+    import math
+
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        epoch_capped_mixture,
+    )
+
+    # (source, n_docs, tokens_per_doc): 'a' is large (will be ask-bound),
+    # 'c' tiny (cap-bound under a big budget)
+    spec = {"a": (100, 50), "b": (25, 40), "c": (4, 10)}
+    rows = [
+        (s, float(tok))
+        for s, (n, tok) in spec.items()
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "source string, toks double")
+
+    def pure(budget, max_epochs=2):
+        names = sorted(spec)
+        n = {s: spec[s][0] for s in names}
+        tok = {s: spec[s][0] * spec[s][1] for s in names}
+        cap = {s: int(tok[s] * max_epochs) for s in names}
+        w1 = 0.0
+        for s in names:  # sorted-order fold, like both engines
+            w1 += math.sqrt(n[s])
+        a1 = {
+            s: min(cap[s], int(math.floor(float(budget) * math.sqrt(n[s]) / w1)))
+            for s in names
+        }
+        left = budget - sum(a1.values())
+        w2 = 0.0
+        for s in names:
+            w2 += math.sqrt(n[s] if a1[s] < cap[s] else 0)
+        out = {}
+        for s in names:
+            extra = 0
+            if a1[s] < cap[s] and w2 > 0:
+                extra = min(
+                    cap[s] - a1[s],
+                    int(math.floor(float(left) * math.sqrt(n[s]) / w2)),
+                )
+            out[s] = a1[s] + extra
+        return out
+
+    for budget in (500, 3000, 9000, 13000):
+        got = {
+            r["source"]: r["alloc_tokens"]
+            for r in epoch_capped_mixture(
+                df, "source", "toks", budget=budget, max_epochs=2
+            ).collect()
+        }
+        assert got == pure(budget), (budget, got, pure(budget))
+    # sanity on the fixture: the big budget must actually cap 'c'
+    assert pure(13000)["c"] == spec["c"][0] * spec["c"][1] * 2
+
+
+def test_adjacent_pair_counts_matches_python_counter(spark, sf_dir):
+    """Differential test on real documents: the Spark top-50 must equal
+    a pure-Python Counter over the same lowercased whitespace bigrams,
+    under the same (n DESC, pair ASC) total order."""
+    from collections import Counter
+
+    from pinterest_data_pipeline_spark.operators.text import (
+        adjacent_pair_counts,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    counter = Counter()
+    for t in texts:
+        toks = t.strip().lower().split()
+        counter.update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["pair"], r["n"])
+        for r in adjacent_pair_counts(docs, "text", top_n=50).collect()
+    ]
+    assert got == want
