@@ -40,17 +40,21 @@ def test_every_staged_query_has_an_oracle():
     assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
-def test_staged_query_matches_oracle(spark, sf_dir, name):
-    spark_pdf = STAGED_QUERIES[name](spark, sf_dir).toPandas()
-    con = duckdb_connection(sf_dir)
+def test_staged_query_matches_oracle(spark, name, sf):
+    """Both SFs: sf0.001 (the smoke dir) and sf0.01 (the SF the driver
+    actually verifies at), so promotion-time behavior is pre-proven."""
+    d = f"/root/testdata/{sf}"
+    spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
+    con = duckdb_connection(d)
     try:
         assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
         oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
     finally:
         con.close()
     problems = compare_frames(spark_pdf, oracle_pdf)
-    assert not problems, f"{name}: {problems}"
+    assert not problems, f"{name}@{sf}: {problems}"
     assert len(spark_pdf) > 0
 
 
