@@ -127,6 +127,9 @@ def replicate(spark, out_dir: str, factor: int) -> None:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    # optional comma-separated query subset (argv[2]) for deep-factor
+    # runs where the full list would take too long at ×100
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     out_dir = f"/tmp/stress_x{factor}"
     spark = get_spark(app_name="stress")
     t0 = time.perf_counter()
@@ -150,6 +153,8 @@ def main() -> None:
         return min(s1, s2), n
 
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         fn = entry_mod.queries()[name]
         base_s, n_base = timed(fn, SRC_SF)
         big_s, n_big = timed(fn, out_dir)
