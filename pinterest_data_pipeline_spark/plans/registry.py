@@ -123,7 +123,15 @@ CHECK_FIRST: list[str] = [
     # slot with green rows oldest-evidence-first. Never let a query sit
     # never-checked across a round boundary.
     #
-    # ROUND-6 ROTATION NOTES: promote plans/staged_round6.py first
+    # ROUND-6 ROTATION NOTES:
+    # - operators/clustering.assign_to_codebook grew an optional
+    #   score_col in round 5 (the score_col=None path emits the
+    #   identical expression; dependents re-verified green by the local
+    #   mirror). Its in-window dependents (ivf_kmeans_codebook_assign,
+    #   embedding_ivf_multiprobe_topk) re-certify in the r5 window;
+    #   the remaining dependent semantic_dedup_survivors (rows-only)
+    #   should re-queue in round 6 for driver evidence freshness.
+    # - Promote plans/staged_round6.py first
     # (dedup_keep_best_quality, leakage_safe_split_assign,
     # token_budget_selection, mixture_epoch_capped_plan,
     # bpe_pair_stats — full oracles, strict-mirror green at
