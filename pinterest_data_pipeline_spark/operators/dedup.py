@@ -728,3 +728,42 @@ def winnowing_shared_passages(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def cap_drop_report(
+    banded: DataFrame, bucket_cols: Sequence[str], max_bucket_size: int
+) -> DataFrame:
+    """One-row audit of what :func:`cap_bucket_size` would drop at
+    ``max_bucket_size``: bucket and row counts on each side of the cap
+    plus the dropped-row share in integer ppm (floor division — exact
+    in every engine). "No silent caps": every capped pipeline here
+    bounds its pair work, and this report is the companion that makes
+    the bound's cost OBSERVABLE — at ×100 uniform replication the
+    winnowing cap legitimately drops 100% of buckets (every fingerprint
+    is hot), and that fact should be a queryable number, not a surprise
+    in a pair count.
+
+    Scale: one partial-combinable aggregate per bucket key (the same
+    shuffle the candidate join pays anyway), then a single-row agg."""
+    sizes = banded.groupBy(*[F.col(c) for c in bucket_cols]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cap = int(max_bucket_size)
+    return (
+        sizes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.when(F.col("__n") > cap, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_buckets_dropped"),
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("__n") > cap, F.col("__n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_dropped"),
+        )
+        .withColumn(
+            "dropped_rows_ppm",
+            F.expr(
+                "(n_rows_dropped * 1000000) div greatest(n_rows, 1)"
+            ).cast("bigint"),
+        )
+    )

@@ -138,10 +138,12 @@ def quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "winnowing_passage_pairs",
-    oracle=r"""
-    WITH t AS (
+# The portable winnowing fingerprint relation (k=5 window=4, md5-prefix
+# gram hash) as DuckDB CTEs — shared with the staged cap-drop report
+# (plans/staged_round6.winnowing_cap_report), which audits the same
+# relation this query's cap filters.
+WINNOWING_FP_CTES = r"""
+    t AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
         FROM documents
     ), g AS (
@@ -166,7 +168,13 @@ def quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM h
     ), fp AS (
         SELECT DISTINCT doc_id, unnest(minima) AS fp FROM w
-    ), capped AS (
+    )"""
+
+
+@register(
+    "winnowing_passage_pairs",
+    oracle=f"""
+    WITH {WINNOWING_FP_CTES}, capped AS (
         SELECT doc_id, fp FROM fp
         QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 64
     )

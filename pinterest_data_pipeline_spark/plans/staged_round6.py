@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these five new composition queries stage here: each has a full DuckDB
+these six new composition queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -25,6 +25,8 @@ that sit between the already-registered primitives:
   per-source epoch caps and one water-filling redistribution round.
 - ``bpe_pair_stats`` — corpus-wide adjacent-token-pair frequencies,
   the first BPE merge ranking.
+- ``winnowing_cap_report`` — the "no silent caps" audit row for the
+  winnowing bucket cap (buckets/rows dropped, integer-ppm share).
 """
 
 from __future__ import annotations
@@ -412,3 +414,50 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return adjacent_pair_counts(docs, "text", top_n=50)
+
+
+def _winnowing_cap_oracle() -> str:
+    """Built lazily so the import of round5_promotions (a registered
+    module) happens at definition time, after the registry exists."""
+    from pinterest_data_pipeline_spark.plans.round5_promotions import (
+        WINNOWING_FP_CTES,
+    )
+
+    return f"""
+    WITH {WINNOWING_FP_CTES}, sizes AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_dropped,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_dropped,
+           CAST((SUM(CASE WHEN n > 64 THEN n ELSE 0 END) * 1000000)
+               // greatest(SUM(n), 1) AS BIGINT) AS dropped_rows_ppm
+    FROM sizes
+    """
+
+
+@_stage("winnowing_cap_report", oracle=_winnowing_cap_oracle())
+def winnowing_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"No silent caps" made queryable (operators/dedup.cap_drop_report):
+    the audit row for the cap_bucket_size(64) straggler guard inside
+    winnowing_passage_pairs — how many fingerprint buckets and rows the
+    cap drops, and the dropped-row share in integer ppm. At this SF the
+    cap drops nothing; at ×100 uniform replication it legitimately drops
+    100% (every fingerprint is hot) — either way the number is now a
+    registered output instead of a surprise in a pair count.
+
+    Scale: the report's per-bucket aggregate rides the exact shuffle the
+    candidate join pays anyway, then collapses to one row."""
+    from pinterest_data_pipeline_spark.operators.dedup import (
+        cap_drop_report,
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(
+        docs, "doc_id", "text", k=5, window=4, portable=True
+    )
+    return cap_drop_report(fps, ["fp"], max_bucket_size=64)

@@ -316,3 +316,25 @@ def test_adjacent_pair_counts_matches_python_counter(spark, sf_dir):
         for r in adjacent_pair_counts(docs, "text", top_n=50).collect()
     ]
     assert got == want
+
+
+def test_cap_drop_report_counts_hot_bucket(spark):
+    """Synthetic hot bucket: 70 rows share one key (over the 64 cap),
+    5 rows spread across small keys — the report must count exactly the
+    hot bucket's rows as dropped, in integer ppm."""
+    from pinterest_data_pipeline_spark.operators.dedup import (
+        cap_drop_report,
+        cap_bucket_size,
+    )
+
+    rows = [("hot", i) for i in range(70)] + [(f"k{i}", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, v int")
+    rep = cap_drop_report(df, ["key"], max_bucket_size=64).collect()[0]
+    assert rep["n_buckets"] == 6
+    assert rep["n_buckets_dropped"] == 1
+    assert rep["n_rows"] == 75
+    assert rep["n_rows_dropped"] == 70
+    assert rep["dropped_rows_ppm"] == 70 * 1000000 // 75
+    # and the report agrees with what cap_bucket_size actually drops
+    kept = cap_bucket_size(df, ["key"], 64).count()
+    assert rep["n_rows"] - rep["n_rows_dropped"] == kept
