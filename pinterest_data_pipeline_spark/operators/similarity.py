@@ -396,32 +396,24 @@ def hyperplane_band_keys(
     return keys
 
 
-def lsh_near_duplicates(
+def embedding_banded(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    threshold: float = 0.95,
     bands: int = 4,
     planes_per_band: int = 8,
     seed: int = 7,
-    max_bucket_size: int | None = None,
     partition_col: str | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded hyperplane LSH + exact cosine
-    verification — the vector analog of MinHash LSH: candidates come from
-    band-bucket equality joins (shuffle = bucket histogram, never n²),
-    then only candidates pay the exact cosine fold.
-
-    Recall follows the cosine-LSH s-curve: near-identical vectors
-    (cos ≥ ~0.95) collide with probability ≈1; weakly-similar pairs are
-    mostly (intentionally) missed. Returns (id_a, id_b, score).
-    ``max_bucket_size`` excludes degenerate oversized buckets (e.g. an
-    all-zero-vector pile-up) — see ``dedup.cap_bucket_size``.
-    ``partition_col`` scopes buckets to a coarse partition (semantic
-    cell): the bucket key becomes (partition, band, key), so only
-    same-cell collisions ever become candidates — the within-cell
-    search path ``semantic_dedup`` uses once cells outgrow all-pairs."""
+    """The persistable hyperplane band table behind
+    :func:`lsh_near_duplicates`: (__id, __vec, __norm, __part, band, key),
+    repartitioned on the bucket key — the exchange every downstream use
+    (self-join, bucket-cap window, incremental join against state) needs.
+    Persist this relation to make embedding near-dup INCREMENTAL: new
+    ingests signature only their own rows and bucket-join against the
+    stored table (:func:`incremental_embedding_candidates`), the exact
+    pattern dedup.minhash_banded serves for text."""
     part = F.col(partition_col) if partition_col else F.lit(0)
     base = fan_out(df).select(
         F.col(id_col).alias("__id"),
@@ -449,7 +441,38 @@ def lsh_near_duplicates(
     # the hyperplane-key lineage and compute the bands×planes dot
     # products twice per row; the exchange also IS the join's (and the
     # bucket-cap window's) required partitioning
-    banded = banded.repartition(F.col("__part"), F.col("band"), F.col("key"))
+    return banded.repartition(F.col("__part"), F.col("band"), F.col("key"))
+
+
+def lsh_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via banded hyperplane LSH + exact cosine
+    verification — the vector analog of MinHash LSH: candidates come from
+    band-bucket equality joins (shuffle = bucket histogram, never n²),
+    then only candidates pay the exact cosine fold.
+
+    Recall follows the cosine-LSH s-curve: near-identical vectors
+    (cos ≥ ~0.95) collide with probability ≈1; weakly-similar pairs are
+    mostly (intentionally) missed. Returns (id_a, id_b, score).
+    ``max_bucket_size`` excludes degenerate oversized buckets (e.g. an
+    all-zero-vector pile-up) — see ``dedup.cap_bucket_size``.
+    ``partition_col`` scopes buckets to a coarse partition (semantic
+    cell): the bucket key becomes (partition, band, key), so only
+    same-cell collisions ever become candidates — the within-cell
+    search path ``semantic_dedup`` uses once cells outgrow all-pairs."""
+    banded = embedding_banded(
+        df, id_col, vec_col, dim, bands, planes_per_band, seed, partition_col
+    )
     if max_bucket_size is not None:
         from pinterest_data_pipeline_spark.operators.dedup import cap_bucket_size
 
@@ -464,6 +487,68 @@ def lsh_near_duplicates(
             & (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(
+                dot(F.col("l.__vec"), F.col("r.__vec"))
+                / (F.col("l.__norm") * F.col("r.__norm")),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
+
+
+def incremental_embedding_candidates(
+    increment: DataFrame,
+    existing_banded: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs for an increment against a stored corpus —
+    the vector twin of :func:`dedup.incremental_minhash_candidates`:
+    only the NEW vectors pay the bands×planes hyperplane projections;
+    the corpus participates as its persisted band table
+    (:func:`embedding_banded` output), so per ingest the LSH work is
+    O(|increment|) plus one bucket-keyed join against state. Because the
+    band table carries vectors and norms, candidates are verified
+    in-join (exact cosine ≥ ``threshold``) — the output is final pairs
+    (id_a, id_b, score) with ≥1 new member, not just candidates.
+    Uncapped, the union over ingests converges to the one-shot
+    :func:`lsh_near_duplicates` pair set (pinned by
+    tests/test_dedup_similarity.py); the cap caveat is identical to the
+    MinHash twin — combined buckets are capped per ingest, so capped
+    incremental runs can only over-emit vs a capped one-shot."""
+    new_banded = embedding_banded(
+        increment, id_col, vec_col, dim, bands, planes_per_band, seed
+    ).withColumn("__new", F.lit(True))
+    all_banded = existing_banded.withColumn(
+        "__new", F.lit(False)
+    ).unionByName(new_banded)
+    if max_bucket_size is not None:
+        from pinterest_data_pipeline_spark.operators.dedup import cap_bucket_size
+
+        all_banded = cap_bucket_size(
+            all_banded, ["__part", "band", "key"], max_bucket_size
+        )
+    left, right = all_banded.alias("l"), all_banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__part") == F.col("r.__part"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id"))
+            & (F.col("l.__new") | F.col("r.__new")),
         )
         .select(
             F.col("l.__id").alias("id_a"),

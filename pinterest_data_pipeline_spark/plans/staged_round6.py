@@ -27,6 +27,9 @@ that sit between the already-registered primitives:
   the first BPE merge ranking.
 - ``winnowing_cap_report`` — the "no silent caps" audit row for the
   winnowing bucket cap (buckets/rows dropped, integer-ppm share).
+- ``incremental_embedding_new_pairs`` — embedding near-dup ingest
+  against a persisted hyperplane band table (the vector twin of the
+  registered incremental MinHash ingest).
 """
 
 from __future__ import annotations
@@ -39,7 +42,9 @@ from pyspark.sql import functions as F
 from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
 from pinterest_data_pipeline_spark.plans.training_data import (
     _MH_PARAMS_SQL,
+    _PLANES_SQL,
     _TRIGRAMS,
+    _cos_sql,
 )
 from pinterest_data_pipeline_spark.sources.parquet import load_table
 
@@ -461,3 +466,62 @@ def winnowing_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=5, window=4, portable=True
     )
     return cap_drop_report(fps, ["fp"], max_bucket_size=64)
+
+
+@_stage(
+    "incremental_embedding_new_pairs",
+    oracle=f"""
+    WITH planes AS (
+        SELECT i AS pidx, {_PLANES_SQL}[i] AS p
+        FROM (SELECT unnest(range(1, 33)) AS i)
+    ),
+    proj AS (
+        SELECT e.vec_id,
+               CAST((pl.pidx - 1) // 8 AS BIGINT) AS band,
+               CAST((pl.pidx - 1) % 8 AS BIGINT) AS bit,
+               list_sum(list_transform(range(1, 65), j ->
+                   CAST(e.embedding[j] AS DOUBLE) * pl.p[j])) AS pr
+        FROM embeddings e, planes pl
+    ),
+    keys AS (
+        SELECT vec_id, band,
+               SUM(CASE WHEN pr >= 0 THEN (1 << bit) ELSE 0 END) AS key
+        FROM proj GROUP BY vec_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM keys l JOIN keys r
+          ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+        WHERE l.vec_id % 5 = 0 OR r.vec_id % 5 = 0
+    )
+    SELECT DISTINCT c.id_a, c.id_b, {_cos_sql('a', 'b')} AS score
+    FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+                JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {_cos_sql('a', 'b')} >= 0.4
+    """,
+)
+def incremental_embedding_new_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup ingest
+    (operators/similarity.incremental_embedding_candidates): vectors
+    with vec_id % 5 == 0 arrive as the increment and are the ONLY rows
+    paying hyperplane projections; the rest of the corpus participates
+    as its persisted band table (operators/similarity.embedding_banded)
+    through one bucket-keyed join, with exact-cosine verification
+    riding the join (threshold 0.4, the corpus's checkable band — same
+    rationale as embedding_lsh_near_duplicates). The vector twin of the
+    registered incremental MinHash ingest: per-ingest cost is
+    O(increment) + state join, never a corpus re-signature.
+
+    Scale: state is written once and reused every ingest; the join
+    shuffles on (part, band, key) — the band table's stored layout —
+    and only pairs with >= 1 new member are ever formed."""
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        embedding_banded,
+        incremental_embedding_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    state = embedding_banded(emb.filter(F.col("vec_id") % 5 != 0))
+    return incremental_embedding_candidates(
+        emb.filter(F.col("vec_id") % 5 == 0), state, threshold=0.4
+    )

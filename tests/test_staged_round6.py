@@ -338,3 +338,35 @@ def test_cap_drop_report_counts_hot_bucket(spark):
     # and the report agrees with what cap_bucket_size actually drops
     kept = cap_bucket_size(df, ["key"], 64).count()
     assert rep["n_rows"] - rep["n_rows_dropped"] == kept
+
+
+def test_incremental_embedding_converges_to_one_shot(spark, sf_dir):
+    """Union of per-ingest incremental embedding pair sets (uncapped)
+    must equal the one-shot banded-LSH pair set, and every incremental
+    pair must contain >= 1 member of its ingest."""
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        embedding_banded,
+        incremental_embedding_candidates,
+        lsh_near_duplicates,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one_shot = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_duplicates(emb, threshold=0.3).collect()
+    }
+    got = set()
+    for lo, hi in [(0, 200), (200, 350), (350, 10**9)]:
+        inc = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        state = embedding_banded(emb.filter(F.col("vec_id") < lo))
+        pairs = incremental_embedding_candidates(
+            inc, state, threshold=0.3
+        ).collect()
+        for r in pairs:
+            assert lo <= max(r["id_a"], r["id_b"])  # >= 1 new member
+        got |= {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == one_shot
+    assert one_shot  # non-vacuous at this SF / threshold
