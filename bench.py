@@ -18,6 +18,49 @@ import __spark_entry__ as entry_mod
 from pinterest_data_pipeline_spark.session import get_spark
 
 
+def load_prior_timings(
+    repo: str, query_names: set[str], local_record: str
+) -> dict[str, float]:
+    """Prior per-query timings for the 2×-regression re-run check: any
+    query whose first run exceeds 2× its last recorded time gets a
+    confirmation re-run, so a one-off JIT/host storm can't masquerade
+    as a plan regression in the round file (r3's agg_stats_exact and
+    r4's try_arithmetic_funcs both cried wolf this way — each
+    adjudicated as noise on re-measurement).
+
+    The driver's BENCH_r*.json keeps only a TRUNCATED tail of our JSON
+    line (parsed=None), so priors are regex-scavenged from every bench
+    artifact — including ``local_record``, the full untruncated record
+    this harness writes for exactly this purpose (committed per round
+    so round-over-round per-query deltas survive the driver's cut).
+    Later files win; names are filtered to known queries so stray
+    numeric fields (sf, value, …) can't enter."""
+    import re
+
+    prior: dict[str, float] = {}
+    candidates = sorted(
+        p for p in os.listdir(repo)
+        if p.startswith("BENCH_r") and p.endswith(".json")
+    ) + [local_record]
+    for path in candidates:
+        full = os.path.join(repo, path)
+        if not os.path.exists(full):
+            continue
+        try:
+            txt = open(full).read()
+        except OSError:
+            continue
+        # the driver file embeds our JSON line as a STRING value, so in
+        # the raw bytes every quote is escaped (\"name\": 1.2) — accept
+        # an optional backslash on both quotes
+        for m in re.finditer(
+            r'\\?"([A-Za-z0-9_]+)\\?":\s*([0-9]+\.[0-9]+)', txt
+        ):
+            if m.group(1) in query_names:
+                prior[m.group(1)] = float(m.group(2))
+    return prior
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -70,38 +113,11 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).select(_F.lit(1)).limit(1).count()
 
-    # Prior per-query records: any query whose first run exceeds 2× its
-    # last recorded time gets a confirmation re-run, so a one-off
-    # JIT/host storm can't masquerade as a plan regression in the round
-    # file (r3's agg_stats_exact and r4's try_arithmetic_funcs both
-    # cried wolf this way — each adjudicated as noise on re-measurement).
-    # The driver's BENCH_r*.json keeps only a TRUNCATED tail of our JSON
-    # line (parsed=None), so priors are regex-scavenged from every bench
-    # artifact — including bench_last.json, the full untruncated record
-    # this harness writes for exactly this purpose (committed per round
-    # so round-over-round per-query deltas survive the driver's cut).
-    import re as _re
-
-    prior: dict[str, float] = {}
     repo = os.path.dirname(os.path.abspath(__file__))
     # driver round files are always the default SF; the local record is
     # keyed by SF so a quick sf0.01 smoke can't pollute sf0.1 priors
     local_record = f"bench_last_sf{sf}.json"
-    candidates = sorted(
-        p for p in os.listdir(repo)
-        if p.startswith("BENCH_r") and p.endswith(".json")
-    ) + [local_record]
-    for path in candidates:
-        full = os.path.join(repo, path)
-        if not os.path.exists(full):
-            continue
-        try:
-            txt = open(full).read()
-        except OSError:
-            continue
-        for m in _re.finditer(r'"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)', txt):
-            if m.group(1) in queries:
-                prior[m.group(1)] = float(m.group(2))
+    prior = load_prior_timings(repo, set(queries), local_record)
 
     errors: dict[str, str] = {}
     total_t0 = time.perf_counter()
