@@ -161,3 +161,35 @@ def test_geo_timestamps_parse_and_span_years(cleaned):
     assert (
         cleaned["geo"].filter(F.col("timestamp").isNull()).count() == 0
     )  # every generated wire string must parse
+
+
+def test_portable_hash_identity_cross_engine(spark):
+    """The foundation under every pinterest_driver oracle: Spark's
+    conv(substr(md5(tag||ind),1,8),16,10) must equal DuckDB's
+    CAST(concat('0x', substr(md5(tag||ind),1,8)) AS BIGINT) for every
+    (tag, ind) — pinned directly over a 1000-ind spine and all the tags
+    the synthesis uses, not just transitively via the query hashes."""
+    import duckdb
+
+    from pinterest_data_pipeline_spark.plans.pinterest_driver import (
+        _h,
+        _h_sql,
+    )
+    from pyspark.sql import functions as F
+
+    tags = ["cat", "fc", "fcd", "fck", "fcm", "fcv", "title", "desc",
+            "poster", "tags", "img", "dl", "iv", "country", "lat", "lon",
+            "gy", "gmo", "gd", "gh", "gmi", "gs", "ufn", "uln", "age",
+            "uy", "umo", "ud", "uh", "umi", "us"]
+    spine = spark.range(1000).select(F.col("id").cast("int").alias("ind"))
+    got = spine.select(
+        "ind", *[_h(t, F.col("ind")).alias(f"h_{i}") for i, t in enumerate(tags)]
+    ).orderBy("ind").collect()
+    con = duckdb.connect()
+    exprs = ", ".join(f"{_h_sql(t, 'ind')} AS h_{i}" for i, t in enumerate(tags))
+    want = con.execute(
+        f"SELECT ind, {exprs} FROM (SELECT unnest(range(0, 1000)) AS ind) "
+        "ORDER BY ind"
+    ).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
