@@ -514,7 +514,11 @@ def incremental_embedding_new_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale: state is written once and reused every ingest; the join
     shuffles on (part, band, key) — the band table's stored layout —
-    and only pairs with >= 1 new member are ever formed."""
+    and only pairs with >= 1 new member are ever formed. The REGISTERED
+    form rebuilds the state in-query (no cross-query storage in the
+    driver harness), so its wall time (5.2 s warm at sf0.1) is
+    state-construction-dominated; a production ingest pays only the
+    increment's projections plus the join."""
     from pinterest_data_pipeline_spark.operators.similarity import (
         embedding_banded,
         incremental_embedding_candidates,
