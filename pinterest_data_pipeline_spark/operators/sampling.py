@@ -193,27 +193,55 @@ def token_budget_selection(
     with their running total (``cum_tokens``).
 
     Scale: a naive global running sum is a single-partition window —
-    dead at 100 TB. This is two-phase instead: (1) one partial-combined
-    aggregate per distinct margin gives |margins| bucket totals, and the
-    cumulative-before-bucket sum runs on THAT metadata-sized relation;
-    (2) only buckets the budget reaches at all survive the broadcast
-    semi-join back, and the exact per-row running sum is a window
-    PARTITIONED BY margin — distributed across buckets, never a global
-    sort. Selection semantics are identical to the single-window
-    formulation (the oracle uses that formulation as the cross-check).
-    All arithmetic is integer, so engines agree bit-for-bit."""
+    dead at 100 TB. This is three-level instead: (1) one partial-combined
+    aggregate per distinct margin gives the bucket totals; (2) the
+    cumulative-before-bucket prefix is computed hierarchically — margins
+    roll up into 2^20-wide COARSE ranges, the only global-ordered window
+    runs over the |coarse ranges| relation (bounded by the margin value
+    RANGE / 2^20, not by corpus diversity — a diverse corpus can have
+    ~1e8 distinct margins, which would make a per-margin global window a
+    single fat sort task), and each margin adds its within-coarse prefix
+    under a PARTITIONED window; (3) only buckets the budget reaches
+    survive the broadcast semi-join back (|selected margins| rows — if a
+    budget covers most of the corpus, swap the hint for a plain join),
+    and the exact per-row running sum is a window PARTITIONED BY margin.
+    Selection semantics are identical to the single-window formulation
+    (the oracle uses that formulation as the cross-check). All
+    arithmetic is integer, so engines agree bit-for-bit."""
     per_margin = df.groupBy(margin_col).agg(
         F.sum(F.col(tokens_col).cast("bigint")).alias("__bucket_tokens")
     )
-    wb = Window.orderBy(F.col(margin_col).desc())
-    cum_before = per_margin.withColumn(
-        "__cum_before",
+    # floor (not truncate) so negative margins bucket monotonically;
+    # margins are < 2^53 so the double division is exact enough for a
+    # 2^20-wide floor
+    coarse = F.floor(F.col(margin_col) / F.lit(float(1 << 20))).cast("long")
+    per_margin = per_margin.withColumn("__coarse", coarse)
+    per_coarse = per_margin.groupBy("__coarse").agg(
+        F.sum("__bucket_tokens").alias("__coarse_tokens")
+    )
+    wc = Window.orderBy(F.col("__coarse").desc())
+    coarse_before = per_coarse.withColumn(
+        "__coarse_before",
         F.coalesce(
-            F.sum("__bucket_tokens").over(
-                wb.rowsBetween(Window.unboundedPreceding, -1)
+            F.sum("__coarse_tokens").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0).cast("bigint"),
         ),
+    ).select("__coarse", "__coarse_before")
+    wm = Window.partitionBy("__coarse").orderBy(F.col(margin_col).desc())
+    cum_before = (
+        per_margin.join(F.broadcast(coarse_before), "__coarse")
+        .withColumn(
+            "__cum_before",
+            F.col("__coarse_before")
+            + F.coalesce(
+                F.sum("__bucket_tokens").over(
+                    wm.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
     )
     eligible = cum_before.filter(F.col("__cum_before") < F.lit(int(budget)))
     wd = Window.partitionBy(margin_col).orderBy(F.col(id_col).asc())

@@ -397,17 +397,32 @@ def test_token_budget_selection_has_no_global_row_window(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    # exactly two Window nodes: the metadata-sized bucket cumulative
-    # (global-ordered over |margins| rows — no partition key), and the
-    # per-row running sum PARTITIONED BY margin (distributed)
+    # exactly three Window nodes: the coarse-range cumulative (the ONLY
+    # global-ordered window, over |margin range / 2^20| rows — bounded
+    # by value range, not corpus diversity), the within-coarse prefix
+    # PARTITIONED BY __coarse, and the per-row running sum PARTITIONED
+    # BY margin (both distributed)
     specs = [
         line
         for line in plan.splitlines()
         if "windowspecdefinition" in line
     ]
-    assert len(specs) == 2, specs
+    assert len(specs) == 3, specs
+    global_ordered = [
+        s for s in specs if re.search(r"Arguments:[^\[]*\[[^\]]*\], \[__coarse#\d+L DESC", s)
+    ]
+    per_margin = [s for s in specs if re.search(r"\], \[__coarse#\d+L\], \[margin", s)]
     per_row = [s for s in specs if re.search(r"\], \[margin#\d+L\], \[doc_id", s)]
     assert per_row, f"per-row window not partitioned by margin: {specs}"
+    assert per_margin, f"within-coarse window not partitioned: {specs}"
+    assert global_ordered, f"coarse cumulative window not found: {specs}"
+    # no window may be globally ordered over the per-MARGIN relation
+    bad = [
+        s for s in specs
+        if re.search(r"Arguments:[^\[]*\[[^\]]*\], \[margin#\d+L DESC", s)
+        and not re.search(r"\], \[__coarse#\d+L\], \[margin", s)
+    ]
+    assert not bad, f"global per-margin window found: {bad}"
     # ...and a broadcast carries the eligible buckets back to the corpus
     assert n_nodes(plan, "BroadcastHashJoin") >= 1
     assert n_nodes(plan, "SortMergeJoin") == 0
