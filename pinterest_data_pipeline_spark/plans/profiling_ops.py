@@ -200,24 +200,28 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB join — operators/skew.py is the cure, this is the diagnosis.
 
     Scale: one partial-combinable count per key, then every further stat
-    runs over the |keys|-sized aggregate — the top-10 ranking window
-    orders keys, not rows. The skew ratio is integer ppm (floor div of
-    exact counts), hash-exact cross-engine.
+    runs over the |keys|-sized aggregate. The top-10 load is a
+    TakeOrdered cut (per-partition top-10 + driver merge), NOT a global
+    ranking window — |distinct keys| can be ~1e9 at 100 TB, and a
+    row_number over that relation is one fat sort task (the round-5
+    rewrite removed exactly that window). The skew ratio is integer ppm
+    (floor div of exact counts), hash-exact cross-engine.
     """
     ev = load_table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    from pyspark.sql import Window
-
-    r = F.row_number().over(
-        Window.orderBy(F.desc("n"), F.asc("user_id"))
-    )
-    ranked = per_key.select("n", r.alias("r"))
-    return ranked.agg(
+    stats = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_key_rows"),
         F.expr("(1000000 * max(n) * count(*)) div sum(n)").alias("skew_ppm"),
-        F.sum(F.when(F.col("r") <= 10, F.col("n"))).alias("top10_rows"),
+    )
+    top10 = (
+        per_key.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.sum("n").alias("top10_rows"))
+    )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        "n_keys", "n_rows", "max_key_rows", "skew_ppm", "top10_rows"
     )
 
 

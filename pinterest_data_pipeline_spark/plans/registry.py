@@ -113,7 +113,13 @@ CHECK_FIRST: list[str] = [
     "sessionize_events",
     "array_funcs_embeddings",
     "to_json_envelope",
-    "approx_distinct_events",
+    # -- (5) changed-in-round-5 re-queue: key_skew_profile_events lost
+    # its global ranking window (top-10 load is now a TakeOrdered cut);
+    # its r4 green row predates the change, so it re-certifies here. It
+    # takes the slot of the weakest rotation candidate
+    # (approx_distinct_events — rows-only, so a refresh adds the least
+    # signal; it rotates in round 6 instead).
+    "key_skew_profile_events",
     # ---- 50-row window boundary ----
     #
     # STANDING ROTATION RULE (written into policy in round 5, after the
@@ -139,7 +145,9 @@ CHECK_FIRST: list[str] = [
     # levenshtein_similar_names, window_distribution_funcs,
     # scalar_date_arithmetic, approx_percentiles_sketch,
     # text_token_stats, text_quality_scores, text_lang_id,
-    # exact_dedup_fingerprint — then the CHECK_LAST pair, then r2.
+    # exact_dedup_fingerprint, approx_distinct_events (displaced from
+    # the r5 window by the key_skew re-queue) — then the CHECK_LAST
+    # pair, then r2.
 ]
 
 CHECK_LAST: list[str] = [
