@@ -641,7 +641,7 @@ def winnowing_fingerprints(
 
     ``portable=True`` switches the gram hash to the md5-prefix form both
     engines compute bit-identically (oracle twin in
-    plans/staged_round5.py)."""
+    plans/round5_promotions.py)."""
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1 (got k={k}, window={window})")
     toks = tokens(text_col)

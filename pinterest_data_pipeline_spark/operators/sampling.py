@@ -243,7 +243,11 @@ def token_budget_selection(
             ),
         )
     )
-    eligible = cum_before.filter(F.col("__cum_before") < F.lit(int(budget)))
+    # <= (not <): a bucket whose prefix EQUALS the budget can still
+    # contribute zero-token rows (cum == budget passes the final
+    # filter); < would silently diverge from the single-window
+    # formulation at exact-budget boundaries on 0-token documents
+    eligible = cum_before.filter(F.col("__cum_before") <= F.lit(int(budget)))
     wd = Window.partitionBy(margin_col).orderBy(F.col(id_col).asc())
     return (
         df.join(

@@ -513,6 +513,7 @@ def incremental_embedding_candidates(
     planes_per_band: int = 8,
     seed: int = 7,
     max_bucket_size: int | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs for an increment against a stored corpus —
     the vector twin of :func:`dedup.incremental_minhash_candidates`:
@@ -527,9 +528,16 @@ def incremental_embedding_candidates(
     :func:`lsh_near_duplicates` pair set (pinned by
     tests/test_dedup_similarity.py); the cap caveat is identical to the
     MinHash twin — combined buckets are capped per ingest, so capped
-    incremental runs can only over-emit vs a capped one-shot."""
+    incremental runs can only over-emit vs a capped one-shot.
+
+    ``partition_col`` MUST match how ``existing_banded`` was built: the
+    join is keyed on (__part, band, key), so an increment banded
+    without the state's partition column (or vice versa) would never
+    collide with state rows and silently emit no new-vs-corpus pairs —
+    pass the same value to both :func:`embedding_banded` calls."""
     new_banded = embedding_banded(
-        increment, id_col, vec_col, dim, bands, planes_per_band, seed
+        increment, id_col, vec_col, dim, bands, planes_per_band, seed,
+        partition_col,
     ).withColumn("__new", F.lit(True))
     all_banded = existing_banded.withColumn(
         "__new", F.lit(False)

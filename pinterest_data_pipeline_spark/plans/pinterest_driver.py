@@ -319,21 +319,30 @@ def _clean_ctes() -> str:
         + _sentinel_sql("follower_count")
         + ", 'k', '000'), 'M', '000000')"
     )
+    # Spark's null_out_sentinels is na.replace over ALL string columns,
+    # so every string column gets the sentinel CASE — including ones
+    # this generator never makes dirty (unique_id, is_image_or_video,
+    # save_location, category). Mirroring the full semantics keeps the
+    # oracle correct under any future generator change instead of
+    # relying on "never emits a sentinel there". (tests/
+    # pinterest_oracle.py CLEAN_CTES is the fixture-file twin of this
+    # replay — cleaning-contract changes must land in both.)
     return f"""
     pin_clean AS (
         SELECT "index" AS ind,
-            unique_id,
+            {_sentinel_sql('unique_id')} AS unique_id,
             {_sentinel_sql('title')} AS title,
             {_sentinel_sql('description')} AS description,
             {_sentinel_sql('poster_name')} AS poster_name,
             CASE WHEN regexp_matches({fc}, '^[0-9]+$')
                  THEN CAST({fc} AS INTEGER) ELSE NULL END AS follower_count,
             {_sentinel_sql('tag_list')} AS tag_list,
-            is_image_or_video,
+            {_sentinel_sql('is_image_or_video')} AS is_image_or_video,
             {_sentinel_sql('image_src')} AS image_src,
             downloaded,
-            split_part(save_location, ' ', 4) AS save_location,
-            category
+            split_part({_sentinel_sql('save_location')}, ' ', 4)
+                AS save_location,
+            {_sentinel_sql('category')} AS category
         FROM pin_raw
     ),
     geo_clean AS (

@@ -137,11 +137,13 @@ CHECK_FIRST: list[str] = [
     #   embedding_ivf_multiprobe_topk) re-certify in the r5 window;
     #   the remaining dependent semantic_dedup_survivors (rows-only)
     #   should re-queue in round 6 for driver evidence freshness.
-    # - Promote plans/staged_round6.py first
-    # (dedup_keep_best_quality, leakage_safe_split_assign,
-    # token_budget_selection, mixture_epoch_capped_plan,
-    # bpe_pair_stats — full oracles, strict-mirror green at
-    # sf0.001+sf0.01); then the r1-evidence remainder —
+    # - Promote ALL SEVEN plans/staged_round6.py queries first
+    #   (dedup_keep_best_quality, leakage_safe_split_assign,
+    #   token_budget_selection, mixture_epoch_capped_plan,
+    #   bpe_pair_stats, winnowing_cap_report,
+    #   incremental_embedding_new_pairs — full oracles, strict-mirror
+    #   green at sf0.001+sf0.01; the window arithmetic must count all
+    #   seven); then the r1-evidence remainder —
     # levenshtein_similar_names, window_distribution_funcs,
     # scalar_date_arithmetic, approx_percentiles_sketch,
     # text_token_stats, text_quality_scores, text_lang_id,

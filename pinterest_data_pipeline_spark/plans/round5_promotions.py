@@ -1,9 +1,10 @@
 """Round-4 staged queries, PROMOTED to the registry in round 5.
 
 These five queries were built and fully tested in round 4 (Spark plan,
-DuckDB oracle, behavioral tests in tests/test_decontam_packing.py and
-tests/test_corpus_stats.py, differential tests vs pandas merge_asof and
-a pure-Python winnowing reference) but held out of the registry so
+DuckDB oracle, behavioral + differential tests — pandas merge_asof,
+pure-Python winnowing reference, planted-clone, margin-ordering and
+sqrt-boost pins, now in tests/test_round5_operators.py) but held out of
+the registry so
 round 4's 50-row driver window could close the never-checked backlog.
 Round 5 registers them; they lead CHECK_FIRST so each earns its first
 driver correctness row. The registry-wide strict mirror

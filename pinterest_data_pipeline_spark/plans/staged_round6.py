@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these six new composition queries stage here: each has a full DuckDB
+these seven new composition queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -56,6 +56,8 @@ def _stage(name: str, oracle: str | None = None):
     """Same contract as registry.register, but into the staging dicts."""
 
     def deco(fn):
+        if name in STAGED_QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
         if oracle is not None and has_sql_line_comment(oracle):
             raise ValueError(f"oracle for {name} contains a `--` SQL comment")
         STAGED_QUERIES[name] = fn

@@ -370,3 +370,27 @@ def test_incremental_embedding_converges_to_one_shot(spark, sf_dir):
         got |= {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == one_shot
     assert one_shot  # non-vacuous at this SF / threshold
+
+
+def test_budget_selection_zero_token_docs_at_exact_boundary(spark):
+    """Regression (round-5 review): a bucket whose cumulative prefix
+    EQUALS the budget can still contribute zero-token documents — the
+    eligibility filter must be <= budget, not <, or the operator
+    diverges from the single-window spec on 0-token docs."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    rows = [(1, 10, 5), (2, 5, 0), (3, 5, 4), (4, 3, 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, margin bigint, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_selection(df, 5).collect()
+    }
+    # prefix sums in (margin DESC, doc_id ASC) order:
+    #   doc1=5, doc2=5 (zero tokens at the exact boundary — kept),
+    #   doc3=9 (out), doc4=9 (out: zero-token docs never re-enter once
+    #   the running total has exceeded the budget)
+    assert got == {1: 5, 2: 5}
