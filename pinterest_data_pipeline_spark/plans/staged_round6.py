@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these seven new composition queries stage here: each has a full DuckDB
+these nine new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -30,6 +30,10 @@ that sit between the already-registered primitives:
 - ``incremental_embedding_new_pairs`` — embedding near-dup ingest
   against a persisted hyperplane band table (the vector twin of the
   registered incremental MinHash ingest).
+- ``dsir_importance_weights`` / ``dsir_gumbel_topk`` — DSIR data
+  selection (Xie et al. 2023): hashed-n-gram importance log-weights
+  against a target domain, and Gumbel-top-k sampling without
+  replacement on top of them (operators/dsir.py).
 """
 
 from __future__ import annotations
@@ -531,3 +535,123 @@ def incremental_embedding_new_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     return incremental_embedding_candidates(
         emb.filter(F.col("vec_id") % 5 == 0), state, threshold=0.4
     )
+
+
+# ------------------------------------------------------- DSIR selection
+#
+# The hashed-n-gram feature/model pipeline shared by both DSIR queries,
+# replayed verbatim: portable md5 bucket ids, add-one smoothing as four
+# explicit ln terms (the operator keeps the same expression tree so the
+# rounded sums hash-match).
+_DSIR_CTES = r"""
+    toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(list_concat(t,
+                   list_transform(generate_series(1, len(t) - 1),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS g
+        FROM toks WHERE len(t) >= 1
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096
+                   AS bucket,
+               count(*) AS cnt
+        FROM grams GROUP BY doc_id, lang, bucket
+    ),
+    lm AS (
+        SELECT bucket,
+               sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct,
+               sum(CASE WHEN lang <> 'en' THEN cnt ELSE 0 END) AS cr
+        FROM feats GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS DOUBLE) AS t_total,
+               CAST(sum(cr) AS DOUBLE) AS r_total
+        FROM lm
+    ),
+    lr AS (
+        SELECT bucket,
+               ln(CAST(ct AS DOUBLE) + 1.0) - ln(t_total + 4096.0)
+             - ln(CAST(cr AS DOUBLE) + 1.0) + ln(r_total + 4096.0)
+                   AS log_ratio
+        FROM lm, tot
+    ),
+    weights AS (
+        SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+               round(sum(CAST(f.cnt AS DOUBLE) * lr.log_ratio), 6)
+                   AS logweight
+        FROM feats f JOIN lr USING (bucket)
+        WHERE f.lang <> 'en'
+        GROUP BY f.doc_id
+    )"""
+
+
+@_stage(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_feats, logweight FROM weights
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir.importance_weights,
+    after Xie et al. 2023): every non-English document scored by how
+    English-like its hashed uni+bigram bag is — ``sum_f count_f *
+    (ln p_en[f] - ln p_raw[f])`` under add-one smoothing over 4096
+    portable-hash buckets. The target-domain language model is a
+    CONSTANT-SIZE (<=4096-row) relation however large the corpus, so
+    the whole scorer is one O(tokens) featurize shuffle + one broadcast
+    join + one doc-keyed sum — the 100 TB cost class of every n-gram
+    operator here."""
+    from pinterest_data_pipeline_spark.operators.dsir import (
+        importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("lang") == "en")
+
+
+@_stage(
+    "dsir_gumbel_topk",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    keyed AS (
+        SELECT doc_id, logweight,
+               round(logweight + (
+                   -ln(-ln((CAST(CAST(concat('0x', substr(md5(
+                        concat('dsir-gumbel:', CAST(doc_id AS VARCHAR))),
+                        1, 8)) AS BIGINT) AS DOUBLE) + 0.5)
+                        / 4294967296.0))
+               ), 6) AS gumbel_key
+        FROM weights
+    ),
+    ranked AS (
+        SELECT doc_id, logweight, gumbel_key,
+               ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+                   AS rank
+        FROM keyed
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id, logweight, gumbel_key
+    FROM ranked WHERE rank <= 64
+    """,
+)
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection proper (operators/dsir.gumbel_topk_selection):
+    sample 64 raw documents without replacement with probability
+    proportional to exp(importance logweight), via the Gumbel-top-k
+    identity — the noise is a deterministic standard Gumbel drawn from
+    the portable md5 hash of the doc id, so retries, engines and the
+    oracle produce the identical sample. Planned as
+    TakeOrderedAndProject: only the 64 winners ever leave the
+    executors; the rank window then runs over those 64 rows alone."""
+    from pinterest_data_pipeline_spark.operators.dsir import (
+        gumbel_topk_selection,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gumbel_topk_selection(docs, F.col("lang") == "en", k=64)

@@ -394,3 +394,127 @@ def test_budget_selection_zero_token_docs_at_exact_boundary(spark):
     #   doc3=9 (out), doc4=9 (out: zero-token docs never re-enter once
     #   the running total has exceeded the budget)
     assert got == {1: 5, 2: 5}
+
+
+# ------------------------------------------------------------ DSIR
+
+
+def _py_dsir_weights(corpus, target_langs={"en"}, buckets=4096):
+    """Pure-Python DSIR replay (hashlib md5 — no Spark, no DuckDB):
+    the third, engine-independent implementation of the staged
+    pipeline's semantics."""
+    import hashlib
+    import math
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % buckets
+
+    feats = {}
+    for doc_id, lang, text in corpus:
+        toks = [t for t in text.split() if t]
+        grams = toks + [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+        c = {}
+        for g in grams:
+            b = bucket(g)
+            c[b] = c.get(b, 0) + 1
+        feats[doc_id] = (lang in target_langs, c)
+    ct, cr = {}, {}
+    for tgt, c in feats.values():
+        for b, n in c.items():
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + n
+    t_total, r_total = float(sum(ct.values())), float(sum(cr.values()))
+    out = {}
+    for doc_id, (tgt, c) in feats.items():
+        if tgt:
+            continue
+        w = sum(
+            n
+            * (
+                math.log(ct.get(b, 0) + 1.0)
+                - math.log(t_total + buckets)
+                - math.log(cr.get(b, 0) + 1.0)
+                + math.log(r_total + buckets)
+            )
+            for b, n in c.items()
+        )
+        out[doc_id] = (sum(c.values()), round(w, 6))
+    return out
+
+
+def test_dsir_weights_match_pure_python_reference(spark):
+    """Differential: Spark vs a hashlib/math replay on a corpus built to
+    exercise smoothing (raw-only grams), shared grams, and repeats."""
+    from pinterest_data_pipeline_spark.operators.dsir import (
+        importance_weights,
+    )
+
+    corpus = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog sat on the log"),
+        (2, "en", "cats and dogs and cats"),
+        (3, "fr", "the cat sat on the mat"),
+        (4, "fr", "le chat le chat le chat"),
+        (5, "de", "der hund sat on the mat"),
+        (6, "zh", "completely unseen grams here"),
+    ]
+    df = spark.createDataFrame(
+        corpus, "doc_id bigint, lang string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logweight"])
+        for r in importance_weights(df, F.col("lang") == "en").collect()
+    }
+    assert got == _py_dsir_weights(corpus)
+
+
+def test_dsir_target_clone_outscores_disjoint_doc(spark):
+    """Semantics: a raw doc that IS a target doc verbatim must carry a
+    higher importance weight than one sharing no grams with the target
+    (the selection pressure DSIR exists to apply)."""
+    from pinterest_data_pipeline_spark.operators.dsir import (
+        importance_weights,
+    )
+
+    corpus = [
+        (0, "en", "alpha beta gamma delta epsilon zeta"),
+        (1, "en", "alpha beta gamma eta theta iota"),
+        (2, "fr", "alpha beta gamma delta epsilon zeta"),
+        (3, "fr", "rouge vert bleu jaune violet orange"),
+    ]
+    df = spark.createDataFrame(
+        corpus, "doc_id bigint, lang string, text string"
+    )
+    w = {
+        r["doc_id"]: r["logweight"]
+        for r in importance_weights(df, F.col("lang") == "en").collect()
+    }
+    assert w[2] > w[3]
+
+
+def test_dsir_gumbel_topk_is_the_k_largest_keys(spark, sf_dir):
+    """The Gumbel-top-k identity, pinned mechanically: the selected set
+    equals the k largest (rounded logweight + deterministic Gumbel)
+    keys over ALL raw docs, computed by a second, window-free path."""
+    from pinterest_data_pipeline_spark.operators.dsir import (
+        gumbel_noise,
+        gumbel_topk_selection,
+        importance_weights,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = gumbel_topk_selection(docs, F.col("lang") == "en", k=16).collect()
+    assert [r["rank"] for r in sel] == list(range(1, 17))
+    all_keys = (
+        importance_weights(docs, F.col("lang") == "en")
+        .withColumn(
+            "key", F.round(F.col("logweight") + gumbel_noise(F.col("doc_id")), 6)
+        )
+        .collect()
+    )
+    expected = sorted(all_keys, key=lambda r: (-r["key"], r["doc_id"]))[:16]
+    assert [(r["doc_id"], r["gumbel_key"]) for r in sel] == [
+        (r["doc_id"], r["key"]) for r in expected
+    ]
