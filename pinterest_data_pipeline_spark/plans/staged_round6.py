@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these nine new queries stage here: each has a full DuckDB
+these eleven new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -34,6 +34,11 @@ that sit between the already-registered primitives:
   selection (Xie et al. 2023): hashed-n-gram importance log-weights
   against a target domain, and Gumbel-top-k sampling without
   replacement on top of them (operators/dsir.py).
+- ``bpe_learn_merges`` / ``bpe_encode_compression`` — full BPE
+  tokenizer training (k merges, corpus touched once, vocab-sized
+  iterations) and its application back to the corpus via a vocab
+  join; the iterative learn loop unrolls into k oracle CTE layers,
+  so even the training run is value-verified (operators/bpe.py).
 """
 
 from __future__ import annotations
@@ -655,3 +660,127 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gumbel_topk_selection(docs, F.col("lang") == "en", k=64)
+
+
+# ------------------------------------------------- BPE tokenizer training
+#
+# The learn loop is iterative, but every iteration is deterministic
+# (total argmax order) and the piece-string representation makes the
+# merge a plain `replace` — so the WHOLE training run unrolls into k
+# CTE layers DuckDB replays bit-identically. k is fixed per query;
+# chr(31) is the piece separator (operators/bpe.SEP).
+
+_BPE_K = 6
+
+_BPE_W0 = r"""
+    w0 AS (
+        SELECT word, cnt,
+               regexp_replace(word, '(.)',
+                   concat(chr(31), '\1', chr(31)), 'g') AS repr
+        FROM (
+            SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(text, '\s+'), x -> x <> '')) AS t
+                FROM documents
+            )
+            WHERE NOT contains(t, chr(31))
+            GROUP BY t
+        )
+    )"""
+
+
+def _bpe_layer(i: int) -> str:
+    """One unrolled merge iteration: pair counts over w{i-1}, the
+    argmax pair, and the rewritten vocab w{i}."""
+    return f"""
+    pairs{i} AS (
+        SELECT p[j] AS l, p[j + 1] AS r,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM (
+            SELECT cnt,
+                   string_split(substr(repr, 2, length(repr) - 2),
+                       concat(chr(31), chr(31))) AS p
+            FROM w{i - 1}
+        ), unnest(generate_series(1, len(p) - 1)) AS u(j)
+        GROUP BY 1, 2
+    ),
+    best{i} AS (
+        SELECT {i} AS merge_rank, l, r, pair_count
+        FROM pairs{i} ORDER BY pair_count DESC, l, r LIMIT 1
+    ),
+    w{i} AS (
+        SELECT word, cnt,
+               replace(repr,
+                   concat(chr(31), b.l, chr(31), chr(31), b.r, chr(31)),
+                   concat(chr(31), b.l, b.r, chr(31))) AS repr
+        FROM w{i - 1}, best{i} b
+    )"""
+
+
+_BPE_CTES = _BPE_W0 + "," + ",".join(_bpe_layer(i) for i in range(1, _BPE_K + 1))
+
+
+@_stage(
+    "bpe_learn_merges",
+    oracle=f"""
+    WITH {_BPE_CTES}
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+           l AS left_piece, r AS right_piece, pair_count
+    FROM ({" UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(1, _BPE_K + 1))})
+    """,
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.learn_bpe, after Sennrich
+    et al. 2016): the first 6 merges learned from the corpus's word-
+    frequency table. The corpus is touched ONCE (the word-count
+    shuffle); every iteration runs on the Zipf-bounded vocab relation
+    and collects exactly one row (the argmax pair under a total
+    order), so the loop is driver-metadata-sized however large the
+    corpus. The oracle unrolls all 6 iterations as CTE layers over the
+    identical wrapped-piece representation — the full training run is
+    value-verified, not just the first merge."""
+    from pinterest_data_pipeline_spark.operators.bpe import bpe_merge_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(spark, docs, k=_BPE_K)
+
+
+@_stage(
+    "bpe_encode_compression",
+    oracle=f"""
+    WITH {_BPE_CTES}
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(v.np) AS BIGINT) AS n_pieces,
+           CAST(sum(v.nc) AS BIGINT) AS n_chars,
+           round(CAST(sum(v.nc) AS DOUBLE) / CAST(sum(v.np) AS DOUBLE), 6)
+               AS chars_per_piece
+    FROM (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+        FROM documents
+    ) d
+    JOIN (
+        SELECT word,
+               len(string_split(substr(repr, 2, length(repr) - 2),
+                   concat(chr(31), chr(31)))) AS np,
+               length(word) AS nc
+        FROM w{_BPE_K}
+    ) v USING (word)
+    WHERE NOT contains(d.word, chr(31))
+    GROUP BY d.doc_id
+    """,
+)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned 6-merge BPE tokenizer back to the corpus
+    (operators/bpe.bpe_encode_stats): per-document token/piece/char
+    counts and the chars-per-piece compression ratio. Encoding is a
+    JOIN to the trained vocab (word -> piece count) — broadcast here,
+    word-keyed hash join as the documented scale fallback — never a
+    per-token merge replay, so the encode pass costs one corpus scan
+    plus one doc-keyed aggregate."""
+    from pinterest_data_pipeline_spark.operators.bpe import bpe_encode_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, k=_BPE_K)

@@ -518,3 +518,104 @@ def test_dsir_gumbel_topk_is_the_k_largest_keys(spark, sf_dir):
     assert [(r["doc_id"], r["gumbel_key"]) for r in sel] == [
         (r["doc_id"], r["key"]) for r in expected
     ]
+
+
+# ------------------------------------------------------------- BPE
+
+
+def _py_bpe(corpus_texts, k):
+    """Pure-Python Sennrich-style BPE (no Spark, no DuckDB): word
+    frequency dict, overlapping pair counts, greedy left-to-right
+    non-overlapping merge, argmax by (count desc, pair lexicographic
+    asc). The third, engine-independent implementation."""
+    from collections import Counter
+
+    vocab = Counter()
+    for text in corpus_texts:
+        for w in text.split():
+            if w:
+                vocab[w] += 1
+    pieces = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = Counter()
+        for w, cnt in vocab.items():
+            p = pieces[w]
+            for i in range(len(p) - 1):
+                pairs[(p[i], p[i + 1])] += cnt
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, n))
+        for w in pieces:
+            p, out, i = pieces[w], [], 0
+            while i < len(p):
+                if i + 1 < len(p) and p[i] == l and p[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(p[i])
+                    i += 1
+            pieces[w] = out
+    return merges, pieces
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    """Differential on a corpus built to exercise the greedy-overlap
+    case (aaaa), ties (deterministic lexicographic winner), and merged
+    pieces re-entering later pair counts (th+e -> the)."""
+    from pinterest_data_pipeline_spark.operators.bpe import learn_bpe
+
+    texts = [
+        "the theme thesis then the the",
+        "aaaa aaaa aa banana bandana",
+        "zz zz zz zz zz zz zz zz",
+        "the band ran as the anthem began",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got, vocab = learn_bpe(df, k=8)
+    want, want_pieces = _py_bpe(texts, 8)
+    assert got == want
+    from pinterest_data_pipeline_spark.operators.bpe import split_pieces
+
+    spark_pieces = {
+        r["word"]: r["p"]
+        for r in vocab.select("word", split_pieces("repr").alias("p")).collect()
+    }
+    assert spark_pieces == {w: p for w, p in want_pieces.items()}
+
+
+def test_bpe_encode_piece_count_non_increasing_in_k(spark, sf_dir):
+    """More merges can never split a document into MORE pieces — the
+    monotonicity that makes BPE a compressor."""
+    from pinterest_data_pipeline_spark.operators.bpe import bpe_encode_stats
+
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    n0 = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_encode_stats(docs, k=2).collect()
+    }
+    n1 = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_encode_stats(docs, k=6).collect()
+    }
+    assert set(n0) == set(n1)
+    assert all(n1[d] <= n0[d] for d in n0)
+    assert any(n1[d] < n0[d] for d in n0)
+
+
+def test_bpe_stops_early_when_no_pairs_remain(spark):
+    """Single-char words only: zero merges possible; learn_bpe must
+    stop, not loop or raise."""
+    from pinterest_data_pipeline_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "c b a")], "doc_id bigint, text string"
+    )
+    merges, vocab = learn_bpe(df, k=4)
+    assert merges == []
+    assert vocab.count() == 3
