@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these eleven new queries stage here: each has a full DuckDB
+these thirteen new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -39,6 +39,10 @@ that sit between the already-registered primitives:
   iterations) and its application back to the corpus via a vocab
   join; the iterative learn loop unrolls into k oracle CTE layers,
   so even the training run is value-verified (operators/bpe.py).
+- ``duplicate_span_report`` / ``cut_duplicate_spans_stats`` —
+  ExactSubstr dedup (Lee et al. 2021) via the L-gram cover: maximal
+  corpus-duplicated token spans and their removal
+  (operators/substring_dedup.py).
 """
 
 from __future__ import annotations
@@ -784,3 +788,117 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_stats(docs, k=_BPE_K)
+
+
+# ------------------------------------------- exact-substring span dedup
+#
+# Lee et al. 2021 ExactSubstr semantics via the L-gram cover (see
+# operators/substring_dedup.py). L=8 tokens, min_count=2 occurrences
+# (within- or cross-document). Positions are 1-based inclusive.
+
+_SPAN_CTES = r"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS start,
+               md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gh
+        FROM toks, unnest(generate_series(1, len(t) - 7)) u(i)
+        WHERE len(t) >= 8
+    ),
+    flagged AS (
+        SELECT doc_id, start
+        FROM (
+            SELECT doc_id, start,
+                   count(*) OVER (PARTITION BY gh) AS n
+            FROM grams
+        )
+        WHERE n >= 2
+    )"""
+
+
+@_stage(
+    "duplicate_span_report",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    isl AS (
+        SELECT doc_id, start, start + 7 AS e,
+               max(start + 7) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmax
+        FROM flagged
+    ),
+    isl2 AS (
+        SELECT doc_id, start, e,
+               sum(CASE WHEN pmax IS NULL OR start > pmax + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY start) AS isl_id
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(start) + 1 AS BIGINT) AS span_tokens
+    FROM isl2 GROUP BY doc_id, isl_id
+    """,
+)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exactly-duplicated token spans per document
+    (operators/substring_dedup.duplicate_spans, after Lee et al. 2021):
+    a span is any maximal token range all of whose 8-token shingles
+    occur at least twice corpus-wide — the L-gram-cover equivalent of
+    the paper's suffix-array criterion for fixed L. One O(tokens)
+    shingle-hash shuffle (full md5, collision-proof), then a
+    duplicate-bounded gaps-and-islands window keyed by document."""
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, L=8, min_count=2)
+
+
+@_stage(
+    "cut_duplicate_spans_stats",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    cov AS (
+        SELECT doc_id, list(DISTINCT p) AS cov
+        FROM (
+            SELECT doc_id, unnest(generate_series(start, start + 7)) AS p
+            FROM flagged
+        )
+        GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CASE WHEN c.cov IS NULL THEN t.t
+                    ELSE list_filter(t.t,
+                        (x, i) -> NOT list_contains(c.cov, i)) END AS k
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(k, ' '), '') AS kept_text
+    FROM kept
+    """,
+)
+def cut_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup proper (operators/substring_dedup.
+    cut_duplicate_spans): every duplicated span removed, the unique
+    remainder kept, for EVERY document — untouched docs pass through,
+    fully-duplicated docs keep ''. The covered positions travel as one
+    per-document array (duplicate-volume-sized), so the corpus scan
+    rebuilds kept text with a pure indexed-filter expression and never
+    re-shuffles."""
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        cut_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_duplicate_spans(docs, L=8, min_count=2)

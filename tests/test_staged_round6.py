@@ -619,3 +619,113 @@ def test_bpe_stops_early_when_no_pairs_remain(spark):
     merges, vocab = learn_bpe(df, k=4)
     assert merges == []
     assert vocab.count() == 3
+
+
+# ------------------------------------------------ exact-substring dedup
+
+
+def _py_spans_and_cut(corpus, L=3, min_count=2):
+    """Pure-Python ExactSubstr replay (the third implementation):
+    duplicated L-gram starts -> merged maximal spans -> cut text."""
+    from collections import Counter
+
+    toks = {d: [t for t in s.split() if t] for d, s in corpus}
+    counts = Counter()
+    for t in toks.values():
+        for i in range(len(t) - L + 1):
+            counts[" ".join(t[i : i + L])] += 1
+    spans, cut = {}, {}
+    for d, t in toks.items():
+        starts = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if counts[" ".join(t[i : i + L])] >= min_count
+        ]
+        merged = []
+        for s in starts:
+            e = s + L - 1
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        spans[d] = [(s, e, e - s + 1) for s, e in merged]
+        covered = {p for s, e in merged for p in range(s, e + 1)}
+        kept = [tok for i, tok in enumerate(t, 1) if i not in covered]
+        cut[d] = (len(t), len(kept), " ".join(kept))
+    return spans, cut
+
+
+def test_substring_dedup_matches_pure_python_reference(spark):
+    """Differential on a corpus exercising: cross-doc duplication,
+    within-doc repetition, overlapping flagged windows merging into
+    one maximal span, adjacent spans merging, a fully-duplicated doc
+    (kept_text ''), and a short doc below L."""
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    corpus = [
+        (0, "u0 u1 the quick brown fox jumps over u2 u3"),
+        (1, "v0 the quick brown fox jumps over v1 v2 v3"),
+        (2, "w0 rep rep rep rep rep rep w1 w2 w3 w4"),
+        (3, "the quick brown fox jumps over"),
+        (4, "x0 x1"),
+        (5, "y0 y1 y2 y3 y4 y5 y6 y7 y8"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    want_spans, want_cut = _py_spans_and_cut(corpus, L=3, min_count=2)
+    got_spans = {}
+    for r in duplicate_spans(df, L=3, min_count=2).collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert {
+        d: sorted(v) for d, v in got_spans.items()
+    } == {d: v for d, v in want_spans.items() if v}
+    got_cut = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["kept_text"])
+        for r in cut_duplicate_spans(df, L=3, min_count=2).collect()
+    }
+    assert got_cut == want_cut
+
+
+def test_substring_dedup_within_doc_repetition_counts(spark):
+    """A phrase repeated only WITHIN one document is still duplicated
+    text (the paper's self-repetition case)."""
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a0 p q r a1 a2 p q r a3"), (1, "b0 b1 b2 b3 b4 b5")],
+        "doc_id bigint, text string",
+    )
+    spans = duplicate_spans(df, L=3, min_count=2).collect()
+    assert {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans} == {
+        (0, 2, 4),
+        (0, 7, 9),
+    }
+
+
+def test_substring_dedup_untouched_docs_pass_through(spark, sf_dir):
+    """Documents with no duplicated shingle keep every token, and
+    kept_text is the whitespace-normalized original."""
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        cut_duplicate_spans,
+        duplicated_starts,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged_ids = {
+        r["doc_id"]
+        for r in duplicated_starts(docs, L=8).select("doc_id").distinct().collect()
+    }
+    out = cut_duplicate_spans(docs, L=8).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        if r["doc_id"] not in flagged_ids:
+            assert r["n_kept"] == r["n_tokens"]
+        else:
+            assert r["n_kept"] < r["n_tokens"]
