@@ -362,3 +362,66 @@ def epoch_capped_mixture(
             ).alias("epochs_r6"),
         )
     )
+
+
+def doremi_reweight(
+    item_loss: DataFrame,
+    domain_col: str = "domain",
+    loss_col: str = "loss",
+    eta: float = 1.0,
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient reweighting step
+    (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+    Language Model Pretraining" — arXiv:2305.10429), offline form:
+    given per-item losses under a proxy model (here typically the
+    self-trained unigram LM's negative mean logprob), upweight the
+    domains whose average loss EXCEEDS the corpus average —
+
+        w_d  ∝  share_d · exp(eta · max(0, avg_loss_d − avg_loss)),
+
+    normalized over domains, with ``share_d`` the item-count baseline.
+    DoReMi proper iterates this under Group DRO while training the
+    proxy; one deterministic step over a fixed loss column is the
+    batch-engine building block (the caller loops epochs if wanted).
+
+    Exactness contract: per-domain and corpus averages are rounded to
+    6dp BEFORE the exp (so both engines exponentiate identical
+    doubles), and the final weight is rounded to 6dp after the
+    |domains|-row normalization — float noise below the grain.
+
+    Scale: one partial-combinable aggregate over items; everything
+    after runs on the |domains|-row relation (single-partition window
+    over a bounded domain count)."""
+    per = item_loss.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.avg(loss_col), 6).alias("avg_loss"),
+    )
+    corpus = item_loss.agg(
+        F.count(F.lit(1)).cast("double").alias("__total"),
+        F.round(F.avg(loss_col), 6).alias("__corpus_avg"),
+    )
+    raw = (
+        per.crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "excess_loss",
+            F.greatest(
+                F.lit(0.0),
+                F.round(F.col("avg_loss") - F.col("__corpus_avg"), 6),
+            ),
+        )
+        .withColumn(
+            "__raw",
+            (F.col("n_items").cast("double") / F.col("__total"))
+            * F.exp(F.lit(float(eta)) * F.col("excess_loss")),
+        )
+    )
+    return raw.select(
+        domain_col,
+        "n_items",
+        "avg_loss",
+        "excess_loss",
+        F.round(
+            F.col("__raw") / F.sum("__raw").over(Window.partitionBy()),
+            6,
+        ).alias("weight"),
+    )

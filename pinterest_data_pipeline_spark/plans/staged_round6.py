@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these thirteen new queries stage here: each has a full DuckDB
+these fifteen new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -43,6 +43,12 @@ that sit between the already-registered primitives:
   ExactSubstr dedup (Lee et al. 2021) via the L-gram cover: maximal
   corpus-duplicated token spans and their removal
   (operators/substring_dedup.py).
+- ``sessionize_event_stats`` — gap-based sessionization of the events
+  stream, integer-microsecond gap math, one user-keyed Exchange
+  (operators/sessionize.py).
+- ``doremi_domain_reweight`` — one DoReMi exponentiated-gradient
+  mixture step over per-domain excess unigram-LM loss
+  (operators/sampling.doremi_reweight, Xie et al. 2023).
 """
 
 from __future__ import annotations
@@ -902,3 +908,129 @@ def cut_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cut_duplicate_spans(docs, L=8, min_count=2)
+
+
+# ------------------------------------------------------ sessionization
+
+
+@_stage(
+    "sessionize_event_stats",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS INTEGER) AS session_id
+        FROM s
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def sessionize_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessionize.session_stats):
+    a new session per user wherever the inter-event gap exceeds 30
+    minutes, compared in integer microseconds so both engines agree
+    exactly; ordering tiebreaks on event_id, making the numbering
+    total. One user-keyed shuffle carries the lag window, the running
+    session counter AND the per-session aggregate — a single Exchange
+    in the plan."""
+    from pinterest_data_pipeline_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_seconds=1800)
+
+
+# ---------------------------------------------------- DoReMi reweight
+
+
+@_stage(
+    "doremi_domain_reweight",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    freq AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+    lp AS (
+        SELECT doc_id,
+               round(sum(tf * ln(cnt / tot.total)) / sum(tf), 6)
+                   AS avg_logprob
+        FROM tf JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    item AS (
+        SELECT d.source AS domain, -lp.avg_logprob AS loss
+        FROM lp JOIN documents d USING (doc_id)
+    ),
+    per AS (
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_items,
+               round(avg(loss), 6) AS avg_loss
+        FROM item GROUP BY domain
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS DOUBLE) AS total,
+               round(avg(loss), 6) AS corpus_avg
+        FROM item
+    ),
+    raw AS (
+        SELECT domain, n_items, avg_loss,
+               greatest(0.0, round(avg_loss - corpus_avg, 6))
+                   AS excess_loss,
+               (CAST(n_items AS DOUBLE) / total)
+                   * exp(greatest(0.0, round(avg_loss - corpus_avg, 6)))
+                   AS r
+        FROM per CROSS JOIN corpus
+    )
+    SELECT domain, n_items, avg_loss, excess_loss,
+           round(r / sum(r) OVER (), 6) AS weight
+    FROM raw
+    """,
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi exponentiated-gradient mixture step
+    (operators/sampling.doremi_reweight, after Xie et al. 2023): the
+    per-document loss proxy is the self-trained unigram LM's negative
+    mean logprob (the registered unigram_logprob_quality signal),
+    domains are sources, and domains with above-average loss are
+    upweighted from their item-count baseline. Rounds before the exp
+    so both engines exponentiate identical doubles; everything after
+    the one item aggregate runs on the |domains|-row relation."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        doremi_reweight,
+    )
+    from pinterest_data_pipeline_spark.operators.tfidf import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    item = (
+        unigram_logprob(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            F.col("source").alias("domain"),
+            (-F.col("avg_logprob")).alias("loss"),
+        )
+    )
+    return doremi_reweight(item, eta=1.0)

@@ -729,3 +729,109 @@ def test_substring_dedup_untouched_docs_pass_through(spark, sf_dir):
             assert r["n_kept"] == r["n_tokens"]
         else:
             assert r["n_kept"] < r["n_tokens"]
+
+
+# ---------------------------------------------------- sessionization
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    """An event exactly gap_seconds after the previous one CONTINUES
+    the session; one microsecond past starts a new one."""
+    import datetime as dt
+
+    from pinterest_data_pipeline_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 7, t0),
+        (2, 7, t0 + dt.timedelta(seconds=1800)),          # exactly gap
+        (3, 7, t0 + dt.timedelta(seconds=3600, microseconds=1)),  # past
+        (4, 9, t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert got == {1: (7, 1), 2: (7, 1), 3: (7, 2), 4: (9, 1)}
+
+
+def test_sessionize_tiebreaks_on_event_id(spark):
+    """Simultaneous events order by event_id, so numbering is total
+    and engine-stable."""
+    import datetime as dt
+
+    from pinterest_data_pipeline_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(20, 1, t0), (10, 1, t0), (30, 1, t0 + dt.timedelta(hours=2))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert got == {10: 1, 20: 1, 30: 2}
+
+
+def test_sessionize_single_exchange_plan(spark, sf_dir):
+    """Lag window, session counter and per-session aggregate must ride
+    ONE user-keyed Exchange — the operator's scale contract."""
+    from pinterest_data_pipeline_spark.operators.sessionize import (
+        session_stats,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plan = (
+        session_stats(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\bExchange hash", ln)
+    ]
+    assert len(exchanges) == 1, plan
+
+
+# ------------------------------------------------------------ DoReMi
+
+
+def test_doremi_weights_are_a_distribution_and_monotone(spark):
+    """Weights sum to 1; the domain with the larger excess loss gets
+    more than its baseline share, the below-average one less."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    rows = (
+        [("hard", 5.0 + 0.01 * i) for i in range(10)]
+        + [("easy", 1.0 + 0.01 * i) for i in range(30)]
+        + [("mid", 3.0)] * 20
+    )
+    df = spark.createDataFrame(rows, "domain string, loss double")
+    out = {r["domain"]: r for r in doremi_reweight(df).collect()}
+    total = sum(r["weight"] for r in out.values())
+    assert abs(total - 1.0) < 1e-5
+    assert out["hard"]["weight"] > 10 / 60          # above baseline share
+    assert out["easy"]["weight"] < 30 / 60          # below baseline share
+    assert out["easy"]["excess_loss"] == 0.0
+
+
+def test_doremi_uniform_loss_keeps_baseline_shares(spark):
+    """With identical losses everywhere, no excess exists and the
+    weights equal the item-count baseline."""
+    from pinterest_data_pipeline_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    rows = [("a", 2.0)] * 30 + [("b", 2.0)] * 10
+    df = spark.createDataFrame(rows, "domain string, loss double")
+    out = {r["domain"]: r["weight"] for r in doremi_reweight(df).collect()}
+    assert out == {"a": 0.75, "b": 0.25}
