@@ -3,11 +3,12 @@
 The classic batch sessionizer: within each user's timeline, a new
 session starts wherever the gap since the previous event exceeds
 ``gap_seconds`` (default 30 minutes, the analytics convention).
-Complements the charter's behavioral-analytics extensions (funnel,
-retention, transition matrix — SURVEY.md §2.12) with the one events
-operator they all presuppose; the streaming twin of this shape is
-Structured Streaming's session window, but the batch form here is
-what backfills and reprocessing run.
+The registered ``sessionize_events`` query reports per-USER session
+counts inline; this module factors the same gap logic into a reusable
+operator and adds the per-SESSION grain (start/end/count/value rows)
+that downstream funnel/retention joins consume. The streaming twin of
+this shape is Structured Streaming's session window; the batch form
+here is what backfills and reprocessing run.
 
 Engine-portability: gaps are compared in INTEGER MICROSECONDS
 (``unix_micros`` / DuckDB ``epoch_us``) — no float timestamp math, no

@@ -43,9 +43,11 @@ that sit between the already-registered primitives:
   ExactSubstr dedup (Lee et al. 2021) via the L-gram cover: maximal
   corpus-duplicated token spans and their removal
   (operators/substring_dedup.py).
-- ``sessionize_event_stats`` — gap-based sessionization of the events
-  stream, integer-microsecond gap math, one user-keyed Exchange
-  (operators/sessionize.py).
+- ``sessionize_event_stats`` — per-SESSION-grain sessionization
+  (start/end/count/value per session; the registered
+  ``sessionize_events`` reports only per-user session counts),
+  factored into a reusable operator with integer-microsecond gap
+  math and a pinned single-Exchange plan (operators/sessionize.py).
 - ``doremi_domain_reweight`` — one DoReMi exponentiated-gradient
   mixture step over per-domain excess unigram-LM loss
   (operators/sampling.doremi_reweight, Xie et al. 2023).
