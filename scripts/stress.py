@@ -102,10 +102,37 @@ QUERIES = [
     "winnowing_passage_pairs",
     "pinterest_q3_top_user_per_country",
     "embedding_ivf_multiprobe_topk",
+    # round-5 staging (plans/staged_round6.py — resolved from
+    # STAGED_QUERIES): DSIR selection, BPE training, ExactSubstr span
+    # dedup, per-session sessionization, DoReMi reweight. NB the
+    # replica layout duplicates every document verbatim (only ids are
+    # remapped), so the span-dedup rows measure the ALL-DUPLICATED
+    # worst case: flagged-shingle volume goes from ~9% to 100% of the
+    # corpus, an extra ~11x of honest output-bound work on top of the
+    # x30 input scaling.
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "bpe_learn_merges",
+    "bpe_encode_compression",
+    "duplicate_span_report",
+    "cut_duplicate_spans_stats",
+    "sessionize_event_stats",
+    "doremi_domain_reweight",
 ]
+
+# Queries whose count() plan lets Catalyst eliminate the expensive
+# subtree (e.g. a left join on a groupBy key): force full evaluation
+# through the noop sink so the measurement covers the real work.
+FORCE_FULL_EVAL = {"cut_duplicate_spans_stats"}
 
 
 def replicate(spark, out_dir: str, factor: int) -> None:
+    expected = ["region", "nation", "supplier", "part", *REPLICATED_IDS]
+    if all(
+        os.path.exists(f"{out_dir}/{t}.parquet/_SUCCESS") for t in expected
+    ):
+        print(f"# reusing existing replicas in {out_dir}", file=sys.stderr)
+        return
     os.makedirs(out_dir, exist_ok=True)
     for name in ["region", "nation", "supplier", "part"]:  # dims: copy once
         load_table(spark, SRC_SF, name).write.mode("overwrite").parquet(
@@ -137,27 +164,40 @@ def main() -> None:
     print(f"# replicated x{factor} in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     results = {}
-    def timed(fn, d):
+    def timed(fn, d, full_eval=False):
         """min of two runs: the first execution of a plan pays one-time
         JIT/codegen compilation (measured 2-8× inflation), and since the
         ×30 run always follows a base run of the same shape, a single-run
         harness systematically biases base_s up and the ratio down (it
         even inverted some ratios below 1). min-of-two measures the plan
         on both sides."""
+
+        def run():
+            df = fn(spark, d)
+            if full_eval:
+                df.write.format("noop").mode("overwrite").save()
+                return df.count()  # row count via the (pruned) fast path
+            return df.count()
+
         t0 = time.perf_counter()
-        n = fn(spark, d).count()
+        n = run()
         s1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        fn(spark, d).count()
+        run()
         s2 = time.perf_counter() - t0
         return min(s1, s2), n
+
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        STAGED_QUERIES,
+    )
 
     for name in QUERIES:
         if only is not None and name not in only:
             continue
-        fn = entry_mod.queries()[name]
-        base_s, n_base = timed(fn, SRC_SF)
-        big_s, n_big = timed(fn, out_dir)
+        fn = entry_mod.queries().get(name) or STAGED_QUERIES[name]
+        full = name in FORCE_FULL_EVAL
+        base_s, n_base = timed(fn, SRC_SF, full)
+        big_s, n_big = timed(fn, out_dir, full)
         ratio = big_s / base_s if base_s > 0 else float("nan")
         results[name] = {
             "base_s": round(base_s, 2),
