@@ -76,17 +76,23 @@ def duplicated_starts(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, start) shingle starts whose content occurs ≥ ``min_count``
-    times corpus-wide (within- or cross-document). One gram-hash count
-    window over the shingle relation — the operator's only
-    corpus-sized shuffle."""
+    times corpus-wide (within- or cross-document).
+
+    Deliberately a partial-aggregated groupBy + join rather than a
+    ``count() OVER (PARTITION BY gh)`` window: a boilerplate shingle
+    with millions of occurrences would funnel them all into one window
+    partition with no map-side combine and no AQE skew splitting,
+    whereas the groupBy absorbs hot grams in partial aggregation and
+    the join's probe side is AQE-skew-splittable (its build side holds
+    ONE row per duplicated distinct gram)."""
     grams = lgram_starts(df, L, id_col, text_col)
-    return (
-        grams.withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-        )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= min_count)
-        .select(id_col, "start")
+        .select("gh")
     )
+    return grams.join(dup, "gh").select(id_col, "start")
 
 
 def duplicate_spans(
