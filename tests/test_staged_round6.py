@@ -835,3 +835,81 @@ def test_doremi_uniform_loss_keeps_baseline_shares(spark):
     df = spark.createDataFrame(rows, "domain string, loss double")
     out = {r["domain"]: r["weight"] for r in doremi_reweight(df).collect()}
     assert out == {"a": 0.75, "b": 0.25}
+
+
+# ------------------------------------- randomized differentials (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.sampled_from(["aa", "ab", "ba", "abc", "a", "b", "the", "cat"])
+_TEXTS = st.lists(
+    st.lists(_WORDS, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_TEXTS, k=st.integers(min_value=1, max_value=5))
+def test_bpe_random_corpora_match_pure_python(spark, texts, k):
+    """Randomized corpora from a tiny, collision-prone alphabet —
+    hammers tie-breaks, overlap greediness and early stopping."""
+    from pinterest_data_pipeline_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got, _ = learn_bpe(df, k=k, checkpoint=False)
+    want, _ = _py_bpe(texts, k)
+    assert got == want
+
+
+def _py_sessionize(rows, gap_s):
+    out, by_user = {}, {}
+    for eid, uid, ts in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    for uid, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                sid += 1
+            out[eid] = (uid, sid)
+            prev = ts
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    deltas=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # user
+            st.integers(min_value=0, max_value=4000),      # offset seconds
+            st.integers(min_value=0, max_value=999999),    # microseconds
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sessionize_random_timelines_match_pure_python(spark, deltas):
+    """Randomized event timelines with sub-second offsets — hammers
+    the strict-gap boundary and simultaneous-event tiebreak."""
+    import datetime as dt
+
+    from pinterest_data_pipeline_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(seconds=s, microseconds=us))
+        for i, (u, s, us) in enumerate(deltas)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert got == _py_sessionize(rows, 1800)
