@@ -95,19 +95,43 @@ def duplicated_starts(
     return grams.join(dup, "gh").select(id_col, "start")
 
 
-def duplicate_spans(
+def cross_group_duplicated_starts(
     df: DataFrame,
+    group_col: str,
     L: int = 8,
-    min_count: int = 2,
+    min_groups: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Maximal duplicated token spans per document:
-    (id, span_start, span_end, span_tokens), positions 1-based
-    inclusive. Overlapping and exactly-adjacent covered intervals
-    merge (gaps-and-islands: a new island starts where the start
-    position exceeds the running max covered end + 1)."""
-    flagged = duplicated_starts(df, L, min_count, id_col, text_col)
+    """(id, start) shingle starts whose content appears in at least
+    ``min_groups`` DISTINCT groups (e.g. sources, or train/eval
+    splits) — the leakage-oriented variant of
+    :func:`duplicated_starts`: repetition WITHIN one group does not
+    flag, content crossing a group boundary does.
+
+    Same skew discipline: distinct-group counting is a
+    partial-aggregated two-level groupBy (gh × group first, then gh),
+    and the join back is AQE-splittable."""
+    grams = lgram_starts(df, L, id_col, text_col).join(
+        df.select(id_col, group_col), id_col
+    )
+    dup = (
+        grams.select("gh", group_col)
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__g"))
+        .filter(F.col("__g") >= min_groups)
+        .select("gh")
+    )
+    return grams.join(dup, "gh").select(id_col, "start")
+
+
+def _merge_spans(flagged: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of covered intervals [start, start+L-1]
+    into maximal spans: (id, span_start, span_end, span_tokens),
+    1-based inclusive. A new island starts where the start position
+    exceeds the running max covered end + 1 (so overlapping AND
+    exactly-adjacent intervals merge)."""
     w = Window.partitionBy(id_col).orderBy("start")
     prev = Window.partitionBy(id_col).orderBy("start").rowsBetween(
         Window.unboundedPreceding, -1
@@ -139,6 +163,41 @@ def duplicate_spans(
                 "span_tokens"
             ),
         )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    L: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans per document (see
+    :func:`_merge_spans` for the island semantics)."""
+    return _merge_spans(
+        duplicated_starts(df, L, min_count, id_col, text_col), L, id_col
+    )
+
+
+def cross_group_leakage_spans(
+    df: DataFrame,
+    group_col: str,
+    L: int = 8,
+    min_groups: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal spans of content that crosses a group boundary
+    (≥ ``min_groups`` distinct groups contain the shingle) — the
+    span-grain leakage report: which exact passages of which
+    documents leak across sources or train/eval splits."""
+    return _merge_spans(
+        cross_group_duplicated_starts(
+            df, group_col, L, min_groups, id_col, text_col
+        ),
+        L,
+        id_col,
     )
 
 

@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these fifteen new queries stage here: each has a full DuckDB
+these sixteen new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -43,6 +43,9 @@ that sit between the already-registered primitives:
   ExactSubstr dedup (Lee et al. 2021) via the L-gram cover: maximal
   corpus-duplicated token spans and their removal
   (operators/substring_dedup.py).
+- ``cross_source_span_leakage`` — the span-grain decontamination
+  variant: passages whose shingles appear in >= 2 DISTINCT sources
+  (within-source repetition never flags).
 - ``sessionize_event_stats`` — per-SESSION-grain sessionization
   (start/end/count/value per session; the registered
   ``sessionize_events`` reports only per-user session counts),
@@ -910,6 +913,72 @@ def cut_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cut_duplicate_spans(docs, L=8, min_count=2)
+
+
+# The cross-SOURCE leakage variant: a shingle flags only when it
+# appears in >= 2 distinct sources, so within-source repetition is
+# ignored and the spans are exactly the passages crossing a source
+# (or train/eval) boundary.
+
+
+@_stage(
+    "cross_source_span_leakage",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, i AS start,
+               md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gh
+        FROM toks, unnest(generate_series(1, len(t) - 7)) u(i)
+        WHERE len(t) >= 8
+    ),
+    dup AS (
+        SELECT gh
+        FROM (SELECT DISTINCT gh, source FROM grams)
+        GROUP BY gh HAVING count(*) >= 2
+    ),
+    flagged AS (
+        SELECT doc_id, start FROM grams JOIN dup USING (gh)
+    ),
+    isl AS (
+        SELECT doc_id, start, start + 7 AS e,
+               max(start + 7) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmax
+        FROM flagged
+    ),
+    isl2 AS (
+        SELECT doc_id, start, e,
+               sum(CASE WHEN pmax IS NULL OR start > pmax + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY start) AS isl_id
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(start) + 1 AS BIGINT) AS span_tokens
+    FROM isl2 GROUP BY doc_id, isl_id
+    """,
+)
+def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain cross-source leakage report (operators/
+    substring_dedup.cross_group_leakage_spans): the maximal passages
+    whose 8-token shingles each appear in >= 2 DISTINCT sources —
+    within-source repetition never flags, content crossing a source
+    (or train/eval) boundary always does. Same skew-safe shape as
+    duplicate_span_report with a two-level distinct-group count."""
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        cross_group_leakage_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_group_leakage_spans(docs, "source", L=8, min_groups=2)
 
 
 # ------------------------------------------------------ sessionization

@@ -118,6 +118,7 @@ QUERIES = [
     "cut_duplicate_spans_stats",
     "sessionize_event_stats",
     "doremi_domain_reweight",
+    "cross_source_span_leakage",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

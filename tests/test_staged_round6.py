@@ -913,3 +913,28 @@ def test_sessionize_random_timelines_match_pure_python(spark, deltas):
         for r in sessionize(df, gap_seconds=1800).collect()
     }
     assert got == _py_sessionize(rows, 1800)
+
+
+def test_cross_group_leakage_ignores_within_group_repetition(spark):
+    """The same passage repeated inside ONE source never flags; the
+    identical passage appearing in a second source flags in both."""
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        cross_group_leakage_spans,
+        duplicate_spans,
+    )
+
+    corpus = [
+        (0, "s1", "p q r a b c d e f g h i"),
+        (1, "s1", "x y z a b c d e f u v w"),   # same source: no flag
+        (2, "s2", "m n a b c d e f o p q2 r2"),  # crosses boundary
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, source string, text string")
+    cross = cross_group_leakage_spans(df, "source", L=6, min_groups=2)
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in cross.collect()}
+    # 'a b c d e f' sits at positions 4-9 in docs 0/1 and 3-8 in doc 2;
+    # docs 0 and 1 share source s1, so only the doc0/doc2 and doc1/doc2
+    # boundary-crossing content flags — in all three docs, because the
+    # shingle itself exists in two sources.
+    assert got == {(0, 4, 9), (1, 4, 9), (2, 3, 8)}
+    plain = duplicate_spans(df, L=6, min_count=2)
+    assert plain.count() == 3  # occurrence-based form flags the same three
