@@ -938,3 +938,23 @@ def test_cross_group_leakage_ignores_within_group_repetition(spark):
     assert got == {(0, 4, 9), (1, 4, 9), (2, 3, 8)}
     plain = duplicate_spans(df, L=6, min_count=2)
     assert plain.count() == 3  # occurrence-based form flags the same three
+
+
+def test_dsir_topk_plans_as_take_ordered(spark, sf_dir):
+    """The Gumbel top-k must plan as TakeOrderedAndProject (no global
+    sort materialization, no cartesian) — the claim its docstring and
+    PERF.md make, CI-pinned."""
+    from pinterest_data_pipeline_spark.operators.dsir import (
+        gumbel_topk_selection,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        gumbel_topk_selection(docs, F.col("lang") == "en", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
