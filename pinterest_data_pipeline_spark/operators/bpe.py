@@ -212,3 +212,47 @@ def bpe_encode_stats(
             ).alias("chars_per_piece"),
         )
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    k: int = 6,
+    group_col: str = "lang",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenizer-equity audit: per-group (typically per-language)
+    fertility of the learned tokenizer — pieces per word and chars per
+    piece. A tokenizer trained on a skewed mixture splits the
+    under-represented languages into more pieces; this report is the
+    standard way to see it. Same join-the-vocab shape as
+    :func:`bpe_encode_stats`, aggregated by group instead of
+    document."""
+    _, vocab = learn_bpe(df, k, text_col)
+    per_word = vocab.select(
+        "word",
+        F.size(split_pieces("repr")).alias("__np"),
+        F.length("word").alias("__nc"),
+    )
+    if broadcast_vocab:
+        per_word = F.broadcast(per_word)
+    toks = df.select(
+        group_col, F.explode(ws_tokens(text_col)).alias("word")
+    ).filter(~F.col("word").contains(SEP))
+    return (
+        toks.join(per_word, "word")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__np").cast("bigint").alias("n_pieces"),
+            F.round(
+                F.sum("__np").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("pieces_per_token"),
+            F.round(
+                F.sum("__nc").cast("double")
+                / F.sum("__np").cast("double"),
+                6,
+            ).alias("chars_per_piece"),
+        )
+    )

@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these sixteen new queries stage here: each has a full DuckDB
+these eighteen new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -54,6 +54,12 @@ that sit between the already-registered primitives:
 - ``doremi_domain_reweight`` — one DoReMi exponentiated-gradient
   mixture step over per-domain excess unigram-LM loss
   (operators/sampling.doremi_reweight, Xie et al. 2023).
+- ``soft_dedup_weights`` — SoftDeDup (He et al. 2024): keep every
+  document, weight it 1/cluster_size so duplicated mass stops
+  dominating the loss.
+- ``bpe_fertility_by_lang`` — tokenizer-equity audit: per-language
+  fertility (pieces/word, chars/piece) of the corpus-trained BPE
+  tokenizer (operators/bpe.bpe_fertility).
 """
 
 from __future__ import annotations
@@ -913,6 +919,96 @@ def cut_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cut_duplicate_spans(docs, L=8, min_count=2)
+
+
+# SoftDeDup (Nan He et al. 2024, arXiv:2407.06654): instead of
+# DROPPING near-duplicates, every document keeps a sampling weight
+# inversely proportional to its duplicate-cluster size — the corpus
+# stays intact, the duplicated mass stops dominating the loss.
+# Cluster formation is the oracle-green banded MinHash pipeline.
+
+
+@_stage(
+    "soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE {_OWNER_CTES},
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM owner GROUP BY cluster_id
+    )
+    SELECT o.doc_id, o.cluster_id, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS soft_weight
+    FROM owner o JOIN sizes s USING (cluster_id)
+    """,
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting: every document's training weight is
+    1 / (its near-dup cluster size), singletons weighing 1.0 — the
+    keep-everything alternative to hard dedup collapse
+    (dedup_keep_best_quality beside it). Cluster formation is the
+    registered banded MinHash pipeline (never cartesian); the size
+    window runs per cluster (bounded by cluster membership, not
+    corpus size)."""
+    owners = _cluster_owners(spark, sf_dir)
+    sized = owners.withColumn(
+        "cluster_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("bigint"),
+    )
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias(
+            "soft_weight"
+        ),
+    )
+
+
+# Tokenizer-equity audit over the trained BPE tokenizer: fertility
+# (pieces per word) by language — the standard report showing how a
+# tokenizer trained on a skewed mixture over-fragments the
+# under-represented languages.
+
+
+@_stage(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH {_BPE_CTES}
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(v.np) AS BIGINT) AS n_pieces,
+           round(CAST(sum(v.np) AS DOUBLE) / count(*), 6)
+               AS pieces_per_token,
+           round(CAST(sum(v.nc) AS DOUBLE) / CAST(sum(v.np) AS DOUBLE), 6)
+               AS chars_per_piece
+    FROM (
+        SELECT lang, unnest(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+        FROM documents
+    ) d
+    JOIN (
+        SELECT word,
+               len(string_split(substr(repr, 2, length(repr) - 2),
+                   concat(chr(31), chr(31)))) AS np,
+               length(word) AS nc
+        FROM w{_BPE_K}
+    ) v USING (word)
+    WHERE NOT contains(d.word, chr(31))
+    GROUP BY d.lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the corpus-trained 6-merge BPE
+    tokenizer (operators/bpe.bpe_fertility): pieces per word and chars
+    per piece by language — the tokenizer-equity audit. Same
+    join-the-trained-vocab shape as bpe_encode_compression, aggregated
+    by language."""
+    from pinterest_data_pipeline_spark.operators.bpe import bpe_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fertility(docs, k=_BPE_K, group_col="lang")
 
 
 # The cross-SOURCE leakage variant: a shingle flags only when it

@@ -119,6 +119,8 @@ QUERIES = [
     "sessionize_event_stats",
     "doremi_domain_reweight",
     "cross_source_span_leakage",
+    "soft_dedup_weights",
+    "bpe_fertility_by_lang",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -958,3 +958,45 @@ def test_dsir_topk_plans_as_take_ordered(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_soft_dedup_weights_are_consistent_with_clusters(spark, sf_dir):
+    """Every document appears exactly once; singleton weight is 1.0;
+    each cluster's weights sum to 1.0 (the duplicated mass is
+    normalized away, not dropped)."""
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        STAGED_QUERIES,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    out = STAGED_QUERIES["soft_dedup_weights"](spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == docs_n
+    assert len({r["doc_id"] for r in out}) == docs_n
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for rows in by_cluster.values():
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+        assert abs(sum(r["soft_weight"] for r in rows) - 1.0) < 1e-4
+        if len(rows) == 1:
+            assert rows[0]["soft_weight"] == 1.0
+
+
+def test_bpe_fertility_groups_cover_all_languages(spark, sf_dir):
+    """One row per language; fertility >= 1 piece per word and the
+    grand piece total matches the per-document encode stats."""
+    from pinterest_data_pipeline_spark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_fertility,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fert = bpe_fertility(docs, k=6).collect()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {r["lang"] for r in fert} == langs
+    assert all(r["pieces_per_token"] >= 1.0 for r in fert)
+    total_pieces = sum(r["n_pieces"] for r in fert)
+    enc = bpe_encode_stats(docs, k=6).agg(F.sum("n_pieces")).collect()
+    assert total_pieces == enc[0][0]
