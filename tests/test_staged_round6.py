@@ -1000,3 +1000,47 @@ def test_bpe_fertility_groups_cover_all_languages(spark, sf_dir):
     total_pieces = sum(r["n_pieces"] for r in fert)
     enc = bpe_encode_stats(docs, k=6).agg(F.sum("n_pieces")).collect()
     assert total_pieces == enc[0][0]
+
+
+def test_sessionize_agrees_with_sparks_session_window(spark, sf_dir):
+    """Cross-validation against Spark's OWN session_window operator:
+    both implementations must produce identical (user, session_start,
+    n_events, total_value) sets — session_window's end is last-event +
+    gap, so only the start anchors the comparison.
+
+    Boundary caveat: an event EXACTLY gap seconds after the previous
+    one continues the session in our operator (strict >) but starts a
+    new one under session_window's exclusive window end; the testdata
+    timestamps are microsecond-grain randoms, so the measure-zero
+    boundary never occurs here (test_sessionize_gap_boundary_is_strict
+    pins our side of it explicitly)."""
+    from pinterest_data_pipeline_spark.operators.sessionize import (
+        session_stats,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    mine = {
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in session_stats(events, gap_seconds=1800).collect()
+    }
+    builtin = {
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in (
+            events.groupBy(
+                "user_id",
+                F.session_window("ts", "30 minutes").alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert mine == builtin
