@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these eighteen new queries stage here: each has a full DuckDB
+these nineteen new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -60,6 +60,10 @@ that sit between the already-registered primitives:
 - ``bpe_fertility_by_lang`` — tokenizer-equity audit: per-language
   fertility (pieces/word, chars/piece) of the corpus-trained BPE
   tokenizer (operators/bpe.bpe_fertility).
+- ``curation_v2_report`` — end-to-end composition of this round's
+  operators on progressively filtered subsets (quality gate ->
+  ExactSubstr cut within the survivors -> exact dedup of the
+  remainders), per-stage doc/token counts.
 """
 
 from __future__ import annotations
@@ -813,12 +817,17 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/substring_dedup.py). L=8 tokens, min_count=2 occurrences
 # (within- or cross-document). Positions are 1-based inclusive.
 
-_SPAN_CTES = r"""
+def _span_ctes(src: str) -> str:
+    """The ExactSubstr CTE chain (toks/grams/flagged) over an
+    arbitrary source relation ``src`` — reused by the standalone span
+    queries (src='documents') and the curation-v2 composition (src=
+    the quality-surviving subset, whose duplicate landscape differs)."""
+    return r"""
     toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\s+'), x -> x <> '')
                    AS t
-        FROM documents
+        FROM """ + src + r"""
     ),
     grams AS (
         SELECT doc_id, i AS start,
@@ -835,6 +844,9 @@ _SPAN_CTES = r"""
         )
         WHERE n >= 2
     )"""
+
+
+_SPAN_CTES = _span_ctes("documents")
 
 
 @_stage(
@@ -1075,6 +1087,120 @@ def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cross_group_leakage_spans(docs, "source", L=8, min_groups=2)
+
+
+# -------------------------------------------- curation pipeline v2
+#
+# End-to-end composition of THIS round's operators on progressively
+# filtered subsets: quality gate -> ExactSubstr span cut over the
+# SURVIVORS (whose duplicate landscape differs from the full corpus)
+# -> exact dedup of the kept remainders. Per-stage doc/token counts,
+# the corpus_curation_full discipline applied to the new stack.
+
+
+@_stage(
+    "curation_v2_report",
+    oracle=f"""
+    WITH {_MARGIN_CTE},
+    base AS (
+        SELECT d.doc_id, d.text, m.margin,
+               CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_toks
+        FROM documents d JOIN margins m USING (doc_id)
+    ),
+    docs_q AS (SELECT doc_id, text FROM base WHERE margin >= 0),
+    {_span_ctes('docs_q')},
+    cov AS (
+        SELECT doc_id, list(DISTINCT p) AS cov
+        FROM (
+            SELECT doc_id, unnest(generate_series(start, start + 7)) AS p
+            FROM flagged
+        )
+        GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT t.doc_id,
+               CASE WHEN c.cov IS NULL THEN t.t
+                    ELSE list_filter(t.t,
+                        (x, i) -> NOT list_contains(c.cov, i)) END AS k
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+    ),
+    kept2 AS (
+        SELECT doc_id, CAST(len(k) AS BIGINT) AS n_kept,
+               coalesce(array_to_string(k, ' '), '') AS kept_text
+        FROM kept
+    ),
+    surv AS (
+        SELECT min(doc_id) AS doc_id,
+               CAST(min(n_kept) AS BIGINT) AS n_kept
+        FROM kept2 WHERE n_kept >= 1 GROUP BY md5(kept_text)
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_id, 'input' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM base
+    UNION ALL
+    SELECT 2, 'quality', count(*), CAST(sum(n_toks) AS BIGINT)
+    FROM base WHERE margin >= 0
+    UNION ALL
+    SELECT 3, 'span_cut', count(*), CAST(sum(n_kept) AS BIGINT)
+    FROM kept2 WHERE n_kept >= 1
+    UNION ALL
+    SELECT 4, 'exact_dedup', count(*), CAST(sum(n_kept) AS BIGINT)
+    FROM surv
+    """,
+)
+def curation_v2_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2, per-stage counts: (1) raw corpus, (2)
+    linear-gate quality survivors (margin >= 0), (3) ExactSubstr span
+    cut computed WITHIN the survivor subset (L=8, min_count=2; docs
+    whose every token is duplicated drop out), (4) exact dedup of the
+    kept remainders (md5 of the cut text, min-doc-id canonical — the
+    cut can turn near-dups into exact dups, which this stage then
+    collapses). Every stage composes the same operators the standalone
+    queries register, applied to a FILTERED DataFrame — pinning that
+    the operator stack is input-agnostic, not table-bound."""
+    from pinterest_data_pipeline_spark.operators.chunking import ws_tokens
+    from pinterest_data_pipeline_spark.operators.substring_dedup import (
+        cut_duplicate_spans,
+    )
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.size(ws_tokens("text")).cast("bigint").alias("n_toks"),
+        linear_quality_margin("text").alias("margin"),
+    )
+    q = base.filter(F.col("margin") >= 0)
+    kept = cut_duplicate_spans(
+        q.select("doc_id", "text"), L=8, min_count=2
+    ).filter(F.col("n_kept") >= 1)
+    surv = kept.groupBy(F.md5("kept_text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_kept").alias("n_kept"),
+    )
+
+    def stage(i: int, name: str, df: DataFrame, tok_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(i).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(1, "input", base, "n_toks")
+        .unionByName(stage(2, "quality", q, "n_toks"))
+        .unionByName(stage(3, "span_cut", kept, "n_kept"))
+        .unionByName(stage(4, "exact_dedup", surv, "n_kept"))
+    )
 
 
 # ------------------------------------------------------ sessionization

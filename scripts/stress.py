@@ -121,6 +121,7 @@ QUERIES = [
     "cross_source_span_leakage",
     "soft_dedup_weights",
     "bpe_fertility_by_lang",
+    "curation_v2_report",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

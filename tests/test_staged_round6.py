@@ -1044,3 +1044,23 @@ def test_sessionize_agrees_with_sparks_session_window(spark, sf_dir):
         ).collect()
     }
     assert mine == builtin
+
+
+def test_curation_v2_stage_counts_are_monotone(spark, sf_dir):
+    """Docs and tokens shrink (weakly) at every stage, every stage is
+    non-empty, and at least one real reduction happens at each grain
+    on the planted-clone testdata."""
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        STAGED_QUERIES,
+    )
+
+    rows = {
+        r["stage_id"]: (r["n_docs"], r["n_tokens"])
+        for r in STAGED_QUERIES["curation_v2_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    for i in (2, 3, 4):
+        assert rows[i][0] <= rows[i - 1][0]
+        assert rows[i][1] <= rows[i - 1][1]
+        assert rows[i][0] > 0
+    assert rows[4][1] < rows[1][1]  # the pipeline removed something
