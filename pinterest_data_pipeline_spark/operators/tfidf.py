@@ -132,3 +132,73 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Mean per-pair log probability of each document under a
+    self-trained INTERPOLATED bigram LM —
+
+        p(w2 | w1) = lam * c(w1,w2)/c1(w1) + (1-lam) * cnt(w2)/T
+
+    with ``c1(w1)`` the count of pairs starting with w1 and the
+    unigram backoff keeping the probability nonzero for any in-corpus
+    token. The order-sensitive step beyond :func:`unigram_logprob`:
+    shuffled-word gibberish keeps its unigram score but collapses
+    here. Documents with fewer than two tokens have no pairs and are
+    excluded (the caller left-joins if it wants them).
+
+    Output: (id, n_pairs, avg_bigram_logprob) rounded to 6dp — an
+    average of at most a-few-hundred ln terms, so cross-engine
+    float-sum ordering noise sits far below the rounding grain; the
+    interpolation expression tree is kept identical on both engines so
+    each ln input matches bit-for-bit.
+
+    Scale: the pair relation is O(tokens) (zip of the token array with
+    its own tail, no join); the bigram/first-token/unigram models are
+    vocabulary-bounded aggregates with map-side partials; scoring
+    joins shuffle on word keys — the same cost class as the TF-IDF
+    pipeline above."""
+    toks = ws_tokens(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    prs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n1),
+                F.slice(toks, 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    big = prs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    fst = big.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("double").alias("__total"))
+    p = (
+        F.lit(float(lam))
+        * (F.col("c12").cast("double") / F.col("c1").cast("double"))
+        + F.lit(1.0 - float(lam))
+        * (F.col("cnt").cast("double") / F.col("__total"))
+    )
+    return (
+        prs.join(big, ["w1", "w2"])
+        .join(fst, "w1")
+        .join(uni, F.col("w2") == F.col("w"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_bigram_logprob"),
+        )
+    )

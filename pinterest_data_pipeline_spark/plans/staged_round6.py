@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these nineteen new queries stage here: each has a full DuckDB
+these twenty new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -64,6 +64,9 @@ that sit between the already-registered primitives:
   operators on progressively filtered subsets (quality gate ->
   ExactSubstr cut within the survivors -> exact dedup of the
   remainders), per-stage doc/token counts.
+- ``bigram_logprob_quality`` — self-trained interpolated bigram LM
+  score: the word-ORDER-sensitive quality signal unigram scoring
+  cannot express (operators/tfidf.bigram_logprob).
 """
 
 from __future__ import annotations
@@ -1087,6 +1090,60 @@ def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cross_group_leakage_spans(docs, "source", L=8, min_groups=2)
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+@_stage(
+    "bigram_logprob_quality",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    prs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+    ),
+    big AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM prs GROUP BY 1, 2
+    ),
+    fst AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni)
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ln(
+               0.75 * (CAST(b.c12 AS DOUBLE) / CAST(f.c1 AS DOUBLE))
+             + 0.25 * (CAST(u.cnt AS DOUBLE) / tot.total)
+           )), 6) AS avg_bigram_logprob
+    FROM prs p
+    JOIN big b USING (w1, w2)
+    JOIN fst f USING (w1)
+    JOIN uni u ON u.w = p.w2
+    CROSS JOIN tot
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained interpolated bigram LM score per document
+    (operators/tfidf.bigram_logprob): the order-sensitive step beyond
+    the registered unigram_logprob_quality — shuffled-word gibberish
+    keeps its unigram score but collapses here. Models are
+    vocabulary-bounded aggregates; scoring joins shuffle on word
+    keys, the TF-IDF cost class."""
+    from pinterest_data_pipeline_spark.operators.tfidf import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
 
 
 # -------------------------------------------- curation pipeline v2

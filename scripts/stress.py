@@ -122,6 +122,7 @@ QUERIES = [
     "soft_dedup_weights",
     "bpe_fertility_by_lang",
     "curation_v2_report",
+    "bigram_logprob_quality",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -1064,3 +1064,38 @@ def test_curation_v2_stage_counts_are_monotone(spark, sf_dir):
         assert rows[i][1] <= rows[i - 1][1]
         assert rows[i][0] > 0
     assert rows[4][1] < rows[1][1]  # the pipeline removed something
+
+
+def test_bigram_lm_detects_word_order(spark):
+    """The semantics unigram scoring cannot have: a document with the
+    corpus's common phrases outranks the SAME words shuffled, even
+    though their unigram statistics are identical."""
+    from pinterest_data_pipeline_spark.operators.tfidf import bigram_logprob
+
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"
+    corpus = [
+        (0, "the cat sat on the mat today"),
+        (1, "the dog sat on the mat again"),
+        (2, "a cat sat on a mat"),
+        (3, fluent),
+        (4, shuffled),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["avg_bigram_logprob"]
+        for r in bigram_logprob(df).collect()
+    }
+    assert got[3] > got[4]
+
+
+def test_bigram_lm_excludes_single_token_docs(spark):
+    from pinterest_data_pipeline_spark.operators.tfidf import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "hello"), (1, "hello world"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    out = bigram_logprob(df).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert out[0]["n_pairs"] == 1
