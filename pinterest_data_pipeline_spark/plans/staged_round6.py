@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these twenty new queries stage here: each has a full DuckDB
+these twenty-one new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -67,6 +67,9 @@ that sit between the already-registered primitives:
 - ``bigram_logprob_quality`` — self-trained interpolated bigram LM
   score: the word-ORDER-sensitive quality signal unigram scoring
   cannot express (operators/tfidf.bigram_logprob).
+- ``join_null_safe_agg`` — null-safe equality join (`<=>` /
+  IS NOT DISTINCT FROM) over a derived-NULL key, the join-family
+  member the registered matrix lacks.
 """
 
 from __future__ import annotations
@@ -1090,6 +1093,50 @@ def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cross_group_leakage_spans(docs, "source", L=8, min_groups=2)
+
+
+# ------------------------------------------- null-safe equality join
+
+
+@_stage(
+    "join_null_safe_agg",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(event_type, 'error') AS k,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM events GROUP BY 1
+    ),
+    b AS (
+        SELECT nullif(event_type, 'error') AS k,
+               CAST(count(*) AS BIGINT) AS n_big
+        FROM events WHERE value > 5 GROUP BY 1
+    )
+    SELECT a.k, a.n_all, b.n_big
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    join-family member the registered matrix lacks. The key is
+    DERIVED-NULL ('error' events map to NULL via nullif), so the
+    output visibly contains the NULL-key row a plain equi join would
+    drop: the semantics are exercised, not vacuous. Completes the
+    eqNullSafe surface the merge sink uses internally
+    (streaming/sinks.py:175) with a driver-checkable query form."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+    a = events.select(k).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all")
+    )
+    b = (
+        events.filter(F.col("value") > 5)
+        .select(k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_all", "n_big"
+    )
 
 
 # ------------------------------------------------ bigram LM scoring

@@ -1099,3 +1099,18 @@ def test_bigram_lm_excludes_single_token_docs(spark):
     out = bigram_logprob(df).collect()
     assert {r["doc_id"] for r in out} == {1}
     assert out[0]["n_pairs"] == 1
+
+
+def test_null_safe_join_keeps_the_null_key_row(spark, sf_dir):
+    """The semantics the query exists to pin: the NULL key ('error'
+    events) row joins under <=> and would be dropped by a plain equi
+    join."""
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        STAGED_QUERIES,
+    )
+
+    out = STAGED_QUERIES["join_null_safe_agg"](spark, sf_dir).collect()
+    ks = [r["k"] for r in out]
+    assert None in ks
+    null_row = next(r for r in out if r["k"] is None)
+    assert null_row["n_all"] >= null_row["n_big"] > 0
