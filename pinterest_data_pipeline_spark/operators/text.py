@@ -273,3 +273,56 @@ def adjacent_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(int(top_n))
     )
+
+
+def mattr(
+    text: Column | str, window: int = 25
+) -> tuple[Column, Column]:
+    """Moving-average type-token ratio (Covington & McFall 2010) —
+    the length-robust lexical-diversity signal plain TTR is not:
+    the mean over all ``window``-token sliding windows of
+    (distinct tokens in window) / window.
+
+    Returns (n_windows, mattr) column pair; callers filter to
+    documents with at least ``window`` tokens (shorter documents have
+    no windows — plain TTR is the degenerate fallback, deliberately
+    not silently substituted here).
+
+    Exactness: the per-window distinct counts are INTEGERS summed
+    exactly (fold order irrelevant), and the only float operation is
+    the single final division — bit-identical cross-engine. Cost is a
+    per-row expression, O(n_tokens * window) with no shuffle; the
+    token array is bound as a lambda VARIABLE (the dup_trigram_frac
+    discipline above) so tokenization runs once per row, not once per
+    window."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+    def _stats(t: Column) -> Column:
+        n = F.size(t)
+        # guard BEFORE sequence(): Spark's sequence(1, x) with x < 1
+        # descends (1, 0, -1, ...) and slice(start=0) throws
+        starts = F.when(
+            n >= window, F.sequence(F.lit(1), n - F.lit(window - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        dsum = F.aggregate(
+            F.transform(
+                starts,
+                lambda i: F.size(F.array_distinct(F.slice(t, i, window))),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        )
+        return F.struct(
+            (n - F.lit(window - 1)).cast("bigint").alias("nw"),
+            dsum.alias("ds"),
+        )
+
+    st = F.get(F.transform(F.array(toks), _stats), 0)
+    n_windows = st["nw"]
+    score = F.round(
+        st["ds"].cast("double")
+        / (F.lit(float(window)) * n_windows.cast("double")),
+        6,
+    )
+    return n_windows, score

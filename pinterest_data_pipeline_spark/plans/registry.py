@@ -137,7 +137,7 @@ CHECK_FIRST: list[str] = [
     #   embedding_ivf_multiprobe_topk) re-certify in the r5 window;
     #   the remaining dependent semantic_dedup_survivors (rows-only)
     #   should re-queue in round 6 for driver evidence freshness.
-    # - Promote ALL TWENTY-ONE plans/staged_round6.py queries first
+    # - Promote ALL TWENTY-TWO plans/staged_round6.py queries first
     #   (dedup_keep_best_quality, leakage_safe_split_assign,
     #   token_budget_selection, mixture_epoch_capped_plan,
     #   bpe_pair_stats, winnowing_cap_report,
@@ -147,12 +147,12 @@ CHECK_FIRST: list[str] = [
     #   cross_source_span_leakage, sessionize_event_stats,
     #   doremi_domain_reweight, soft_dedup_weights,
     #   bpe_fertility_by_lang, curation_v2_report,
-    #   bigram_logprob_quality, join_null_safe_agg — full oracles,
-    #   strict-mirror green at sf0.001+sf0.01 (x30 stress rows in
-    #   stress30.json for the data-sized ones); the window arithmetic
-    #   must count all twenty-one: 21 new + semantic_dedup_survivors
-    #   re-queue leaves ~28 slots for the r1-evidence remainder);
-    #   then —
+    #   bigram_logprob_quality, join_null_safe_agg,
+    #   mattr_lexical_diversity — full oracles, strict-mirror green at
+    #   sf0.001+sf0.01 (x30 stress rows in stress30.json for the
+    #   data-sized ones); the window arithmetic must count all
+    #   twenty-two: 22 new + semantic_dedup_survivors re-queue leaves
+    #   ~27 slots for the r1-evidence remainder); then —
     # levenshtein_similar_names, window_distribution_funcs,
     # scalar_date_arithmetic, approx_percentiles_sketch,
     # text_token_stats, text_quality_scores, text_lang_id,

@@ -3,7 +3,7 @@
 Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
 queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these twenty-one new queries stage here: each has a full DuckDB
+these twenty-two new queries stage here: each has a full DuckDB
 oracle and a strict-mirror parity test (tests/test_staged_round6.py)
 at sf0.001 + sf0.01, and registering them in round 6 is the same
 one-step move round 5 performed on plans/round5_promotions.py —
@@ -70,6 +70,10 @@ that sit between the already-registered primitives:
 - ``join_null_safe_agg`` — null-safe equality join (`<=>` /
   IS NOT DISTINCT FROM) over a derived-NULL key, the join-family
   member the registered matrix lacks.
+- ``mattr_lexical_diversity`` — MATTR-25 moving-average type-token
+  ratio (Covington & McFall 2010), the length-robust lexical
+  diversity signal; integer window sums, one final division
+  (operators/text.mattr).
 """
 
 from __future__ import annotations
@@ -1093,6 +1097,62 @@ def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cross_group_leakage_spans(docs, "source", L=8, min_groups=2)
+
+
+# ----------------------------------------------- lexical diversity
+
+
+@_stage(
+    "mattr_lexical_diversity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(t) - 24 AS BIGINT) AS n_windows,
+               list_sum(list_transform(
+                   generate_series(1, len(t) - 24),
+                   i -> len(list_distinct(list_slice(t, i, i + 24)))
+               )) AS dsum
+        FROM toks WHERE len(t) >= 25
+    )
+    SELECT doc_id, lang, n_tokens, n_windows,
+           round(CAST(dsum AS DOUBLE)
+                 / (25.0 * CAST(n_windows AS DOUBLE)), 6) AS mattr
+    FROM scored
+    """,
+)
+def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR-25 lexical diversity per document (operators/text.mattr,
+    after Covington & McFall 2010): the mean type-token ratio over all
+    25-token sliding windows — the length-robust diversity signal the
+    corpus-QA literature uses where plain TTR degrades with document
+    length. Integer window-distinct sums with one final division, so
+    the score is bit-identical cross-engine; pure per-row expression,
+    zero shuffle. Documents shorter than the window are excluded."""
+    from pinterest_data_pipeline_spark.operators.text import mattr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_windows, score = mattr("text", window=25)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            n_windows.alias("n_windows"),
+            score.alias("mattr"),
+        )
+        .filter(F.col("n_tokens") >= 25)
+    )
 
 
 # ------------------------------------------- null-safe equality join

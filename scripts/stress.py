@@ -123,6 +123,7 @@ QUERIES = [
     "bpe_fertility_by_lang",
     "curation_v2_report",
     "bigram_logprob_quality",
+    "mattr_lexical_diversity",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -1114,3 +1114,30 @@ def test_null_safe_join_keeps_the_null_key_row(spark, sf_dir):
     assert None in ks
     null_row = next(r for r in out if r["k"] is None)
     assert null_row["n_all"] >= null_row["n_big"] > 0
+
+
+def test_mattr_semantics_on_constructed_docs(spark):
+    """All-distinct tokens score 1.0; a one-word loop scores 1/W; the
+    diversity ordering holds between them; short docs are excluded."""
+    from pinterest_data_pipeline_spark.operators.text import mattr
+
+    W = 5
+    docs = [
+        (0, " ".join(f"w{i}" for i in range(12))),   # all distinct
+        (1, " ".join(["rep"] * 12)),                  # one word
+        (2, "a b a b a b a b a b a b"),               # two words
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    nw, score = mattr("text", window=W)
+    out = {
+        r["doc_id"]: (r["nw"], r["s"])
+        for r in df.select(
+            "doc_id", nw.alias("nw"), score.alias("s")
+        ).filter(F.col("nw") >= 1).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0][1] == 1.0
+    assert out[1][1] == round(1 / W, 6)
+    assert out[2][1] == round(2 / W, 6)
+    assert out[0][0] == 12 - W + 1
