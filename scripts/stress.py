@@ -124,6 +124,14 @@ QUERIES = [
     "curation_v2_report",
     "bigram_logprob_quality",
     "mattr_lexical_diversity",
+    "dedup_keep_best_quality",
+    "leakage_safe_split_assign",
+    "token_budget_selection",
+    "mixture_epoch_capped_plan",
+    "bpe_pair_stats",
+    "winnowing_cap_report",
+    "incremental_embedding_new_pairs",
+    "join_null_safe_agg",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
