@@ -127,20 +127,26 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    iterations: int = 5,
+    iterations: int | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs via min-label
-    propagation: every document ends up labeled with the smallest id
-    reachable within ``iterations`` hops — the cluster's canonical
+    propagation TO FIXPOINT: every document ends up labeled with the
+    smallest id reachable in its component — the cluster's canonical
     (keep) document. Returns (doc_id, cluster_id).
 
     Each iteration: labels flow across edges (join) and each node keeps
-    the minimum seen (groupBy-min). ``iterations`` bounds the worst case,
-    but the loop EARLY-STOPS at the fixpoint: sum(label) is monotonically
-    non-increasing under min-propagation and constant exactly at
-    convergence, so one tiny aggregate over the checkpointed labels per
-    step detects it. Near-dup clusters are almost always ≤2 hops, so the
-    typical run does 2-3 iterations, not the bound."""
+    the minimum seen (groupBy-min). The loop runs until the fixpoint:
+    sum(label) is monotonically non-increasing under min-propagation,
+    integer, bounded below, and constant exactly at convergence, so one
+    tiny aggregate over the checkpointed labels per step detects it —
+    termination is guaranteed in ≤ diameter(G) propagation steps
+    without any tuning knob, so a chain-shaped component of ANY
+    diameter converges exactly like a recursive-CTE oracle does.
+    ``iterations`` is an optional hard ceiling for callers that want a
+    bounded-cost approximate answer (labels then equal min-reachable
+    within that many hops); ``None`` (the default) means
+    iterate-to-fixpoint. Near-dup clusters are almost always ≤2 hops,
+    so the typical run does 2-3 iterations regardless."""
     # Materialize the pair relation FIRST: the symmetrizing union below
     # reads it twice, and without this barrier the whole upstream pair
     # pipeline (MinHash/LSH — seconds of work) evaluates once per branch
@@ -161,7 +167,9 @@ def duplicate_clusters(
         "label", F.col("node")
     )
     prev_sum = None
-    for _ in range(iterations):
+    step = 0
+    while iterations is None or step < iterations:
+        step += 1
         propagated = (
             edges.join(labels, edges["dst"] == labels["node"])
             .select(F.col("src").alias("node"), "label")

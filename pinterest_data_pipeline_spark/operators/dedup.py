@@ -127,26 +127,43 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def cap_bucket_size(
-    banded: DataFrame, bucket_cols: Sequence[str], max_bucket_size: int
+    banded: DataFrame,
+    bucket_cols: Sequence[str],
+    max_bucket_size: int,
+    id_col: str = "__id",
 ) -> DataFrame:
-    """Drop rows belonging to LSH buckets larger than ``max_bucket_size``.
+    """Bound LSH buckets at ``max_bucket_size`` rows by DETERMINISTIC
+    within-bucket retention: each oversized bucket keeps its
+    ``max_bucket_size`` members with the smallest ``id_col`` and trims
+    the rest.
 
     A bucket of B members emits B(B-1)/2 candidate pairs, so one degenerate
     100k-member bucket (empty documents, boilerplate, an all-zero vector)
     is 5×10⁹ pairs — a single straggler task that kills the job at corpus
-    scale. Capping bounds per-bucket pair work at cap²/2. The recall cost
-    is small and biased toward junk: oversized buckets are almost always
-    degenerate-signature collisions (exact dedup should have removed them),
-    and a genuinely-similar pair caught only in an oversized bucket usually
-    also collides in another, smaller band.
+    scale. Capping bounds per-bucket pair work at cap²/2.
 
-    The window count shuffles on the same (band, key) the candidate join
+    Retention (not whole-bucket drop) makes recall DEGRADE instead of
+    collapse: under heavy uniform duplication — e.g. a ×100-replicated
+    corpus where every bucket exceeds the cap — the min-id survivors of
+    each bucket still meet and pair, so duplicate detection keeps
+    working at reduced pair volume; a whole-bucket drop zeroes every
+    pair the moment duplication crosses the cap (the ×100 stress
+    failure mode this replaces). The min-id rule is a total order
+    within a bucket (ids are unique per bucket in every banded relation
+    here), so results are deterministic and an oracle can replay the
+    retention with ``ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY
+    id) <= cap``. Trim volume is observable via
+    :func:`cap_drop_report`.
+
+    The rank window shuffles on the same (band, key) the candidate join
     shuffles on, so it adds no new partitioning."""
-    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols]).orderBy(
+        F.col(id_col).asc()
+    )
     return (
-        banded.withColumn("__bucket_n", F.count("*").over(w))
-        .filter(F.col("__bucket_n") <= max_bucket_size)
-        .drop("__bucket_n")
+        banded.withColumn("__bucket_rn", F.row_number().over(w))
+        .filter(F.col("__bucket_rn") <= max_bucket_size)
+        .drop("__bucket_rn")
     )
 
 
@@ -703,8 +720,10 @@ def winnowing_shared_passages(
     MinHash pairs approximate WHOLE-document Jaccard).
 
     Scale: fingerprint-keyed self-join; hot fingerprints (boilerplate
-    passages) are dropped whole by ``cap_bucket_size`` exactly like LSH
-    band buckets, so pair output stays bucket-bounded."""
+    passages) are trimmed to their ``max_bucket_size`` min-id members by
+    ``cap_bucket_size`` exactly like LSH band buckets, so pair output
+    stays bucket-bounded while heavy duplication still pairs among the
+    retained rows instead of silently vanishing."""
     fps = winnowing_fingerprints(df, id_col, text_col, k, window, portable)
     fps = fps.withColumnRenamed(id_col, "__id")
     if max_bucket_size is not None:
@@ -733,15 +752,17 @@ def winnowing_shared_passages(
 def cap_drop_report(
     banded: DataFrame, bucket_cols: Sequence[str], max_bucket_size: int
 ) -> DataFrame:
-    """One-row audit of what :func:`cap_bucket_size` would drop at
-    ``max_bucket_size``: bucket and row counts on each side of the cap
-    plus the dropped-row share in integer ppm (floor division — exact
+    """One-row audit of what :func:`cap_bucket_size` trims at
+    ``max_bucket_size``: total and over-cap bucket counts, and the rows
+    the min-id retention removes (``n - cap`` per oversized bucket),
+    plus the trimmed-row share in integer ppm (floor division — exact
     in every engine). "No silent caps": every capped pipeline here
     bounds its pair work, and this report is the companion that makes
-    the bound's cost OBSERVABLE — at ×100 uniform replication the
-    winnowing cap legitimately drops 100% of buckets (every fingerprint
-    is hot), and that fact should be a queryable number, not a surprise
-    in a pair count.
+    the bound's cost OBSERVABLE — at ×100 uniform replication every
+    winnowing fingerprint bucket is hot, and the retention keeps cap
+    rows of each while this report quantifies exactly how many replicas
+    were trimmed, a queryable number instead of a surprise in a pair
+    count.
 
     Scale: one partial-combinable aggregate per bucket key (the same
     shuffle the candidate join pays anyway), then a single-row agg."""
@@ -754,16 +775,18 @@ def cap_drop_report(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.sum(F.when(F.col("__n") > cap, 1).otherwise(0))
             .cast("bigint")
-            .alias("n_buckets_dropped"),
+            .alias("n_buckets_capped"),
             F.sum("__n").cast("bigint").alias("n_rows"),
-            F.sum(F.when(F.col("__n") > cap, F.col("__n")).otherwise(0))
+            F.sum(
+                F.when(F.col("__n") > cap, F.col("__n") - cap).otherwise(0)
+            )
             .cast("bigint")
-            .alias("n_rows_dropped"),
+            .alias("n_rows_trimmed"),
         )
         .withColumn(
-            "dropped_rows_ppm",
+            "trimmed_rows_ppm",
             F.expr(
-                "(n_rows_dropped * 1000000) div greatest(n_rows, 1)"
+                "(n_rows_trimmed * 1000000) div greatest(n_rows, 1)"
             ).cast("bigint"),
         )
     )

@@ -185,6 +185,7 @@ def token_budget_selection(
     id_col: str = "doc_id",
     margin_col: str = "margin",
     tokens_col: str = "n_tokens",
+    broadcast_eligible: bool = True,
 ) -> DataFrame:
     """Budget-bounded corpus selection: keep the prefix of documents in
     global (``margin_col`` DESC, ``id_col`` ASC) order whose running
@@ -202,9 +203,15 @@ def token_budget_selection(
     ~1e8 distinct margins, which would make a per-margin global window a
     single fat sort task), and each margin adds its within-coarse prefix
     under a PARTITIONED window; (3) only buckets the budget reaches
-    survive the broadcast semi-join back (|selected margins| rows — if a
-    budget covers most of the corpus, swap the hint for a plain join),
-    and the exact per-row running sum is a window PARTITIONED BY margin.
+    survive the join back (|selected margins| rows), and the exact
+    per-row running sum is a window PARTITIONED BY margin.
+    ``broadcast_eligible`` picks that join's strategy: True (default)
+    broadcasts the eligible-margin relation — right whenever the budget
+    selects a driver-memory-sized set of distinct margins; False keeps
+    it a shuffle (margin-keyed hash) join for budgets that cover most
+    of a diverse corpus, where |eligible margins| can approach 1e8 and
+    a forced broadcast would exceed executor/driver limits. The
+    selected SET is identical either way (pinned by test).
     Selection semantics are identical to the single-window formulation
     (the oracle uses that formulation as the cross-check). All
     arithmetic is integer, so engines agree bit-for-bit."""
@@ -249,11 +256,11 @@ def token_budget_selection(
     # formulation at exact-budget boundaries on 0-token documents
     eligible = cum_before.filter(F.col("__cum_before") <= F.lit(int(budget)))
     wd = Window.partitionBy(margin_col).orderBy(F.col(id_col).asc())
+    eligible_rel = eligible.select(margin_col, "__cum_before")
+    if broadcast_eligible:
+        eligible_rel = F.broadcast(eligible_rel)
     return (
-        df.join(
-            F.broadcast(eligible.select(margin_col, "__cum_before")),
-            margin_col,
-        )
+        df.join(eligible_rel, margin_col)
         .withColumn(
             "cum_tokens",
             F.col("__cum_before")

@@ -283,10 +283,12 @@ def mattr(
     the mean over all ``window``-token sliding windows of
     (distinct tokens in window) / window.
 
-    Returns (n_windows, mattr) column pair; callers filter to
-    documents with at least ``window`` tokens (shorter documents have
-    no windows — plain TTR is the degenerate fallback, deliberately
-    not silently substituted here).
+    Returns (n_windows, mattr) column pair. Documents shorter than
+    ``window`` have NO windows: both columns are NULL for them (never a
+    negative count or a 0/garbage score), so an unfiltered caller gets
+    honest NULLs; callers wanting only scoreable documents filter on
+    ``n_windows IS NOT NULL`` / token count ≥ window. Plain TTR is the
+    degenerate fallback, deliberately not silently substituted here.
 
     Exactness: the per-window distinct counts are INTEGERS summed
     exactly (fold order irrelevant), and the only float operation is
@@ -314,7 +316,11 @@ def mattr(
             lambda acc, x: acc + x.cast("bigint"),
         )
         return F.struct(
-            (n - F.lit(window - 1)).cast("bigint").alias("nw"),
+            # NULL (not a negative count) below the window size — the
+            # guard the unfiltered-caller contract promises
+            F.when(n >= window, (n - F.lit(window - 1)).cast("bigint"))
+            .otherwise(F.lit(None).cast("bigint"))
+            .alias("nw"),
             dsum.alias("ds"),
         )
 

@@ -177,7 +177,7 @@ WINNOWING_FP_CTES = r"""
     oracle=f"""
     WITH {WINNOWING_FP_CTES}, capped AS (
         SELECT doc_id, fp FROM fp
-        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 64
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) <= 64
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -199,8 +199,11 @@ def winnowing_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one expression-only scan builds fingerprints; the pair join
     is fingerprint-keyed with hot buckets (boilerplate passages)
-    dropped by cap_bucket_size(64) — identical bucketing discipline to
-    every LSH join in the repo, so pair work is cap-bounded, and the
+    trimmed to their 64 min-doc_id members by cap_bucket_size(64) —
+    identical bucketing discipline to every LSH join in the repo, so
+    pair work is cap-bounded, recall DEGRADES (pairs among retained
+    rows survive) instead of zeroing when duplication saturates every
+    bucket (the pre-round-6 ×100 failure mode), and the
     fingerprint relation is checkpoint-materialized once so the
     self-join never re-runs the corpus scan + per-gram md5 (the planner
     broadcasts a side at small SF, which defeats ReuseExchange).

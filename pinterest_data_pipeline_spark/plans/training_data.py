@@ -666,7 +666,7 @@ def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # iterations bounds hop count; min-label propagation early-stops at
     # the fixpoint, so a generous bound costs nothing once converged
-    return duplicate_clusters(pairs, iterations=12).orderBy("doc_id")
+    return duplicate_clusters(pairs).orderBy("doc_id")
 
 
 @register(
@@ -996,7 +996,7 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.near_duplicates_minhash(
         surviving_docs, "doc_id", "text", threshold=0.5, portable=True
     )
-    clusters = duplicate_clusters(pairs, iterations=12)
+    clusters = duplicate_clusters(pairs)
     # drop non-canonical cluster members (cluster_id == canonical doc_id)
     non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
@@ -2179,7 +2179,7 @@ def near_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", portable=True)
-    clusters = duplicate_clusters(pairs, iterations=12)
+    clusters = duplicate_clusters(pairs)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -141,11 +141,13 @@ def test_hyperplane_lsh_subset_of_bruteforce(spark, emb):
     assert lsh <= brute
 
 
-def test_bucket_cap_drops_degenerate_bucket_keeps_small_ones(spark):
+def test_bucket_cap_trims_degenerate_bucket_keeps_small_ones(spark):
     """A pile of identical documents lands in one oversized bucket per
-    band; with max_bucket_size below the pile size, all its candidate
-    pairs are excluded (bounded per-task work), while a genuinely
-    near-duplicate pair in a small bucket is still found."""
+    band; with max_bucket_size below the pile size, the bucket keeps
+    only its min-id members (bounded per-task work: pair output among
+    the pile is capped at C(C-1)/2, and only the smallest ids appear),
+    while a genuinely near-duplicate pair in a small bucket is found
+    untouched."""
     pile = [(i, "common boilerplate junk text repeated verbatim") for i in range(60)]
     near = [
         (1000, "the quick brown fox jumps over the lazy dog today"),
@@ -160,25 +162,38 @@ def test_bucket_cap_drops_degenerate_bucket_keeps_small_ones(spark):
     uncapped_pairs, capped_pairs = _pairs(uncapped), _pairs(capped)
     assert (1000, 1001) in uncapped_pairs
     assert any(a < 60 and b < 60 for a, b in uncapped_pairs)
-    assert (1000, 1001) in capped_pairs  # small bucket survives the cap
-    assert not any(a < 60 and b < 60 for a, b in capped_pairs)  # pile dropped
+    assert (1000, 1001) in capped_pairs  # small bucket untouched by the cap
+    pile_pairs = {(a, b) for a, b in capped_pairs if a < 60 and b < 60}
+    # retention: pairs survive but only among the 50 min-id rows,
+    # bounded at C(50,2)
+    assert pile_pairs
+    assert all(a < 50 and b < 50 for a, b in pile_pairs)
+    assert len(pile_pairs) <= 50 * 49 // 2
 
 
 def test_bucket_cap_bounds_candidate_count(spark):
     """With cap C, no bucket may contribute more than C(C-1)/2 pairs:
-    candidate count from a 60-doc pile capped at 10 must be zero (every
-    band bucket for the pile exceeds the cap)."""
+    a 60-doc identical pile capped at 10 yields exactly the C(10,2)=45
+    pairs among its 10 min-id members (every band selects the same
+    min-id survivors for identical signatures), never the 1770 uncapped
+    pairs — and the pile is still DETECTED as duplicated, the recall
+    property whole-bucket dropping destroyed."""
     pile = [(i, "same text in every row of this corpus") for i in range(60)]
     df = spark.createDataFrame(pile, "doc_id long, text string")
     cands = dedup.minhash_lsh_candidates(
         df, "doc_id", "text", max_bucket_size=10
     )
-    assert cands.count() == 0
+    got = _pairs(cands)
+    assert len(got) == 45
+    assert all(a < 10 and b < 10 for a, b in got)
 
 
 def test_vector_lsh_bucket_cap(spark, emb):
     """Hyperplane LSH with a cap below the planted-clone pile size must
-    drop the pile's pairs but keep unrelated small-bucket pairs intact."""
+    bound the pile's pairs to its min-id retained members and keep
+    unrelated small-bucket behavior intact — in particular the ORIGINAL
+    (vec_id 0, smallest id in the bucket) still pairs with retained
+    clones: recall for the planted original survives the cap."""
     base = emb.filter(F.col("vec_id") == 0)
     clones = base
     for r in range(60):
@@ -194,7 +209,35 @@ def test_vector_lsh_bucket_cap(spark, emb):
         plus, threshold=0.98, max_bucket_size=30
     )
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
-    assert not any(a >= 200000 and b >= 200000 for a, b in got)
+    # the original is the bucket's min id: it is always retained and
+    # pairs with the retained clones
+    assert any(a == 0 and b >= 200000 for a, b in got)
+    clone_ids = {x for a, b in got for x in (a, b) if x >= 200000}
+    # only min-id clones survive; pair work stays cap-bounded
+    assert clone_ids and max(clone_ids) < 200000 + 30
+    assert len(clone_ids) <= 30
+
+
+def test_bucket_cap_recall_survives_heavy_duplication(spark):
+    """The ×100-saturation regression pin: replicate a small corpus so
+    EVERY winnowing fingerprint bucket exceeds the cap, and the planted
+    near-copy pair (the two smallest doc ids) must still be reported —
+    under whole-bucket dropping this exact setup returned zero rows.
+    Recall for min-id members ≈ 1 at arbitrary duplication depth."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " extra trailing words appended here"
+    rows = [(0, a), (1, b)]
+    # 100 verbatim replicas of each: every fingerprint occurs 100+ times
+    rows += [(100 + i, a) for i in range(100)]
+    rows += [(300 + i, b) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.winnowing_shared_passages(
+        df, "doc_id", "text", k=5, window=4, min_shared=2,
+        max_bucket_size=16,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got, "cap saturation must degrade recall, not zero it"
+    assert (0, 1) in got  # the min-id planted pair always survives
 
 
 def test_int8_quantize_roundtrip_error(spark, emb):
