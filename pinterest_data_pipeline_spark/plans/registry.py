@@ -42,127 +42,109 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 5 WINDOW: exactly 50 entries. Round 4 closed the
-    # never-checked backlog (181/181 ever checked, latest rows all
-    # green), so this window = the round's NEW/CHANGED queries plus the
-    # OLDEST-evidence green rows, per the standing rule at the bottom.
-    # Arithmetic: 5 promotions + 5 pinterest + 2 oracle upgrades = 12
-    # new/changed; 38 slots refresh the r1-evidence set oldest-first
-    # (46 candidates outside CHECK_LAST; the 8 remainder rotate in r6).
+    # ---- ROUND 6 WINDOW: exactly 50 entries.
+    # Arithmetic: 22 promotions + 5 changed re-certifications + 2
+    # rows-only→oracle upgrades + 1 rows-only re-queue = 30 new/changed;
+    # 20 slots refresh green rows oldest-evidence-first (the 8-query
+    # r1-evidence remainder, then the r2-evidence set in registration
+    # order), per the standing rule at the bottom.
     #
-    # -- (1) the five round-4-staged queries, now registered
-    # (plans/round5_promotions.py — full oracles, strict-mirror green,
-    # differential-tested; built in r4, first driver rows here).
-    "decontaminate_embedding_cosine",
-    "quality_linear_gate",
+    # -- (1) the twenty-two round-5-staged queries, now registered
+    # (plans/staged_round6.py — full oracles, strict-mirror parity at
+    # sf0.001 + sf0.01, x30 stress rows; built in r5, first driver rows
+    # here).
+    "dedup_keep_best_quality",
+    "leakage_safe_split_assign",
+    "token_budget_selection",
+    "mixture_epoch_capped_plan",
+    "bpe_pair_stats",
+    "winnowing_cap_report",
+    "incremental_embedding_new_pairs",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "bpe_learn_merges",
+    "bpe_encode_compression",
+    "duplicate_span_report",
+    "cut_duplicate_spans_stats",
+    "soft_dedup_weights",
+    "bpe_fertility_by_lang",
+    "cross_source_span_leakage",
+    "mattr_lexical_diversity",
+    "join_null_safe_agg",
+    "bigram_logprob_quality",
+    "curation_v2_report",
+    "sessionize_event_stats",
+    "doremi_domain_reweight",
+    # -- (2) changed-in-round-6 re-certifications:
+    # winnowing_passage_pairs — cap_bucket_size switched from
+    # whole-bucket drop to deterministic min-id retention (the ×100
+    # saturation fix; oracle updated to the ROW_NUMBER retention);
+    # minhash_dedup_clusters / corpus_curation_full /
+    # near_dup_cluster_size_histogram — duplicate_clusters now iterates
+    # to fixpoint instead of a 12-hop bound (same result at any SF
+    # whose component diameter ≤ 12, but the implementation changed).
     "winnowing_passage_pairs",
-    "asof_nearest_view_per_click",
-    "mixture_sqrt_temperature_plan",
-    # -- (2) the five exact-semantics Pinterest queries over
-    # hash-regenerated dirty fixtures (plans/pinterest_driver.py) — the
-    # flagship parity surface finally earning driver rows of its own.
-    "pinterest_q1_top_category_per_country",
-    "pinterest_q2_top_category_per_year",
-    "pinterest_q3_top_user_per_country",
-    "pinterest_q4_top_category_per_age_group",
-    "pinterest_q5_users_joined_per_year",
-    # -- (3) rows-only → oracle-backed upgrades: the IVF pair now
-    # carries gate-style oracles (fixed-codebook assignment replay /
-    # recall-vs-bruteforce zero-violation gate), so their r4 rows-only
-    # evidence upgrades to hash rows.
-    "ivf_kmeans_codebook_assign",
-    "embedding_ivf_multiprobe_topk",
-    # -- (4) oldest-evidence rotation: the r1-green set in registration
-    # order (their last driver rows were produced by round-1 code; the
-    # local strict mirror re-verifies them every pytest run, but the
-    # driver evidence refreshes here).
-    "q1_top_segment_per_nation",
-    "q2_top_priority_per_year",
-    "q3a_top_customer_per_nation",
-    "q3b_top_nation_overall",
-    "q4_top_priority_per_balance_bucket",
-    "q5_orders_per_year",
-    "project_rename_drop",
-    "filter_pushdown_scan",
-    "null_standardize_replace",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
-    "conditional_null_funcs",
-    "cast_funcs",
-    "join_inner_large",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "agg_pricing_summary",
-    "agg_distinct_counts",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets_sql",
-    "topk_orders",
-    "window_rank_top3",
-    "window_running_and_lag",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "pivot_status_counts",
-    "unpivot_part_attrs",
-    "json_extract_events",
-    "sessionize_events",
-    "array_funcs_embeddings",
-    "to_json_envelope",
-    # -- (5) changed-in-round-5 re-queue: key_skew_profile_events lost
-    # its global ranking window (top-10 load is now a TakeOrdered cut);
-    # its r4 green row predates the change, so it re-certifies here. It
-    # takes the slot of the weakest rotation candidate
-    # (approx_distinct_events — rows-only, so a refresh adds the least
-    # signal; it rotates in round 6 instead).
-    "key_skew_profile_events",
+    "minhash_dedup_clusters",
+    "corpus_curation_full",
+    "near_dup_cluster_size_histogram",
+    # -- (3) rows-only → oracle-backed upgrades (the IVF-pair pattern
+    # from round 5): both sketch queries now emit deterministic
+    # accuracy-gate outputs (exact companions + zero-violation bound
+    # verdicts) the oracle pins, so their driver rows upgrade from
+    # `no_oracle` to hash.
+    "approx_distinct_events",
+    "approx_percentiles_sketch",
+    # -- (4) rows-only re-queue: semantic_dedup_survivors depends on
+    # clustering.assign_to_codebook, which grew an optional score_col
+    # in round 5 after its r4 driver row; refresh the evidence.
+    "semantic_dedup_survivors",
+    # -- (5) oldest-evidence rotation, r1 remainder (their last driver
+    # rows were produced by round-1 code; ngram_jaccard_pairs rotates in
+    # from CHECK_LAST for its first refresh since r1).
+    "exact_dedup_fingerprint",
+    "levenshtein_similar_names",
+    "ngram_jaccard_pairs",
+    "scalar_date_arithmetic",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "window_distribution_funcs",
+    # -- (6) oldest-evidence rotation, r2 set in registration order
+    # (13 of 45; the remainder rotates in round 7+).
+    "limit_offset_sample",
+    "approx_distinct_error_bound",
+    "approx_percentile_error_bound",
+    "collect_segments_per_nation",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "embedding_near_dup_pairs",
+    "multimodal_binary_meta",
+    "corpus_curation_basic",
+    "text_top_pieces",
+    "chunk_documents_tokens",
+    "stratified_sample_per_lang",
+    "mixture_upsample_by_lang",
     # ---- 50-row window boundary ----
     #
-    # STANDING ROTATION RULE (written into policy in round 5, after the
-    # round-4 arithmetic proved out): each round's window must fit
-    # new + changed + reds; cap net-new registrations so that holds
-    # (new + changed + oldest-stale ≤ 50), and fill every remaining
-    # slot with green rows oldest-evidence-first. Never let a query sit
-    # never-checked across a round boundary.
+    # STANDING ROTATION RULE (policy since round 5; held in r4/r5/r6):
+    # each round's window must fit new + changed + reds; cap net-new
+    # registrations so that holds (new + changed + oldest-stale ≤ 50),
+    # and fill every remaining slot with green rows
+    # oldest-evidence-first. Never let a query sit never-checked across
+    # a round boundary.
     #
-    # ROUND-6 ROTATION NOTES:
-    # - operators/clustering.assign_to_codebook grew an optional
-    #   score_col in round 5 (the score_col=None path emits the
-    #   identical expression; dependents re-verified green by the local
-    #   mirror). Its in-window dependents (ivf_kmeans_codebook_assign,
-    #   embedding_ivf_multiprobe_topk) re-certify in the r5 window;
-    #   the remaining dependent semantic_dedup_survivors (rows-only)
-    #   should re-queue in round 6 for driver evidence freshness.
-    # - Promote ALL TWENTY-TWO plans/staged_round6.py queries first
-    #   (dedup_keep_best_quality, leakage_safe_split_assign,
-    #   token_budget_selection, mixture_epoch_capped_plan,
-    #   bpe_pair_stats, winnowing_cap_report,
-    #   incremental_embedding_new_pairs, dsir_importance_weights,
-    #   dsir_gumbel_topk, bpe_learn_merges, bpe_encode_compression,
-    #   duplicate_span_report, cut_duplicate_spans_stats,
-    #   cross_source_span_leakage, sessionize_event_stats,
-    #   doremi_domain_reweight, soft_dedup_weights,
-    #   bpe_fertility_by_lang, curation_v2_report,
-    #   bigram_logprob_quality, join_null_safe_agg,
-    #   mattr_lexical_diversity — full oracles, strict-mirror green at
-    #   sf0.001+sf0.01 (x30 stress rows in stress30.json for the
-    #   data-sized ones); the window arithmetic must count all
-    #   twenty-two: 22 new + semantic_dedup_survivors re-queue leaves
-    #   ~27 slots for the r1-evidence remainder); then —
-    # levenshtein_similar_names, window_distribution_funcs,
-    # scalar_date_arithmetic, approx_percentiles_sketch,
-    # text_token_stats, text_quality_scores, text_lang_id,
-    # exact_dedup_fingerprint, approx_distinct_events (displaced from
-    # the r5 window by the key_skew re-queue) — then the CHECK_LAST
-    # pair, then r2.
+    # ROUND-7 ROTATION NOTES: continue the r2-evidence refresh where
+    # (6) leaves off — embedding_quantize_error_bound, udtf_split_sentences,
+    # pii_redaction_counts, repetition_signals,
+    # decontaminate_ngram_overlap, pack_sequences_bins,
+    # train_val_split_hash, ... (registration order), then the r3 set;
+    # minhash_lsh_near_duplicates (CHECK_LAST, rows-only, changed by
+    # the round-6 cap-retention fix only when a cap is passed — it
+    # passes none, so unchanged in output) can refresh whenever window
+    # arithmetic allows.
 ]
 
 CHECK_LAST: list[str] = [
-    "ngram_jaccard_pairs",
     "minhash_lsh_near_duplicates",
 ]
 

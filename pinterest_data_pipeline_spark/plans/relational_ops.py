@@ -880,15 +880,51 @@ def to_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("approx_distinct_events")  # no oracle: approximate result
+@register(
+    "approx_distinct_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           true AS hll_rsd02_within_4sigma,
+           true AS hll_rsd05_within_4sigma
+    FROM events GROUP BY 1
+    """,
+)
 def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (SURVEY §2.12 extension). At 100 TB this
     replaces exact count-distinct's expand+shuffle with a fixed-size sketch
-    merged map-side."""
+    merged map-side.
+
+    GATE-ORACLE FORM (round-6 upgrade from rows-only, the pattern that
+    upgraded the IVF pair in round 5): the raw sketch estimate is
+    engine-specific and not value-replayable, so the registered output
+    carries the deterministic companions instead — exact per-group
+    distincts plus a 4-sigma accuracy verdict for the sketch at TWO rsd
+    settings (0.02 and 0.05; |approx − exact| ≤ 4·rsd·exact). The
+    oracle pins the exact counts and `true`/`true`, so any sketch
+    excursion past its advertised error is a hard hash failure rather
+    than a silent rows-only pass. The exact distinct exists ONLY to
+    judge the sketch — production callers run the sketch alone."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("__a02"),
+        F.approx_count_distinct("user_id", 0.05).alias("__a05"),
+    )
+
+    def within(col: str, rsd: float):
+        return F.abs(F.col(col) - F.col("n_users_exact")) <= F.lit(
+            4 * rsd
+        ) * F.col("n_users_exact")
+
+    return agg.select(
+        "event_type",
+        "n",
+        "n_users_exact",
+        within("__a02", 0.02).alias("hll_rsd02_within_4sigma"),
+        within("__a05", 0.05).alias("hll_rsd05_within_4sigma"),
     )
 
 
@@ -1196,17 +1232,74 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles_sketch")  # t-digest-style sketch: rows-only
+@register(
+    "approx_percentiles_sketch",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           true AS qty_p50_rank_ok,
+           true AS price_p90_rank_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
 def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (approx_percentile): the scale alternative
     to the exact interpolated form in agg_percentiles — fixed-size sketch
-    merged map-side instead of a per-group sort. Approximate result ⇒ no
-    value oracle; the exact twin provides the accuracy reference."""
+    merged map-side instead of a per-group sort.
+
+    GATE-ORACLE FORM (round-6 upgrade from rows-only): the sketch values
+    themselves are engine-specific, so the registered output is the
+    deterministic rank-error verdict for BOTH sketched statistics of the
+    original query (p50 of l_quantity, p90 of l_extendedprice): the
+    sketch value must sit at an empirical rank within target ± (0.002 +
+    1/n). Tie-robust two-sided form — count(x < v)/n ≤ q + ε AND
+    count(x ≤ v)/n ≥ q − ε — because l_quantity is small-integer-valued
+    and heavily tied, where a one-sided count(≤)/n check would
+    false-fail on any run of equal values straddling the target rank.
+    The oracle pins group counts and `true`/`true`: a sketch excursion
+    past its advertised rank error is a hard hash failure."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.approx_percentile("l_quantity", 0.5, 10000).alias("qty_p50_approx"),
-        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("price_p90_approx"),
-        F.count("*").alias("n"),
+    approx = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_percentile("l_quantity", 0.5, 10000).alias("__p50q"),
+        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("__p90p"),
+    )
+    counted = (
+        li.select(
+            F.col("l_returnflag").alias("returnflag"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .join(F.broadcast(approx), "returnflag")
+        .groupBy("returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("l_quantity") < F.col("__p50q"), True)
+            ).alias("__q_lt"),
+            F.count(
+                F.when(F.col("l_quantity") <= F.col("__p50q"), True)
+            ).alias("__q_le"),
+            F.count(
+                F.when(F.col("l_extendedprice") < F.col("__p90p"), True)
+            ).alias("__p_lt"),
+            F.count(
+                F.when(F.col("l_extendedprice") <= F.col("__p90p"), True)
+            ).alias("__p_le"),
+        )
+    )
+
+    def rank_ok(lt: str, le: str, q: float):
+        n = F.col("n")
+        eps = F.lit(0.002) + F.lit(1.0) / n
+        return (F.col(lt) / n <= F.lit(q) + eps) & (
+            F.col(le) / n >= F.lit(q) - eps
+        )
+
+    return counted.select(
+        "returnflag",
+        "n",
+        rank_ok("__q_lt", "__q_le", 0.5).alias("qty_p50_rank_ok"),
+        rank_ok("__p_lt", "__p_le", 0.9).alias("price_p90_rank_ok"),
     )
 
 

@@ -1,14 +1,16 @@
-"""ROUND-6 STAGING AREA — implemented, tested, NOT driver-registered.
+"""Round-5 staged queries, PROMOTED to the registry in round 6.
 
-Round 5's driver window is fully allocated (5 promotions + 5 Pinterest
-queries + 2 IVF oracle upgrades + the 38 oldest-evidence rotations =
-exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these twenty-two new queries stage here: each has a full DuckDB
-oracle and a strict-mirror parity test (tests/test_staged_round6.py)
-at sf0.001 + sf0.01, and registering them in round 6 is the same
-one-step move round 5 performed on plans/round5_promotions.py —
-replace ``_stage`` with ``registry.register``, import the module from
-``__spark_entry__``, and queue the names at the head of CHECK_FIRST.
+These twenty-two queries were fully built in round 5 (Spark plan, DuckDB
+oracle, strict-mirror parity tests at sf0.001 + sf0.01 in
+tests/test_staged_round6.py, x30 stress rows) but held out of the
+registry because round 5's 50-row driver window was fully allocated
+(5 promotions + 5 Pinterest queries + 2 IVF oracle upgrades + 38
+oldest-evidence rotations). Round 6 registers them — ``_stage`` below
+now feeds ``registry.register`` directly (the same one-step move round
+5 performed on plans/round5_promotions.py) and the names lead
+registry.CHECK_FIRST so each earns its first driver correctness row.
+The registry-wide strict mirror (tests/test_oracle_parity.py)
+re-verifies them every pytest run like any other registered query.
 
 The set completes the LLM-curation story with the COMPOSITION stages
 that sit between the already-registered primitives:
@@ -83,7 +85,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.registry import register
 from pinterest_data_pipeline_spark.plans.training_data import (
     _MH_PARAMS_SQL,
     _PLANES_SQL,
@@ -97,13 +99,13 @@ STAGED_ORACLE: dict[str, str] = {}
 
 
 def _stage(name: str, oracle: str | None = None):
-    """Same contract as registry.register, but into the staging dicts."""
+    """ROUND-6 PROMOTION: registry.register proper (driver surface),
+    plus the module-local dicts the behavioral tests in
+    tests/test_staged_round6.py enumerate. All validation (duplicate
+    names, `--`-in-oracle) happens in register()."""
 
     def deco(fn):
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name: {name}")
-        if oracle is not None and has_sql_line_comment(oracle):
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        register(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLE[name] = " ".join(oracle.split())
@@ -204,7 +206,7 @@ def _cluster_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.near_duplicates_minhash(
         docs, "doc_id", "text", threshold=0.5, portable=True
     )
-    clusters = duplicate_clusters(pairs, iterations=12)
+    clusters = duplicate_clusters(pairs)
     return (
         docs.select("doc_id")
         .join(clusters, "doc_id", "left")
@@ -480,12 +482,12 @@ def _winnowing_cap_oracle() -> str:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
            CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_buckets_dropped,
+               AS n_buckets_capped,
            CAST(SUM(n) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT)
-               AS n_rows_dropped,
-           CAST((SUM(CASE WHEN n > 64 THEN n ELSE 0 END) * 1000000)
-               // greatest(SUM(n), 1) AS BIGINT) AS dropped_rows_ppm
+           CAST(SUM(CASE WHEN n > 64 THEN n - 64 ELSE 0 END) AS BIGINT)
+               AS n_rows_trimmed,
+           CAST((SUM(CASE WHEN n > 64 THEN n - 64 ELSE 0 END) * 1000000)
+               // greatest(SUM(n), 1) AS BIGINT) AS trimmed_rows_ppm
     FROM sizes
     """
 
@@ -494,11 +496,13 @@ def _winnowing_cap_oracle() -> str:
 def winnowing_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"No silent caps" made queryable (operators/dedup.cap_drop_report):
     the audit row for the cap_bucket_size(64) straggler guard inside
-    winnowing_passage_pairs — how many fingerprint buckets and rows the
-    cap drops, and the dropped-row share in integer ppm. At this SF the
-    cap drops nothing; at ×100 uniform replication it legitimately drops
-    100% (every fingerprint is hot) — either way the number is now a
-    registered output instead of a surprise in a pair count.
+    winnowing_passage_pairs — how many fingerprint buckets exceed the
+    cap, how many rows the min-doc_id retention trims (n - 64 per hot
+    bucket), and the trimmed-row share in integer ppm. At this SF the
+    cap trims nothing; at ×100 uniform replication every fingerprint is
+    hot and the retention keeps 64 rows of each bucket (pairs still
+    found, recall degraded not zeroed) — either way the trim volume is
+    a registered output instead of a surprise in a pair count.
 
     Scale: the report's per-bucket aggregate rides the exact shuffle the
     candidate join pays anyway, then collapses to one row."""

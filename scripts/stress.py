@@ -100,7 +100,11 @@ QUERIES = [
     # the Pinterest end-to-end flagship, and the IVF gate pipelines
     "asof_nearest_view_per_click",
     "winnowing_passage_pairs",
+    "pinterest_q1_top_category_per_country",
+    "pinterest_q2_top_category_per_year",
     "pinterest_q3_top_user_per_country",
+    "pinterest_q4_top_category_per_age_group",
+    "pinterest_q5_users_joined_per_year",
     "embedding_ivf_multiprobe_topk",
     # round-5 staging (plans/staged_round6.py — resolved from
     # STAGED_QUERIES): DSIR selection, BPE training, ExactSubstr span
@@ -213,14 +217,36 @@ def main() -> None:
         base_s, n_base = timed(fn, SRC_SF, full)
         big_s, n_big = timed(fn, out_dir, full)
         ratio = big_s / base_s if base_s > 0 else float("nan")
+        # Output-growth annotation: a pair-generating query under
+        # uniform replication legitimately emits ~factor² pairs, so a
+        # time_ratio above `factor` is NOT superlinear compute if it
+        # stays at-or-under rows_ratio — time tracking output volume is
+        # the correct asymptotic. Only time growth beyond BOTH input
+        # and output growth gets flagged. (Judged tolerances: 1.25×
+        # slack absorbs single-run shuffle/JIT noise.)
+        rows_ratio = (
+            round(n_big / n_base, 2) if n_base > 0 else None
+        )
+        if ratio <= factor * 1.25:
+            verdict = "ok: sublinear-in-input"
+        elif rows_ratio is not None and ratio <= rows_ratio * 1.25:
+            verdict = "ok: output-bound (time tracks output rows)"
+        else:
+            verdict = "FLAG: time grew beyond input and output growth"
         results[name] = {
             "base_s": round(base_s, 2),
             f"x{factor}_s": round(big_s, 2),
             "time_ratio": round(ratio, 2),
             "rows_base": n_base,
             f"rows_x{factor}": n_big,
+            "rows_ratio": rows_ratio,
+            "verdict": verdict,
         }
-        print(f"# {name}: {base_s:.2f}s -> {big_s:.2f}s ({ratio:.1f}x)", file=sys.stderr)
+        print(
+            f"# {name}: {base_s:.2f}s -> {big_s:.2f}s ({ratio:.1f}x; "
+            f"rows x{rows_ratio}) {verdict}",
+            file=sys.stderr,
+        )
     print(json.dumps({"factor": factor, "results": results}))
     spark.stop()
 

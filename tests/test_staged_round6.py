@@ -27,24 +27,33 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
-    """The round-5 window freeze: staging must not leak into the driver
-    surface until round 6 queues it."""
+def test_staged_queries_are_promoted():
+    """Round-6 promotion: every formerly-staged query is on the driver
+    surface (registry + oracle), with the full set leading the window."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(STAGED_QUERIES) - set(queries)
+    assert not missing, f"staged queries not promoted: {missing}"
+    missing_oracle = set(STAGED_ORACLE) - set(oracles)
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
+    # the driver verifies the first-50 prefix; all 22 must be inside it
+    window = list(queries)[:50]
+    outside = set(STAGED_QUERIES) - set(window)
+    assert not outside, f"promoted queries outside the driver window: {outside}"
 
 
 def test_every_staged_query_has_an_oracle():
     assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
 
 
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("sf", ["sf0.01"])
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
 def test_staged_query_matches_oracle(spark, name, sf):
-    """Both SFs: sf0.001 (the smoke dir) and sf0.01 (the SF the driver
-    actually verifies at), so promotion-time behavior is pre-proven."""
+    """sf0.01 — the SF the driver actually verifies at. (The sf0.001 leg
+    moved to the registry-wide mirror in test_oracle_parity.py when the
+    round-6 promotion put these queries on the driver surface.)"""
     d = f"/root/testdata/{sf}"
     spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
     con = duckdb_connection(d)
@@ -321,23 +330,29 @@ def test_adjacent_pair_counts_matches_python_counter(spark, sf_dir):
 def test_cap_drop_report_counts_hot_bucket(spark):
     """Synthetic hot bucket: 70 rows share one key (over the 64 cap),
     5 rows spread across small keys — the report must count exactly the
-    hot bucket's rows as dropped, in integer ppm."""
+    hot bucket's over-cap rows (70 - 64 = 6) as trimmed, in integer
+    ppm, and agree with what the min-id retention actually removes."""
     from pinterest_data_pipeline_spark.operators.dedup import (
         cap_drop_report,
         cap_bucket_size,
     )
 
-    rows = [("hot", i) for i in range(70)] + [(f"k{i}", i) for i in range(5)]
-    df = spark.createDataFrame(rows, "key string, v int")
+    rows = [("hot", i) for i in range(70)] + [(f"k{i}", 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, __id int")
     rep = cap_drop_report(df, ["key"], max_bucket_size=64).collect()[0]
     assert rep["n_buckets"] == 6
-    assert rep["n_buckets_dropped"] == 1
+    assert rep["n_buckets_capped"] == 1
     assert rep["n_rows"] == 75
-    assert rep["n_rows_dropped"] == 70
-    assert rep["dropped_rows_ppm"] == 70 * 1000000 // 75
-    # and the report agrees with what cap_bucket_size actually drops
-    kept = cap_bucket_size(df, ["key"], 64).count()
-    assert rep["n_rows"] - rep["n_rows_dropped"] == kept
+    assert rep["n_rows_trimmed"] == 6
+    assert rep["trimmed_rows_ppm"] == 6 * 1000000 // 75
+    # and the report agrees with what cap_bucket_size actually trims:
+    # the hot bucket keeps its 64 min-__id rows, small buckets intact
+    kept = cap_bucket_size(df, ["key"], 64)
+    assert rep["n_rows"] - rep["n_rows_trimmed"] == kept.count()
+    hot_kept = [
+        r["__id"] for r in kept.filter(F.col("key") == "hot").collect()
+    ]
+    assert sorted(hot_kept) == list(range(64))
 
 
 def test_incremental_embedding_converges_to_one_shot(spark, sf_dir):
@@ -1141,3 +1156,11 @@ def test_mattr_semantics_on_constructed_docs(spark):
     assert out[1][1] == round(1 / W, 6)
     assert out[2][1] == round(2 / W, 6)
     assert out[0][0] == 12 - W + 1
+    # unfiltered callers get honest NULLs for below-window docs, never
+    # a negative window count or a garbage score
+    short = (
+        df.filter(F.col("doc_id") == 3)
+        .select(nw.alias("nw"), score.alias("s"))
+        .collect()[0]
+    )
+    assert short["nw"] is None and short["s"] is None
