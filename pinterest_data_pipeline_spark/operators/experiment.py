@@ -1,0 +1,99 @@
+"""Experimentation analytics: deterministic A/B assignment and CUPED
+variance-reduced treatment effects.
+
+CUPED (Deng et al., WSDM'13) adjusts each unit's experiment-period
+metric by its pre-period covariate — adjusted = y − θ·(x − mean(x)),
+θ = cov(x, y)/var(x) — typically halving the variance of the measured
+lift when pre/post behavior correlates. The operators here compute it
+with the repo's engine-portable exactness discipline: per-unit metrics
+are integer cents, θ comes from the INTEGER moment sums
+(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with one double division at the end,
+and arm means derive algebraically from integer sums — so no
+order-dependent double accumulation exists anywhere and a SQL oracle
+reproduces every value bit-for-bit.
+
+Scale: one shuffle keyed by unit builds per-unit pre/post sums; the
+moment aggregate is a single partial-combinable pass whose output is
+ONE row; per-arm results run on the |arms|-row relation with the
+1-row moment broadcast. Magnitude guard: Σxy and n·Σxy must stay under
+2^63 — with cents ≤ 1e6 per unit and ≤ 1e9 units the products need
+headroom review at extreme scales; callers rescale units (dollars) in
+that regime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+
+
+def hash_assign_arm(unit_col: Column | str, salt: str = "exp1") -> Column:
+    """Deterministic 50/50 A/B assignment from the portable md5-prefix
+    hash of the unit id — stable across runs, engines and the oracle
+    (the hash_split discipline, two arms)."""
+    c = F.col(unit_col) if isinstance(unit_col, str) else unit_col
+    h = portable_hash32(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return F.when(h % 2 == 0, F.lit("treatment")).otherwise(F.lit("control"))
+
+
+def cuped_adjusted_means(
+    units: DataFrame,
+    arm_col: str = "arm",
+    pre_col: str = "pre_cents",
+    post_col: str = "post_cents",
+) -> DataFrame:
+    """Per-arm raw and CUPED-adjusted means from per-unit integer-cents
+    (pre, post) sums. Returns one row per arm: n_units, mean_post_r6,
+    mean_pre_r6, theta_r6 (same value on every row — the pooled
+    regression coefficient), cuped_mean_r6.
+
+    The adjusted arm mean uses the algebraic identity
+    mean(y − θ(x − x̄_all)) = ȳ_arm − θ·(x̄_arm − x̄_all): every term is
+    an integer-sum ratio or the θ ratio, combined in one fixed
+    expression tree — no per-unit double is ever summed, so the result
+    is independent of partitioning and row order."""
+    u = units.select(
+        F.col(arm_col).alias("__arm"),
+        F.col(pre_col).cast("bigint").alias("__x"),
+        F.col(post_col).cast("bigint").alias("__y"),
+    )
+    moments = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    per_arm = u.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("__x").alias("__ax"),
+        F.sum("__y").alias("__ay"),
+    )
+    theta = (
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+            "double"
+        )
+        / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+            "double"
+        )
+    )
+    mean_pre_all = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    mean_pre_arm = F.col("__ax").cast("double") / F.col("n_units").cast("double")
+    mean_post_arm = F.col("__ay").cast("double") / F.col("n_units").cast("double")
+    return (
+        per_arm.crossJoin(F.broadcast(moments))
+        .select(
+            F.col("__arm").alias("arm"),
+            "n_units",
+            F.round(mean_post_arm / F.lit(100.0), 6).alias("mean_post_r6"),
+            F.round(mean_pre_arm / F.lit(100.0), 6).alias("mean_pre_r6"),
+            F.round(theta, 6).alias("theta_r6"),
+            F.round(
+                (mean_post_arm - theta * (mean_pre_arm - mean_pre_all))
+                / F.lit(100.0),
+                6,
+            ).alias("cuped_mean_r6"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Retrieval/ranking operators: BM25 term scoring and reciprocal-rank
+fusion of independent rankings.
+
+These are the retrieval-side companions of the TF-IDF family in
+operators/tfidf.py: BM25 is the standard lexical relevance function a
+corpus-scale retrieval layer (or a RAG data pipeline) runs over the
+documents table, and RRF is the standard way to combine heterogeneous
+rankings (lexical score, quality margin, LM score) without calibrating
+their scales against each other.
+
+Exactness: BM25's per-(doc, term) score is one fixed expression tree of
+IEEE-correctly-rounded ops (ln/div/mul — each deterministic per-operand),
+and the per-doc SUM over query terms folds in SORTED term order via
+``aggregate`` over a sorted collect (the sqrt_temperature_shares
+discipline), so a SQL oracle replays the identical double. RRF ranks are
+integers from total-order windows; the fused score is a fixed-order sum
+of exact-operand divisions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators.chunking import ws_tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed bag of query
+    ``terms``: sum over matched terms of
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with the
+    standard "+1" idf ``ln(1 + (N − df + 0.5)/(df + 0.5))`` (always
+    positive). Returns (id_col, n_matched, bm25_r6) for documents
+    matching ≥ 1 term; the score rounds to 6dp once, after the
+    sorted-order term fold.
+
+    Scale: the corpus is scanned once into (doc, term, tf) for query
+    terms only (an array_contains prune before the explode); df/N/avgdl
+    are constant-size aggregates broadcast back; the per-doc fold runs
+    over ≤ |terms| rows. No shuffle exceeds the matched-posting volume —
+    the cost class of a posting-list traversal, not a corpus join."""
+    toks = ws_tokens(text_col)
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("__hits"),
+        F.size(toks).cast("bigint").alias("__dl"),
+    )
+    # corpus constants: N and avgdl (exact integer sums; one division)
+    consts = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
+        F.sum("__dl").cast("bigint").alias("__tot_len"),
+    )
+    tf = (
+        base.select("__id", "__dl", F.explode("__hits").alias("term"))
+        .groupBy("__id", "__dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__score",
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("__dl")
+                    / (F.col("__tot_len") / F.col("__n_docs"))
+                )
+            ),
+        )
+    )
+    # fold per doc in sorted term order so the double sum is
+    # order-deterministic and oracle-replayable
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("term", "__score"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__score"],
+                ),
+                6,
+            ).alias("bm25_r6"),
+        )
+        .select(F.col("__id").alias(id_col), "n_matched", "bm25_r6")
+    )
+
+
+def reciprocal_rank_fusion(
+    ranked: DataFrame,
+    id_col: str,
+    rank_orders: dict[str, Sequence[Column]],
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Fuse multiple orderings of the same relation by reciprocal-rank:
+    for each named ordering in ``rank_orders`` (name → window order
+    spec, which MUST be a total order — append the id as tiebreak),
+    rank all rows, then score each row ``Σ 1/(k + rank_i)`` and order by
+    fused score DESC, id ASC. Returns (id_col, rank_<name>... , rrf_r6)
+    — optionally cut to ``top_n`` via a TakeOrdered-style limit.
+
+    RRF (Cormack et al., SIGIR'09) is scale-free: it never compares raw
+    scores across rankings, so a lexical BM25, a quality margin and an
+    LM logprob fuse without calibration. Each 1/(k+rank) is one exact
+    division; the fixed left-to-right sum over the (constant, small)
+    ranking set is order-deterministic.
+
+    Scale: each ranking is one global-ordered window — acceptable for
+    the candidate sets RRF is used on (top-k pools), not full corpora;
+    at corpus scale rank within partitions first (the salted-top-k
+    pattern) and fuse the pooled heads."""
+    out = ranked
+    rank_cols = []
+    for name, order in rank_orders.items():
+        w = Window.orderBy(*order)
+        col = f"rank_{name}"
+        out = out.withColumn(col, F.row_number().over(w).cast("bigint"))
+        rank_cols.append(col)
+    score = None
+    for col in rank_cols:
+        term = F.lit(1.0) / (F.lit(float(k)) + F.col(col))
+        score = term if score is None else score + term
+    out = out.withColumn("rrf_r6", F.round(score, 6)).select(
+        id_col, *rank_cols, "rrf_r6"
+    )
+    out = out.orderBy(F.col("rrf_r6").desc(), F.col(id_col).asc())
+    if top_n is not None:
+        out = out.limit(int(top_n))
+    return out

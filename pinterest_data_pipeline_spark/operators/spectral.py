@@ -1,0 +1,142 @@
+"""Spectral operators: power iteration for the corpus's top principal
+direction over an embedding column.
+
+The top eigenvector of the (uncentered) Gram matrix X'X is the classic
+one-number summary of an embedding table's dominant axis — used for
+anisotropy diagnostics ("all-but-the-top"), whitening, and drift checks
+between corpus snapshots. Power iteration needs only repeated
+mat-vec products w = X'(Xv) = Σ_rows (x·v)·x, which is ONE partial-
+combinable aggregate per iteration: each row contributes its dot with
+the broadcast v times itself; the aggregate output is dim-sized (64
+numbers), driver-held between iterations exactly like the k-means
+codebook (operators/clustering.py) and the BPE winning pair
+(operators/bpe.py).
+
+Exactness contract (the BPE/ivf discipline, applied to linear algebra):
+embeddings quantize once to integer thousandths, v is an integer vector
+renormalized each iteration to max-abs 1000 by TRUNCATING division
+(sign·(|w|·1000 div max|w|) — identical in Python ints and SQL), and
+every mat-vec runs in bigint — so the whole iterative run is exact
+integer arithmetic, order-independent, and a SQL oracle unrolls the
+iterations and reproduces the final vector bit-for-bit.
+
+Magnitude guard: |x_i| ≤ X, dim d, n rows ⇒ |dot| ≤ d·X·1000 and
+|w_i| ≤ n·d·X²·1000. With X ≈ 4e3 (unit-ish float32 embeddings), d = 64
+and 1e9 rows, w tops out ≈ 1e21 > 2^63: at that scale quantize to
+hundredths or renormalize v to max-abs 100. The operator asserts
+nothing silently — callers pick the scale; the defaults hold to ~1e6
+rows × |x| ≤ 10⁴.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantized(df: DataFrame, vec_col: str, dim: int, scale: int):
+    return df.select(
+        F.array(
+            *[
+                F.round(
+                    F.element_at(F.col(vec_col), i + 1).cast("double")
+                    * F.lit(float(scale))
+                )
+                .cast("bigint")
+                .alias(f"__x{i}")
+                for i in range(dim)
+            ]
+        ).alias("__x")
+    )
+
+
+def power_iteration_top_direction(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 3,
+    scale: int = 1000,
+    v_norm: int = 1000,
+) -> list[int]:
+    """Run ``iterations`` integer power-iteration steps and return the
+    final direction as a list of ``dim`` ints with max-abs ``v_norm``.
+    v₀ = [v_norm] · dim (the all-ones direction — never orthogonal to
+    the top component of real embedding clouds; a zero iteration
+    returns it verbatim for callers pinning initialization).
+
+    Each step: one aggregate computes w_i = Σ_rows (x·v)·x_i for all i
+    (a single scan, dim sum columns, partial-combined map-side); the
+    driver renormalizes the dim-sized integer vector exactly. No RDDs,
+    no per-row Python — the scan is pure built-in expressions."""
+    q = _quantized(df, vec_col, dim, scale).localCheckpoint(eager=False)
+    v = [int(v_norm)] * dim
+    for _ in range(int(iterations)):
+        dot = None
+        for i in range(dim):
+            term = F.element_at(F.col("__x"), i + 1) * F.lit(v[i])
+            dot = term if dot is None else dot + term
+        row = (
+            q.select(dot.alias("__dot"), "__x")
+            .agg(
+                *[
+                    F.sum(
+                        F.col("__dot") * F.element_at(F.col("__x"), i + 1)
+                    ).alias(f"w{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()[0]
+        )
+        w = [int(row[f"w{i}"]) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        # truncating renormalization — exact, sign-symmetric, and
+        # identical to the SQL form sign(w)*((abs(w)*norm) // m)
+        v = [
+            (abs(x) * int(v_norm) // m) * (1 if x >= 0 else -1) for x in w
+        ]
+    return v
+
+
+def top_direction_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 3,
+    scale: int = 1000,
+    v_norm: int = 1000,
+) -> DataFrame:
+    """The registered-query form: (dim, v_int) rows for the final
+    direction plus each dimension's raw mat-vec magnitude from the LAST
+    iteration re-applied to the final vector — so the output pins both
+    the direction and one extra exact mat-vec (the Rayleigh-quotient
+    numerator per dimension), making any divergence in ANY iteration
+    visible in the hash."""
+    spark = df.sparkSession
+    v = power_iteration_top_direction(
+        df, vec_col, dim, iterations, scale, v_norm
+    )
+    q = _quantized(df, vec_col, dim, scale)
+    dot = None
+    for i in range(dim):
+        term = F.element_at(F.col("__x"), i + 1) * F.lit(v[i])
+        dot = term if dot is None else dot + term
+    w_row = (
+        q.select(dot.alias("__dot"), "__x")
+        .agg(
+            *[
+                F.sum(F.col("__dot") * F.element_at(F.col("__x"), i + 1)).alias(
+                    f"w{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        .collect()[0]
+    )
+    rows = [
+        (i + 1, int(v[i]), int(w_row[f"w{i}"])) for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, v_int bigint, w_next bigint"
+    ).orderBy("dim")

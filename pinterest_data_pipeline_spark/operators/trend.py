@@ -1,0 +1,86 @@
+"""Trend/decay operators: exponentially-weighted moving averages over
+per-key event streams.
+
+EWMA is a sequential recurrence (e_t = α·x_t + (1-α)·e_{t-1}) — the
+textbook formulation is driver-side or single-partition, both dead at
+100 TB. The operator here uses the closed form over a BOUNDED recency
+window (the practical monitoring form): the latest K events carry
+weights α(1-α)^k for k = 0..K-2 and the oldest carries the full
+remaining tail (1-α)^(K-1), so weights sum to exactly 1 and the value
+equals the infinite-history EWMA whenever history ≤ K (and a
+(1-α)^K-bounded approximation of it otherwise). One per-key window
+ranks events, one aggregate folds the weighted sum — a single Exchange
+on the key.
+
+Exactness contract: α = 1/2 and integer-cents inputs make every term
+``cents × 2^-j`` EXACTLY representable (an integer scaled by a power of
+two), and a sum of K ≤ 32 such terms is exact in IEEE double (all terms
+are multiples of 2^-(K-1) and the sum stays far below 2^53 ulps), so the
+result is independent of addition order — Spark's partial aggregation
+and a SQL oracle's fold produce bit-identical doubles with no rounding
+discipline needed until the final cents→units division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ewma_half_latest(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    cents_col: Column | str,
+    k: int = 16,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key EWMA (α = 1/2) of an integer-cents series at the latest
+    event, over the last ``k`` events: weight 2^-(j+1) for the j-th most
+    recent event (j = 0..k-2), 2^-(k-1) for the oldest retained one.
+    Returns (key_col, n_events, ewma_cents) where ewma_cents is the
+    exact dyadic weighted sum (double, order-independent — see module
+    docstring); callers divide by 100 and round once for display units.
+
+    Keys with fewer than ``k`` events use the same rule truncated at
+    their history: the oldest event absorbs the tail weight, so weights
+    always sum to exactly 1 (the infinite-history EWMA restarted at the
+    first observation — the standard initialization).
+
+    Scale: one shuffle on the key carries both the recency ranking and
+    the fold; no state, no recursion, no per-row Python."""
+    if not 2 <= k <= 32:
+        raise ValueError(f"k must be in [2, 32] (got {k}); k > 32 breaks "
+                         "the exact-dyadic-sum guarantee")
+    cents = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    order = [F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ranked = df.select(
+        F.col(key_col),
+        cents.cast("bigint").alias("__cents"),
+        F.row_number().over(w).alias("__recency"),  # 1 = latest
+    ).filter(F.col("__recency") <= k)
+    # per-key event count decides each row's weight exponent: rows
+    # before the key's last retained one get 2^-recency, the last gets
+    # 2^-(count-1) (tail absorption); pow(.5, j) is exact for j <= 31
+    cw = Window.partitionBy(key_col)
+    weighted = ranked.withColumn(
+        "__n", F.count(F.lit(1)).over(cw)
+    ).withColumn(
+        "__wexp",
+        F.when(F.col("__recency") < F.col("__n"), F.col("__recency")).otherwise(
+            F.col("__n") - 1
+        ),
+    )
+    return (
+        weighted.groupBy(key_col)
+        .agg(
+            F.max("__n").cast("bigint").alias("n_events"),
+            F.sum(
+                F.col("__cents").cast("double")
+                * F.pow(F.lit(0.5), F.col("__wexp").cast("double"))
+            ).alias("ewma_cents"),
+        )
+    )

@@ -1,0 +1,679 @@
+"""ROUND-7 STAGING AREA — implemented, tested, NOT driver-registered.
+
+Round 6's driver window is fully allocated (22 promotions + 5 changed
+re-certifications + 2 gate-oracle upgrades + 1 re-queue + 20 rotations =
+exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
+these nine new queries stage here: each has a full DuckDB oracle and a
+strict-mirror parity test (tests/test_staged_round7.py) at sf0.001 +
+sf0.01, and registering them in round 7 is the same one-step move rounds
+5 and 6 performed — point ``_stage`` at ``registry.register``, import
+the module from ``__spark_entry__``, and queue the names at the head of
+CHECK_FIRST.
+
+The set extends the engine sideways into four surfaces the inventory
+did not yet cover, each with the repo's engine-portable exactness
+discipline (integer/dyadic arithmetic or fixed-order expression trees,
+so DuckDB replays every value bit-for-bit):
+
+- SPATIAL (operators/geo.py): grid-bucketed radius self-join and
+  bounded nearest-neighbor over point coordinates — the query side of
+  the reference's geolocation data model (README.md:224-233), candidates
+  from a 3×3 cell join, never |points|².
+- RETRIEVAL (operators/ranking.py): Okapi BM25 scoring over the
+  documents table and reciprocal-rank fusion of uncalibrated rankings.
+- EXPERIMENTATION (operators/experiment.py): deterministic hash A/B
+  assignment + CUPED variance-reduced lift from integer moment sums.
+- LINEAR ALGEBRA (operators/spectral.py): integer power iteration for
+  the corpus's top principal direction — the BPE unrolled-oracle
+  discipline applied to an iterative numeric algorithm.
+- plus EWMA decay scoring (operators/trend.py, exact dyadic weights),
+  per-source quality-decile calibration cutpoints, and deterministic
+  curriculum interleave sharding (both window+aggregate compositions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def _stage(name: str, oracle: str | None = None):
+    """Same contract as registry.register, but into the staging dicts
+    (the round-6 window is frozen; round 7 swaps this for register)."""
+
+    def deco(fn):
+        if name in STAGED_QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
+        if oracle is not None and has_sql_line_comment(oracle):
+            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLE[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+# Synthetic point coordinates for an id column, replayed verbatim by
+# the oracles: offset microdegrees from the portable md5-prefix hash
+# (operators/geo.synth_point — the pinterest_driver fixture discipline).
+def _pt_sql(idexpr: str, salt: str = "geo") -> tuple[str, str]:
+    lat = (
+        f"CAST(concat('0x', substr(md5(concat('{salt}-lat:', "
+        f"CAST({idexpr} AS VARCHAR))), 1, 8)) AS BIGINT) % 180000001"
+    )
+    lon = (
+        f"CAST(concat('0x', substr(md5(concat('{salt}-lon:', "
+        f"CAST({idexpr} AS VARCHAR))), 1, 8)) AS BIGINT) % 360000001"
+    )
+    return lat, lon
+
+
+_LAT, _LON = _pt_sql("c_custkey")
+
+
+@_stage(
+    "geo_radius_pairs_customers",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS d2_micro
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon)
+        <= CAST(1000000 AS BIGINT) * 1000000
+    """,
+)
+def geo_radius_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 1° (planar degree-space, integer
+    microdegrees) of each other, over deterministic synthetic
+    coordinates (operators/geo.synth_point / grid_radius_pairs). The
+    ORACLE states the semantics as the brute-force all-pairs filter;
+    the ENGINE computes the identical set with the grid-cell candidate
+    join (cell size = radius, 3×3 neighborhoods) — so the driver hash
+    cross-validates the banding against first principles, exactly like
+    the LSH-vs-exact dedup twins.
+
+    Scale: shuffle is 9×|points| + the cell histogram; pair work per
+    cell is density-bounded (hot cells cap like LSH buckets). The
+    oracle's |points|² form is the shape the operator exists to
+    avoid."""
+    from pinterest_data_pipeline_spark.operators.geo import (
+        grid_radius_pairs,
+        synth_point,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = synth_point("c_custkey")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+    return grid_radius_pairs(pts, "id", "lat", "lon", radius_micro=1_000_000)
+
+
+@_stage(
+    "geo_nearest_neighbor_probes",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    ),
+    probes AS (SELECT * FROM pts WHERE id % 97 = 0),
+    cand AS (
+        SELECT p.id AS probe_id, q.id AS nn_id,
+               CAST((p.lat - q.lat) * (p.lat - q.lat)
+                  + (p.lon - q.lon) * (p.lon - q.lon) AS BIGINT) AS d2
+        FROM probes p JOIN pts q ON p.id <> q.id
+        WHERE (p.lat - q.lat) * (p.lat - q.lat)
+            + (p.lon - q.lon) * (p.lon - q.lon)
+            <= CAST(2000000 AS BIGINT) * 2000000
+    ),
+    best AS (
+        SELECT probe_id, nn_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY d2 ASC, nn_id ASC) AS rn
+        FROM cand
+    )
+    SELECT p.id AS probe_id, b.nn_id, b.d2 AS d2_micro
+    FROM probes p LEFT JOIN best b
+      ON b.probe_id = p.id AND b.rn = 1
+    """,
+)
+def geo_nearest_neighbor_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded nearest neighbor (operators/geo.nearest_within_radius):
+    for every probe customer (c_custkey % 97 == 0) the closest other
+    customer within 2°, NULL when the neighborhood is empty — the
+    spatial analog of the as-of join's nearest direction, with the same
+    total-order tiebreak discipline (d² ASC, id ASC). Probes explode to
+    their 3×3 cell neighborhood and join the points' home-cell layout;
+    cost is |probes| + matched-cell volume, independent of the corpus
+    outside the probed cells (the oracle's probe×corpus product is the
+    avoided shape)."""
+    from pinterest_data_pipeline_spark.operators.geo import (
+        nearest_within_radius,
+        synth_point,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat, lon = synth_point("c_custkey")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon")
+    )
+    probes = pts.filter(F.col("id") % 97 == 0)
+    nn = nearest_within_radius(
+        probes, pts, "id", "lat", "lon", radius_micro=2_000_000
+    )
+    return probes.select(F.col("id").alias("probe_id")).join(
+        nn, "probe_id", "left"
+    ).select("probe_id", "nn_id", "d2_micro")
+
+
+@_stage(
+    "ewma16_user_value",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS r
+        FROM events
+    ),
+    recent AS (SELECT * FROM ranked WHERE r <= 16),
+    sized AS (
+        SELECT user_id, cents, r,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM recent
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(CAST(cents AS DOUBLE)
+                 * pow(0.5, CAST(CASE WHEN r < n THEN r ELSE n - 1 END
+                                 AS DOUBLE))) / 100.0, 6) AS ewma_r6
+    FROM sized GROUP BY user_id
+    """,
+)
+def ewma16_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = ½) of event value at the latest event, over
+    the last 16 events (operators/trend.ewma_half_latest): the recency-
+    decayed activity score a monitoring/feature pipeline keeps per
+    entity. Dyadic-exact: integer cents × 2^-j terms sum exactly in
+    IEEE double, so the value is independent of addition order and both
+    engines agree bit-for-bit before the single display division.
+
+    Scale: one user-keyed shuffle carries the recency ranking, the
+    count and the fold — the sessionize_event_stats cost class; the
+    16-event bound caps per-key state at a constant."""
+    from pinterest_data_pipeline_spark.operators.trend import ewma_half_latest
+
+    events = load_table(spark, sf_dir, "events")
+    scored = ewma_half_latest(
+        events.withColumn(
+            "cents", F.round(F.col("value") * 100).cast("bigint")
+        ),
+        key_col="user_id",
+        order_col="ts",
+        cents_col="cents",
+        k=16,
+        tiebreak_col="event_id",
+    )
+    return scored.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("ewma_cents") / F.lit(100.0), 6).alias("ewma_r6"),
+    )
+
+
+_BM25_TERMS = ["batch", "hash", "merge", "row", "table"]
+
+
+@_stage(
+    "bm25_doc_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+               list_filter(t, x -> list_contains(
+                   {_BM25_TERMS!r}, x)) AS hits
+        FROM toks
+    ),
+    consts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS tot_len
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
+        GROUP BY doc_id, dl, term
+    ),
+    dfc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)
+                         + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+                   + (0.75 * CAST(tf.dl AS DOUBLE))
+                     / (CAST(c.tot_len AS DOUBLE)
+                        / CAST(c.n_docs AS DOUBLE)))) AS score
+        FROM tf JOIN dfc USING (term) CROSS JOIN consts c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+           round(list_sum(list(score ORDER BY term)), 6) AS bm25_r6
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
+    five-term query bag (operators/ranking.bm25_scores) — the retrieval
+    relevance function a RAG-ish data pipeline runs over the corpus,
+    completing the lexical-statistics family (TF-IDF, unigram/bigram
+    LM) with the ranking-side member. The per-doc sum folds in sorted
+    term order so the double is engine-portable.
+
+    Scale: the corpus scans once into query-term postings only (an
+    array-contains prune before the explode); df/N/avgdl are
+    constant-size broadcast aggregates; nothing shuffles more than the
+    matched-posting volume."""
+    from pinterest_data_pipeline_spark.operators.ranking import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+@_stage(
+    "rrf_quality_length_fusion",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(3000 * len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> list_contains(
+                            ['and','is','of','that','the','to'], t)))
+                    - 2000 * length(regexp_replace(
+                        text, '[a-zA-Z0-9_\s]', '', 'g'))
+                    - 2000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - 100 * len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS margin,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, doc_id ASC)
+                    AS BIGINT) AS rank_margin,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC)
+                    AS BIGINT) AS rank_length
+        FROM feats
+    )
+    SELECT doc_id, rank_margin, rank_length,
+           round(1.0 / (60.0 + rank_margin)
+               + 1.0 / (60.0 + rank_length), 6) AS rrf_r6
+    FROM ranked
+    ORDER BY rrf_r6 DESC, doc_id ASC LIMIT 100
+    """,
+)
+def rrf_quality_length_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/ranking.reciprocal_rank_fusion,
+    Cormack et al. SIGIR'09, k=60) of two uncalibrated document
+    rankings — linear-gate quality margin and token count — into a
+    fused top-100: the scale-free way to combine heterogeneous signals
+    without tuning score weights, standard in both retrieval ensembles
+    and data-curation pipelines. Both rankings carry the doc_id ASC
+    tiebreak, so ranks, fused scores and the cut are all total-order
+    deterministic."""
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        reciprocal_rank_fusion,
+    )
+    from pinterest_data_pipeline_spark.operators.chunking import ws_tokens
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        linear_quality_margin("text").alias("margin"),
+        F.size(ws_tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return reciprocal_rank_fusion(
+        feats,
+        "doc_id",
+        {
+            "margin": [F.col("margin").desc(), F.col("doc_id").asc()],
+            "length": [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        },
+        k=60,
+        top_n=100,
+    )
+
+
+@_stage(
+    "cuped_event_experiment",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
+                        CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                        % 2 = 0
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM units
+    ),
+    arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+        FROM units GROUP BY arm
+    )
+    SELECT arm, n_units,
+           round((CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)) / 100.0, 6)
+               AS mean_post_r6,
+           round((CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE)) / 100.0, 6)
+               AS mean_pre_r6,
+           round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6)
+               AS theta_r6,
+           round(((CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE))
+               - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                  / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+                 * ((CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE))
+                    - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+               / 100.0, 6) AS cuped_mean_r6
+    FROM arms, m
+    """,
+)
+def cuped_event_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/experiment, after
+    Deng et al. WSDM'13): users split 50/50 by the portable hash, the
+    experiment metric is each user's second-half event spend (cents),
+    the covariate their first-half spend; θ comes from integer moment
+    sums and each arm's adjusted mean from the algebraic identity
+    ȳ_arm − θ(x̄_arm − x̄_all) — no per-unit double accumulation
+    anywhere, so the whole readout is engine-exact.
+
+    Scale: one user-keyed aggregate, one single-row moment pass, then
+    |arms|-row arithmetic with a 1-row broadcast."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        cuped_adjusted_means,
+        hash_assign_arm,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    units = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), cents)
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("pre_cents"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), cents
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("post_cents"),
+        )
+        .withColumn("arm", hash_assign_arm("user_id"))
+    )
+    return cuped_adjusted_means(units).orderBy("arm")
+
+
+@_stage(
+    "quality_decile_calibration",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id, source,
+               CAST(3000 * len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> list_contains(
+                            ['and','is','of','that','the','to'], t)))
+                    - 2000 * length(regexp_replace(
+                        text, '[a-zA-Z0-9_\s]', '', 'g'))
+                    - 2000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - 100 * len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS margin
+        FROM documents
+    ),
+    tiled AS (
+        SELECT source, margin,
+               CAST(ntile(10) OVER (PARTITION BY source
+                   ORDER BY margin DESC, doc_id ASC) AS INTEGER) AS decile
+        FROM feats
+    )
+    SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(margin) AS BIGINT) AS margin_hi,
+           CAST(min(margin) AS BIGINT) AS margin_lo
+    FROM tiled GROUP BY source, decile
+    """,
+)
+def quality_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration table: each source's
+    documents split into margin deciles (ntile over the total order
+    margin DESC, doc_id ASC) with per-cell counts and margin cutpoints
+    — the rank-based cross-source calibration a mixed-source curation
+    uses instead of comparing raw scores across sources (each source's
+    decile boundaries ARE its empirical quantiles). Integer margins and
+    ANSI ntile semantics make every cell engine-exact.
+
+    Scale: one source-keyed window over a zero-shuffle margin scan,
+    then a |sources|×10-row aggregate riding the same partitioning."""
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source", linear_quality_margin("text").alias("margin")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("margin").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feats.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("margin").cast("bigint").alias("margin_hi"),
+            F.min("margin").cast("bigint").alias("margin_lo"),
+        )
+    )
+
+
+@_stage(
+    "curriculum_interleave_shards",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id, source,
+               CAST(3000 * len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> list_contains(
+                            ['and','is','of','that','the','to'], t)))
+                    - 2000 * length(regexp_replace(
+                        text, '[a-zA-Z0-9_\s]', '', 'g'))
+                    - 2000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - 100 * len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS margin
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, margin,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY margin DESC, doc_id ASC) AS rn
+        FROM feats
+    )
+    SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(margin) AS BIGINT) AS sum_margin,
+           CAST(max(margin) AS BIGINT) AS top_margin
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def curriculum_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-preserving shard assignment: within each source,
+    documents rank by quality (margin DESC, doc_id ASC) and deal
+    round-robin into 8 shards — every shard receives the same
+    quality PROFILE and source mixture (stratified interleave), so
+    sequential training over shards sees a stationary difficulty
+    distribution instead of a quality cliff. Output is the per
+    (shard, source) audit: counts, total and best margin.
+
+    Scale: the only ordered window is per source (never global), the
+    deal is a modulo on the within-source rank, and the audit aggregate
+    rides the same source partitioning — one Exchange end to end."""
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source", linear_quality_margin("text").alias("margin")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("margin").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feats.withColumn("rn", F.row_number().over(w))
+        .withColumn("shard", ((F.col("rn") - 1) % 8).cast("int"))
+        .groupBy("shard", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("margin").cast("bigint").alias("sum_margin"),
+            F.max("margin").cast("bigint").alias("top_margin"),
+        )
+    )
+
+
+# ---------------------------------------------- integer power iteration
+#
+# The unrolled oracle: quantize embeddings to integer thousandths, run
+# 3 exact integer mat-vec + truncating-renormalization steps from
+# v0 = [1000]*64, then emit (dim, v_int, w_next). Mirrors
+# operators/spectral.power_iteration_top_direction bit-for-bit.
+
+_PI_Q = """
+    q AS (
+        SELECT list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+               AS x
+        FROM embeddings
+    )"""
+
+
+def _pi_step(i: int) -> str:
+    """One unrolled power-iteration step: per-dim mat-vec sums w{i}
+    against the (cross-joined, 1-row) previous vector v{i-1}, max-abs
+    m{i}, renormalized integer vector v{i} (as a 64-list). The previous
+    vector joins in as a column — DuckDB forbids subqueries inside
+    lambdas, so the lambda references p.v, never (SELECT ...)."""
+    return f"""
+    w{i} AS (
+        SELECT u.j AS dim,
+               CAST(sum(d.dot * d.x[u.j]) AS BIGINT) AS w
+        FROM (
+            SELECT q.x AS x,
+                   list_sum(list_transform(range(1, 65),
+                       k -> q.x[k] * p.v[k])) AS dot
+            FROM q, v{i - 1} p
+        ) d, unnest(range(1, 65)) u(j)
+        GROUP BY u.j
+    ),
+    m{i} AS (SELECT max(abs(w)) AS m FROM w{i}),
+    v{i} AS (
+        SELECT list(CAST(CASE WHEN w >= 0
+                    THEN (abs(w) * 1000) // m.m
+                    ELSE -((abs(w) * 1000) // m.m) END AS BIGINT)
+               ORDER BY dim) AS v
+        FROM w{i}, m{i} m GROUP BY m.m
+    )"""
+
+
+_PI_V0 = """
+    v0 AS (
+        SELECT list_transform(range(1, 65),
+                   z -> CAST(1000 AS BIGINT)) AS v
+    )"""
+
+_PI_CTES = (
+    _PI_Q + "," + _PI_V0 + "," + _pi_step(1) + "," + _pi_step(2) + "," + _pi_step(3)
+)
+
+
+@_stage(
+    "embedding_top_direction_power",
+    oracle=f"""
+    WITH {_PI_CTES},
+    final AS (
+        SELECT u.j AS dim,
+               CAST(sum(d.dot * d.x[u.j]) AS BIGINT) AS w_next
+        FROM (
+            SELECT q.x AS x,
+                   list_sum(list_transform(range(1, 65),
+                       k -> q.x[k] * p.v[k])) AS dot
+            FROM q, v3 p
+        ) d, unnest(range(1, 65)) u(j)
+        GROUP BY u.j
+    )
+    SELECT CAST(f.dim AS INTEGER) AS dim,
+           p.v[f.dim] AS v_int,
+           f.w_next
+    FROM final f, v3 p
+    """,
+)
+def embedding_top_direction_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding table by INTEGER power
+    iteration (operators/spectral.top_direction_report): 3 exact
+    mat-vec steps over thousandth-quantized vectors with truncating
+    renormalization, plus one final mat-vec re-applied to the converged
+    direction (the per-dimension Rayleigh numerator) so every
+    iteration's arithmetic is pinned in the hash. The BPE discipline
+    applied to numerics: the driver holds only the 64-int vector
+    between steps, the oracle unrolls all three steps in SQL, and the
+    whole run is order-independent integer arithmetic.
+
+    Scale: each step is one partial-combinable scan (64 sum columns);
+    cost is iterations × one corpus pass, state is dim-sized."""
+    from pinterest_data_pipeline_spark.operators.spectral import (
+        top_direction_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_direction_report(
+        emb, "embedding", dim=64, iterations=3, scale=1000, v_norm=1000
+    )

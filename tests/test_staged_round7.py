@@ -1,0 +1,361 @@
+"""Round-7 staging parity + behavior: the staged spatial / retrieval /
+experimentation / spectral / decay queries must already pass the exact
+check the driver will run once registered — strict-mirror value
+comparison against their DuckDB oracles plus the repo's output hygiene
+rules — and each new operator's semantic guarantees are pinned directly
+(grid join ≡ brute force, EWMA dyadic exactness, CUPED θ vs a numpy
+replay, power-iteration recovery of a planted dominant direction).
+
+Staged queries are deliberately NOT in plans/registry (the round-6
+window is fully allocated); see plans/staged_round7.py for the
+promotion recipe.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.staged_round7 import (
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+from tests.oracle_utils import (
+    compare_frames,
+    duckdb_connection,
+    exotic_oracle_columns,
+)
+
+
+def test_staged_queries_are_not_registered():
+    """The round-6 window freeze: staging must not leak into the driver
+    surface until round 7 queues it."""
+    import __spark_entry__ as entry_mod
+
+    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, name, sf):
+    """Both SFs: sf0.001 (the smoke dir) and sf0.01 (the SF the driver
+    actually verifies at), so promotion-time behavior is pre-proven."""
+    d = f"/root/testdata/{sf}"
+    spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
+    con = duckdb_connection(d)
+    try:
+        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
+        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@{sf}: {problems}"
+    assert len(spark_pdf) > 0
+
+
+# ------------------------------------------------------------------ geo
+
+
+def test_grid_radius_join_equals_brute_force(spark):
+    """The banding cross-check on constructed points: the 3×3-cell
+    candidate join must find EXACTLY the brute-force pair set —
+    including pairs straddling a cell boundary (the off-by-one the 3×3
+    neighborhood exists to catch)."""
+    from pinterest_data_pipeline_spark.operators.geo import grid_radius_pairs
+
+    r = 1000
+    pts = [
+        (1, 5000, 5000),
+        (2, 5999, 5000),   # within r of 1, same cell band
+        (3, 6001, 5000),   # within r of 2, different lat cell
+        (4, 5000, 6999),   # ~2r from 1 in lon: out of range
+        (5, 50000, 50000),  # far away
+        (6, 999, 999),     # near origin-cell corner
+        (7, 1001, 1001),   # cell-diagonal neighbor of 6, within r
+    ]
+    df = spark.createDataFrame(pts, "id long, lat long, lon long")
+    got = {
+        (x["id_a"], x["id_b"], x["d2_micro"])
+        for x in grid_radius_pairs(df, "id", "lat", "lon", r).collect()
+    }
+    brute = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            d2 = (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+            if d2 <= r * r:
+                lo, hi = sorted((a[0], b[0]))
+                brute.add((lo, hi, d2))
+    assert got == brute
+    assert (6, 7, 8) in got  # the cell-diagonal pair survived banding
+
+
+def test_nearest_within_radius_total_order_tiebreak(spark):
+    """Two equidistant neighbors: the smaller id must win (d² ASC,
+    id ASC), and a probe with an empty neighborhood yields no row."""
+    from pinterest_data_pipeline_spark.operators.geo import (
+        nearest_within_radius,
+    )
+
+    pts = spark.createDataFrame(
+        [(10, 0, 0), (11, 0, 100), (12, 100, 0), (99, 900000, 900000)],
+        "id long, lat long, lon long",
+    )
+    probes = pts.filter(F.col("id").isin(10, 99))
+    out = {
+        r["probe_id"]: (r["nn_id"], r["d2_micro"])
+        for r in nearest_within_radius(
+            probes, pts, "id", "lat", "lon", 1000
+        ).collect()
+    }
+    assert out == {10: (11, 10000)}  # 11 beats equidistant 12; 99 empty
+
+
+# ----------------------------------------------------------------- ewma
+
+
+def test_ewma_half_latest_exact_weights(spark):
+    """Constructed series: weights must be 1/2, 1/4, ... with the
+    oldest retained event absorbing the tail, and histories shorter
+    than k must sum weights to exactly 1."""
+    from pinterest_data_pipeline_spark.operators.trend import ewma_half_latest
+
+    rows = [
+        # user 1: 3 events, latest value 800, then 400, oldest 100
+        (1, 3, 800), (1, 2, 400), (1, 1, 100),
+        # user 2: a single event — EWMA is that value exactly
+        (2, 1, 777),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, cents long")
+    out = {
+        r["user_id"]: (r["n_events"], r["ewma_cents"])
+        for r in ewma_half_latest(
+            df, "user_id", "ts", "cents", k=4
+        ).collect()
+    }
+    # user 1: 800/2 + 400/4 + 100/4 (oldest absorbs tail 2^-(3-1))
+    assert out[1] == (3, 400.0 + 100.0 + 25.0)
+    assert out[2] == (1, 777.0)
+
+
+def test_ewma_rejects_out_of_range_k(spark):
+    from pinterest_data_pipeline_spark.operators.trend import ewma_half_latest
+
+    df = spark.createDataFrame([(1, 1, 1)], "user_id long, ts long, cents long")
+    with pytest.raises(ValueError):
+        ewma_half_latest(df, "user_id", "ts", "cents", k=40)
+
+
+# ----------------------------------------------------------------- bm25
+
+
+def test_bm25_matches_pure_python(spark):
+    """Tiny corpus, hand-computed Okapi BM25 (k1=1.2, b=0.75)."""
+    from pinterest_data_pipeline_spark.operators.ranking import bm25_scores
+
+    corpus = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "durian elderberry fig"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_matched"], r["bm25_r6"])
+        for r in bm25_scores(df, ["apple", "banana"]).collect()
+    }
+    texts = {d: t.split() for d, t in corpus}
+    n, avgdl = 3, sum(len(t) for t in texts.values()) / 3
+    dfreq = {
+        q: sum(1 for t in texts.values() if q in t)
+        for q in ("apple", "banana")
+    }
+
+    def bm25(doc):
+        toks = texts[doc]
+        s = 0.0
+        m = 0
+        for q in sorted(("apple", "banana")):
+            tf = toks.count(q)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += idf * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + (0.75 * len(toks)) / avgdl)
+            )
+        return m, round(s, 6)
+
+    assert got == {0: bm25(0), 1: bm25(1)}  # doc 2 matches nothing
+
+
+def test_rrf_fuses_without_scale(spark):
+    """A row ranked 1st and 3rd must outscore a row ranked 2nd and 2nd
+    at k=60 (1/61 + 1/63 > 2/62), pinning the harmonic fusion rule."""
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        reciprocal_rank_fusion,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 30, 5), (2, 20, 6), (3, 10, 7)],
+        "id long, a long, b long",
+    )
+    out = reciprocal_rank_fusion(
+        df,
+        "id",
+        {
+            "a": [F.col("a").desc(), F.col("id").asc()],
+            "b": [F.col("b").desc(), F.col("id").asc()],
+        },
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["rank_a"] == 1 and by_id[1]["rank_b"] == 3
+    assert by_id[2]["rank_a"] == 2 and by_id[2]["rank_b"] == 2
+    assert by_id[1]["rrf_r6"] > by_id[2]["rrf_r6"]
+    assert out[0]["id"] == 1  # ordered by fused score
+
+
+# ---------------------------------------------------------------- cuped
+
+
+def test_cuped_matches_numpy_regression(spark):
+    """θ and adjusted arm means vs a float replay on constructed units;
+    CUPED must shrink the arm gap when the 'lift' is pure pre-period
+    selection bias (post == pre ⇒ adjusted means equalize toward the
+    grand mean)."""
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        cuped_adjusted_means,
+    )
+
+    units = [
+        ("treatment", 1000, 1100),
+        ("treatment", 2000, 2050),
+        ("control", 500, 600),
+        ("control", 1500, 1450),
+        ("control", 800, 900),
+    ]
+    df = spark.createDataFrame(
+        units, "arm string, pre_cents long, post_cents long"
+    )
+    out = {r["arm"]: r for r in cuped_adjusted_means(df).collect()}
+    x = np.array([u[1] for u in units], dtype=float)
+    y = np.array([u[2] for u in units], dtype=float)
+    theta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    assert out["treatment"]["theta_r6"] == pytest.approx(theta, abs=1e-6)
+    for arm in ("treatment", "control"):
+        sel = [u for u in units if u[0] == arm]
+        mp = sum(u[2] for u in sel) / len(sel)
+        mx = sum(u[1] for u in sel) / len(sel)
+        adj = (mp - theta * (mx - x.mean())) / 100.0
+        assert out[arm]["cuped_mean_r6"] == pytest.approx(adj, abs=1e-6)
+    raw_gap = abs(out["treatment"]["mean_post_r6"] - out["control"]["mean_post_r6"])
+    adj_gap = abs(out["treatment"]["cuped_mean_r6"] - out["control"]["cuped_mean_r6"])
+    assert adj_gap < raw_gap  # selection bias removed
+
+
+# ----------------------------------------------------- shards / deciles
+
+
+def test_interleave_shards_are_balanced_per_source(spark, sf_dir):
+    """Round-robin dealing: within every source, shard sizes differ by
+    at most 1 and every document lands in exactly one shard."""
+    out = STAGED_QUERIES["curriculum_interleave_shards"](
+        spark, sf_dir
+    ).collect()
+    per_source: dict[str, list[int]] = {}
+    for r in out:
+        per_source.setdefault(r["source"], []).append(r["n_docs"])
+    for source, counts in per_source.items():
+        assert max(counts) - min(counts) <= 1, (source, counts)
+
+
+def test_decile_cutpoints_are_monotone(spark, sf_dir):
+    """Within a source, decile margin ranges must be non-overlapping
+    and ordered: hi(d) >= lo(d) >= hi(d+1)."""
+    out = STAGED_QUERIES["quality_decile_calibration"](spark, sf_dir).collect()
+    per_source: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in out:
+        per_source.setdefault(r["source"], {})[r["decile"]] = (
+            r["margin_hi"],
+            r["margin_lo"],
+        )
+    for source, cells in per_source.items():
+        for d in sorted(cells)[:-1]:
+            hi, lo = cells[d]
+            nhi, _ = cells[d + 1]
+            assert hi >= lo >= nhi, (source, d, cells[d], cells[d + 1])
+
+
+# ------------------------------------------------------- power iteration
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    """Anisotropic cloud: points hugging the e0+e1 diagonal (with tiny
+    deterministic noise elsewhere) must converge to a direction whose
+    first two components dominate and agree in sign."""
+    from pinterest_data_pipeline_spark.operators.spectral import (
+        power_iteration_top_direction,
+    )
+
+    rows = []
+    for i in range(200):
+        v = [0.0] * 8
+        mag = 1.0 + (i % 7) * 0.5
+        v[0] = mag
+        v[1] = mag * 0.9
+        v[2 + i % 6] = 0.05 * ((i % 3) - 1)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec = power_iteration_top_direction(df, "embedding", dim=8, iterations=4)
+    assert abs(vec[0]) == 1000  # dominant axis at full normalization
+    assert abs(vec[1]) > 800
+    assert vec[0] * vec[1] > 0  # same sign as the planted diagonal
+    assert all(abs(c) < 200 for c in vec[2:])
+
+
+def test_power_iteration_matches_python_replay(spark, sf_dir):
+    """Bit-exactness on real data: the Spark run must equal a pure
+    Python-integer replay of the same quantize/mat-vec/renormalize
+    steps (the oracle's semantics, independently implemented)."""
+    from pinterest_data_pipeline_spark.operators.spectral import (
+        power_iteration_top_direction,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = power_iteration_top_direction(emb, "embedding", dim=64, iterations=3)
+
+    def round_half_away(t: float) -> int:
+        # Spark's round() is HALF_UP (away from zero), Python's round()
+        # is half-to-even — 62.5 (an exact float32×1000 product) would
+        # diverge; t - floor(t) is exact for |t| < 2^52, so the
+        # comparison below is decision-exact
+        m = math.floor(t)
+        frac = t - m
+        if frac > 0.5 or (frac == 0.5 and t >= 0):
+            return m + 1
+        return m
+
+    data = [
+        [round_half_away(float(x) * 1000) for x in r["embedding"]]
+        for r in emb.select("embedding").collect()
+    ]
+    v = [1000] * 64
+    for _ in range(3):
+        w = [0] * 64
+        for x in data:
+            dot = sum(a * b for a, b in zip(x, v))
+            for i in range(64):
+                w[i] += dot * x[i]
+        m = max(abs(c) for c in w)
+        v = [(abs(c) * 1000 // m) * (1 if c >= 0 else -1) for c in w]
+    assert got == v
