@@ -328,7 +328,16 @@ def near_duplicates_minhash(
 
     Returns (id_a, id_b, jaccard_sim). Verification joins the (small)
     candidate set back to per-document shingle sets — the expensive exact
-    comparison never touches non-candidate pairs."""
+    comparison never touches non-candidate pairs.
+
+    The shingle sides carry a `merge` hint: their SERIALIZED shuffle size
+    sits near the autoBroadcastJoinThreshold at corpus scale while the
+    DESERIALIZED array-of-strings rows are ~20× larger, so an AQE
+    auto-broadcast intermittently builds a gigabyte-plus hash relation
+    and dies (observed at the ×100 stress point: the same query OOMs or
+    completes depending on which side of the 64 MB estimate a run
+    lands). Sort-merge never builds an in-memory relation, keys on the
+    high-cardinality id, and costs nothing measurable at small SF."""
     sh = fan_out(df).select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_k).alias("__sh"),
@@ -344,8 +353,12 @@ def near_duplicates_minhash(
         max_bucket_size,
         portable,
     )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")).hint(
+        "merge"
+    )
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")).hint(
+        "merge"
+    )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")

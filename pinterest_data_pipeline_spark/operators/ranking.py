@@ -43,11 +43,15 @@ def bm25_scores(
     matching ≥ 1 term; the score rounds to 6dp once, after the
     sorted-order term fold.
 
-    Scale: the corpus is scanned once into (doc, term, tf) for query
-    terms only (an array_contains prune before the explode); df/N/avgdl
-    are constant-size aggregates broadcast back; the per-doc fold runs
-    over ≤ |terms| rows. No shuffle exceeds the matched-posting volume —
-    the cost class of a posting-list traversal, not a corpus join."""
+    Scale: two column-pruned corpus scans — one folds the corpus
+    constants (N, avgdl: every document counts, matched or not), one
+    builds (doc, term, tf) postings for query terms only (an
+    array_contains prune before the explode). df/N/avgdl are
+    constant-size aggregates broadcast back (the 1-row crossJoin is a
+    BroadcastNestedLoop over one row — the epoch_capped_mixture
+    pattern, constant cost); the per-doc fold runs over ≤ |terms| rows.
+    No shuffle exceeds the matched-posting volume — the cost class of a
+    posting-list traversal, not a corpus join."""
     toks = ws_tokens(text_col)
     term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
     base = docs.select(
