@@ -97,3 +97,63 @@ def cuped_adjusted_means(
             ).alias("cuped_mean_r6"),
         )
     )
+
+
+def agreement_kappa(
+    df: DataFrame,
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement over two boolean label
+    columns — the labeling-QA gate a supervised/RLHF data pipeline runs
+    before trusting an annotation batch (kappa ≈ 0 means the annotators
+    agree no more than chance would predict, however high the raw
+    agreement looks under class imbalance).
+
+    Returns ONE row: n_docs, both_pos, both_neg, a_pos, b_pos, po_r6
+    (observed agreement), pe_r6 (chance agreement), kappa_r6. All three
+    ratios derive from the five integer counts in fixed expression
+    trees; kappa itself is computed from the INTEGER numerator and
+    denominator of (po − pe)/(1 − pe) scaled by n² —
+
+        kappa = (n·(n11+n00) − (a₁b₁ + a₀b₀)) / (n² − (a₁b₁ + a₀b₀))
+
+    — one double division at the end, so no rounded intermediate ever
+    feeds another computation and a SQL oracle replays the value
+    bit-for-bit. Magnitude guard: a₁·b₁ must stay under 2^63 — fine to
+    ~3e9 rows; shard-and-average beyond that.
+
+    Scale: a single partial-combinable aggregate (five conditional
+    counts) over one scan; output is one row."""
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    counts = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("bigint").alias("both_pos"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_neg"),
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("a_pos"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("bigint").alias("b_pos"),
+    )
+    n = F.col("n_docs")
+    agree = F.col("both_pos") + F.col("both_neg")
+    chance = F.col("a_pos") * F.col("b_pos") + (n - F.col("a_pos")) * (
+        n - F.col("b_pos")
+    )
+    return counts.select(
+        "n_docs",
+        "both_pos",
+        "both_neg",
+        "a_pos",
+        "b_pos",
+        F.round(agree.cast("double") / n.cast("double"), 6).alias("po_r6"),
+        F.round(chance.cast("double") / (n * n).cast("double"), 6).alias(
+            "pe_r6"
+        ),
+        F.round(
+            (n * agree - chance).cast("double")
+            / (n * n - chance).cast("double"),
+            6,
+        ).alias("kappa_r6"),
+    )

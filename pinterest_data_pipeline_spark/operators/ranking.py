@@ -162,3 +162,107 @@ def reciprocal_rank_fusion(
     if top_n is not None:
         out = out.limit(int(top_n))
     return out
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    sims: DataFrame,
+    select_k: int = 4,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rel_col: str = "rel",
+    sim_a_col: str = "id_a",
+    sim_b_col: str = "id_b",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    greedy diversification of a bounded candidate pool, λ = 1/2:
+
+        mmr(c) = 0.5·rel(c) − 0.5·max_{s ∈ selected} sim(c, s)
+
+    selecting ``select_k`` candidates per query, highest-mmr first
+    (first pick has an empty selected set, so mmr = 0.5·rel). Returns
+    (query_col, step, cand_col, rel, mmr_r6), one row per pick, with
+    ties broken by candidate id ascending so the greedy trajectory is
+    deterministic and an unrolled SQL oracle replays it step for step.
+
+    ``pool`` is the per-query candidate relation (query, cand, rel with
+    rel pre-rounded to 6dp); ``sims`` holds BOTH directions of every
+    intra-pool candidate-pair similarity (a, b, sim), also 6dp.
+
+    Scale: greedy MMR is inherently sequential in ``select_k``, so the
+    unrolled loop below builds ``select_k`` dependent stages — correct
+    ONLY because the pool is bounded per query (a top-k head, never a
+    corpus: |pool|² pair sims and k dependent joins are both fine at
+    pool size, ruinous at corpus size). Every stage is a broadcast-size
+    join keyed by query; nothing in the loop touches the corpus. The
+    0.5 weights are dyadic, so each mmr value is one exact
+    multiply/subtract tree over already-rounded 6dp operands — the same
+    double in any engine.
+    """
+    half = F.lit(0.5)
+    first = pool.withColumn(
+        "mmr_r6", F.round(half * F.col(rel_col), 6)
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("mmr_r6").desc(), F.col(cand_col).asc()
+    )
+    selected = (
+        first.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_col,
+            F.lit(1).cast("int").alias("step"),
+            cand_col,
+            rel_col,
+            "mmr_r6",
+        )
+    )
+    s = sims.select(
+        F.col(query_col).alias("__sq"),
+        F.col(sim_a_col).alias("__sa"),
+        F.col(sim_b_col).alias("__sb"),
+        F.col(sim_col).alias("__sv"),
+    )
+    for step in range(2, select_k + 1):
+        remaining = pool.join(
+            selected.select(query_col, cand_col),
+            [query_col, cand_col],
+            "left_anti",
+        )
+        scored = (
+            remaining.join(
+                s,
+                (F.col(query_col) == F.col("__sq"))
+                & (F.col(cand_col) == F.col("__sa")),
+            )
+            .join(
+                selected.select(
+                    F.col(query_col).alias("__q2"),
+                    F.col(cand_col).alias("__sel"),
+                ),
+                (F.col("__sq") == F.col("__q2"))
+                & (F.col("__sb") == F.col("__sel")),
+            )
+            .groupBy(query_col, cand_col, rel_col)
+            .agg(F.max("__sv").alias("__maxsim"))
+            .withColumn(
+                "mmr_r6",
+                F.round(
+                    half * F.col(rel_col) - half * F.col("__maxsim"), 6
+                ),
+            )
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                query_col,
+                F.lit(step).cast("int").alias("step"),
+                cand_col,
+                rel_col,
+                "mmr_r6",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected

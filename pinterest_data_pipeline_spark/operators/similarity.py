@@ -652,3 +652,96 @@ def ivf_topk_multiprobe(
         k=k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "score", "rank")
+
+
+def triplet_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training triplets: for each anchor, its hardest
+    POSITIVE (most-similar vector sharing the anchor's label) and its
+    hardest NEGATIVE (most-similar vector with a DIFFERENT label — the
+    near-miss a contrastive loss learns the most from). Returns one row
+    per anchor:
+
+        (anchor_id, anchor_label, positive_id, pos_score,
+         negative_id, neg_score, margin_r6)
+
+    with ``margin_r6 = round(pos_score − neg_score, 6)`` — the quantity
+    a triplet loss drives positive. Anchors lacking either leg in the
+    corpus are dropped (a triplet needs both). Ties break by candidate
+    id ascending, so the mined set is deterministic.
+
+    Scale: ONE corpus scan scored against the broadcast anchor batch,
+    then both argmax legs resolve inside a single partial-combinable
+    aggregate — ``max(struct(score, −cand_id))`` per (anchor, leg) —
+    so map-side combine collapses every partition to |anchors| rows
+    before the only shuffle. No ranking window, no second pass, no
+    join between the legs. At larger anchor batches, swap the scored
+    join for the IVF/LSH candidate generators in this module — the
+    selection aggregate is unchanged.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("a_vec"),
+        l2_norm(F.col(vec_col)).alias("a_norm"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(
+                dot(F.col("a_vec"), F.col("c_vec"))
+                / (F.col("a_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    # argmax by (score DESC, cand_id ASC) == max of struct(score, -id):
+    # struct comparison is lexicographic, so the largest score wins and
+    # equal scores resolve to the largest -id, i.e. the smallest id.
+    def best(cond):
+        return F.max(
+            F.when(
+                cond,
+                F.struct(
+                    F.col("score").alias("s"),
+                    (-F.col("cand_id")).alias("neg_id"),
+                ),
+            )
+        )
+
+    same = F.col("cand_label") == F.col("anchor_label")
+    agg = scored.groupBy("anchor_id", "anchor_label").agg(
+        best(same).alias("__pos"), best(~same).alias("__neg")
+    )
+    return (
+        agg.filter(
+            F.col("__pos").isNotNull() & F.col("__neg").isNotNull()
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            (-F.col("__pos.neg_id")).alias("positive_id"),
+            F.col("__pos.s").alias("pos_score"),
+            (-F.col("__neg.neg_id")).alias("negative_id"),
+            F.col("__neg.s").alias("neg_score"),
+            F.round(F.col("__pos.s") - F.col("__neg.s"), 6).alias(
+                "margin_r6"
+            ),
+        )
+    )

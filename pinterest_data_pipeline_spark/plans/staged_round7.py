@@ -3,14 +3,14 @@
 Round 6's driver window is fully allocated (22 promotions + 5 changed
 re-certifications + 2 gate-oracle upgrades + 1 re-queue + 20 rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these nine new queries stage here: each has a full DuckDB oracle and a
+these thirteen new queries stage here: each has a full DuckDB oracle and a
 strict-mirror parity test (tests/test_staged_round7.py) at sf0.001 +
 sf0.01, and registering them in round 7 is the same one-step move rounds
 5 and 6 performed — point ``_stage`` at ``registry.register``, import
 the module from ``__spark_entry__``, and queue the names at the head of
 CHECK_FIRST.
 
-The set extends the engine sideways into four surfaces the inventory
+The set extends the engine sideways into surfaces the inventory
 did not yet cover, each with the repo's engine-portable exactness
 discipline (integer/dyadic arithmetic or fixed-order expression trees,
 so DuckDB replays every value bit-for-bit):
@@ -19,8 +19,16 @@ so DuckDB replays every value bit-for-bit):
   bounded nearest-neighbor over point coordinates — the query side of
   the reference's geolocation data model (README.md:224-233), candidates
   from a 3×3 cell join, never |points|².
-- RETRIEVAL (operators/ranking.py): Okapi BM25 scoring over the
-  documents table and reciprocal-rank fusion of uncalibrated rankings.
+- RETRIEVAL (operators/ranking.py, operators/similarity.py): Okapi
+  BM25 scoring over the documents table, reciprocal-rank fusion of
+  uncalibrated rankings, greedy MMR diversification with a fully
+  unrolled 4-step SQL oracle, and contrastive triplet mining (hardest
+  same-label positive + hardest cross-label negative per anchor).
+- LABELING QA (operators/experiment.py): Cohen's kappa inter-annotator
+  agreement from pure integer counts.
+- COLLABORATIVE FILTERING (operators/cooccurrence.py): item-item
+  co-occurrence cosine from distinct-interaction counts, per-user
+  fan-out capped (the bot guard), degrees broadcast onto pair counts.
 - EXPERIMENTATION (operators/experiment.py): deterministic hash A/B
   assignment + CUPED variance-reduced lift from integer moment sums.
 - LINEAR ALGEBRA (operators/spectral.py): integer power iteration for
@@ -676,4 +684,357 @@ def embedding_top_direction_power(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings")
     return top_direction_report(
         emb, "embedding", dim=64, iterations=3, scale=1000, v_norm=1000
+    )
+
+
+# ------------------------------------------------- retrieval training data
+#
+# The cosine SQL fragment is the one the green embedding_cosine_topk /
+# triplet oracles already replay (same fold order, double math, round
+# 6) — imported rather than re-derived so the two surfaces cannot
+# drift apart.
+from pinterest_data_pipeline_spark.plans.training_data import (  # noqa: E402
+    _cos_sql,
+)
+
+
+@_stage(
+    "triplet_mining_anchors",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 8
+    ),
+    sc AS (
+        SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+               c.vec_id AS cand_id, c.label AS cand_label,
+               {_cos_sql('q', 'c')} AS score
+        FROM q, embeddings c
+        WHERE c.vec_id != q.vec_id
+    ),
+    pos AS (
+        SELECT anchor_id, anchor_label, cand_id AS positive_id,
+               score AS pos_score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                  ORDER BY score DESC, cand_id ASC) AS rn
+              FROM sc WHERE cand_label = anchor_label)
+        WHERE rn = 1
+    ),
+    neg AS (
+        SELECT anchor_id, cand_id AS negative_id, score AS neg_score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                  ORDER BY score DESC, cand_id ASC) AS rn
+              FROM sc WHERE cand_label != anchor_label)
+        WHERE rn = 1
+    )
+    SELECT p.anchor_id, CAST(p.anchor_label AS INTEGER) AS anchor_label,
+           p.positive_id, p.pos_score, n.negative_id, n.neg_score,
+           round(p.pos_score - n.neg_score, 6) AS margin_r6
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+)
+def triplet_mining_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, hardest-positive, hardest-negative) triplet
+    mining over the embeddings table (operators/similarity.
+    triplet_mining): for each of the 8 anchor vectors, the most-similar
+    same-label vector and the most-similar DIFFERENT-label vector, with
+    the triplet margin a contrastive loss would see. The oracle is the
+    brute-force double-argmax from first principles, so the driver hash
+    pins both legs' ranking and the margin arithmetic.
+
+    Scale: one corpus scan scored against the broadcast anchor batch;
+    both argmax legs reuse the same scored relation (ReuseExchange), and
+    at larger anchor batches the candidate generator swaps to the
+    IVF/LSH paths without touching the selection layer."""
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        triplet_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    out = triplet_mining(emb, anchors)
+    return out.select(
+        "anchor_id",
+        F.col("anchor_label").cast("int").alias("anchor_label"),
+        "positive_id",
+        "pos_score",
+        "negative_id",
+        "neg_score",
+        "margin_r6",
+    )
+
+
+def _mmr_pick(i: int) -> str:
+    """One unrolled greedy-MMR step (i ≥ 2): score every not-yet-picked
+    pool candidate by 0.5·rel − 0.5·(max sim to the picked set), take
+    the per-query argmax. sel{i-1} accumulates picked ids."""
+    return f"""
+    c{i} AS (
+        SELECT p.query_id, p.cand_id, p.rel,
+               round(0.5 * p.rel - 0.5 * max(ps.sim), 6) AS mmr_r6
+        FROM pool p
+        JOIN ps ON ps.query_id = p.query_id AND ps.id_a = p.cand_id
+        JOIN sel{i - 1} s ON s.query_id = ps.query_id
+                         AND s.cand_id = ps.id_b
+        WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} z
+                          WHERE z.query_id = p.query_id
+                            AND z.cand_id = p.cand_id)
+        GROUP BY p.query_id, p.cand_id, p.rel
+    ),
+    k{i} AS (
+        SELECT query_id, {i} AS step, cand_id, rel, mmr_r6
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY mmr_r6 DESC, cand_id ASC) AS rn FROM c{i})
+        WHERE rn = 1
+    ),
+    sel{i} AS (
+        SELECT query_id, cand_id FROM sel{i - 1}
+        UNION ALL SELECT query_id, cand_id FROM k{i}
+    )"""
+
+
+@_stage(
+    "mmr_diverse_rerank",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3
+    ),
+    sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_cos_sql('q', 'c')} AS rel
+        FROM q, embeddings c
+        WHERE c.vec_id != q.vec_id
+    ),
+    pool AS (
+        SELECT query_id, cand_id, rel
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, cand_id ASC) AS rn FROM sc)
+        WHERE rn <= 8
+    ),
+    pv AS (
+        SELECT p.query_id, p.cand_id, p.rel, e.embedding
+        FROM pool p JOIN embeddings e ON e.vec_id = p.cand_id
+    ),
+    ps AS (
+        SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+               {_cos_sql('a', 'b')} AS sim
+        FROM pv a JOIN pv b ON a.query_id = b.query_id
+                           AND a.cand_id != b.cand_id
+    ),
+    s1 AS (
+        SELECT query_id, cand_id, rel, round(0.5 * rel, 6) AS mmr_r6
+        FROM pool
+    ),
+    k1 AS (
+        SELECT query_id, 1 AS step, cand_id, rel, mmr_r6
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY mmr_r6 DESC, cand_id ASC) AS rn FROM s1)
+        WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, cand_id FROM k1),
+    {_mmr_pick(2)},
+    {_mmr_pick(3)},
+    {_mmr_pick(4)}
+    SELECT query_id, CAST(step AS INTEGER) AS step, cand_id, rel, mmr_r6
+    FROM (
+        SELECT * FROM k1 UNION ALL SELECT * FROM k2
+        UNION ALL SELECT * FROM k3 UNION ALL SELECT * FROM k4
+    )
+    """,
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification (operators/ranking.
+    mmr_rerank) of each query's top-8 cosine candidate pool: 4 greedy
+    picks per query trading relevance against redundancy at λ = 1/2.
+    The oracle unrolls all four greedy steps in SQL (the BPE unrolled-
+    oracle discipline applied to a ranking loop), so the driver hash
+    pins the entire selection TRAJECTORY — pool construction, pairwise
+    sims, per-step argmax and tie-breaks — not just the final set.
+
+    Scale: sequential in k by nature, but every stage is bounded by the
+    pool (|queries|·8 rows), never the corpus; the corpus is touched
+    exactly once, by the pool builder."""
+    from pinterest_data_pipeline_spark.operators.ranking import mmr_rerank
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    pool = cosine_topk(emb, q, k=8).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("score").alias("rel"),
+    )
+    pv = pool.join(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding")),
+        "cand_id",
+    )
+    xa = pv.select(
+        "query_id",
+        F.col("cand_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+    )
+    xb = pv.select(
+        F.col("query_id").alias("__qb"),
+        F.col("cand_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+    )
+    sims = (
+        xa.join(xb, (F.col("query_id") == F.col("__qb")))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("sim"),
+        )
+    )
+    return mmr_rerank(pool, sims, select_k=4)
+
+
+# ---------------------------------------------------- labeling QA (kappa)
+#
+# The margin CTE is the exact integer the oracle-green
+# quality_linear_gate registration computes (imported from the round-6
+# staging module so the two surfaces share one definition).
+from pinterest_data_pipeline_spark.plans.staged_round6 import (  # noqa: E402
+    _MARGIN_CTE,
+)
+
+_KAPPA_HASH = (
+    "CAST(concat('0x', substr(md5(concat('kappa:', "
+    "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+)
+
+
+@_stage(
+    "annotator_agreement_kappa",
+    oracle=f"""
+    WITH {_MARGIN_CTE},
+    lab AS (
+        SELECT doc_id, margin >= 0 AS a,
+               margin + ({_KAPPA_HASH} % 4001 - 2000) >= 0 AS b
+        FROM margins
+    ),
+    counts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n11,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00,
+               CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ap,
+               CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS bp
+        FROM lab
+    )
+    SELECT n AS n_docs, n11 AS both_pos, n00 AS both_neg,
+           ap AS a_pos, bp AS b_pos,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS po_r6,
+           round(CAST(ap * bp + (n - ap) * (n - bp) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS pe_r6,
+           round(CAST(n * (n11 + n00) - (ap * bp + (n - ap) * (n - bp))
+                      AS DOUBLE)
+                 / CAST(n * n - (ap * bp + (n - ap) * (n - bp))
+                        AS DOUBLE), 6) AS kappa_r6
+    FROM counts
+    """,
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document annotators
+    (operators/experiment.agreement_kappa): annotator A is the linear
+    quality gate (margin ≥ 0); annotator B is the same judgment with a
+    per-document hash-derived perturbation of ±2000 milli-units on the
+    margin — a reproducible stand-in for a second rater whose decisions
+    correlate with A's but flip near the boundary. The output is the
+    full 2×2 agreement audit plus chance-corrected kappa from pure
+    integer counts.
+
+    Scale: one scan, one five-counter partial-combinable aggregate,
+    one output row."""
+    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        agreement_kappa,
+    )
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    margin = linear_quality_margin("text")
+    noise = (
+        portable_hash32(
+            F.concat(F.lit("kappa:"), F.col("doc_id").cast("string"))
+        )
+        % 4001
+        - 2000
+    )
+    lab = docs.select(
+        (margin >= 0).alias("label_a"),
+        ((margin + noise) >= 0).alias("label_b"),
+    )
+    return agreement_kappa(lab, "label_a", "label_b")
+
+
+# ------------------------------------------- collaborative co-occurrence
+
+
+@_stage(
+    "item_cooccurrence_similarity",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+        FROM events
+        WHERE props IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    capped AS (
+        SELECT u, i FROM (
+            SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u
+                ORDER BY i ASC) AS rn
+            FROM ui)
+        WHERE rn <= 64
+    ),
+    deg AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY i
+    ),
+    pairs AS (
+        SELECT a.i AS item_a, b.i AS item_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT p.item_a, p.item_b, p.n_ab, da.n AS n_a, db.n AS n_b,
+           round(CAST(p.n_ab AS DOUBLE)
+                 / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) AS cosine_r6
+    FROM pairs p JOIN deg da ON da.i = p.item_a
+                 JOIN deg db ON db.i = p.item_b
+    """,
+)
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering counts (operators/cooccurrence.
+    item_cooccurrence) over the events table, with the JSON ``props.k``
+    field as the item id: cosine over binary user-interaction vectors,
+    computed entirely from distinct-interaction counts. Pairs with
+    co-count < 3 are cut (the support floor every production
+    co-occurrence miner applies), and each user contributes at most 64
+    items (deterministic min-id retention — the power-user/bot guard).
+
+    Scale: the pair fan-out is generated per user under the cap (one
+    shuffle keyed by user, ≤ 64·63/2 pairs per user), aggregated by
+    pair; the item-degree relation is |items| rows and broadcasts onto
+    the pair counts. The |items|² relation is never formed."""
+    from pinterest_data_pipeline_spark.operators.cooccurrence import (
+        item_cooccurrence,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    inter = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item_id"),
+    ).filter(F.col("props").isNotNull() & F.col("item_id").isNotNull())
+    return item_cooccurrence(
+        inter, "user_id", "item_id", max_items_per_user=64, min_pair_count=3
     )

@@ -136,6 +136,22 @@ QUERIES = [
     "winnowing_cap_report",
     "incremental_embedding_new_pairs",
     "join_null_safe_agg",
+    # round-6 staging (plans/staged_round7.py): spatial, retrieval,
+    # experimentation, spectral, decay, calibration, curriculum,
+    # triplet/MMR retrieval-training, labeling QA, co-occurrence CF
+    "geo_radius_pairs_customers",
+    "geo_nearest_neighbor_probes",
+    "bm25_doc_scores",
+    "rrf_quality_length_fusion",
+    "cuped_event_experiment",
+    "ewma16_user_value",
+    "quality_decile_calibration",
+    "curriculum_interleave_shards",
+    "embedding_top_direction_power",
+    "triplet_mining_anchors",
+    "mmr_diverse_rerank",
+    "annotator_agreement_kappa",
+    "item_cooccurrence_similarity",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -208,11 +224,18 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round6 import (
         STAGED_QUERIES,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round7 import (
+        STAGED_QUERIES as STAGED_R7,
+    )
 
     for name in QUERIES:
         if only is not None and name not in only:
             continue
-        fn = entry_mod.queries().get(name) or STAGED_QUERIES[name]
+        fn = (
+            entry_mod.queries().get(name)
+            or STAGED_QUERIES.get(name)
+            or STAGED_R7[name]
+        )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)
         big_s, n_big = timed(fn, out_dir, full)

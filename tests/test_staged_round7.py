@@ -359,3 +359,140 @@ def test_power_iteration_matches_python_replay(spark, sf_dir):
         m = max(abs(c) for c in w)
         v = [(abs(c) * 1000 // m) * (1 if c >= 0 else -1) for c in w]
     assert got == v
+
+
+def test_triplet_mining_planted_structure(spark):
+    """Planted geometry: anchor [1,0], same-label near-duplicate at
+    10°, different-label vectors at 30° (the hard negative) and 80°
+    (easy). The miner must pick the 10° positive and the 30° negative,
+    and the margin must be cos(10°)−cos(30°)."""
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        triplet_mining,
+    )
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    rows = [
+        (0, 0, vec(0.0)),    # anchor
+        (1, 0, vec(10.0)),   # hardest positive
+        (2, 0, vec(25.0)),   # weaker positive
+        (3, 1, vec(30.0)),   # hardest negative
+        (4, 1, vec(80.0)),   # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = triplet_mining(df, df.filter(F.col("vec_id") == 0)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["positive_id"], r["negative_id"]) == (1, 3)
+    assert r["pos_score"] > r["neg_score"] > 0
+    assert r["margin_r6"] == round(r["pos_score"] - r["neg_score"], 6)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """The defining MMR behavior pure top-k lacks: after picking the
+    best candidate, its near-clone (rel 0.98, sim 0.99 to the pick)
+    must LOSE to a less relevant but diverse candidate (rel 0.60,
+    sim 0.10)."""
+    from pinterest_data_pipeline_spark.operators.ranking import mmr_rerank
+
+    pool = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 0.98), (1, 12, 0.6)],
+        "query_id long, cand_id long, rel double",
+    )
+    sims_rows = []
+    sim = {(10, 11): 0.99, (10, 12): 0.1, (11, 12): 0.12}
+    for (a, b), s in sim.items():
+        sims_rows += [(1, a, b, s), (1, b, a, s)]
+    sims = spark.createDataFrame(
+        sims_rows, "query_id long, id_a long, id_b long, sim double"
+    )
+    out = {
+        r["step"]: r for r in mmr_rerank(pool, sims, select_k=3).collect()
+    }
+    assert out[1]["cand_id"] == 10  # pure relevance
+    assert out[2]["cand_id"] == 12  # diversity beats the near-clone
+    assert out[3]["cand_id"] == 11  # clone picked last
+    # step-2 arithmetic: 0.5*0.6 - 0.5*0.1 = 0.25 vs clone's
+    # 0.5*0.98 - 0.5*0.99 = -0.005
+    assert out[2]["mmr_r6"] == 0.25
+
+
+def test_kappa_textbook_2x2(spark):
+    """Cohen's 1960 worked example: po = 0.70, pe = 0.545,
+    kappa = (0.70-0.545)/(1-0.545) ≈ 0.340659."""
+    rows = (
+        [(True, True)] * 25
+        + [(True, False)] * 10
+        + [(False, True)] * 20
+        + [(False, False)] * 45
+    )
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        agreement_kappa,
+    )
+
+    df = spark.createDataFrame(rows, "label_a boolean, label_b boolean")
+    r = agreement_kappa(df).collect()[0]
+    assert (r["n_docs"], r["both_pos"], r["both_neg"]) == (100, 25, 45)
+    assert (r["a_pos"], r["b_pos"]) == (35, 45)
+    assert r["po_r6"] == 0.7
+    assert r["pe_r6"] == round((35 * 45 + 65 * 55) / 10000, 6)
+    assert r["kappa_r6"] == round(
+        (100 * 70 - (35 * 45 + 65 * 55)) / (10000 - (35 * 45 + 65 * 55)), 6
+    )
+
+
+def test_kappa_zero_for_chance_agreement(spark):
+    """Independent uniform annotators: every cell 25 → po = pe = 0.5,
+    kappa exactly 0 (the chance-correction property raw agreement
+    lacks)."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        agreement_kappa,
+    )
+
+    rows = (
+        [(True, True)] * 25
+        + [(True, False)] * 25
+        + [(False, True)] * 25
+        + [(False, False)] * 25
+    )
+    df = spark.createDataFrame(rows, "label_a boolean, label_b boolean")
+    r = agreement_kappa(df).collect()[0]
+    assert r["po_r6"] == 0.5
+    assert r["pe_r6"] == 0.5
+    assert r["kappa_r6"] == 0.0
+
+
+def test_cooccurrence_counts_and_cap(spark):
+    """Hand-checked co-counts, and the power-user cap: user 9 touches
+    items 1..5 but only the 3 smallest ids survive max_items_per_user=3,
+    so (4,5) pairs from that user never form."""
+    from pinterest_data_pipeline_spark.operators.cooccurrence import (
+        item_cooccurrence,
+    )
+
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (3, 10),            # duplicate interaction — must not double-count
+        (4, 10), (4, 30),
+        (9, 1), (9, 2), (9, 3), (9, 4), (9, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item_id long")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_cooccurrence(
+            df, max_items_per_user=3, min_pair_count=1
+        ).collect()
+    }
+    r = out[(10, 20)]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (3, 4, 3)
+    assert r["cosine_r6"] == round(3 / math.sqrt(12), 6)
+    assert (10, 30) in out
+    # capped user 9: items 4 and 5 dropped entirely
+    assert (1, 2) in out and (2, 3) in out
+    assert all(4 not in p and 5 not in p for p in out)
