@@ -201,6 +201,15 @@ def mmr_rerank(
     double in any engine.
     """
     half = F.lit(0.5)
+    # Materialize both inputs: the greedy loop references pool in every
+    # stage (and sims in all but the first), so without the barrier each
+    # of the k stages re-runs the full upstream candidate-generation
+    # lineage — k corpus scans when the pool comes from a top-k scorer
+    # (measured: mmr_diverse_rerank 4.3 s → ~1 s at sf0.1). Both
+    # relations are bounded by the pool contract, so the checkpoint is
+    # pool-sized, never corpus-sized.
+    pool = pool.localCheckpoint(eager=True)
+    sims = sims.localCheckpoint(eager=True)
     first = pool.withColumn(
         "mmr_r6", F.round(half * F.col(rel_col), 6)
     )
