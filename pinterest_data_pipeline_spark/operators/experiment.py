@@ -157,3 +157,71 @@ def agreement_kappa(
             6,
         ).alias("kappa_r6"),
     )
+
+
+def two_proportion_ztest(
+    units: DataFrame,
+    arm_col: str = "arm",
+    conv_col: str = "converted",
+    treat: str = "treatment",
+    control: str = "control",
+) -> DataFrame:
+    """Pooled two-proportion z statistic for a conversion A/B readout —
+    the significance gate on top of ``hash_assign_arm``:
+
+        z = (p̂_t − p̂_c) / sqrt( p̂(1−p̂)·(1/n_t + 1/n_c) )
+
+    with p̂ the pooled conversion rate. Returns ONE row: per-arm unit
+    and conversion counts, the two rates, the absolute lift, and z —
+    all derived from FOUR integer counters collected in a single
+    partial-combinable aggregate (the kappa discipline); the rates and
+    z are fixed expression trees over those integers with IEEE ops
+    only, so a SQL oracle replays the exact doubles.
+
+    Scale: one scan, one four-counter aggregate, one output row. The
+    per-unit conversion relation is the caller's (typically a user-keyed
+    groupBy of raw events — that shuffle dominates; this op adds none).
+    """
+    is_t = F.col(arm_col) == treat
+    is_c = F.col(arm_col) == control
+    conv = F.col(conv_col).cast("boolean")
+    counts = units.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_treat"),
+        F.sum(F.when(is_t & conv, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv_treat"),
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("bigint").alias("n_ctrl"),
+        F.sum(F.when(is_c & conv, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv_ctrl"),
+    )
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_ctrl").cast("double")
+    pt = F.col("conv_treat").cast("double") / nt
+    pc = F.col("conv_ctrl").cast("double") / nc
+    pool = (F.col("conv_treat") + F.col("conv_ctrl")).cast("double") / (
+        F.col("n_treat") + F.col("n_ctrl")
+    ).cast("double")
+    return counts.select(
+        "n_treat",
+        "conv_treat",
+        "n_ctrl",
+        "conv_ctrl",
+        F.round(pt, 6).alias("p_treat_r6"),
+        F.round(pc, 6).alias("p_ctrl_r6"),
+        F.round(pt - pc, 6).alias("lift_r6"),
+        # degenerate pooled variance (every unit converted, or none):
+        # z is undefined — emit NULL rather than let ANSI division
+        # throw (DuckDB's /0 convention is NULL; the explicit guard
+        # makes both engines state it)
+        F.when(
+            _z_denom(pool, nt, nc) > 0,
+            F.round((pt - pc) / _z_denom(pool, nt, nc), 6),
+        ).alias("z_r6"),
+    )
+
+
+def _z_denom(pool, nt, nc):
+    return F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nt + F.lit(1.0) / nc)
+    )

@@ -275,3 +275,81 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick)
     return selected
+
+
+def ndcg_at_k(
+    graded: DataFrame,
+    group_col: str,
+    rank_col: str,
+    grade_col: str,
+    tie_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k of a ranking against graded relevance, per group — the
+    standard offline evaluation a retrieval/feed pipeline runs before
+    shipping a ranker change.
+
+    ``graded`` carries one row per (group, item): the ranker's 1-based
+    ``rank_col`` (a total order within the group) and an integer
+    ``grade_col`` ≥ 0. DCG@k sums gain/discount over the ranker's top
+    k; IDCG@k re-ranks by grade DESC (``tie_col`` ASC) — the best any
+    ranker could do; NDCG = DCG/IDCG. Gains are exponential
+    (2^grade − 1, exact integers) and the discount is the natural-log
+    variant 1/ln(rank+1) — same correctly-rounded ln both engines use
+    for BM25's idf, so every term is the identical double. Both sums
+    fold in ascending rank order via the sorted-collect discipline
+    (bm25_scores), making the accumulation order engine-independent.
+
+    Returns (group_col, dcg_r6, idcg_r6, ndcg_r6); ndcg divides the
+    UNROUNDED sums, then rounds once.
+
+    Scale: two bounded windows per group (the ranker's order usually
+    arrives precomputed; the ideal order only ranks k'-deep heads) and
+    a per-group aggregate over ≤ k rows each. Grades must stay modest
+    (2^grade exact in BIGINT ⇒ grade ≤ 62)."""
+
+    def fold_terms(df: DataFrame, pos_col: str) -> DataFrame:
+        term = (
+            (F.pow(F.lit(2.0), F.col(grade_col).cast("double")) - F.lit(1.0))
+            / F.log(F.col(pos_col).cast("double") + F.lit(1.0))
+        )
+        return (
+            df.filter(F.col(pos_col) <= k)
+            .select(
+                F.col(group_col).alias("__g"),
+                F.col(pos_col).alias("__pos"),
+                term.alias("__term"),
+            )
+            .groupBy("__g")
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__term"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__term"],
+                ).alias("__sum")
+            )
+        )
+
+    ideal = graded.withColumn(
+        "__ideal_rank",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col(grade_col).desc(), F.col(tie_col).asc()
+            )
+        ),
+    )
+    dcg = fold_terms(graded, rank_col).withColumnRenamed("__sum", "__dcg")
+    idcg = fold_terms(ideal, "__ideal_rank").withColumnRenamed(
+        "__sum", "__idcg"
+    )
+    return (
+        dcg.join(idcg, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.round("__dcg", 6).alias("dcg_r6"),
+            F.round("__idcg", 6).alias("idcg_r6"),
+            F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg_r6"),
+        )
+    )

@@ -3,7 +3,7 @@
 Round 6's driver window is fully allocated (22 promotions + 5 changed
 re-certifications + 2 gate-oracle upgrades + 1 re-queue + 20 rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these thirteen new queries stage here: each has a full DuckDB oracle and a
+these fifteen new queries stage here: each has a full DuckDB oracle and a
 strict-mirror parity test (tests/test_staged_round7.py) at sf0.001 +
 sf0.01, and registering them in round 7 is the same one-step move rounds
 5 and 6 performed — point ``_stage`` at ``registry.register``, import
@@ -22,10 +22,12 @@ so DuckDB replays every value bit-for-bit):
 - RETRIEVAL (operators/ranking.py, operators/similarity.py): Okapi
   BM25 scoring over the documents table, reciprocal-rank fusion of
   uncalibrated rankings, greedy MMR diversification with a fully
-  unrolled 4-step SQL oracle, and contrastive triplet mining (hardest
-  same-label positive + hardest cross-label negative per anchor).
-- LABELING QA (operators/experiment.py): Cohen's kappa inter-annotator
-  agreement from pure integer counts.
+  unrolled 4-step SQL oracle, contrastive triplet mining (hardest
+  same-label positive + hardest cross-label negative per anchor), and
+  per-source NDCG@10 ranking evaluation against margin-decile grades.
+- LABELING QA + SIGNIFICANCE (operators/experiment.py): Cohen's kappa
+  inter-annotator agreement and the pooled two-proportion z-test, both
+  from pure integer counts.
 - COLLABORATIVE FILTERING (operators/cooccurrence.py): item-item
   co-occurrence cosine from distinct-interaction counts, per-user
   fan-out capped (the bot guard), degrees broadcast onto pair counts.
@@ -1038,3 +1040,181 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_cooccurrence(
         inter, "user_id", "item_id", max_items_per_user=64, min_pair_count=3
     )
+
+
+@_stage(
+    "ab_purchase_ztest",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
+                        CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                        % 2 = 0
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   = 1 AS conv
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_treat,
+               CAST(sum(CASE WHEN arm = 'treatment' AND conv
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv_treat,
+               CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ctrl,
+               CAST(sum(CASE WHEN arm = 'control' AND conv
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv_ctrl
+        FROM units
+    ),
+    p AS (
+        SELECT n_treat, conv_treat, n_ctrl, conv_ctrl,
+               CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS pt,
+               CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS pc,
+               CAST(conv_treat + conv_ctrl AS DOUBLE)
+                   / CAST(n_treat + n_ctrl AS DOUBLE) AS pp
+        FROM c
+    )
+    SELECT n_treat, conv_treat, n_ctrl, conv_ctrl,
+           round(pt, 6) AS p_treat_r6,
+           round(pc, 6) AS p_ctrl_r6,
+           round(pt - pc, 6) AS lift_r6,
+           CASE WHEN sqrt(pp * (1.0 - pp)
+                     * (1.0 / CAST(n_treat AS DOUBLE)
+                        + 1.0 / CAST(n_ctrl AS DOUBLE))) > 0
+                THEN round((pt - pc) / sqrt(pp * (1.0 - pp)
+                     * (1.0 / CAST(n_treat AS DOUBLE)
+                        + 1.0 / CAST(n_ctrl AS DOUBLE))), 6)
+                ELSE NULL END AS z_r6
+    FROM p
+    """,
+)
+def ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on purchase conversion between the
+    hash-assigned A/B arms (operators/experiment.two_proportion_ztest
+    over hash_assign_arm units) — the significance readout that sits
+    next to the CUPED mean estimator: same deterministic assignment,
+    binary outcome (did the user purchase at all?), z from four integer
+    counters in fixed IEEE expression trees. Under the null (the arms
+    are a hash split of one population) z should hover near 0 — the
+    driver hash pins the exact value.
+
+    Scale: one user-keyed aggregate builds the conversion units; the
+    test itself is a single four-counter aggregate and one output row."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        hash_assign_arm,
+        two_proportion_ztest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    units = (
+        events.groupBy("user_id")
+        .agg(
+            (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1).alias(
+                "converted"
+            )
+        )
+        .withColumn("arm", hash_assign_arm("user_id"))
+    )
+    return two_proportion_ztest(units)
+
+
+@_stage(
+    "ndcg_length_ranker_by_source",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id, source, n_chars,
+               CAST(3000 * len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> list_contains(
+                            ['and','is','of','that','the','to'], t)))
+                    - 2000 * length(regexp_replace(
+                        text, '[a-zA-Z0-9_\s]', '', 'g'))
+                    - 2000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - 100 * len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS margin
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, n_chars,
+               CAST(10 - ntile(10) OVER (PARTITION BY source
+                   ORDER BY margin DESC, doc_id ASC) AS BIGINT) AS grade
+        FROM feats
+    ),
+    r AS (
+        SELECT source, grade,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rnk,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY grade DESC, doc_id ASC) AS irnk
+        FROM g
+    ),
+    dcg AS (
+        SELECT source,
+               list_sum(list(
+                   (power(2.0, CAST(grade AS DOUBLE)) - 1.0)
+                   / ln(CAST(rnk AS DOUBLE) + 1.0)
+                   ORDER BY rnk)) AS d
+        FROM r WHERE rnk <= 10 GROUP BY source
+    ),
+    idcg AS (
+        SELECT source,
+               list_sum(list(
+                   (power(2.0, CAST(grade AS DOUBLE)) - 1.0)
+                   / ln(CAST(irnk AS DOUBLE) + 1.0)
+                   ORDER BY irnk)) AS i
+        FROM r WHERE irnk <= 10 GROUP BY source
+    )
+    SELECT dcg.source, round(dcg.d, 6) AS dcg_r6,
+           round(idcg.i, 6) AS idcg_r6,
+           round(dcg.d / idcg.i, 6) AS ndcg_r6
+    FROM dcg JOIN idcg ON idcg.source = dcg.source
+    """,
+)
+def ndcg_length_ranker_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per source (operators/ranking.ndcg_at_k) of the naive
+    length ranker (n_chars DESC) against graded relevance derived from
+    the quality-margin decile (top decile = grade 9 … bottom = 0) —
+    the offline ranking-evaluation surface: how much of the ideal
+    quality-ordered gain does a dumb heuristic ranker capture, per
+    source? Gains are exact 2^grade − 1 integers; discounts use the
+    same correctly-rounded ln both engines already agree on for BM25;
+    both sums fold in ascending rank order, so the driver hash pins
+    every term.
+
+    Scale: two per-source windows and two ≤k-row folds per source —
+    window cost is the per-source sort, nothing global."""
+    from pinterest_data_pipeline_spark.operators.ranking import ndcg_at_k
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        linear_quality_margin("text").alias("margin"),
+    )
+    graded = feats.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.lit(10)
+            - F.ntile(10).over(
+                Window.partitionBy("source").orderBy(
+                    F.col("margin").desc(), F.col("doc_id").asc()
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("grade"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ndcg_at_k(graded, "source", "rank", "grade", "doc_id", k=10)

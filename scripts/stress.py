@@ -152,6 +152,8 @@ QUERIES = [
     "mmr_diverse_rerank",
     "annotator_agreement_kappa",
     "item_cooccurrence_similarity",
+    "ab_purchase_ztest",
+    "ndcg_length_ranker_by_source",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -496,3 +496,66 @@ def test_cooccurrence_counts_and_cap(spark):
     # capped user 9: items 4 and 5 dropped entirely
     assert (1, 2) in out and (2, 3) in out
     assert all(4 not in p and 5 not in p for p in out)
+
+
+def test_ztest_hand_computed_and_degenerate(spark):
+    """12/20 vs 6/20 conversions: z = (0.6-0.3)/sqrt(0.45*0.55*0.1);
+    and a run where EVERY unit converts must yield NULL z (pooled
+    variance 0), not an error."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        two_proportion_ztest,
+    )
+
+    rows = (
+        [("treatment", True)] * 12
+        + [("treatment", False)] * 8
+        + [("control", True)] * 6
+        + [("control", False)] * 14
+    )
+    df = spark.createDataFrame(rows, "arm string, converted boolean")
+    r = two_proportion_ztest(df).collect()[0]
+    assert (r["n_treat"], r["conv_treat"], r["n_ctrl"], r["conv_ctrl"]) == (
+        20, 12, 20, 6,
+    )
+    assert r["p_treat_r6"] == 0.6 and r["p_ctrl_r6"] == 0.3
+    expect = (0.6 - 0.3) / math.sqrt(0.45 * 0.55 * (1 / 20 + 1 / 20))
+    assert r["z_r6"] == round(expect, 6)
+
+    allconv = spark.createDataFrame(
+        [("treatment", True)] * 3 + [("control", True)] * 3,
+        "arm string, converted boolean",
+    )
+    r2 = two_proportion_ztest(allconv).collect()[0]
+    assert r2["z_r6"] is None
+    assert r2["lift_r6"] == 0.0
+
+
+def test_ndcg_perfect_and_inverted_rankers(spark):
+    """A ranker that orders exactly by grade gets NDCG 1; the inverted
+    ranker scores the hand-computed DCG ratio; both sums match the
+    closed-form python replay."""
+    from pinterest_data_pipeline_spark.operators.ranking import ndcg_at_k
+
+    grades = [3, 2, 1, 0]
+    rows = [("s", i + 1, g, i) for i, g in enumerate(grades)]
+    df = spark.createDataFrame(
+        rows, "source string, rank int, grade long, doc_id long"
+    )
+    r = ndcg_at_k(df, "source", "rank", "grade", "doc_id", k=4).collect()[0]
+    ideal = sum(
+        (2**g - 1) / math.log(i + 2) for i, g in enumerate(grades)
+    )
+    assert r["ndcg_r6"] == 1.0
+    assert r["dcg_r6"] == round(ideal, 6)
+
+    inv = [("s", i + 1, g, i) for i, g in enumerate(reversed(grades))]
+    df2 = spark.createDataFrame(
+        inv, "source string, rank int, grade long, doc_id long"
+    )
+    r2 = ndcg_at_k(df2, "source", "rank", "grade", "doc_id", k=4).collect()[0]
+    worst = sum(
+        (2**g - 1) / math.log(i + 2)
+        for i, g in enumerate(reversed(grades))
+    )
+    assert r2["ndcg_r6"] == round(worst / ideal, 6)
+    assert 0 < r2["ndcg_r6"] < 1
