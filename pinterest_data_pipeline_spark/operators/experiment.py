@@ -23,7 +23,7 @@ that regime.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
@@ -224,4 +224,177 @@ def two_proportion_ztest(
 def _z_denom(pool, nt, nc):
     return F.sqrt(
         pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nt + F.lit(1.0) / nc)
+    )
+
+
+def mann_whitney_u(
+    units: DataFrame,
+    arm_col: str = "arm",
+    value_col: str = "value_int",
+    treat: str = "treatment",
+    control: str = "control",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two arms over an
+    INTEGER unit metric — the nonparametric companion to the CUPED/z
+    readouts: compares distributions by rank, so a handful of whale
+    users cannot swamp the verdict the way they do a mean test.
+
+    Works entirely on the VALUE-LEVEL aggregate, never a global rank of
+    units: for each distinct value v with per-arm counts and ``cum(v)``
+    units strictly below it, the midrank identity gives the doubled
+    treatment rank sum
+
+        2·R_t = Σ_v n_t(v) · (2·cum(v) + n(v) + 1)
+
+    an exact integer, from which 2·U = 2·R_t − n_t(n_t+1). The normal
+    approximation uses the tie-corrected variance
+    ``var = n_t·n_c/12 · ((n+1) − T/(n(n−1)))`` with the integer tie
+    term ``T = Σ_v (n(v)³ − n(v))``; z = (2U − n_t·n_c)/(2·√var), one
+    fixed tree, one final rounding. Also returns the rank-biserial
+    effect size r = 2U/(n_t·n_c) − 1. Returns ONE row:
+    (n_treat, n_ctrl, u2_treat, tie_term, z_r6, rank_biserial_r6); z is
+    NULL when var = 0 (all units tie).
+
+    Scale: one shuffle keyed by value builds the value-level counts;
+    the only ordered window runs over the DISTINCT-value relation —
+    bounded by the metric's resolution (cents ⇒ ≤ ~1e8 rows regardless
+    of unit count), not by |units|. Magnitude guard: 2·R_t ≈ 2n² must
+    stay under 2^63 ⇒ n ≤ ~2·10⁹ units; beyond that, coarsen the value
+    grid."""
+    is_t = F.col(arm_col) == treat
+    is_c = F.col(arm_col) == control
+    lv = (
+        units.filter(is_t | is_c)
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("__nt"),
+            F.sum(F.when(is_c, 1).otherwise(0)).cast("bigint").alias("__nc"),
+        )
+        .withColumn("__n", F.col("__nt") + F.col("__nc"))
+    )
+    w = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lv = lv.withColumn("__cum", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    agg = lv.agg(
+        F.sum("__nt").cast("bigint").alias("n_treat"),
+        F.sum("__nc").cast("bigint").alias("n_ctrl"),
+        F.sum(
+            F.col("__nt") * (F.lit(2) * F.col("__cum") + F.col("__n") + 1)
+        )
+        .cast("bigint")
+        .alias("__r2t"),
+        F.sum(F.col("__n") * F.col("__n") * F.col("__n") - F.col("__n"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    nt, nc = F.col("n_treat"), F.col("n_ctrl")
+    n = nt + nc
+    u2 = F.col("__r2t") - nt * (nt + 1)
+    var = (
+        (nt * nc).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        "n_treat",
+        "n_ctrl",
+        u2.alias("u2_treat"),
+        "tie_term",
+        F.when(
+            var > 0,
+            F.round(
+                (u2 - nt * nc).cast("double")
+                / (F.lit(2.0) * F.sqrt(var)),
+                6,
+            ),
+        ).alias("z_r6"),
+        F.round(
+            u2.cast("double") / (nt * nc).cast("double") - F.lit(1.0), 6
+        ).alias("rank_biserial_r6"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square independence test over a two-way contingency
+    table — the A/A invariance audit an experimentation pipeline runs
+    to catch assignment bugs (is the event-type mix independent of the
+    arm, as a hash split guarantees it must be?).
+
+    χ² = Σ_cells (o − e)²/e with e = row_total·col_total/n. Observed
+    counts and totals are exact integers; each expected value is one
+    integer-product division; the cell terms fold in sorted (row, col)
+    order via the sorted-collect discipline, so the statistic is the
+    identical double in any engine. Returns ONE row:
+    (n, n_rows, n_cols, dof, chisq_r6).
+
+    Scale: one partial-combinable aggregate to the |rows|×|cols| cell
+    relation (tiny by definition of a contingency test), materialized
+    once; totals and the fold run on cells only."""
+    cells = (
+        df.groupBy(
+            F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+        # three consumers below (row totals, col totals, the join);
+        # the barrier keeps the corpus aggregation at one pass
+        .localCheckpoint(eager=True)
+    )
+    rt = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
+    ct = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))
+    tot = cells.agg(
+        F.sum("__o").cast("bigint").alias("__n"),
+        F.countDistinct("__r").cast("bigint").alias("n_rows"),
+        F.countDistinct("__c").cast("bigint").alias("n_cols"),
+    )
+    e = (F.col("__rt") * F.col("__ct")).cast("double") / F.col("__n").cast(
+        "double"
+    )
+    term = (
+        (F.col("__o").cast("double") - e)
+        * (F.col("__o").cast("double") - e)
+        / e
+    )
+    scored = (
+        cells.join(F.broadcast(rt), "__r")
+        .join(F.broadcast(ct), "__c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__r",
+            "__c",
+            "__n",
+            "n_rows",
+            "n_cols",
+            term.alias("__term"),
+        )
+    )
+    return (
+        scored.groupBy("__n", "n_rows", "n_cols")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("__r", "__c", "__term"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__term"],
+                ),
+                6,
+            ).alias("chisq_r6")
+        )
+        .select(
+            F.col("__n").alias("n"),
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            "chisq_r6",
+        )
     )

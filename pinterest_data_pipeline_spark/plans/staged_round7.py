@@ -3,7 +3,7 @@
 Round 6's driver window is fully allocated (22 promotions + 5 changed
 re-certifications + 2 gate-oracle upgrades + 1 re-queue + 20 rotations =
 exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these fifteen new queries stage here: each has a full DuckDB oracle and a
+these seventeen new queries stage here: each has a full DuckDB oracle and a
 strict-mirror parity test (tests/test_staged_round7.py) at sf0.001 +
 sf0.01, and registering them in round 7 is the same one-step move rounds
 5 and 6 performed — point ``_stage`` at ``registry.register``, import
@@ -26,8 +26,10 @@ so DuckDB replays every value bit-for-bit):
   same-label positive + hardest cross-label negative per anchor), and
   per-source NDCG@10 ranking evaluation against margin-decile grades.
 - LABELING QA + SIGNIFICANCE (operators/experiment.py): Cohen's kappa
-  inter-annotator agreement and the pooled two-proportion z-test, both
-  from pure integer counts.
+  inter-annotator agreement, the pooled two-proportion z-test, the
+  tie-corrected Mann-Whitney U rank-sum test (value-level midrank
+  identity — no global unit rank), and the Pearson chi-square
+  independence audit, all from pure integer counts.
 - COLLABORATIVE FILTERING (operators/cooccurrence.py): item-item
   co-occurrence cosine from distinct-interaction counts, per-user
   fan-out capped (the bot guard), degrees broadcast onto pair counts.
@@ -1218,3 +1220,144 @@ def ndcg_length_ranker_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ndcg_at_k(graded, "source", "rank", "grade", "doc_id", k=10)
+
+
+_ARM_SQL = """CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
+                   CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'treatment' ELSE 'control' END"""
+
+
+@_stage(
+    "mann_whitney_event_value",
+    oracle=f"""
+    WITH units AS (
+        SELECT user_id, {_ARM_SQL} AS arm,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY user_id
+    ),
+    lv AS (
+        SELECT v,
+               CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM units GROUP BY v
+    ),
+    c AS (
+        SELECT v, nt, nc, n,
+               COALESCE(sum(n) OVER (ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM lv
+    ),
+    a AS (
+        SELECT CAST(sum(nt) AS BIGINT) AS n_treat,
+               CAST(sum(nc) AS BIGINT) AS n_ctrl,
+               CAST(sum(nt * (2 * cum + n + 1)) AS BIGINT) AS r2t,
+               CAST(sum(n * n * n - n) AS BIGINT) AS tie_term
+        FROM c
+    ),
+    f AS (
+        SELECT n_treat, n_ctrl,
+               r2t - n_treat * (n_treat + 1) AS u2, tie_term,
+               CAST(n_treat * n_ctrl AS DOUBLE) / 12.0
+               * (CAST(n_treat + n_ctrl + 1 AS DOUBLE)
+                  - CAST(tie_term AS DOUBLE)
+                    / (CAST(n_treat + n_ctrl AS DOUBLE)
+                       * CAST(n_treat + n_ctrl - 1 AS DOUBLE))) AS var
+        FROM a
+    )
+    SELECT n_treat, n_ctrl, u2 AS u2_treat, tie_term,
+           CASE WHEN var > 0
+                THEN round(CAST(u2 - n_treat * n_ctrl AS DOUBLE)
+                           / (2.0 * sqrt(var)), 6)
+                ELSE NULL END AS z_r6,
+           round(CAST(u2 AS DOUBLE)
+                 / CAST(n_treat * n_ctrl AS DOUBLE) - 1.0, 6)
+               AS rank_biserial_r6
+    FROM f
+    """,
+)
+def mann_whitney_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on per-user total spend between the
+    hash-assigned arms (operators/experiment.mann_whitney_u) — the
+    robust companion to the CUPED mean readout: whales move a mean,
+    not a rank distribution. The whole statistic derives from the
+    VALUE-LEVEL count relation via the midrank identity (doubled rank
+    sums stay integer), with the tie-corrected normal approximation and
+    the rank-biserial effect size; under the null of a pure hash split
+    z should hover near 0, and the driver hash pins the exact value.
+
+    Scale: one user-keyed aggregate, one value-keyed aggregate, one
+    ordered window over DISTINCT values only (bounded by metric
+    resolution, not unit count), one output row."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        hash_assign_arm,
+        mann_whitney_u,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    units = (
+        events.groupBy("user_id")
+        .agg(F.sum(cents).cast("bigint").alias("value_int"))
+        .withColumn("arm", hash_assign_arm("user_id"))
+    )
+    return mann_whitney_u(units, "arm", "value_int")
+
+
+@_stage(
+    "chisq_event_type_by_arm",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type AS r, {_ARM_SQL} AS c FROM events
+    ),
+    cells AS (
+        SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY r, c
+    ),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY r),
+    ctt AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY c),
+    tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+        FROM cells
+    ),
+    terms AS (
+        SELECT cells.r, cells.c, t.n, t.n_rows, t.n_cols,
+               (CAST(o AS DOUBLE)
+                - CAST(rtot * ctot AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rtot * ctot AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(rtot * ctot AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   AS term
+        FROM cells JOIN rt USING (r) JOIN ctt USING (c) CROSS JOIN tot t
+    )
+    SELECT n, n_rows, n_cols,
+           (n_rows - 1) * (n_cols - 1) AS dof,
+           round(list_sum(list(term ORDER BY r, c)), 6) AS chisq_r6
+    FROM terms GROUP BY n, n_rows, n_cols
+    """,
+)
+def chisq_event_type_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit of event-type mix vs the
+    hash-assigned arm (operators/experiment.chi_square_independence) —
+    the A/A sanity gate: a correct hash split makes event behavior
+    independent of arm, so χ² should sit near its dof; a biased
+    assignment (the sample-ratio-mismatch family of bugs) shows up here
+    before any metric readout is trusted. Cell terms fold in sorted
+    (event_type, arm) order so the statistic is engine-exact.
+
+    Scale: one aggregate down to the |types|×2 cell table; everything
+    after runs on cells."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        chi_square_independence,
+        hash_assign_arm,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_type", hash_assign_arm("user_id").alias("arm")
+    )
+    return chi_square_independence(e, "event_type", "arm")

@@ -154,6 +154,8 @@ QUERIES = [
     "item_cooccurrence_similarity",
     "ab_purchase_ztest",
     "ndcg_length_ranker_by_source",
+    "mann_whitney_event_value",
+    "chisq_event_type_by_arm",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -559,3 +559,71 @@ def test_ndcg_perfect_and_inverted_rankers(spark):
     )
     assert r2["ndcg_r6"] == round(worst / ideal, 6)
     assert 0 < r2["ndcg_r6"] < 1
+
+
+def test_mann_whitney_hand_computed(spark):
+    """T={1,2,3}, C={2,4}: midranks give R_t=7.5 so 2U=3, tie term 6,
+    var = 0.5*(6 - 6/20); plus the symmetry and all-tie degeneracy
+    laws."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    rows = [
+        ("treatment", 1), ("treatment", 2), ("treatment", 3),
+        ("control", 2), ("control", 4),
+    ]
+    df = spark.createDataFrame(rows, "arm string, value_int long")
+    r = mann_whitney_u(df).collect()[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (3, 2)
+    assert r["u2_treat"] == 3
+    assert r["tie_term"] == 6
+    var = (3 * 2) / 12 * ((5 + 1) - 6 / (5 * 4))
+    assert r["z_r6"] == round((3 - 6) / (2 * math.sqrt(var)), 6)
+    assert r["rank_biserial_r6"] == -0.5
+
+    # swapping the arm labels negates z and the effect size
+    sw = spark.createDataFrame(
+        [("control" if a == "treatment" else "treatment", v) for a, v in rows],
+        "arm string, value_int long",
+    )
+    r2 = mann_whitney_u(sw).collect()[0]
+    assert r2["z_r6"] == -r["z_r6"]
+    assert r2["rank_biserial_r6"] == 0.5
+
+    ties = spark.createDataFrame(
+        [("treatment", 7)] * 3 + [("control", 7)] * 2,
+        "arm string, value_int long",
+    )
+    r3 = mann_whitney_u(ties).collect()[0]
+    assert r3["z_r6"] is None
+    assert r3["rank_biserial_r6"] == 0.0
+
+
+def test_chisq_textbook_2x2(spark):
+    """Contingency [[10,20],[20,10]]: every expected cell is 15, so
+    chisq = 4*(25/15) = 20/3; dof = 1. And a perfectly independent
+    table gives chisq = 0."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert (out["n"], out["n_rows"], out["n_cols"], out["dof"]) == (
+        60, 2, 2, 1,
+    )
+    assert out["chisq_r6"] == round(4 * (25 / 15), 6)
+
+    indep = (
+        [("a", "x")] * 6 + [("a", "y")] * 6
+        + [("b", "x")] * 3 + [("b", "y")] * 3
+    )
+    out2 = chi_square_independence(
+        spark.createDataFrame(indep, "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert out2["chisq_r6"] == 0.0
