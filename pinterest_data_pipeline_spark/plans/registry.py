@@ -133,15 +133,31 @@ CHECK_FIRST: list[str] = [
     # oldest-evidence-first. Never let a query sit never-checked across
     # a round boundary.
     #
-    # ROUND-7 ROTATION NOTES: continue the r2-evidence refresh where
-    # (6) leaves off — embedding_quantize_error_bound, udtf_split_sentences,
-    # pii_redaction_counts, repetition_signals,
-    # decontaminate_ngram_overlap, pack_sequences_bins,
-    # train_val_split_hash, ... (registration order), then the r3 set;
-    # minhash_lsh_near_duplicates (CHECK_LAST, rows-only, changed by
-    # the round-6 cap-retention fix only when a cap is passed — it
-    # passes none, so unchanged in output) can refresh whenever window
-    # arithmetic allows.
+    # ROUND-7 ROTATION NOTES (window arithmetic pre-planned):
+    #   (a) 17 promotions from plans/staged_round7.py (all oracled,
+    #       parity-tested at sf0.001+sf0.01, x30-stressed):
+    #       geo_radius_pairs_customers, geo_nearest_neighbor_probes,
+    #       bm25_doc_scores, rrf_quality_length_fusion,
+    #       cuped_event_experiment, ewma16_user_value,
+    #       quality_decile_calibration, curriculum_interleave_shards,
+    #       embedding_top_direction_power, triplet_mining_anchors,
+    #       mmr_diverse_rerank, annotator_agreement_kappa,
+    #       item_cooccurrence_similarity, ab_purchase_ztest,
+    #       ndcg_length_ranker_by_source, mann_whitney_event_value,
+    #       chisq_event_type_by_arm.
+    #   (b) changed-in-r6 re-certifications (the minhash verification
+    #       join gained a sort-merge hint — plan-only, values
+    #       unchanged, but policy recertifies): minhash_dedup_clusters,
+    #       corpus_curation_full, dedup_keep_best_quality,
+    #       leakage_safe_split_assign, soft_dedup_weights (+
+    #       minhash_lsh_near_duplicates stays CHECK_LAST, rows-only).
+    #   (c) fill the remaining ~28 slots oldest-evidence-first:
+    #       continue the r2 refresh where (6) leaves off —
+    #       embedding_quantize_error_bound, udtf_split_sentences,
+    #       pii_redaction_counts, repetition_signals,
+    #       decontaminate_ngram_overlap, pack_sequences_bins,
+    #       train_val_split_hash, ... (registration order), then r3.
+    #   17 + 5 + 28 = 50 holds.
 ]
 
 CHECK_LAST: list[str] = [
