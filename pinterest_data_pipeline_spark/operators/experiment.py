@@ -398,3 +398,235 @@ def chi_square_independence(
             "chisq_r6",
         )
     )
+
+
+def quantile_lift(
+    units: DataFrame,
+    quantiles: list[int] | None = None,
+    arm_col: str = "arm",
+    value_col: str = "value_int",
+    treat: str = "treatment",
+    control: str = "control",
+) -> DataFrame:
+    """Quantile treatment effect: per requested percentile q, the exact
+    type-1 (lower) quantile of the integer unit metric in each arm and
+    their difference — where in the distribution an experiment moved
+    value (a mean readout can't distinguish "everyone +5%" from "whales
+    +50%"; the quantile profile can).
+
+    The q-th quantile is the r-th smallest value with
+    ``r = q·(n−1)//100 + 1`` — a pure integer rank — resolved as the
+    minimum value whose within-arm cumulative count reaches r, over the
+    VALUE-LEVEL count relation (the mann_whitney_u machinery: the only
+    ordered window runs over distinct values per arm, bounded by metric
+    resolution, never unit count). Everything is integer; returns one
+    row per quantile: (q, v_treat, v_ctrl, lift).
+
+    Scale: one value-keyed aggregate, one per-arm ordered window over
+    distinct values, a ≤|quantiles|-row broadcast of arm totals."""
+    qs = sorted(set(quantiles or [25, 50, 75]))
+    is_t = F.col(arm_col) == treat
+    is_c = F.col(arm_col) == control
+    lv = (
+        units.filter(is_t | is_c)
+        .groupBy(
+            F.when(is_t, F.lit(treat)).otherwise(F.lit(control)).alias(
+                "__arm"
+            ),
+            F.col(value_col).alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    w = (
+        Window.partitionBy("__arm")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lv = lv.withColumn("__cum", F.sum("__n").over(w))
+    totals = lv.groupBy("__arm").agg(F.sum("__n").alias("__tot"))
+    targets = totals.select(
+        "__arm",
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
+        "__tot",
+    ).withColumn(
+        # integer rank r = q·(n−1)//100 + 1; the division is exact (the
+        # numerator is a multiple of 100 after the mod subtraction), so
+        # the bigint cast is lossless for n < 2^46
+        "__r",
+        (
+            (
+                F.col("q") * (F.col("__tot") - 1)
+                - (F.col("q") * (F.col("__tot") - 1)) % 100
+            )
+            / 100
+        ).cast("bigint")
+        + 1,
+    )
+    hit = (
+        lv.join(F.broadcast(targets), "__arm")
+        .filter(F.col("__cum") >= F.col("__r"))
+        .groupBy("__arm", "q")
+        .agg(F.min("__v").alias("__qv"))
+    )
+    t = hit.filter(F.col("__arm") == treat).select(
+        "q", F.col("__qv").alias("v_treat")
+    )
+    c = hit.filter(F.col("__arm") == control).select(
+        "q", F.col("__qv").alias("v_ctrl")
+    )
+    return t.join(c, "q").select(
+        F.col("q").cast("int").alias("q"),
+        "v_treat",
+        "v_ctrl",
+        (F.col("v_treat") - F.col("v_ctrl")).cast("bigint").alias("lift"),
+    )
+
+
+def ips_policy_value(
+    logs: DataFrame,
+    action_col: str = "logged_action",
+    target_col: str = "target_action",
+    reward_col: str = "reward_int",
+    pq_col: str = "p_quarters",
+) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate the
+    value a TARGET decision rule would have earned from logs collected
+    under a different (known-propensity) logging policy — the standard
+    counterfactual readout a ranking/recommendation pipeline runs
+    before an online test:
+
+        V̂_IPS   = (1/n) Σ 1[a_i = π(x_i)] · r_i / p_i
+        V̂_SNIPS = Σ 1[·] r_i/p_i / Σ 1[·] 1/p_i   (self-normalized)
+
+    Propensities arrive as QUARTERS (``pq_col`` ∈ {1,2,3} meaning
+    p = k/4): then 1/p ∈ {4, 2, 4/3} and scaling every weight by 3
+    makes it integer (12/k ∈ {12, 6, 4}) — both estimator numerators
+    and the SNIPS denominator are exact integer sums, with one double
+    division each at the end. Returns ONE row:
+    (n, n_matched, sum_w3_reward, sum_w3, ips_r6, snips_r6); snips is
+    NULL when no logged action matches the target policy.
+
+    Scale: one scan, one partial-combinable four-counter aggregate.
+    Magnitude guard: 12·Σr must stay under 2^63 (rewards in cents ⇒
+    ~7·10^17 total cents of matched reward — rescale beyond that)."""
+    matched = F.col(action_col) == F.col(target_col)
+    # 3·(1/p) = 12/k, an exact integer for k ∈ {1,2,3}; the mod form
+    # keeps the expression integer-typed under ANSI (no double division)
+    w3i = (
+        (F.lit(12) - F.lit(12) % F.col(pq_col)) / F.col(pq_col)
+    ).cast("bigint")
+    agg = logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(matched, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(
+            F.when(matched, w3i * F.col(reward_col).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_w3_reward"),
+        F.sum(F.when(matched, w3i).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_w3"),
+    )
+    return agg.select(
+        "n",
+        "n_matched",
+        "sum_w3_reward",
+        "sum_w3",
+        F.round(
+            F.col("sum_w3_reward").cast("double")
+            / (F.lit(3.0) * F.col("n").cast("double")),
+            6,
+        ).alias("ips_r6"),
+        F.when(
+            F.col("sum_w3") > 0,
+            F.round(
+                F.col("sum_w3_reward").cast("double")
+                / F.col("sum_w3").cast("double"),
+                6,
+            ),
+        ).alias("snips_r6"),
+    )
+
+
+def reliability_table_ece(
+    scored: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error for a probability
+    scorer against binary outcomes — the calibration audit a quality/
+    ranking model gets before its scores are trusted as probabilities.
+
+    Rows bin by predicted probability (bin = min(⌊p·n_bins⌋, n_bins−1));
+    each bin reports its count, positive count, empirical accuracy and
+    the bin-midpoint confidence; ECE is the count-weighted mean absolute
+    gap Σ (n_b/n)·|acc_b − mid_b| (the histogram-binning variant: the
+    midpoint stands in for mean confidence so every term derives from
+    INTEGER counts and exact midpoints — no order-dependent double sum
+    anywhere). The per-bin fold runs in sorted bin order. Returns one
+    row per non-empty bin: (bin, n_b, n_pos, acc_r6, conf_mid, ece_r6)
+    with ece_r6 identical on every row.
+
+    Scale: one scan, one ≤n_bins-row aggregate; the ECE fold runs on
+    the bin table."""
+    p = F.col(prob_col).cast("double")
+    b = F.least(
+        F.floor(p * F.lit(float(n_bins))).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    bins = (
+        scored.select(
+            b.alias("bin"),
+            F.col(label_col).cast("boolean").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        .localCheckpoint(eager=True)  # read by the rows AND the ECE fold
+    )
+    mid = (F.col("bin").cast("double") + F.lit(0.5)) / F.lit(float(n_bins))
+    gap = F.abs(
+        F.col("n_pos").cast("double") / F.col("n_b").cast("double") - mid
+    )
+    ece = bins.agg(
+        F.sum("n_b").cast("bigint").alias("__n"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("bin"),
+                        (F.col("n_b").cast("double") * gap).alias("__t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__t"],
+        ).alias("__s"),
+    ).select(
+        F.round(F.col("__s") / F.col("__n").cast("double"), 6).alias(
+            "ece_r6"
+        )
+    )
+    return (
+        bins.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n_b",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_b").cast("double"),
+                6,
+            ).alias("acc_r6"),
+            mid.alias("conf_mid"),
+            "ece_r6",
+        )
+    )

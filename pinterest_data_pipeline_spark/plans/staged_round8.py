@@ -1,0 +1,317 @@
+"""ROUND-8 STAGING AREA — implemented, tested, NOT driver-registered.
+
+The round-7 window is already fully pre-planned at 50 rows (17
+staged_round7 promotions + 5 minhash-hint re-certifications + 28
+oldest-evidence rotations — see the ROUND-7 ROTATION NOTES in
+plans/registry.py), so per the standing rotation rule this next batch
+stages one window further out. Same contract as every staging round:
+each query has a full DuckDB oracle replayed value-for-value
+(strict-mirror parity test at sf0.001 + sf0.01 in
+tests/test_staged_round8.py) and behavior-pinning unit tests; round 8
+registers them by pointing ``_stage`` at ``registry.register`` and
+queueing the names in CHECK_FIRST.
+
+The batch is the OFFLINE EVALUATION layer a decision-making data
+pipeline needs between "metrics computed" and "change shipped"
+(operators/experiment.py throughout, engine-portable exactness
+discipline: integer counts / exact-rational weights, one double
+division at the end):
+
+- QUANTILE TREATMENT EFFECT: where in the distribution an experiment
+  moved value — exact type-1 quantiles per arm from the value-level
+  count relation (the mann_whitney_u machinery; no global unit rank).
+- COUNTERFACTUAL POLICY VALUE (IPS/SNIPS): what a target decision rule
+  would have earned from logs collected under a known-propensity
+  logging policy — quarter-propensities make every importance weight an
+  exact integer after a ×3 scaling.
+- CALIBRATION (reliability table + ECE): whether a score behaves like
+  a probability — histogram-binning ECE whose every term derives from
+  integer bin counts and exact midpoints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def _stage(name: str, oracle: str | None = None):
+    """registry.register's contract, into the round-8 staging dicts."""
+
+    def deco(fn):
+        if name in STAGED_QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
+        if oracle is not None and has_sql_line_comment(oracle):
+            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLE[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+_ARM_SQL = """CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
+                   CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'treatment' ELSE 'control' END"""
+
+
+@_stage(
+    "quantile_lift_user_spend",
+    oracle=f"""
+    WITH units AS (
+        SELECT user_id, {_ARM_SQL} AS arm,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY user_id
+    ),
+    lv AS (
+        SELECT arm, v, CAST(count(*) AS BIGINT) AS n
+        FROM units GROUP BY arm, v
+    ),
+    c AS (
+        SELECT arm, v, n,
+               sum(n) OVER (PARTITION BY arm ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM lv
+    ),
+    tot AS (SELECT arm, CAST(sum(n) AS BIGINT) AS t FROM lv GROUP BY arm),
+    targets AS (
+        SELECT tot.arm, q.q, tot.t,
+               (q.q * (tot.t - 1) - (q.q * (tot.t - 1)) % 100) // 100 + 1
+                   AS r
+        FROM tot, (SELECT unnest([25, 50, 75]) AS q) q
+    ),
+    hit AS (
+        SELECT c.arm, tg.q, min(c.v) AS qv
+        FROM c JOIN targets tg ON tg.arm = c.arm AND c.cum >= tg.r
+        GROUP BY c.arm, tg.q
+    )
+    SELECT CAST(t.q AS INTEGER) AS q,
+           t.qv AS v_treat, ct.qv AS v_ctrl,
+           CAST(t.qv - ct.qv AS BIGINT) AS lift
+    FROM (SELECT q, qv FROM hit WHERE arm = 'treatment') t
+    JOIN (SELECT q, qv FROM hit WHERE arm = 'control') ct ON ct.q = t.q
+    """,
+)
+def quantile_lift_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect on per-user total spend
+    (operators/experiment.quantile_lift): the exact 25th/50th/75th
+    percentile of the unit metric in each hash-assigned arm and their
+    difference — the distributional readout that distinguishes
+    "everyone moved" from "whales moved". Under the null split the
+    lifts hover near 0; the driver hash pins the exact integers.
+
+    Scale: value-level counts only — the ordered window runs over
+    distinct (arm, value) rows, bounded by metric resolution, never
+    unit count."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        hash_assign_arm,
+        quantile_lift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    units = (
+        events.groupBy("user_id")
+        .agg(F.sum(cents).cast("bigint").alias("value_int"))
+        .withColumn("arm", hash_assign_arm("user_id"))
+    )
+    return quantile_lift(units).orderBy("q")
+
+
+_IPS_HASH = (
+    "CAST(concat('0x', substr(md5(concat('ips:', "
+    "CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+)
+
+
+@_stage(
+    "ips_reranker_policy_value",
+    oracle=f"""
+    WITH logs AS (
+        SELECT CASE WHEN {_IPS_HASH} % 4 <
+                    (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 3 END)
+               THEN 'A' ELSE 'B' END AS logged,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 3 END AS pa_q,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN 'A' ELSE 'B' END AS target,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END AS reward
+        FROM events
+    ),
+    w AS (
+        SELECT logged, target, reward,
+               CASE WHEN logged = 'A' THEN pa_q ELSE 4 - pa_q END AS pq
+        FROM logs
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN logged = target THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN logged = target
+                        THEN ((12 - 12 % pq) // pq) * reward
+                        ELSE 0 END) AS BIGINT) AS sum_w3_reward,
+               CAST(sum(CASE WHEN logged = target
+                        THEN (12 - 12 % pq) // pq
+                        ELSE 0 END) AS BIGINT) AS sum_w3
+        FROM w
+    )
+    SELECT n, n_matched, sum_w3_reward, sum_w3,
+           round(CAST(sum_w3_reward AS DOUBLE)
+                 / (3.0 * CAST(n AS DOUBLE)), 6) AS ips_r6,
+           CASE WHEN sum_w3 > 0
+                THEN round(CAST(sum_w3_reward AS DOUBLE)
+                           / CAST(sum_w3 AS DOUBLE), 6)
+                ELSE NULL END AS snips_r6
+    FROM agg
+    """,
+)
+def ips_reranker_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual value of a content-based action rule, estimated
+    from hash-logged actions by inverse propensity scoring
+    (operators/experiment.ips_policy_value): the logging policy shows
+    action A with propensity 1/4 for every third user and 3/4
+    otherwise (the logged draw is a deterministic md5 draw, so both
+    engines replay it); the TARGET rule picks A on view/click events;
+    the reward is click spend in cents. Quarter propensities make every
+    importance weight an exact integer after the ×3 scaling, so IPS and
+    SNIPS are integer-sum ratios the driver hash pins exactly.
+
+    Scale: one scan, one four-counter partial-combinable aggregate."""
+    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        ips_policy_value,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    pa_q = F.when(F.col("user_id") % 3 == 0, F.lit(1)).otherwise(F.lit(3))
+    draw = (
+        portable_hash32(
+            F.concat(F.lit("ips:"), F.col("event_id").cast("string"))
+        )
+        % 4
+    )
+    logs = events.select(
+        F.when(draw < pa_q, F.lit("A")).otherwise(F.lit("B")).alias(
+            "logged_action"
+        ),
+        F.when(
+            F.col("event_type").isin("view", "click"), F.lit("A")
+        )
+        .otherwise(F.lit("B"))
+        .alias("target_action"),
+        F.when(
+            F.col("event_type") == "click",
+            F.round(F.col("value") * 100).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("reward_int"),
+        F.when(
+            F.when(draw < pa_q, F.lit("A")).otherwise(F.lit("B")) == "A",
+            pa_q,
+        )
+        .otherwise(F.lit(4) - pa_q)
+        .alias("p_quarters"),
+    )
+    return ips_policy_value(logs)
+
+
+_ECE_MARGIN = r"""CAST(3000 * len(list_filter(
+        regexp_split_to_array(lower(trim(text)), '\s+'),
+        t -> list_contains(['and','is','of','that','the','to'], t)))
+    - 2000 * length(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g'))
+    - 2000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+    - 100 * len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"""
+
+_ECE_NOISE = (
+    "CAST(concat('0x', substr(md5(concat('kappa:', "
+    "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4001 - 2000"
+)
+
+
+@_stage(
+    "ece_quality_gate_probability",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, {_ECE_MARGIN} AS margin FROM documents
+    ),
+    scored AS (
+        SELECT 0.5 + (CAST(margin AS DOUBLE) / 1000.0)
+                   / (2.0 * (1.0 + abs(CAST(margin AS DOUBLE) / 1000.0)))
+                   AS p,
+               margin + ({_ECE_NOISE}) >= 0 AS y
+        FROM m
+    ),
+    binned AS (
+        SELECT CAST(least(CAST(floor(p * 10.0) AS BIGINT), 9) AS INTEGER)
+                   AS bin,
+               y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM binned GROUP BY bin
+    ),
+    e AS (
+        SELECT round(list_sum(list(
+                   CAST(n_b AS DOUBLE)
+                   * abs(CAST(n_pos AS DOUBLE) / CAST(n_b AS DOUBLE)
+                         - (CAST(bin AS DOUBLE) + 0.5) / 10.0)
+                   ORDER BY bin))
+               / CAST(sum(n_b) AS DOUBLE), 6) AS ece_r6
+        FROM bins
+    )
+    SELECT b.bin, b.n_b, b.n_pos,
+           round(CAST(b.n_pos AS DOUBLE) / CAST(b.n_b AS DOUBLE), 6)
+               AS acc_r6,
+           (CAST(b.bin AS DOUBLE) + 0.5) / 10.0 AS conf_mid,
+           e.ece_r6
+    FROM bins b, e
+    """,
+)
+def ece_quality_gate_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the quality gate's margin squashed to a
+    probability (operators/experiment.reliability_table_ece): the
+    rational squashing p = ½ + m/(2(1+|m|)) (IEEE add/mul/div/abs only
+    — no libm exp, so both engines produce the identical double) is
+    scored against the hash-perturbed annotator's keep decision, binned
+    into 10 reliability rows with the histogram-binning ECE. Every ECE
+    term derives from integer bin counts and exact midpoints; the fold
+    runs in bin order.
+
+    Scale: one scan to ≤10 bins; everything after runs on the bin
+    table."""
+    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        reliability_table_ece,
+    )
+    from pinterest_data_pipeline_spark.operators.text import (
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    margin = linear_quality_margin("text")
+    md = margin.cast("double") / F.lit(1000.0)
+    prob = F.lit(0.5) + md / (F.lit(2.0) * (F.lit(1.0) + F.abs(md)))
+    noise = (
+        portable_hash32(
+            F.concat(F.lit("kappa:"), F.col("doc_id").cast("string"))
+        )
+        % 4001
+        - 2000
+    )
+    scored = docs.select(
+        prob.alias("prob"), ((margin + noise) >= 0).alias("label")
+    )
+    return reliability_table_ece(scored).orderBy("bin")

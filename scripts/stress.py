@@ -156,6 +156,11 @@ QUERIES = [
     "ndcg_length_ranker_by_source",
     "mann_whitney_event_value",
     "chisq_event_type_by_arm",
+    # round-6 pre-staging for round 8 (plans/staged_round8.py):
+    # offline evaluation — quantile lift, IPS/SNIPS, reliability/ECE
+    "quantile_lift_user_spend",
+    "ips_reranker_policy_value",
+    "ece_quality_gate_probability",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -231,6 +236,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round7 import (
         STAGED_QUERIES as STAGED_R7,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round8 import (
+        STAGED_QUERIES as STAGED_R8,
+    )
 
     for name in QUERIES:
         if only is not None and name not in only:
@@ -238,7 +246,8 @@ def main() -> None:
         fn = (
             entry_mod.queries().get(name)
             or STAGED_QUERIES.get(name)
-            or STAGED_R7[name]
+            or STAGED_R7.get(name)
+            or STAGED_R8[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

@@ -1,0 +1,156 @@
+"""Round-8 staging parity + behavior: the offline-evaluation batch
+(quantile treatment effect, IPS/SNIPS counterfactual value, reliability
+table + ECE) must already pass the exact check the driver will run once
+registered — strict-mirror value comparison against their DuckDB
+oracles — and each operator's semantic guarantees are pinned directly
+(exact quantiles vs a sorted-python replay, IPS vs a closed-form hand
+example, ECE perfect-calibration zero).
+
+Staged queries are deliberately NOT in plans/registry (the round-7
+window is already fully pre-planned); see plans/staged_round8.py for
+the promotion recipe.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+from pinterest_data_pipeline_spark.plans.staged_round8 import (
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+from tests.oracle_utils import (
+    compare_frames,
+    duckdb_connection,
+    exotic_oracle_columns,
+)
+
+
+def test_staged_queries_are_not_registered():
+    import __spark_entry__ as entry_mod
+
+    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, name, sf):
+    d = f"/root/testdata/{sf}"
+    spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
+    con = duckdb_connection(d)
+    try:
+        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
+        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@{sf}: {problems}"
+    assert len(spark_pdf) > 0
+
+
+def test_quantile_lift_matches_sorted_python(spark):
+    """Exact type-1 quantiles on a hand-built two-arm relation, checked
+    against the sorted-list definition r = q·(n−1)//100 + 1."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        quantile_lift,
+    )
+
+    t_vals = [10, 20, 20, 30, 100]
+    c_vals = [5, 15, 25, 40]
+    rows = [("treatment", v) for v in t_vals] + [
+        ("control", v) for v in c_vals
+    ]
+    df = spark.createDataFrame(rows, "arm string, value_int long")
+    out = {r["q"]: r for r in quantile_lift(df, [25, 50, 75]).collect()}
+
+    def type1(vals, q):
+        s = sorted(vals)
+        return s[(q * (len(s) - 1)) // 100]
+
+    for q in (25, 50, 75):
+        assert out[q]["v_treat"] == type1(t_vals, q)
+        assert out[q]["v_ctrl"] == type1(c_vals, q)
+        assert out[q]["lift"] == type1(t_vals, q) - type1(c_vals, q)
+
+
+def test_ips_hand_computed(spark):
+    """Three matched logs at p=1/4 (w=4) with rewards 100, 200 and one
+    at p=3/4 (w=4/3) with reward 300, one unmatched: IPS = (4·300 +
+    (4/3)·300)/5 computed via the ×3 integer scaling; SNIPS divides by
+    the summed weights."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        ips_policy_value,
+    )
+
+    rows = [
+        ("A", "A", 100, 1),   # w3 = 12
+        ("A", "A", 200, 1),   # w3 = 12
+        ("B", "B", 300, 3),   # w3 = 4
+        ("A", "B", 999, 1),   # unmatched: ignored
+        ("B", "B", 0, 2),     # matched, zero reward, w3 = 6
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "logged_action string, target_action string, reward_int long,"
+        " p_quarters int",
+    )
+    r = ips_policy_value(df).collect()[0]
+    assert (r["n"], r["n_matched"]) == (5, 4)
+    assert r["sum_w3_reward"] == 12 * 100 + 12 * 200 + 4 * 300
+    assert r["sum_w3"] == 12 + 12 + 4 + 6
+    assert r["ips_r6"] == round(r["sum_w3_reward"] / (3 * 5), 6)
+    assert r["snips_r6"] == round(r["sum_w3_reward"] / r["sum_w3"], 6)
+
+
+def test_ips_no_match_gives_null_snips(spark):
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        ips_policy_value,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "B", 10, 2)],
+        "logged_action string, target_action string, reward_int long,"
+        " p_quarters int",
+    )
+    r = ips_policy_value(df).collect()[0]
+    assert r["ips_r6"] == 0.0
+    assert r["snips_r6"] is None
+
+
+def test_ece_perfectly_calibrated_is_zero(spark):
+    """Each bin's empirical accuracy equals its midpoint → ECE = 0; and
+    a maximally miscalibrated scorer (p≈0.95, all negatives) reads
+    0.95."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        reliability_table_ece,
+    )
+
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        pos = b  # of 10 in this bin → accuracy b/10 + adjust to midpoint
+        # midpoint of bin b is (b + 0.5)/10; build 20 rows with
+        # 2b+1 positives → acc = (2b+1)/20 == midpoint exactly
+        rows += [(p, True)] * (2 * b + 1) + [(p, False)] * (20 - 2 * b - 1)
+    df = spark.createDataFrame(rows, "prob double, label boolean")
+    out = reliability_table_ece(df).collect()
+    assert len(out) == 10
+    assert all(r["ece_r6"] == 0.0 for r in out)
+    for r in out:
+        assert r["acc_r6"] == round((2 * r["bin"] + 1) / 20, 6)
+        assert math.isclose(r["conf_mid"], (r["bin"] + 0.5) / 10)
+
+    bad = spark.createDataFrame(
+        [(0.95, False)] * 8, "prob double, label boolean"
+    )
+    r = reliability_table_ece(bad).collect()[0]
+    assert (r["bin"], r["n_b"], r["n_pos"]) == (9, 8, 0)
+    assert r["ece_r6"] == 0.95
