@@ -630,3 +630,92 @@ def reliability_table_ece(
             "ece_r6",
         )
     )
+
+
+def winsorized_mean_lift(
+    units: DataFrame,
+    pct: int = 95,
+    arm_col: str = "arm",
+    value_col: str = "value_int",
+    treat: str = "treatment",
+    control: str = "control",
+) -> DataFrame:
+    """Winsorized (capped-metric) mean lift: each arm's unit metric is
+    capped at that arm's exact ``pct``-th percentile before averaging —
+    the standard whale-robust experiment readout (a single outlier user
+    can no longer carry the mean, yet unlike a median the metric still
+    moves with the bulk of the distribution).
+
+    The cap is the exact type-1 quantile from the VALUE-LEVEL count
+    relation (the quantile_lift machinery: integer rank against per-arm
+    cumulative counts, ordered window over distinct values only); the
+    capped sum Σ min(v, cap)·n_v is an exact integer, so the means and
+    lift are single divisions. Returns ONE row: (n_treat, n_ctrl,
+    cap_treat, cap_ctrl, mean_treat_r6, mean_ctrl_r6, lift_r6), means
+    in the metric's own units.
+
+    Scale: one value-keyed aggregate, one per-arm distinct-value
+    window, a 2-row cap broadcast back onto the value-level relation."""
+    is_t = F.col(arm_col) == treat
+    is_c = F.col(arm_col) == control
+    lv = (
+        units.filter(is_t | is_c)
+        .groupBy(
+            F.when(is_t, F.lit(treat)).otherwise(F.lit(control)).alias(
+                "__arm"
+            ),
+            F.col(value_col).alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .localCheckpoint(eager=True)  # cap search + capped sum both read it
+    )
+    w = (
+        Window.partitionBy("__arm")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lv.withColumn("__cum", F.sum("__n").over(w))
+    totals = lv.groupBy("__arm").agg(F.sum("__n").alias("__tot"))
+    rank = (
+        (
+            F.lit(pct) * (F.col("__tot") - 1)
+            - (F.lit(pct) * (F.col("__tot") - 1)) % 100
+        )
+        / 100
+    ).cast("bigint") + 1
+    caps = (
+        cum.join(F.broadcast(totals.withColumn("__r", rank)), "__arm")
+        .filter(F.col("__cum") >= F.col("__r"))
+        .groupBy("__arm", "__tot")
+        .agg(F.min("__v").alias("__cap"))
+    )
+    agg = (
+        lv.join(F.broadcast(caps), "__arm")
+        .groupBy("__arm", "__tot", "__cap")
+        .agg(
+            F.sum(F.least(F.col("__v"), F.col("__cap")) * F.col("__n"))
+            .cast("bigint")
+            .alias("__s")
+        )
+    )
+    t = agg.filter(F.col("__arm") == treat).select(
+        F.col("__tot").alias("n_treat"),
+        F.col("__cap").alias("cap_treat"),
+        F.col("__s").alias("__st"),
+    )
+    c = agg.filter(F.col("__arm") == control).select(
+        F.col("__tot").alias("n_ctrl"),
+        F.col("__cap").alias("cap_ctrl"),
+        F.col("__s").alias("__sc"),
+    )
+    mt = F.col("__st").cast("double") / F.col("n_treat").cast("double")
+    mc = F.col("__sc").cast("double") / F.col("n_ctrl").cast("double")
+    return t.crossJoin(c).select(
+        F.col("n_treat").cast("bigint").alias("n_treat"),
+        F.col("n_ctrl").cast("bigint").alias("n_ctrl"),
+        "cap_treat",
+        "cap_ctrl",
+        F.round(mt, 6).alias("mean_treat_r6"),
+        F.round(mc, 6).alias("mean_ctrl_r6"),
+        F.round(mt - mc, 6).alias("lift_r6"),
+    )

@@ -27,6 +27,10 @@ division at the end):
 - CALIBRATION (reliability table + ECE): whether a score behaves like
   a probability — histogram-binning ECE whose every term derives from
   integer bin counts and exact midpoints.
+- WINSORIZED MEAN LIFT: the capped-metric readout — each arm capped at
+  its own exact 95th percentile before averaging, completing the
+  estimator family (raw mean → CUPED, rank → Mann-Whitney,
+  distribution → quantile lift, capped → winsorized).
 """
 
 from __future__ import annotations
@@ -315,3 +319,78 @@ def ece_quality_gate_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob.alias("prob"), ((margin + noise) >= 0).alias("label")
     )
     return reliability_table_ece(scored).orderBy("bin")
+
+
+@_stage(
+    "winsorized_mean_lift_user_spend",
+    oracle=f"""
+    WITH units AS (
+        SELECT user_id, {_ARM_SQL} AS arm,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY user_id
+    ),
+    lv AS (
+        SELECT arm, v, CAST(count(*) AS BIGINT) AS n
+        FROM units GROUP BY arm, v
+    ),
+    c AS (
+        SELECT arm, v, n,
+               sum(n) OVER (PARTITION BY arm ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM lv
+    ),
+    tot AS (SELECT arm, CAST(sum(n) AS BIGINT) AS t FROM lv GROUP BY arm),
+    caps AS (
+        SELECT c.arm, tot.t, min(c.v) AS cap
+        FROM c JOIN tot ON tot.arm = c.arm
+        WHERE c.cum >= (95 * (tot.t - 1) - (95 * (tot.t - 1)) % 100)
+                       // 100 + 1
+        GROUP BY c.arm, tot.t
+    ),
+    agg AS (
+        SELECT lv.arm, caps.t, caps.cap,
+               CAST(sum(least(lv.v, caps.cap) * lv.n) AS BIGINT) AS s
+        FROM lv JOIN caps ON caps.arm = lv.arm
+        GROUP BY lv.arm, caps.t, caps.cap
+    )
+    SELECT t.t AS n_treat, c.t AS n_ctrl,
+           t.cap AS cap_treat, c.cap AS cap_ctrl,
+           round(CAST(t.s AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+               AS mean_treat_r6,
+           round(CAST(c.s AS DOUBLE) / CAST(c.t AS DOUBLE), 6)
+               AS mean_ctrl_r6,
+           round(CAST(t.s AS DOUBLE) / CAST(t.t AS DOUBLE)
+                 - CAST(c.s AS DOUBLE) / CAST(c.t AS DOUBLE), 6)
+               AS lift_r6
+    FROM (SELECT * FROM agg WHERE arm = 'treatment') t,
+         (SELECT * FROM agg WHERE arm = 'control') c
+    """,
+)
+def winsorized_mean_lift_user_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized mean lift on per-user total spend
+    (operators/experiment.winsorized_mean_lift): each arm's spend is
+    capped at that arm's exact 95th percentile before averaging — the
+    whale-robust capped-metric readout that completes the estimator
+    family (raw mean → CUPED, rank → Mann-Whitney, distribution →
+    quantile lift, capped → this). Caps, counts and capped sums are
+    exact integers; the driver hash pins the two caps and all three
+    rounded means.
+
+    Scale: value-level counts only; the cap search and the capped sum
+    share one materialized distinct-(arm, value) relation."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        hash_assign_arm,
+        winsorized_mean_lift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    units = (
+        events.groupBy("user_id")
+        .agg(F.sum(cents).cast("bigint").alias("value_int"))
+        .withColumn("arm", hash_assign_arm("user_id"))
+    )
+    return winsorized_mean_lift(units, pct=95)

@@ -161,6 +161,7 @@ QUERIES = [
     "quantile_lift_user_spend",
     "ips_reranker_policy_value",
     "ece_quality_gate_probability",
+    "winsorized_mean_lift_user_spend",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

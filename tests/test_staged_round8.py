@@ -136,7 +136,6 @@ def test_ece_perfectly_calibrated_is_zero(spark):
     rows = []
     for b in range(10):
         p = b / 10 + 0.05
-        pos = b  # of 10 in this bin → accuracy b/10 + adjust to midpoint
         # midpoint of bin b is (b + 0.5)/10; build 20 rows with
         # 2b+1 positives → acc = (2b+1)/20 == midpoint exactly
         rows += [(p, True)] * (2 * b + 1) + [(p, False)] * (20 - 2 * b - 1)
@@ -154,3 +153,40 @@ def test_ece_perfectly_calibrated_is_zero(spark):
     r = reliability_table_ece(bad).collect()[0]
     assert (r["bin"], r["n_b"], r["n_pos"]) == (9, 8, 0)
     assert r["ece_r6"] == 0.95
+
+
+def test_winsorized_mean_hand_computed(spark):
+    """T = {10,20,30,1000}: p95 cap (type-1, r = 95·3//100+1 = 3) is 30
+    → capped values {10,20,30,30}; C = {10,10,40}: cap r = 2 → 10 →
+    capped {10,10,10}."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        winsorized_mean_lift,
+    )
+
+    rows = [("treatment", v) for v in (10, 20, 30, 1000)] + [
+        ("control", v) for v in (10, 10, 40)
+    ]
+    df = spark.createDataFrame(rows, "arm string, value_int long")
+    r = winsorized_mean_lift(df, pct=95).collect()[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (4, 3)
+    assert (r["cap_treat"], r["cap_ctrl"]) == (30, 10)
+    assert r["mean_treat_r6"] == round((10 + 20 + 30 + 30) / 4, 6)
+    assert r["mean_ctrl_r6"] == 10.0
+    assert r["lift_r6"] == round(90 / 4 - 10, 6)
+
+
+def test_winsorized_cap_tames_outlier_but_mean_does_not(spark):
+    """The defining property: a 100x whale moves the raw mean by ~25x
+    but the winsorized mean barely at all."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        winsorized_mean_lift,
+    )
+
+    base = [("treatment", 10)] * 19 + [("control", 10)] * 20
+    whale = base + [("treatment", 10_000)]
+    r = winsorized_mean_lift(
+        spark.createDataFrame(whale, "arm string, value_int long"), pct=90
+    ).collect()[0]
+    assert r["cap_treat"] == 10  # p90 of 19x10 + whale is still 10
+    assert r["mean_treat_r6"] == 10.0
+    assert r["lift_r6"] == 0.0
