@@ -436,6 +436,9 @@ def quantile_lift(
             F.col(value_col).alias("__v"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        # four consumers (cumulative window, totals, and both quantile
+        # probes) — without the barrier each re-runs the unit scan
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("__arm")
