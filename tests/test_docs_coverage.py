@@ -65,3 +65,32 @@ def test_oracle_sql_mentions_only_known_tables():
             assert t.lower() in known or t.lower() in sql.lower(), (
                 f"{name}: {t} must be a known view or a CTE defined in the query"
             )
+
+
+def test_every_staged_query_mentioned_in_coverage():
+    """The staging areas are part of the judged surface: each staged
+    query must appear in COVERAGE.md's staged-surface table."""
+    from pinterest_data_pipeline_spark.plans.staged_round7 import (
+        STAGED_QUERIES as R7,
+    )
+    from pinterest_data_pipeline_spark.plans.staged_round8 import (
+        STAGED_QUERIES as R8,
+    )
+
+    coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
+    missing = [q for q in list(R7) + list(R8) if q not in coverage]
+    assert not missing, f"COVERAGE.md missing staged queries: {missing}"
+
+
+def test_staged_names_do_not_collide_across_rounds():
+    import __spark_entry__ as em
+
+    from pinterest_data_pipeline_spark.plans.staged_round7 import (
+        STAGED_QUERIES as R7,
+    )
+    from pinterest_data_pipeline_spark.plans.staged_round8 import (
+        STAGED_QUERIES as R8,
+    )
+
+    assert not (set(R7) & set(R8))
+    assert not (set(R8) & set(em.queries()))
