@@ -722,3 +722,108 @@ def winsorized_mean_lift(
         F.round(mc, 6).alias("mean_ctrl_r6"),
         F.round(mt - mc, 6).alias("lift_r6"),
     )
+
+
+def dr_policy_value(
+    logs: DataFrame,
+    qhat: DataFrame,
+    context_col: str = "context",
+    action_col: str = "logged_action",
+    target_col: str = "target_action",
+    reward_col: str = "reward_int",
+    pq_col: str = "p_quarters",
+) -> DataFrame:
+    """Doubly-robust off-policy value (Dudík, Langford & Li, ICML'11):
+    combines a direct outcome model with the IPS correction —
+
+        V̂_DR = (1/n) Σ [ q̂(x_i, π(x_i))
+                          + 1[a_i = π(x_i)] · (r_i − q̂(x_i, a_i)) / p_i ]
+
+    — unbiased if EITHER the propensities or the outcome model are
+    right, with far lower variance than plain IPS when the model is
+    roughly right. ``qhat`` is the outcome model as a relation
+    (context, action, q) with INTEGER q (train it on a disjoint split,
+    quantized to the metric's integer units); with quarter propensities
+    the 3×-scaled correction weights are integers too, so the whole
+    numerator is one exact integer sum:
+
+        3n·V̂ = Σ 3·q̂(x, π(x)) + Σ 1[a=π] · (12/k) · (r − q̂(x, a))
+
+    Returns ONE row: (n, n_matched, sum_dm3, sum_corr3, dr_r6, dm_r6)
+    where dm_r6 = Σq̂(x,π(x))/n is the pure direct-method estimate for
+    comparison. Contexts absent from ``qhat`` contribute q̂ = 0 (the
+    model's pessimistic default) — state it in the model, not the op.
+
+    Scale: ``qhat`` is |contexts|×|actions| rows and broadcasts twice
+    (target leg, logged leg); one scan, one integer aggregate."""
+    qt = qhat.select(
+        F.col(context_col).alias("__ctx"),
+        F.col(action_col).alias("__act"),
+        F.col("q").cast("bigint").alias("__qt"),
+    )
+    base = (
+        logs.join(
+            F.broadcast(
+                qt.select(
+                    F.col("__ctx"),
+                    F.col("__act").alias("__ta"),
+                    F.col("__qt").alias("__q_target"),
+                )
+            ),
+            (F.col(context_col) == F.col("__ctx"))
+            & (F.col(target_col) == F.col("__ta")),
+            "left",
+        )
+        .drop("__ctx", "__ta")
+        .join(
+            F.broadcast(
+                qt.select(
+                    F.col("__ctx"),
+                    F.col("__act").alias("__la"),
+                    F.col("__qt").alias("__q_logged"),
+                )
+            ),
+            (F.col(context_col) == F.col("__ctx"))
+            & (F.col(action_col) == F.col("__la")),
+            "left",
+        )
+        .drop("__ctx", "__la")
+        .withColumn("__q_target", F.coalesce("__q_target", F.lit(0)))
+        .withColumn("__q_logged", F.coalesce("__q_logged", F.lit(0)))
+    )
+    matched = F.col(action_col) == F.col(target_col)
+    w3i = (
+        (F.lit(12) - F.lit(12) % F.col(pq_col)) / F.col(pq_col)
+    ).cast("bigint")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(matched, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.lit(3) * F.col("__q_target"))
+        .cast("bigint")
+        .alias("sum_dm3"),
+        F.sum(
+            F.when(
+                matched,
+                w3i
+                * (
+                    F.col(reward_col).cast("bigint")
+                    - F.col("__q_logged")
+                ),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("sum_corr3"),
+    )
+    n3 = F.lit(3.0) * F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "n_matched",
+        "sum_dm3",
+        "sum_corr3",
+        F.round(
+            (F.col("sum_dm3") + F.col("sum_corr3")).cast("double") / n3, 6
+        ).alias("dr_r6"),
+        F.round(F.col("sum_dm3").cast("double") / n3, 6).alias("dm_r6"),
+    )

@@ -31,6 +31,11 @@ division at the end):
   its own exact 95th percentile before averaging, completing the
   estimator family (raw mean → CUPED, rank → Mann-Whitney,
   distribution → quantile lift, capped → winsorized).
+- DOUBLY-ROBUST POLICY VALUE: IPS's variance-reduced upgrade — an
+  integer outcome model trained on a disjoint split plus the
+  importance-weighted correction, the whole numerator one exact
+  integer sum; reduction laws (q̂=0 ⇒ IPS, no matches ⇒ direct
+  method) pinned in tests.
 """
 
 from __future__ import annotations
@@ -394,3 +399,127 @@ def winsorized_mean_lift_user_spend(
         .withColumn("arm", hash_assign_arm("user_id"))
     )
     return winsorized_mean_lift(units, pct=95)
+
+
+@_stage(
+    "dr_reranker_policy_value",
+    oracle=f"""
+    WITH logs AS (
+        SELECT event_id AS eid, event_type AS ctx,
+               CASE WHEN {_IPS_HASH} % 4 <
+                    (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 3 END)
+               THEN 'A' ELSE 'B' END AS logged,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 3 END AS pa_q,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN 'A' ELSE 'B' END AS target,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END AS reward
+        FROM events
+    ),
+    w AS (
+        SELECT eid, ctx, logged, target, reward,
+               CASE WHEN logged = 'A' THEN pa_q ELSE 4 - pa_q END AS pq
+        FROM logs
+    ),
+    model AS (
+        SELECT ctx, logged AS act,
+               CAST((2 * sum(reward) + count(*))
+                    // (2 * count(*)) AS BIGINT) AS q
+        FROM w WHERE eid % 2 = 0 GROUP BY ctx, logged
+    ),
+    ev AS (SELECT * FROM w WHERE eid % 2 = 1),
+    j AS (
+        SELECT ev.logged, ev.target, ev.reward, ev.pq,
+               COALESCE(mt.q, 0) AS q_target,
+               COALESCE(ml.q, 0) AS q_logged
+        FROM ev
+        LEFT JOIN model mt ON mt.ctx = ev.ctx AND mt.act = ev.target
+        LEFT JOIN model ml ON ml.ctx = ev.ctx AND ml.act = ev.logged
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN logged = target THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               CAST(sum(3 * q_target) AS BIGINT) AS sum_dm3,
+               CAST(sum(CASE WHEN logged = target
+                        THEN ((12 - 12 % pq) // pq) * (reward - q_logged)
+                        ELSE 0 END) AS BIGINT) AS sum_corr3
+        FROM j
+    )
+    SELECT n, n_matched, sum_dm3, sum_corr3,
+           round(CAST(sum_dm3 + sum_corr3 AS DOUBLE)
+                 / (3.0 * CAST(n AS DOUBLE)), 6) AS dr_r6,
+           round(CAST(sum_dm3 AS DOUBLE)
+                 / (3.0 * CAST(n AS DOUBLE)), 6) AS dm_r6
+    FROM agg
+    """,
+)
+def dr_reranker_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust counterfactual value of the same content-based
+    rule the IPS query evaluates (operators/experiment.dr_policy_value,
+    after Dudík et al. ICML'11): the outcome model q̂(event_type,
+    action) is the round-half-up integer mean reward trained on the
+    even-event-id half of the logs; the estimator runs on the odd half,
+    so model and evaluation never share a row. With integer q̂ and
+    quarter propensities the whole numerator — direct term plus
+    importance-weighted correction — is one exact integer sum; the
+    direct-method estimate rides along for comparison.
+
+    Scale: one model aggregate to |event_types|×|actions| rows
+    (broadcast twice), one eval-scan aggregate."""
+    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        dr_policy_value,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    pa_q = F.when(F.col("user_id") % 3 == 0, F.lit(1)).otherwise(F.lit(3))
+    draw = (
+        portable_hash32(
+            F.concat(F.lit("ips:"), F.col("event_id").cast("string"))
+        )
+        % 4
+    )
+    logged = F.when(draw < pa_q, F.lit("A")).otherwise(F.lit("B"))
+    logs = events.select(
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("context"),
+        logged.alias("logged_action"),
+        F.when(
+            F.col("event_type").isin("view", "click"), F.lit("A")
+        )
+        .otherwise(F.lit("B"))
+        .alias("target_action"),
+        F.when(
+            F.col("event_type") == "click",
+            F.round(F.col("value") * 100).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("reward_int"),
+        F.when(logged == "A", pa_q)
+        .otherwise(F.lit(4) - pa_q)
+        .alias("p_quarters"),
+    )
+    model_half = logs.filter(F.col("eid") % 2 == 0)
+    s = F.sum("reward_int").cast("bigint")
+    n = F.count(F.lit(1)).cast("bigint")
+    qhat = model_half.groupBy(
+        F.col("context"), F.col("logged_action")
+    ).agg(s.alias("__s"), n.alias("__n")).select(
+        "context",
+        "logged_action",
+        (
+            (
+                F.lit(2) * F.col("__s")
+                + F.col("__n")
+                - (F.lit(2) * F.col("__s") + F.col("__n"))
+                % (F.lit(2) * F.col("__n"))
+            )
+            / (F.lit(2) * F.col("__n"))
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    eval_half = logs.filter(F.col("eid") % 2 == 1)
+    return dr_policy_value(eval_half, qhat)

@@ -162,6 +162,7 @@ QUERIES = [
     "ips_reranker_policy_value",
     "ece_quality_gate_probability",
     "winsorized_mean_lift_user_spend",
+    "dr_reranker_policy_value",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

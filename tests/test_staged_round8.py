@@ -190,3 +190,49 @@ def test_winsorized_cap_tames_outlier_but_mean_does_not(spark):
     assert r["cap_treat"] == 10  # p90 of 19x10 + whale is still 10
     assert r["mean_treat_r6"] == 10.0
     assert r["lift_r6"] == 0.0
+
+
+def test_dr_hand_computed_and_reduces_to_ips_and_dm(spark):
+    """Hand-checked DR on two logs, plus the two reduction laws: with
+    an empty outcome model DR equals IPS; with no matched actions DR
+    equals the direct method."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        dr_policy_value,
+        ips_policy_value,
+    )
+
+    logs = spark.createDataFrame(
+        [
+            ("view", "A", "A", 100, 1),   # matched, w3=12
+            ("error", "B", "A", 50, 2),   # unmatched
+        ],
+        "context string, logged_action string, target_action string,"
+        " reward_int long, p_quarters int",
+    )
+    qhat = spark.createDataFrame(
+        [("view", "A", 40), ("error", "A", 7), ("error", "B", 9)],
+        "context string, logged_action string, q long",
+    )
+    r = dr_policy_value(logs, qhat).collect()[0]
+    # direct term: q(view,A)=40 + q(error,A)=7 → 3*(40+7) = 141
+    # correction: matched row only: 12*(100-40) = 720
+    assert (r["n"], r["n_matched"]) == (2, 1)
+    assert r["sum_dm3"] == 141
+    assert r["sum_corr3"] == 720
+    assert r["dr_r6"] == round((141 + 720) / 6, 6)
+    assert r["dm_r6"] == round(141 / 6, 6)
+
+    empty_q = spark.createDataFrame(
+        [], "context string, logged_action string, q long"
+    )
+    dr0 = dr_policy_value(logs, empty_q).collect()[0]
+    ips = ips_policy_value(logs).collect()[0]
+    assert dr0["dr_r6"] == ips["ips_r6"]
+
+    no_match = spark.createDataFrame(
+        [("view", "B", "A", 100, 1)],
+        "context string, logged_action string, target_action string,"
+        " reward_int long, p_quarters int",
+    )
+    rnm = dr_policy_value(no_match, qhat).collect()[0]
+    assert rnm["dr_r6"] == rnm["dm_r6"]
