@@ -827,3 +827,63 @@ def dr_policy_value(
         ).alias("dr_r6"),
         F.round(F.col("sum_dm3").cast("double") / n3, 6).alias("dm_r6"),
     )
+
+
+def mde_readout(
+    units: DataFrame,
+    arm_col: str = "arm",
+    conv_col: str = "converted",
+    treat: str = "treatment",
+    control: str = "control",
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect of a running conversion experiment at
+    its CURRENT sample sizes — the design-side sanity number every
+    readout should ship with (a "no significant lift" verdict means
+    nothing without the smallest lift the test could have seen):
+
+        MDE_abs = (z_α/2 + z_β) · √( p̄(1−p̄)·(1/n_t + 1/n_c) )
+
+    at 5% two-sided α and 80% power by default (the z constants are
+    literals, identical text in the oracle). p̄ is the pooled conversion
+    from the same four integer counters as the z-test; MDE_rel divides
+    by the control rate. Returns ONE row: (n_treat, n_ctrl, p_pool_r6,
+    mde_abs_r6, mde_rel_r6); the relative form is NULL when the control
+    never converts.
+
+    Scale: one scan, one four-counter aggregate, one row."""
+    is_t = F.col(arm_col) == treat
+    is_c = F.col(arm_col) == control
+    conv = F.col(conv_col).cast("boolean")
+    counts = units.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_treat"),
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("bigint").alias("n_ctrl"),
+        F.sum(F.when(is_t & conv, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ct"),
+        F.sum(F.when(is_c & conv, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cc"),
+    )
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_ctrl").cast("double")
+    pool = (F.col("__ct") + F.col("__cc")).cast("double") / (
+        F.col("n_treat") + F.col("n_ctrl")
+    ).cast("double")
+    pc = F.col("__cc").cast("double") / nc
+    # sum the two z literals as COLUMNS (not in Python) so the oracle's
+    # `CAST(.. AS DOUBLE) + CAST(.. AS DOUBLE)` reproduces the exact
+    # double from the same two correctly-rounded parses
+    mde = (F.lit(z_alpha) + F.lit(z_beta)) * F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nt + F.lit(1.0) / nc)
+    )
+    return counts.select(
+        "n_treat",
+        "n_ctrl",
+        F.round(pool, 6).alias("p_pool_r6"),
+        F.round(mde, 6).alias("mde_abs_r6"),
+        F.when(F.col("__cc") > 0, F.round(mde / pc, 6)).alias(
+            "mde_rel_r6"
+        ),
+    )

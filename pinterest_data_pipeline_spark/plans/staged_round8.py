@@ -36,6 +36,10 @@ division at the end):
   importance-weighted correction, the whole numerator one exact
   integer sum; reduction laws (q̂=0 ⇒ IPS, no matches ⇒ direct
   method) pinned in tests.
+- MDE / POWER: the design-side number that makes a null readout
+  interpretable — minimum detectable effect at the experiment's
+  current sample sizes, from the same four integer counters as the
+  z-test.
 """
 
 from __future__ import annotations
@@ -523,3 +527,78 @@ def dr_reranker_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_half = logs.filter(F.col("eid") % 2 == 1)
     return dr_policy_value(eval_half, qhat)
+
+
+@_stage(
+    "mde_power_purchase",
+    oracle=f"""
+    WITH units AS (
+        SELECT user_id, {_ARM_SQL} AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   = 1 AS conv
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_treat,
+               CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ctrl,
+               CAST(sum(CASE WHEN arm = 'treatment' AND conv
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN arm = 'control' AND conv
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        FROM units
+    ),
+    p AS (
+        SELECT n_treat, n_ctrl, ct, cc,
+               CAST(ct + cc AS DOUBLE)
+                   / CAST(n_treat + n_ctrl AS DOUBLE) AS pp,
+               CAST(cc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS pc,
+               (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+               * sqrt((CAST(ct + cc AS DOUBLE)
+                       / CAST(n_treat + n_ctrl AS DOUBLE))
+                      * (1.0 - CAST(ct + cc AS DOUBLE)
+                              / CAST(n_treat + n_ctrl AS DOUBLE))
+                      * (1.0 / CAST(n_treat AS DOUBLE)
+                         + 1.0 / CAST(n_ctrl AS DOUBLE))) AS mde
+        FROM c
+    )
+    SELECT n_treat, n_ctrl,
+           round(pp, 6) AS p_pool_r6,
+           round(mde, 6) AS mde_abs_r6,
+           CASE WHEN cc > 0 THEN round(mde / pc, 6) ELSE NULL END
+               AS mde_rel_r6
+    FROM p
+    """,
+)
+def mde_power_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the purchase-conversion experiment
+    at its current sample sizes (operators/experiment.mde_readout, 5%
+    two-sided α / 80% power) — the design-side number that makes a
+    "no significant lift" z-test verdict interpretable: any true lift
+    below mde_abs was invisible to this test. Completes the
+    experimentation loop staged across rounds 7-8: design (this) →
+    assignment health (chi-square) → readouts (CUPED, z, U, quantile,
+    winsorized) → counterfactual (IPS, DR).
+
+    Scale: one user-keyed aggregate, one four-counter aggregate, one
+    row."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        hash_assign_arm,
+        mde_readout,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    units = (
+        events.groupBy("user_id")
+        .agg(
+            (
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                == 1
+            ).alias("converted")
+        )
+        .withColumn("arm", hash_assign_arm("user_id"))
+    )
+    return mde_readout(units)

@@ -163,6 +163,7 @@ QUERIES = [
     "ece_quality_gate_probability",
     "winsorized_mean_lift_user_spend",
     "dr_reranker_policy_value",
+    "mde_power_purchase",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -236,3 +236,28 @@ def test_dr_hand_computed_and_reduces_to_ips_and_dm(spark):
     )
     rnm = dr_policy_value(no_match, qhat).collect()[0]
     assert rnm["dr_r6"] == rnm["dm_r6"]
+
+
+def test_mde_hand_computed_and_shrinks_with_n(spark):
+    """12/20 vs 6/20: MDE = 2.801585·sqrt(0.45·0.55·0.1); and
+    quadrupling both arms halves it (the 1/sqrt(n) law)."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        mde_readout,
+    )
+
+    rows = (
+        [("treatment", True)] * 12
+        + [("treatment", False)] * 8
+        + [("control", True)] * 6
+        + [("control", False)] * 14
+    )
+    df = spark.createDataFrame(rows, "arm string, converted boolean")
+    r = mde_readout(df).collect()[0]
+    expect = (1.959964 + 0.841621) * math.sqrt(0.45 * 0.55 * (0.05 + 0.05))
+    assert r["p_pool_r6"] == 0.45
+    assert r["mde_abs_r6"] == round(expect, 6)
+    assert r["mde_rel_r6"] == round(expect / 0.3, 6)
+
+    big = spark.createDataFrame(rows * 4, "arm string, converted boolean")
+    r4 = mde_readout(big).collect()[0]
+    assert abs(r4["mde_abs_r6"] - r["mde_abs_r6"] / 2) < 1e-6
