@@ -40,6 +40,12 @@ division at the end):
   interpretable — minimum detectable effect at the experiment's
   current sample sizes, from the same four integer counters as the
   z-test.
+
+Plus two structural extensions in the same exactness discipline:
+HITS hub/authority scores (integer fixed-point, unrolled oracle —
+operators/pagerank.hits_bipartite) and a from-scratch count-min
+sketch whose counter matrix the oracle rebuilds cell for cell
+(operators/sketches.py).
 """
 
 from __future__ import annotations
@@ -602,3 +608,162 @@ def mde_power_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arm", hash_assign_arm("user_id"))
     )
     return mde_readout(units)
+
+
+@_stage(
+    "hits_supplier_part_scores",
+    oracle="""
+    WITH ed AS (
+        SELECT DISTINCT 's#' || CAST(l_suppkey AS VARCHAR) AS h,
+                        'p#' || CAST(l_partkey AS VARCHAR) AS a
+        FROM lineitem
+    ),
+    h0 AS (SELECT DISTINCT h, CAST(1000 AS BIGINT) AS s FROM ed),
+    
+    a1r AS (
+        SELECT ed.a AS a, CAST(sum(h0.s) AS BIGINT) AS raw
+        FROM ed JOIN h0 ON h0.h = ed.h GROUP BY ed.a
+    ),
+    a1 AS (
+        SELECT a, CAST((raw * 1000) // m.m AS BIGINT) AS s
+        FROM a1r, (SELECT max(raw) AS m FROM a1r) m
+    ),
+    h1r AS (
+        SELECT ed.h AS h, CAST(sum(a1.s) AS BIGINT) AS raw
+        FROM ed JOIN a1 ON a1.a = ed.a GROUP BY ed.h
+    ),
+    h1 AS (
+        SELECT h, CAST((raw * 1000) // m.m AS BIGINT) AS s
+        FROM h1r, (SELECT max(raw) AS m FROM h1r) m
+    ),
+    
+    a2r AS (
+        SELECT ed.a AS a, CAST(sum(h1.s) AS BIGINT) AS raw
+        FROM ed JOIN h1 ON h1.h = ed.h GROUP BY ed.a
+    ),
+    a2 AS (
+        SELECT a, CAST((raw * 1000) // m.m AS BIGINT) AS s
+        FROM a2r, (SELECT max(raw) AS m FROM a2r) m
+    ),
+    h2r AS (
+        SELECT ed.h AS h, CAST(sum(a2.s) AS BIGINT) AS raw
+        FROM ed JOIN a2 ON a2.a = ed.a GROUP BY ed.h
+    ),
+    h2 AS (
+        SELECT h, CAST((raw * 1000) // m.m AS BIGINT) AS s
+        FROM h2r, (SELECT max(raw) AS m FROM h2r) m
+    )
+    SELECT 'hub' AS kind, h AS node, s AS score_int FROM h2
+    UNION ALL
+    SELECT 'authority' AS kind, a AS node, s AS score_int FROM a2
+    """,
+)
+def hits_supplier_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores over the supplier-part bipartite graph
+    (operators/pagerank.hits_bipartite, Kleinberg'99): two mutual-
+    reinforcement rounds in exact integer arithmetic with truncating
+    max-renormalization, the same fixed-point discipline as the
+    registered PageRank and the staged power iteration — and the same
+    fully-unrolled oracle, so the driver hash pins every round's joins,
+    sums and renormalizations, not just the final ordering.
+
+    Scale: per round, two joins keyed by the edge endpoints with the
+    side scores broadcast, two partial-combinable aggregates, a 1-row
+    max broadcast; lineage truncates between rounds."""
+    from pinterest_data_pipeline_spark.operators.pagerank import (
+        hits_bipartite,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s#"), F.col("l_suppkey").cast("string")).alias(
+            "hub"
+        ),
+        F.concat(F.lit("p#"), F.col("l_partkey").cast("string")).alias(
+            "auth"
+        ),
+    )
+    return hits_bipartite(edges, iterations=2)
+
+
+@_stage(
+    "countmin_token_frequency",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY tok),
+    probes AS (
+        SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT 15
+    ),
+    cells AS (
+        SELECT jj.j AS j,
+               CAST(concat('0x', substr(md5(concat('cms', jj.j, ':',
+                    tok)), 1, 8)) AS BIGINT) % 256 AS b
+        FROM toks, (SELECT unnest(range(0, 4)) AS j) jj
+    ),
+    counters AS (
+        SELECT j, b, CAST(count(*) AS BIGINT) AS c
+        FROM cells GROUP BY j, b
+    ),
+    pb AS (
+        SELECT p.tok, p.n, jj.j AS j,
+               CAST(concat('0x', substr(md5(concat('cms', jj.j, ':',
+                    p.tok)), 1, 8)) AS BIGINT) % 256 AS b
+        FROM probes p, (SELECT unnest(range(0, 4)) AS j) jj
+    ),
+    est AS (
+        SELECT pb.tok, pb.n, CAST(min(COALESCE(c.c, 0)) AS BIGINT)
+                   AS est_n
+        FROM pb LEFT JOIN counters c ON c.j = pb.j AND c.b = pb.b
+        GROUP BY pb.tok, pb.n
+    )
+    SELECT tok AS token, n AS true_n, est_n,
+           CAST(est_n - n AS BIGINT) AS overshoot
+    FROM est
+    """,
+)
+def countmin_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's 15 most
+    frequent tokens (operators/sketches: 4×256 portable-md5 counter
+    matrix built in one aggregate, probes estimated by min-of-cells) —
+    the explicitly-constructed member of the sketch family, with the
+    one-sided-error CONTRACT visible in the output: overshoot =
+    est − true is the collision overcount, and it can never be
+    negative. The DuckDB oracle rebuilds the identical counter matrix
+    cell for cell, so the driver hash pins the sketch itself, not just
+    the estimates.
+
+    Scale: the sketch is ONE partial-combinable aggregate to ≤1024
+    rows whatever the corpus size; estimation joins 15 probes to the
+    broadcast matrix. Disjoint-shard sketches merge by summing
+    counters."""
+    from pinterest_data_pipeline_spark.operators.chunking import ws_tokens
+    from pinterest_data_pipeline_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    toks = toks.localCheckpoint(eager=True)  # counts + sketch both read it
+    counters = count_min_build(toks, "tok")
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("tok").asc())
+        .limit(15)
+    )
+    est = count_min_estimate(counters, probes, "tok")
+    return est.select(
+        F.col("tok").alias("token"),
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).cast("bigint").alias("overshoot"),
+    )

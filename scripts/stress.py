@@ -164,6 +164,8 @@ QUERIES = [
     "winsorized_mean_lift_user_spend",
     "dr_reranker_policy_value",
     "mde_power_purchase",
+    "hits_supplier_part_scores",
+    "countmin_token_frequency",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -261,3 +261,97 @@ def test_mde_hand_computed_and_shrinks_with_n(spark):
     big = spark.createDataFrame(rows * 4, "arm string, converted boolean")
     r4 = mde_readout(big).collect()[0]
     assert abs(r4["mde_abs_r6"] - r["mde_abs_r6"] / 2) < 1e-6
+
+
+def test_hits_planted_star_dominates(spark):
+    """Planted structure: supplier S1 links to 3 parts, S2 to 1 of
+    them; part P1 has both suppliers, the rest only S1. After round 1,
+    P1's authority is max (2000 raw → 1000), P2/P3 get 1000 raw → 500;
+    hubs renormalize so S1 (touching all parts) is the top hub."""
+    from pinterest_data_pipeline_spark.operators.pagerank import (
+        hits_bipartite,
+    )
+
+    edges = spark.createDataFrame(
+        [("s1", "p1"), ("s1", "p2"), ("s1", "p3"), ("s2", "p1")],
+        "hub string, auth string",
+    )
+    out = {
+        (r["kind"], r["node"]): r["score_int"]
+        for r in hits_bipartite(edges, iterations=1).collect()
+    }
+    assert out[("authority", "p1")] == 1000
+    assert out[("authority", "p2")] == 500
+    assert out[("authority", "p3")] == 500
+    # h(s1) raw = 1000+500+500 = 2000 (max), h(s2) raw = 1000
+    assert out[("hub", "s1")] == 1000
+    assert out[("hub", "s2")] == 500
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """The one-sided-error contract on a planted stream (est ≥ true for
+    every item), exact equality when width is large vs vocabulary, and
+    shard-merge associativity: sketch(A ∪ B) == sketch(A) + sketch(B)
+    cell for cell."""
+    from pinterest_data_pipeline_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [("d",)] * 1
+    )
+    df = spark.createDataFrame(rows, "item string")
+    counters = count_min_build(df, "item", depth=4, width=64)
+    probes = df.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    est = {
+        r["item"]: (r["true_n"], r["est_n"])
+        for r in count_min_estimate(
+            counters, probes, "item", depth=4, width=64
+        ).collect()
+    }
+    for item, (true_n, est_n) in est.items():
+        assert est_n >= true_n, item
+    # 4 items in 4x64 cells: no collisions — exact
+    assert all(t == e for t, e in est.values())
+
+    half_a = spark.createDataFrame(rows[:40], "item string")
+    half_b = spark.createDataFrame(rows[40:], "item string")
+    merged = (
+        count_min_build(half_a, "item", depth=4, width=64)
+        .unionByName(count_min_build(half_b, "item", depth=4, width=64))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    full = {
+        (r["j"], r["bucket"]): r["cnt"] for r in counters.collect()
+    }
+    assert {
+        (r["j"], r["bucket"]): r["cnt"] for r in merged.collect()
+    } == full
+
+
+def test_countmin_collision_overcounts_one_sided(spark):
+    """Width 1 forces every item into one cell per row: the estimate
+    for any item is the TOTAL stream length — grossly high, never
+    low."""
+    from pinterest_data_pipeline_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rows = [("x",)] * 7 + [("y",)] * 3
+    df = spark.createDataFrame(rows, "item string")
+    counters = count_min_build(df, "item", depth=2, width=1)
+    probes = df.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    out = {
+        r["item"]: r["est_n"]
+        for r in count_min_estimate(
+            counters, probes, "item", depth=2, width=1
+        ).collect()
+    }
+    assert out == {"x": 10, "y": 10}
