@@ -81,8 +81,8 @@ def item_cooccurrence(
         F.col("item").alias("item_b"), F.col("n").alias("n_b")
     )
     return (
-        pairs.join(F.broadcast(da), "item_a")
-        .join(F.broadcast(db), "item_b")
+        pairs.join(da, "item_a")
+        .join(db, "item_b")
         .select(
             "item_a",
             "item_b",

@@ -71,14 +71,17 @@ def cuped_adjusted_means(
         F.sum("__x").alias("__ax"),
         F.sum("__y").alias("__ay"),
     )
-    theta = (
-        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
-            "double"
-        )
-        / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
-            "double"
-        )
-    )
+    # NULL (not ANSI ArithmeticException) when every pre-period covariate
+    # is equal (n·Sxx = Sx²) — the same degenerate-denominator guard
+    # two_proportion_ztest / mann_whitney_u apply; oracles mirror the
+    # CASE WHEN so DuckDB replays the NULL.
+    theta_num = (
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ).cast("double")
+    theta_den = (
+        F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    theta = F.when(theta_den != 0, theta_num / theta_den)
     mean_pre_all = F.col("__sx").cast("double") / F.col("__n").cast("double")
     mean_pre_arm = F.col("__ax").cast("double") / F.col("n_units").cast("double")
     mean_post_arm = F.col("__ay").cast("double") / F.col("n_units").cast("double")
@@ -152,8 +155,11 @@ def agreement_kappa(
             "pe_r6"
         ),
         F.round(
-            (n * agree - chance).cast("double")
-            / (n * n - chance).cast("double"),
+            F.when(
+                n * n - chance != 0,
+                (n * agree - chance).cast("double")
+                / (n * n - chance).cast("double"),
+            ),
             6,
         ).alias("kappa_r6"),
     )

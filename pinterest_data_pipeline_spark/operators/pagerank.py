@@ -112,9 +112,12 @@ def hits_bipartite(
 
     Scale: per iteration, two hash joins keyed by the edge endpoints
     and two partial-combinable aggregates; the score relations are
-    |hubs| / |auths| rows (broadcast onto the edge scan when small);
-    the max is a 1-row broadcast, never a collect. Lineage truncates
-    between rounds."""
+    |hubs| / |auths| rows — no forced broadcast: AQE decides per run,
+    so a 1e8-node side degrades to a shuffle join instead of OOMing
+    the driver. The max is a 1-row broadcast, never a collect. Lineage
+    truncates between rounds."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     ed = edges.select(
         F.col(hub_col).alias("__h"), F.col(auth_col).alias("__a")
     ).distinct()
@@ -135,13 +138,13 @@ def hits_bipartite(
     a = None
     for i in range(iterations):
         a_raw = (
-            ed.join(F.broadcast(h), ed["__h"] == h["__h"])
+            ed.join(h, ed["__h"] == h["__h"])
             .groupBy(ed["__a"])
             .agg(F.sum("__score").alias("__raw"))
         )
         a = renorm(a_raw, "__a").localCheckpoint(eager=True)
         h_raw = (
-            ed.join(F.broadcast(a), ed["__a"] == a["__a"])
+            ed.join(a, ed["__a"] == a["__a"])
             .groupBy(ed["__h"])
             .agg(F.sum("__score").alias("__raw"))
         )

@@ -350,6 +350,13 @@ def ndcg_at_k(
             F.col("__g").alias(group_col),
             F.round("__dcg", 6).alias("dcg_r6"),
             F.round("__idcg", 6).alias("idcg_r6"),
-            F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg_r6"),
+            # NULL (not ANSI DivideByZero) when every grade in the group
+            # is 0 (idcg = 0); oracles mirror the CASE WHEN.
+            F.round(
+                F.when(
+                    F.col("__idcg") != 0, F.col("__dcg") / F.col("__idcg")
+                ),
+                6,
+            ).alias("ndcg_r6"),
         )
     )

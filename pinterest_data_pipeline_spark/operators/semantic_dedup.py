@@ -76,6 +76,39 @@ def semantic_dedup(
     (`kmeans_codebook`), hyperplanes are seeded constants, survivor
     choice is min-id.
     """
+    assigned, pairs, _k = _cells_and_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        threshold=threshold,
+        iterations=iterations,
+        target_cell_size=target_cell_size,
+        max_k=max_k,
+        within_cell=within_cell,
+        all_pairs_cell_cap=all_pairs_cell_cap,
+        n_blocks=n_blocks,
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(removed, on=id_col, how="left_anti")
+
+
+def _cells_and_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int | None,
+    threshold: float,
+    iterations: int,
+    target_cell_size: int,
+    max_k: int,
+    within_cell: str,
+    all_pairs_cell_cap: int,
+    n_blocks: int,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared core of :func:`semantic_dedup` and
+    :func:`semantic_dedup_gate`: codebook → cell assignment →
+    within-cell duplicate pairs. Returns (assigned, pairs, k)."""
     from pinterest_data_pipeline_spark.operators.parallel import fan_out
     from pinterest_data_pipeline_spark.operators.similarity import (
         lsh_near_duplicates,
@@ -115,8 +148,7 @@ def semantic_dedup(
         )
     else:
         raise ValueError(f"unknown within_cell method: {within_cell!r}")
-    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return assigned.join(removed, on=id_col, how="left_anti")
+    return assigned, pairs, k
 
 
 def semantic_dedup_summary(
@@ -141,4 +173,124 @@ def semantic_dedup_summary(
         (F.lit(total) - F.count("*")).cast("bigint").alias("n_removed"),
         F.count("*").cast("bigint").alias("n_survivors"),
         F.sum(id_col).cast("bigint").alias("survivor_id_sum"),
+    )
+
+
+def semantic_dedup_gate(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    threshold: float = 0.97,
+    iterations: int = 2,
+    target_cell_size: int = 600,
+    max_k: int = 4096,
+    within_cell: str = "auto",
+    all_pairs_cell_cap: int = 1200,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Gate-style one-row readout of a semantic-dedup pass (the
+    `ivf_kmeans_codebook_assign` / `hll_sketch_union_gate` discipline):
+    the iterative k-means + LSH internals stay engine-side, but every
+    EXACT invariant of the result is emitted as a column a SQL oracle
+    either replays from the input or pins to zero violations:
+
+    - ``n_total`` / ``id_sum_total`` — input row count and id checksum,
+      replayed exactly by the oracle (``COUNT(*)`` / ``SUM(id)``).
+    - ``k_cells`` — the auto-scaled codebook size; a pure integer
+      function of ``n_total`` (``max(8, min(max_k, n // target))``),
+      replayed by the oracle.
+    - ``conservation_violations`` — 1 if survivors and removed fail to
+      partition the corpus exactly (counts AND id-checksums must both
+      add up: ``n_s + n_r = n_total`` and ``Σid_s + Σid_r = Σid``);
+      pinned 0. This is what makes the survivor checksum meaningful —
+      any nondeterminism or row loss between runs breaks conservation.
+    - ``range_violations`` — assigned cluster ids outside [0, k);
+      pinned 0.
+    - ``witness_violations`` — duplicate pairs violating the
+      ``id_a < id_b`` orientation min-id retention relies on; pinned 0.
+    - ``min_id_removed_violations`` — 1 if the corpus's global minimum
+      id was removed (impossible under min-id survival); pinned 0.
+
+    Scale: all seven outputs are single-row aggregates over relations
+    the dedup pass already builds; the gate adds no extra corpus scan
+    beyond the totals pass."""
+    assigned, pairs, k_cells = _cells_and_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        threshold=threshold,
+        iterations=iterations,
+        target_cell_size=target_cell_size,
+        max_k=max_k,
+        within_cell=within_cell,
+        all_pairs_cell_cap=all_pairs_cell_cap,
+        n_blocks=n_blocks,
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = assigned.join(removed, on=id_col, how="left_anti")
+    zero = F.lit(0).cast("bigint")
+    totals = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(id_col).cast("bigint").alias("id_sum_total"),
+        F.min(id_col).cast("bigint").alias("__min_id"),
+    )
+    surv = survivors.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_s"),
+        F.coalesce(F.sum(id_col).cast("bigint"), zero).alias("__s_sum"),
+    )
+    rem = removed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_r"),
+        F.coalesce(F.sum(id_col).cast("bigint"), zero).alias("__r_sum"),
+        F.min(id_col).cast("bigint").alias("__min_removed"),
+    )
+    rng = assigned.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("cluster").isNull()
+                    | (F.col("cluster") < 0)
+                    | (F.col("cluster") >= k_cells),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint"),
+            zero,
+        ).alias("__range_v")
+    )
+    wit = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("id_a") >= F.col("id_b"), 1).otherwise(0)
+            ).cast("bigint"),
+            zero,
+        ).alias("__wit_v")
+    )
+    return (
+        totals.crossJoin(surv)
+        .crossJoin(rem)
+        .crossJoin(rng)
+        .crossJoin(wit)
+        .select(
+            "n_total",
+            "id_sum_total",
+            F.lit(k_cells).cast("bigint").alias("k_cells"),
+            F.when(
+                (F.col("__n_s") + F.col("__n_r") != F.col("n_total"))
+                | (
+                    F.col("__s_sum") + F.col("__r_sum")
+                    != F.col("id_sum_total")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("conservation_violations"),
+            F.col("__range_v").alias("range_violations"),
+            F.col("__wit_v").alias("witness_violations"),
+            F.when(F.col("__min_removed").eqNullSafe(F.col("__min_id")), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("min_id_removed_violations"),
+        )
     )

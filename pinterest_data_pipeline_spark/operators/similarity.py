@@ -675,6 +675,13 @@ def triplet_mining(
     corpus are dropped (a triplet needs both). Ties break by candidate
     id ascending, so the mined set is deterministic.
 
+    CONTRACT: ``id_col`` must be NUMERIC — the tiebreak is
+    ``max(struct(score, −cand_id))``, and the negation has no meaning
+    for strings. A non-numeric id raises TypeError here (clear, at
+    build time) rather than an opaque analysis error; hash or
+    dense-rank string ids to integers first (``xxhash64`` /
+    ``monotonically_increasing_id`` + join-back).
+
     Scale: ONE corpus scan scored against the broadcast anchor batch,
     then both argmax legs resolve inside a single partial-combinable
     aggregate — ``max(struct(score, −cand_id))`` per (anchor, leg) —
@@ -684,6 +691,15 @@ def triplet_mining(
     join for the IVF/LSH candidate generators in this module — the
     selection aggregate is unchanged.
     """
+    from pyspark.sql.types import NumericType
+
+    for side, df in (("corpus", corpus), ("anchors", anchors)):
+        if not isinstance(df.schema[id_col].dataType, NumericType):
+            raise TypeError(
+                f"triplet_mining requires a numeric {id_col!r}; {side} has "
+                f"{df.schema[id_col].dataType.simpleString()} — hash or "
+                "dense-rank string ids to integers first"
+            )
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),

@@ -42,122 +42,111 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 6 WINDOW: exactly 50 entries.
-    # Arithmetic: 22 promotions + 5 changed re-certifications + 2
-    # rows-only→oracle upgrades + 1 rows-only re-queue = 30 new/changed;
-    # 20 slots refresh green rows oldest-evidence-first (the 8-query
-    # r1-evidence remainder, then the r2-evidence set in registration
-    # order), per the standing rule at the bottom.
+    # ---- ROUND 7 WINDOW: exactly 50 entries.
+    # Arithmetic: 17 promotions + 5 changed re-certifications + 1
+    # rows-only→oracle upgrade = 23 new/changed; 27 slots refresh green
+    # rows oldest-evidence-first (the r2-evidence set in registration
+    # order, continuing where round 6's rotation left off), per the
+    # standing rule at the bottom.
     #
-    # -- (1) the twenty-two round-5-staged queries, now registered
-    # (plans/staged_round6.py — full oracles, strict-mirror parity at
-    # sf0.001 + sf0.01, x30 stress rows; built in r5, first driver rows
-    # here).
-    "dedup_keep_best_quality",
-    "leakage_safe_split_assign",
-    "token_budget_selection",
-    "mixture_epoch_capped_plan",
-    "bpe_pair_stats",
-    "winnowing_cap_report",
-    "incremental_embedding_new_pairs",
-    "dsir_importance_weights",
-    "dsir_gumbel_topk",
-    "bpe_learn_merges",
-    "bpe_encode_compression",
-    "duplicate_span_report",
-    "cut_duplicate_spans_stats",
-    "soft_dedup_weights",
-    "bpe_fertility_by_lang",
-    "cross_source_span_leakage",
-    "mattr_lexical_diversity",
-    "join_null_safe_agg",
-    "bigram_logprob_quality",
-    "curation_v2_report",
-    "sessionize_event_stats",
-    "doremi_domain_reweight",
-    # -- (2) changed-in-round-6 re-certifications:
-    # winnowing_passage_pairs — cap_bucket_size switched from
-    # whole-bucket drop to deterministic min-id retention (the ×100
-    # saturation fix; oracle updated to the ROW_NUMBER retention);
-    # minhash_dedup_clusters / corpus_curation_full /
-    # near_dup_cluster_size_histogram — duplicate_clusters now iterates
-    # to fixpoint instead of a 12-hop bound (same result at any SF
-    # whose component diameter ≤ 12, but the implementation changed).
-    "winnowing_passage_pairs",
+    # -- (1) the seventeen round-6-staged queries, now registered
+    # (plans/staged_round7.py — full oracles, strict-mirror parity at
+    # sf0.001 + sf0.01, x30 stress rows; built in r6, first driver rows
+    # here). Spatial grid joins over the reference's geo.coordinates
+    # surface, retrieval ranking, experimentation statistics, spectral
+    # power iteration, labeling QA.
+    "geo_radius_pairs_customers",
+    "geo_nearest_neighbor_probes",
+    "bm25_doc_scores",
+    "rrf_quality_length_fusion",
+    "cuped_event_experiment",
+    "ewma16_user_value",
+    "quality_decile_calibration",
+    "curriculum_interleave_shards",
+    "embedding_top_direction_power",
+    "triplet_mining_anchors",
+    "mmr_diverse_rerank",
+    "annotator_agreement_kappa",
+    "item_cooccurrence_similarity",
+    "ab_purchase_ztest",
+    "ndcg_length_ranker_by_source",
+    "mann_whitney_event_value",
+    "chisq_event_type_by_arm",
+    # -- (2) changed-in-round-6 re-certifications: commit 3d62ac7 added
+    # a sort-merge hint to the minhash verification join (plan-only,
+    # values unchanged, but policy recertifies every query whose
+    # physical plan input changed). minhash_lsh_near_duplicates shares
+    # the code path but stays CHECK_LAST (rows-only by design).
     "minhash_dedup_clusters",
     "corpus_curation_full",
-    "near_dup_cluster_size_histogram",
-    # -- (3) rows-only → oracle-backed upgrades (the IVF-pair pattern
-    # from round 5): both sketch queries now emit deterministic
-    # accuracy-gate outputs (exact companions + zero-violation bound
-    # verdicts) the oracle pins, so their driver rows upgrade from
-    # `no_oracle` to hash.
-    "approx_distinct_events",
-    "approx_percentiles_sketch",
-    # -- (4) rows-only re-queue: semantic_dedup_survivors depends on
-    # clustering.assign_to_codebook, which grew an optional score_col
-    # in round 5 after its r4 driver row; refresh the evidence.
+    "dedup_keep_best_quality",
+    "leakage_safe_split_assign",
+    "soft_dedup_weights",
+    # -- (3) rows-only → oracle-backed upgrade (the IVF-pair pattern):
+    # semantic_dedup_survivors now emits deterministic survivor-count /
+    # survivor-checksum / cell-invariant outputs pinned by a DuckDB
+    # replay of the fixed-codebook assignment.
     "semantic_dedup_survivors",
-    # -- (5) oldest-evidence rotation, r1 remainder (their last driver
-    # rows were produced by round-1 code; ngram_jaccard_pairs rotates in
-    # from CHECK_LAST for its first refresh since r1).
-    "exact_dedup_fingerprint",
-    "levenshtein_similar_names",
-    "ngram_jaccard_pairs",
-    "scalar_date_arithmetic",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "window_distribution_funcs",
-    # -- (6) oldest-evidence rotation, r2 set in registration order
-    # (13 of 45; the remainder rotates in round 7+).
-    "limit_offset_sample",
-    "approx_distinct_error_bound",
-    "approx_percentile_error_bound",
-    "collect_segments_per_nation",
-    "embedding_cosine_topk",
-    "embedding_ivf_topk",
-    "embedding_near_dup_pairs",
-    "multimodal_binary_meta",
-    "corpus_curation_basic",
-    "text_top_pieces",
-    "chunk_documents_tokens",
-    "stratified_sample_per_lang",
-    "mixture_upsample_by_lang",
+    # -- (4) oldest-evidence rotation: the r2-evidence set in
+    # registration order (27 of 32; the 5-query remainder —
+    # scd2_segment_changes, agg_percentiles, agg_stats_exact,
+    # scalar_subquery_low_qty, range_join_acctbal_bands — rotates in
+    # round 8).
+    "embedding_quantize_error_bound",
+    "udtf_split_sentences",
+    "pii_redaction_counts",
+    "repetition_signals",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_bins",
+    "train_val_split_hash",
+    "gopher_quality_flags",
+    "boilerplate_ngram_fraction",
+    "decontaminate_jaccard_overlap",
+    "deterministic_shuffle_shards",
+    "tfidf_top_terms",
+    "unigram_logprob_quality",
+    "tumbling_hourly_event_counts",
+    "sliding_window_event_counts",
+    "session_window_user_counts",
+    "stream_interval_join_batch",
+    "stream_running_totals_batch",
+    "stream_static_enrich_batch",
+    "asof_join_latest_view",
+    "pandas_udf_bucket_counts",
+    "grouped_map_top2_per_nation",
+    "explode_type_words",
+    "map_column_access",
+    "sql_revenue_topk",
+    "event_funnel_steps",
+    "merge_upsert_customers",
     # ---- 50-row window boundary ----
     #
-    # STANDING ROTATION RULE (policy since round 5; held in r4/r5/r6):
+    # STANDING ROTATION RULE (policy since round 5; held r4→r7):
     # each round's window must fit new + changed + reds; cap net-new
     # registrations so that holds (new + changed + oldest-stale ≤ 50),
     # and fill every remaining slot with green rows
     # oldest-evidence-first. Never let a query sit never-checked across
     # a round boundary.
     #
-    # ROUND-7 ROTATION NOTES (window arithmetic pre-planned):
-    #   (a) 17 promotions from plans/staged_round7.py (all oracled,
+    # ROUND-8 ROTATION NOTES (window arithmetic pre-planned):
+    #   (a) 8 promotions from plans/staged_round8.py (all oracled,
     #       parity-tested at sf0.001+sf0.01, x30-stressed):
-    #       geo_radius_pairs_customers, geo_nearest_neighbor_probes,
-    #       bm25_doc_scores, rrf_quality_length_fusion,
-    #       cuped_event_experiment, ewma16_user_value,
-    #       quality_decile_calibration, curriculum_interleave_shards,
-    #       embedding_top_direction_power, triplet_mining_anchors,
-    #       mmr_diverse_rerank, annotator_agreement_kappa,
-    #       item_cooccurrence_similarity, ab_purchase_ztest,
-    #       ndcg_length_ranker_by_source, mann_whitney_event_value,
-    #       chisq_event_type_by_arm.
-    #   (b) changed-in-r6 re-certifications (the minhash verification
-    #       join gained a sort-merge hint — plan-only, values
-    #       unchanged, but policy recertifies): minhash_dedup_clusters,
-    #       corpus_curation_full, dedup_keep_best_quality,
-    #       leakage_safe_split_assign, soft_dedup_weights (+
-    #       minhash_lsh_near_duplicates stays CHECK_LAST, rows-only).
-    #   (c) fill the remaining ~28 slots oldest-evidence-first:
-    #       continue the r2 refresh where (6) leaves off —
-    #       embedding_quantize_error_bound, udtf_split_sentences,
-    #       pii_redaction_counts, repetition_signals,
-    #       decontaminate_ngram_overlap, pack_sequences_bins,
-    #       train_val_split_hash, ... (registration order), then r3.
-    #   17 + 5 + 28 = 50 holds.
+    #       quantile_lift_by_arm, ips_snips_policy_value,
+    #       doubly_robust_policy_value, reliability_bins_ece,
+    #       winsorized_lift_by_arm, mde_power_planning,
+    #       hits_parts_suppliers, countmin_heavy_hitters_gate.
+    #   (b) changed-in-r7 re-certifications: none known at plan time —
+    #       the r7 advisor fixes (CUPED/kappa/NDCG NULL guards,
+    #       cooccurrence/HITS broadcast removal, triplet id contract)
+    #       all land INSIDE the r7 window's own promotions, so they
+    #       earn their first driver rows already guarded. Queue any
+    #       query whose code changes during round 7 here.
+    #   (c) fill the remaining ~42 slots oldest-evidence-first: the
+    #       5-query r2 remainder (scd2_segment_changes, agg_percentiles,
+    #       agg_stats_exact, scalar_subquery_low_qty,
+    #       range_join_acctbal_bands), then the 37-query r3-evidence
+    #       set in registration order.
+    #   8 + 5 + 37 = 50 holds exactly.
 ]
 
 CHECK_LAST: list[str] = [

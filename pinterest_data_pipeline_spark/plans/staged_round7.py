@@ -1,14 +1,13 @@
-"""ROUND-7 STAGING AREA — implemented, tested, NOT driver-registered.
+"""ROUND-7 PROMOTIONS — built and parity-tested in round 6, registered
+in round 7.
 
-Round 6's driver window is fully allocated (22 promotions + 5 changed
-re-certifications + 2 gate-oracle upgrades + 1 re-queue + 20 rotations =
-exactly 50, registry.CHECK_FIRST), so per the standing rotation rule
-these seventeen new queries stage here: each has a full DuckDB oracle and a
-strict-mirror parity test (tests/test_staged_round7.py) at sf0.001 +
-sf0.01, and registering them in round 7 is the same one-step move rounds
-5 and 6 performed — point ``_stage`` at ``registry.register``, import
-the module from ``__spark_entry__``, and queue the names at the head of
-CHECK_FIRST.
+These seventeen queries staged during round 6 (its driver window was
+fully allocated) with full DuckDB oracles and strict-mirror parity tests
+(tests/test_staged_round7.py) at sf0.001 + sf0.01. Round 7 registers
+them — ``_stage`` below now feeds ``registry.register`` directly (the
+same one-step move rounds 5 and 6 performed), ``__spark_entry__``
+imports this module, and their names lead registry.CHECK_FIRST so the
+driver's 50-query round-7 window certifies them first.
 
 The set extends the engine sideways into surfaces the inventory
 did not yet cover, each with the repo's engine-portable exactness
@@ -50,7 +49,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.registry import register
 from pinterest_data_pipeline_spark.sources.parquet import load_table
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -58,14 +57,13 @@ STAGED_ORACLE: dict[str, str] = {}
 
 
 def _stage(name: str, oracle: str | None = None):
-    """Same contract as registry.register, but into the staging dicts
-    (the round-6 window is frozen; round 7 swaps this for register)."""
+    """ROUND-7 PROMOTION: registry.register proper (driver surface),
+    plus the module-local dicts the behavioral tests in
+    tests/test_staged_round7.py enumerate. All validation (duplicate
+    names, `--`-in-oracle) happens in register()."""
 
     def deco(fn):
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name: {name}")
-        if oracle is not None and has_sql_line_comment(oracle):
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        register(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLE[name] = " ".join(oracle.split())
@@ -415,15 +413,17 @@ def rrf_quality_length_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mean_post_r6,
            round((CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE)) / 100.0, 6)
                AS mean_pre_r6,
-           round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
-                 / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6)
+           round(CASE WHEN m.n * m.sxx - m.sx * m.sx <> 0 THEN
+                 CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) END, 6)
                AS theta_r6,
-           round(((CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE))
+           round(CASE WHEN m.n * m.sxx - m.sx * m.sx <> 0 THEN
+               ((CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE))
                - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
                   / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
                  * ((CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE))
                     - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
-               / 100.0, 6) AS cuped_mean_r6
+               / 100.0 END, 6) AS cuped_mean_r6
     FROM arms, m
     """,
 )
@@ -937,10 +937,12 @@ _KAPPA_HASH = (
                AS po_r6,
            round(CAST(ap * bp + (n - ap) * (n - bp) AS DOUBLE)
                  / CAST(n * n AS DOUBLE), 6) AS pe_r6,
-           round(CAST(n * (n11 + n00) - (ap * bp + (n - ap) * (n - bp))
+           round(CASE WHEN n * n - (ap * bp + (n - ap) * (n - bp)) <> 0
+                 THEN
+                 CAST(n * (n11 + n00) - (ap * bp + (n - ap) * (n - bp))
                       AS DOUBLE)
                  / CAST(n * n - (ap * bp + (n - ap) * (n - bp))
-                        AS DOUBLE), 6) AS kappa_r6
+                        AS DOUBLE) END, 6) AS kappa_r6
     FROM counts
     """,
 )
@@ -1168,7 +1170,8 @@ def ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dcg.source, round(dcg.d, 6) AS dcg_r6,
            round(idcg.i, 6) AS idcg_r6,
-           round(dcg.d / idcg.i, 6) AS ndcg_r6
+           round(CASE WHEN idcg.i <> 0 THEN dcg.d / idcg.i END, 6)
+               AS ndcg_r6
     FROM dcg JOIN idcg ON idcg.source = dcg.source
     """,
 )

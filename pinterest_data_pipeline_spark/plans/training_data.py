@@ -798,7 +798,28 @@ def embedding_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("semantic_dedup_survivors")  # iterative k-means inside: rows-only
+@register(
+    "semantic_dedup_survivors",
+    # Gate-style oracle (round 7, upgrading the r4/r6 rows-only check;
+    # the ivf_kmeans_codebook_assign pattern): the iterative k-means +
+    # per-cell LSH stay engine-side, but the gate row's exact invariants
+    # are each either replayed by DuckDB from the input (n_total,
+    # id_sum_total, the pure-integer auto-k formula) or pinned to zero
+    # violations (survivors+removed must partition the corpus in both
+    # count and id-checksum, cluster ids in [0, k), pair orientation
+    # id_a < id_b, global-min id never removed).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum_total,
+           CAST(GREATEST(8, LEAST(32, COUNT(*) // 600)) AS BIGINT)
+               AS k_cells,
+           CAST(0 AS BIGINT) AS conservation_violations,
+           CAST(0 AS BIGINT) AS range_violations,
+           CAST(0 AS BIGINT) AS witness_violations,
+           CAST(0 AS BIGINT) AS min_id_removed_violations
+    FROM embeddings
+    """,
+)
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pair search,
     cosine ≥ threshold within a cell marks duplicates, min-id survives
@@ -809,15 +830,18 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap the within-cell search switches to per-cell hyperplane LSH
     (``within_cell='auto'``). Threshold 0.97 per the SemDeDup recipe —
     exact/near-exact clones collide in every LSH band, so the scale path
-    keeps recall ≈ 1 on true duplicates. The one-row summary carries a
-    survivor-id checksum so the rows-only driver check pins the exact
-    survivor set across runs."""
+    keeps recall ≈ 1 on true duplicates. Output is the one-row gate
+    (operators/semantic_dedup.semantic_dedup_gate): conservation of the
+    survivor/removed partition in count AND id-checksum, cluster-range,
+    pair-orientation, and min-id-survival invariants, driver-hash-checked
+    against the DuckDB replay. The survivor relation itself stays pinned
+    by tests/test_dedup_similarity.py."""
     from pinterest_data_pipeline_spark.operators.semantic_dedup import (
-        semantic_dedup_summary,
+        semantic_dedup_gate,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_summary(emb, k=None, threshold=0.97, max_k=32)
+    return semantic_dedup_gate(emb, k=None, threshold=0.97, max_k=32)
 
 
 @register(

@@ -364,6 +364,30 @@ def test_semantic_dedup_summary_deterministic(spark, emb):
     assert a["n_total"] == a["n_removed"] + a["n_survivors"]
 
 
+def test_semantic_dedup_gate_invariants(spark, emb):
+    """The round-7 gate row: replayable totals plus zero violations —
+    including at a threshold LOW enough that rows actually get removed,
+    so conservation is exercised on a non-trivial partition."""
+    from pinterest_data_pipeline_spark.operators.semantic_dedup import (
+        semantic_dedup,
+        semantic_dedup_gate,
+    )
+
+    g = semantic_dedup_gate(emb, k=8, threshold=0.4).collect()[0]
+    assert g["conservation_violations"] == 0
+    assert g["range_violations"] == 0
+    assert g["witness_violations"] == 0
+    assert g["min_id_removed_violations"] == 0
+    # the gate's totals are the real corpus totals, and at 0.4 the
+    # synthetic corpus genuinely loses rows (max pairwise cosine ~0.51)
+    rows = emb.count()
+    survivors = semantic_dedup(emb, k=8, threshold=0.4).count()
+    assert g["n_total"] == rows
+    assert survivors < rows
+    # auto-k formula replay (k explicit here, so k_cells == 8)
+    assert g["k_cells"] == 8
+
+
 def test_incremental_dedup_converges_to_one_shot(spark, sf_dir):
     """existing-survivors ∪ increment-survivors must equal the one-shot
     dedup of the whole corpus — the property that makes daily-ingest

@@ -93,4 +93,9 @@ def test_staged_names_do_not_collide_across_rounds():
     )
 
     assert not (set(R7) & set(R8))
+    # R7 promoted in round 7: every staged name must now BE registered
+    # (advisor r6: a collision would otherwise only surface at
+    # promotion time — post-promotion the subset assert catches it in
+    # CI, and the not-yet-promoted R8 keeps the disjointness form).
+    assert set(R7) <= set(em.queries())
     assert not (set(R8) & set(em.queries()))

@@ -6,9 +6,9 @@ rules — and each new operator's semantic guarantees are pinned directly
 (grid join ≡ brute force, EWMA dyadic exactness, CUPED θ vs a numpy
 replay, power-iteration recovery of a planted dominant direction).
 
-Staged queries are deliberately NOT in plans/registry (the round-6
-window is fully allocated); see plans/staged_round7.py for the
-promotion recipe.
+Round 7 promoted these onto the driver surface (plans/registry); the
+strict-mirror parity tests below keep re-verifying them every pytest
+run like any other registered query.
 """
 
 from __future__ import annotations
@@ -29,13 +29,21 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
-    """The round-6 window freeze: staging must not leak into the driver
-    surface until round 7 queues it."""
+def test_staged_queries_are_promoted():
+    """Round-7 promotion: every formerly-staged query is on the driver
+    surface (registry + oracle), with the full set leading the window."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(STAGED_QUERIES) - set(queries)
+    assert not missing, f"staged queries not promoted: {missing}"
+    missing_oracle = set(STAGED_ORACLE) - set(oracles)
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
+    # the driver verifies the first-50 prefix; all 17 must be inside it
+    window = list(queries)[:50]
+    outside = set(STAGED_QUERIES) - set(window)
+    assert not outside, f"promoted queries outside the driver window: {outside}"
 
 
 def test_every_staged_query_has_an_oracle():
