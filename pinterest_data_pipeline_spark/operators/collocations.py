@@ -1,0 +1,105 @@
+"""PMI collocation mining — the corpus-linguistics primitive behind
+phrase vocabularies and tokenizer pre-merges: adjacent token pairs whose
+joint frequency beats the independence prediction of their unigram
+frequencies (Church & Hanks 1990). A BPE merge table (operators/bpe.py)
+learns collocations implicitly; this surfaces them explicitly with their
+strength, the audit view a vocabulary build starts from.
+
+Exactness: all frequencies are integer counts; PMI is a four-ln fixed
+expression over those integers (never a product that could overflow —
+ln(a·b) is computed as ln a + ln b), rounded once. DuckDB replays the
+tokenization (same regex), the bigram construction (same positional
+pairing), and the formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 15,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-pair collocations by pointwise mutual
+    information. Returns (w1, w2, n_pair, n_w1, n_w2, pmi_r6) ordered by
+    (pmi_r6 DESC, w1, w2):
+
+        pmi = ln p(w1,w2) − ln p(w1) − ln p(w2)
+            = ln n_pair − ln N_pairs − ln n_w1 − ln n_w2 + 2·ln N_toks
+
+    computed exactly in that five-term form (no big-integer products).
+    ``min_count`` suppresses the degenerate high-PMI tail (a pair seen
+    once between two hapaxes has maximal PMI and zero evidence).
+    Ordering ties break on the ROUNDED pmi then words, so the top-k cut
+    is identical across engines.
+
+    Scale: tokenization is one scan; bigrams explode to ~|tokens| rows;
+    both count relations aggregate with map-side combine; the two
+    marginal joins are on the (much smaller) pair-vocabulary relation;
+    the final cut is a TakeOrderedAndProject, never a global sort."""
+    toks = df.select(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("__toks")
+    )
+    toks = toks.filter(F.size("__toks") >= 2)
+    # positional pairing via transform over the index sequence — stays
+    # inside codegen, no posexplode self-join
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__toks) - 2),"
+                " i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))"
+            )
+        ).alias("__b")
+    ).select("__b.w1", "__b.w2")
+    unigrams = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("__w")
+    )
+    uni = unigrams.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    n_toks = unigrams.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_toks")
+    )
+    pair = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    n_pairs = bigrams.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_pairs")
+    )
+    u1 = uni.select(F.col("__w").alias("w1"), F.col("__n").alias("n_w1"))
+    u2 = uni.select(F.col("__w").alias("w2"), F.col("__n").alias("n_w2"))
+    pmi = (
+        F.log(F.col("n_pair").cast("double"))
+        - F.log(F.col("__n_pairs").cast("double"))
+        - F.log(F.col("n_w1").cast("double"))
+        - F.log(F.col("n_w2").cast("double"))
+        + F.lit(2.0) * F.log(F.col("__n_toks").cast("double"))
+    )
+    return (
+        pair.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_toks))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(pmi, 6).alias("pmi_r6"),
+        )
+        .orderBy(F.col("pmi_r6").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -360,3 +360,60 @@ def ndcg_at_k(
             ).alias("ndcg_r6"),
         )
     )
+
+
+def rbo_at_k(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap at depth ``k`` (Webber et al., TOIS 2010)
+    between two top-``k`` rankings — the top-weighted agreement measure
+    for comparing rankers (NDCG scores one ranker against labels; RBO
+    scores two rankers against each other, no labels needed):
+
+        RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+
+    Inputs are two relations carrying (id, rank) with ranks 1..k
+    (ties already broken upstream — determinism is the caller's
+    ordering contract). Returns ONE row: (overlap_at_k, rbo_r6).
+    The depth weights (1−p)·p^(d−1)/d are Python-computed literals
+    baked identically into the plan and any SQL oracle; each overlap
+    is an integer count, so the k-term weighted sum is a fixed
+    expression tree evaluated left-to-right on both engines.
+
+    Scale: one equi-join on id over two k-row relations and a single
+    aggregate — metadata-sized regardless of corpus size (the expensive
+    part, producing the top-k lists, is the caller's
+    TakeOrderedAndProject)."""
+    j = a.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
+    ).join(
+        b.select(F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb")),
+        "__id",
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(
+                F.when((F.col("__ra") <= d) & (F.col("__rb") <= d), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"__o{d}")
+        for d in range(1, k + 1)
+    ]
+    row = j.agg(*aggs)
+    rbo = None
+    for d in range(1, k + 1):
+        term = F.lit((1.0 - p) * p ** (d - 1) / d) * F.col(f"__o{d}").cast(
+            "double"
+        )
+        rbo = term if rbo is None else rbo + term
+    return row.select(
+        F.col(f"__o{k}").alias(f"overlap_at_{k}"),
+        F.round(rbo, 6).alias("rbo_r6"),
+    )

@@ -1,0 +1,312 @@
+"""Robust / forensic statistics over metric columns — the data-audit
+layer a pipeline runs BEFORE trusting a numeric feed: Benford
+leading-digit conformance (fabricated or unit-mixed numeric feeds
+diverge from Benford where organic transaction amounts follow it),
+an EXACT two-sample Kolmogorov-Smirnov distance (distribution drift
+between two slices, the exact companion to the grid-discretized KS in
+`split_distribution_drift`), lag-k autocorrelation (seasonality / trend
+detection on a daily series), and a Gini + top-share key-skew profile
+(the shuffle-partition question "is this key column safe to join on?"
+answered as a number — the Lorenz-curve companion to the max-key ppm
+diagnosis in `key_skew_profile_events`). MAD outlier flags live in
+plans/advanced_ops.mad_outlier_events.
+
+Reference parity: the reference engine has no statistical audit surface;
+this extends its cleaning layer (README.md:200-299) the way a
+production-scale ingest would. Exactness discipline: integer counts and
+integer-cents sums wherever a value crosses an aggregate, fixed
+expression trees for the final doubles, one rounding at the end — so
+DuckDB oracles replay every output value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# log10(1 + 1/d) rounded to 6 decimals — baked as literals on BOTH
+# engines so no log evaluation is in the comparison path.
+BENFORD_P_R6 = {
+    1: 0.30103,
+    2: 0.176091,
+    3: 0.124939,
+    4: 0.09691,
+    5: 0.079181,
+    6: 0.066947,
+    7: 0.057992,
+    8: 0.051153,
+    9: 0.045757,
+}
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two slices: D = max over observed values of
+    |F̂_a(x) − F̂_b(x)|. Returns ONE row:
+
+        (n_a, n_b, n_values, ks_r6, ks_at_cents)
+
+    with ``ks_at_cents`` the smallest integer-cents value achieving the
+    maximum (deterministic argmax). This is the exact companion to the
+    grid-discretized KS in `split_distribution_drift`: the grid form is
+    one conditional aggregate (right at corpus scale); this form pays
+    one ordered window over the VALUE HISTOGRAM for the exact supremum
+    — the right tool for the |distinct values| ≪ |rows| regime money
+    columns live in (cents quantization bounds the domain).
+
+    Exactness: values quantize to integer cents; both empirical CDFs
+    are cumulative INTEGER counts over the distinct-value histogram;
+    each CDF point is one division, the difference one subtraction —
+    identical doubles on both engines, so max and argmax agree.
+
+    Scale: one corpus aggregate (groupBy cents — map-side combine),
+    then a window + TakeOrdered over the |distinct cents| histogram."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    g = F.col(group_col)
+    hist = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .select(g.alias("__g"), cents.alias("__cents"))
+        .groupBy("__cents")
+        .agg(
+            F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__na"),
+            F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__nb"),
+        )
+    )
+    w = Window.orderBy("__cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = hist.agg(
+        F.sum("__na").cast("bigint").alias("n_a"),
+        F.sum("__nb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    )
+    cdf = hist.select(
+        "__cents",
+        F.sum("__na").over(w).alias("__ca"),
+        F.sum("__nb").over(w).alias("__cb"),
+    )
+    diff = cdf.crossJoin(F.broadcast(totals)).select(
+        "__cents",
+        F.abs(
+            F.col("__ca").cast("double") / F.col("n_a").cast("double")
+            - F.col("__cb").cast("double") / F.col("n_b").cast("double")
+        ).alias("__d"),
+    )
+    best = (
+        diff.orderBy(F.col("__d").desc(), F.col("__cents").asc())
+        .limit(1)
+        .select(
+            F.round("__d", 6).alias("ks_r6"),
+            F.col("__cents").alias("ks_at_cents"),
+        )
+    )
+    return totals.crossJoin(best).select(
+        "n_a", "n_b", "n_values", "ks_r6", "ks_at_cents"
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_col: str,
+) -> DataFrame:
+    """Benford leading-digit audit of a positive money column. Returns
+    nine rows (digit 1-9): observed count, observed share, the Benford
+    expectation, and the signed excess — the forensic-accounting test
+    applied to a data feed (a synthetic or unit-mixed feed shows flat or
+    spiked digit mass where organic amounts decay log-like).
+
+    The leading digit comes from the INTEGER cents value rendered as a
+    string (scaling by 100 never changes the leading digit), so no
+    log10/floor float boundary is in the comparison path; the Benford
+    probabilities are 6-decimal literals baked identically into both
+    engines.
+
+    Scale: one scan → 9-group aggregate with map-side combine; the
+    digit table is a 9-row literal."""
+    cents = F.round(F.col(amount_col) * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(amount_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    p = F.lit(None).cast("double")
+    expr = None
+    for d, prob in BENFORD_P_R6.items():
+        expr = (
+            F.when(F.col("digit") == d, F.lit(prob))
+            if expr is None
+            else expr.when(F.col("digit") == d, F.lit(prob))
+        )
+    p = expr
+    share = F.col("n").cast("double") / F.col("__total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share_r6"),
+            p.alias("benford_p_r6"),
+            F.round(share - p, 6).alias("excess_r6"),
+        )
+        .orderBy("digit")
+    )
+
+
+def autocorr_daily(
+    df: DataFrame,
+    ts_col: str,
+    amount_col: str,
+    lags: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily total of a money column —
+    the seasonality probe (lag 7 ≫ lag 1 means a weekly cycle) run
+    before fitting any forecast on a revenue series. Returns one row
+    per lag: (lag, n_days, n_pairs, autocorr_r6) with the standard
+    estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+
+    The daily series is built as exact integer cents (one grouped sum);
+    the day count is tiny (years of days, not rows), so the lag join is
+    a broadcast self-join and the moment sums run over a metadata-sized
+    relation. autocorr_r6 is NULL for a constant series (zero
+    denominator).
+
+    Scale: ONE corpus-sized aggregate (groupBy day, map-side combine);
+    everything after operates on |days| rows."""
+    daily = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("__d"),
+            F.round(F.col(amount_col) * 100).cast("bigint").alias("__c"),
+        )
+        .groupBy("__d")
+        .agg(F.sum("__c").alias("__cents"))
+        .select("__d", (F.col("__cents").cast("double") / 100.0).alias("__x"))
+    )
+    daily = daily.localCheckpoint(eager=True)
+    moments = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    out = None
+    for k in lags:
+        lagged = daily.select(
+            F.date_add(F.col("__d").cast("date"), k)
+            .cast("timestamp")
+            .alias("__d"),
+            F.col("__x").alias("__x_prev"),
+        )
+        pairs = daily.join(lagged, "__d").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("__x") * F.col("__x_prev")).alias("__sxy"),
+            F.sum("__x").alias("__s_head"),
+            F.sum("__x_prev").alias("__s_tail"),
+        )
+        mean = F.col("__sx") / F.col("n_days").cast("double")
+        num = (
+            F.col("__sxy")
+            - mean * (F.col("__s_head") + F.col("__s_tail"))
+            + F.col("n_pairs").cast("double") * mean * mean
+        )
+        den = F.col("__sxx") - F.col("n_days").cast("double") * mean * mean
+        row = pairs.crossJoin(F.broadcast(moments)).select(
+            F.lit(k).cast("int").alias("lag"),
+            "n_days",
+            "n_pairs",
+            F.round(F.when(den != 0, num / den), 6).alias("autocorr_r6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")
+
+
+def gini_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """One-row skew audit of a key column: Gini coefficient of the
+    per-key frequency distribution plus top-1 and top-``top_n`` mass
+    shares — the quantitative answer to "will this key hot-spot a
+    shuffle?" (Gini → 1 and top-1 share ≫ 1/n_keys both say yes; the
+    salting / AQE-skew-join mitigations in operators/dedup become
+    mandatory).
+
+    Gini is computed WITHOUT a global per-key sort: identical counts
+    contribute a closed-form rank-sum, so the ranking window runs over
+    the count HISTOGRAM (distinct count values — heavy-tailed data has
+    few) instead of the key relation:
+
+        Σ rank_i·c_i = Σ_c c · (cum_keys_before·m_c + m_c(m_c+1)/2)
+        G = 2·Σ rank_i·c_i / (n_keys·total) − (n_keys+1)/n_keys
+
+    with every term an exact integer until the two final divisions.
+    Magnitude guard: c·cum·m_c must stay under 2^63 — holds to ~1e9
+    keys × 1e9 max count; shard the histogram beyond.
+
+    Scale: one corpus aggregate (groupBy key), one histogram aggregate
+    over |keys| rows, a window over |distinct counts| rows, and a
+    TakeOrdered top-``top_n``. No global sort of the key relation."""
+    counts = (
+        df.groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    hist = counts.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m")
+    )
+    w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, -1)
+    runs = hist.withColumn(
+        "__cum", F.coalesce(F.sum("__m").over(w), F.lit(0)).cast("bigint")
+    )
+    gini_terms = runs.agg(
+        # integer `div` (not `/`, which widens to double and loses
+        # exactness past 2^53): m(m+1) is always even, so div 2 is exact
+        F.sum(
+            F.col("__c")
+            * (
+                F.col("__cum") * F.col("__m")
+                + F.expr("(__m * (__m + 1)) div 2")
+            )
+        )
+        .cast("bigint")
+        .alias("__rank_sum"),
+        F.sum(F.col("__m")).cast("bigint").alias("n_keys"),
+        F.sum(F.col("__c") * F.col("__m")).cast("bigint").alias("n_rows"),
+    )
+    top = (
+        counts.orderBy(F.col("__c").desc(), F.col("__k").asc())
+        .limit(top_n)
+        .agg(
+            F.max("__c").cast("bigint").alias("__top1"),
+            F.sum("__c").cast("bigint").alias("__topn"),
+        )
+    )
+    n_keys = F.col("n_keys").cast("double")
+    total = F.col("n_rows").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__rank_sum").cast("double") / (n_keys * total)
+        - (n_keys + 1) / n_keys
+    )
+    return gini_terms.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        F.round(gini, 6).alias("gini_r6"),
+        F.round(F.col("__top1").cast("double") / total, 6).alias(
+            "top1_share_r6"
+        ),
+        F.round(F.col("__topn").cast("double") / total, 6).alias(
+            f"top{top_n}_share_r6"
+        ),
+    )

@@ -432,3 +432,103 @@ def doremi_reweight(
             6,
         ).alias("weight"),
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement of ``k`` rows —
+    the Efraimidis-Spirakis A-Res scheme (IPL 2006) with the module's
+    hash-derived determinism: each row gets priority key ln(u)/w with
+    u ∈ (0,1] from a 32-bit md5 prefix of its id, and the k LARGEST
+    keys win (equivalent to max-k of u^(1/w); heavier rows draw
+    effectively larger u). Unlike `repeat_by_weight` (integer epochs
+    per DOMAIN) this samples individual ROWS with probability ∝ weight,
+    the "prefer long/high-quality docs, keep variety" selection lever.
+
+    Returns the winning rows: (id, weight, priority_key_r6), ordered by
+    key descending, id ascending. Weights are floored at 1 (a
+    non-positive weight would flip the key's sign).
+
+    Scale: the key is one md5 + one ln per row inside codegen; the cut
+    is orderBy+limit → TakeOrderedAndProject (per-partition top-k then
+    a k-row merge on the driver — no global sort, no window)."""
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            + 1
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.log(u) / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            key.alias("__key"),
+        )
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            F.round("__key", 6).alias("priority_key_r6"),
+        )
+    )
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    budget: int,
+) -> DataFrame:
+    """Allocate an integer sample ``budget`` across strata exactly
+    proportionally — the largest-remainder (Hamilton) method: each
+    stratum gets floor(budget·n/N), and the leftover seats go to the
+    largest fractional remainders (ties: stratum ascending). Returns
+    one row per stratum: (stratum, n_rows, base_alloc, extra,
+    final_alloc) with Σ final_alloc = budget guaranteed — the property
+    naive independent rounding (round(budget·n/N) per stratum) lacks.
+
+    Everything is integer arithmetic: base = (budget·n) div N, the
+    remainder ranking key is (budget·n) mod N — no double ever enters,
+    so allocation is engine-exact and immune to float ties.
+
+    Scale: one grouped count, then a window over |strata| rows
+    (metadata-sized); the total is a 1-row broadcast."""
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    scaled = counts.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_rows",
+        F.expr(f"({budget} * n_rows) div __total").alias("base_alloc"),
+        F.expr(f"({budget} * n_rows) % __total").alias("__rem"),
+    )
+    leftover = F.lit(budget) - F.sum("base_alloc").over(Window.partitionBy())
+    w = Window.orderBy(F.col("__rem").desc(), F.col("stratum").asc())
+    return (
+        scaled.withColumn("__rank", F.row_number().over(w))
+        .withColumn(
+            "extra",
+            F.when(F.col("__rank") <= leftover, 1)
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            F.col("base_alloc").cast("bigint").alias("base_alloc"),
+            "extra",
+            (F.col("base_alloc") + F.col("extra"))
+            .cast("bigint")
+            .alias("final_alloc"),
+        )
+        .orderBy("stratum")
+    )

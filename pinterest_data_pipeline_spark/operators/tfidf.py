@@ -202,3 +202,52 @@ def bigram_logprob(
             F.round(F.avg(F.log(p)), 6).alias("avg_bigram_logprob"),
         )
     )
+
+
+def feature_hash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    top_k: int = 10,
+) -> DataFrame:
+    """The hashing trick's bucket histogram (Weinberger et al., ICML
+    2009): every token maps to ``hash(token) mod n_buckets``, the
+    fixed-width feature space a streaming/online model trains in
+    without a vocabulary pass. This audit view reports, for the
+    ``top_k`` heaviest buckets, the token mass and the collision degree
+    (distinct tokens sharing the bucket) — the quantity that says
+    whether ``n_buckets`` is too small for the corpus.
+
+    The hash is the repo's portable md5-prefix (operators/dedup), so a
+    SQL oracle replays bucket ids bit-for-bit. Returns
+    (bucket, n_tokens, n_distinct_tokens) ordered by
+    (n_tokens DESC, bucket ASC), cut to ``top_k``.
+
+    Scale: explode → two-level aggregate (token first — map-side
+    combine collapses repeats — then bucket), TakeOrderedAndProject
+    cut. The bucket relation is at most ``n_buckets`` rows."""
+    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
+
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+            )
+        ).alias("__w")
+    )
+    per_token = toks.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    return (
+        per_token.select(
+            (portable_hash32(F.col("__w")) % n_buckets).alias("bucket"),
+            F.col("__n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        )
+        .orderBy(F.col("n_tokens").desc(), F.col("bucket").asc())
+        .limit(top_k)
+    )

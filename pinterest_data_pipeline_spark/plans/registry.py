@@ -131,10 +131,10 @@ CHECK_FIRST: list[str] = [
     # ROUND-8 ROTATION NOTES (window arithmetic pre-planned):
     #   (a) 8 promotions from plans/staged_round8.py (all oracled,
     #       parity-tested at sf0.001+sf0.01, x30-stressed):
-    #       quantile_lift_by_arm, ips_snips_policy_value,
-    #       doubly_robust_policy_value, reliability_bins_ece,
-    #       winsorized_lift_by_arm, mde_power_planning,
-    #       hits_parts_suppliers, countmin_heavy_hitters_gate.
+    #       quantile_lift_user_spend, ips_reranker_policy_value,
+    #       ece_quality_gate_probability, winsorized_mean_lift_user_spend,
+    #       dr_reranker_policy_value, mde_power_purchase,
+    #       hits_supplier_part_scores, countmin_token_frequency.
     #   (b) changed-in-r7 re-certifications: none known at plan time —
     #       the r7 advisor fixes (CUPED/kappa/NDCG NULL guards,
     #       cooccurrence/HITS broadcast removal, triplet id contract)

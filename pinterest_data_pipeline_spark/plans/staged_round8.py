@@ -1,10 +1,10 @@
 """ROUND-8 STAGING AREA — implemented, tested, NOT driver-registered.
 
-The round-7 window is already fully pre-planned at 50 rows (17
-staged_round7 promotions + 5 minhash-hint re-certifications + 28
-oldest-evidence rotations — see the ROUND-7 ROTATION NOTES in
-plans/registry.py), so per the standing rotation rule this next batch
-stages one window further out. Same contract as every staging round:
+The round-7 window is fully allocated at 50 rows (17 staged_round7
+promotions + 5 minhash-hint re-certifications + 1 gate-oracle upgrade +
+27 oldest-evidence rotations — registry.CHECK_FIRST), so per the
+standing rotation rule this batch stages one window further out; the
+ROUND-8 ROTATION NOTES in plans/registry.py pre-plan its registration. Same contract as every staging round:
 each query has a full DuckDB oracle replayed value-for-value
 (strict-mirror parity test at sf0.001 + sf0.01 in
 tests/test_staged_round8.py) and behavior-pinning unit tests; round 8

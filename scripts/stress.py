@@ -166,6 +166,20 @@ QUERIES = [
     "mde_power_purchase",
     "hits_supplier_part_scores",
     "countmin_token_frequency",
+    # round-7 staging for round 9 (plans/staged_round9.py): data audits,
+    # corpus linguistics, sampling/allocation, survival, rank agreement
+    "weighted_priority_sample",
+    "flesch_reading_ease_by_lang",
+    "charset_script_profile",
+    "benford_price_audit",
+    "ks_exact_two_sample",
+    "autocorr_daily_revenue",
+    "gini_user_activity_skew",
+    "pmi_bigram_collocations",
+    "feature_hash_buckets",
+    "stratified_budget_allocation",
+    "kaplan_meier_retention",
+    "rbo_rank_agreement",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -244,6 +258,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round8 import (
         STAGED_QUERIES as STAGED_R8,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round9 import (
+        STAGED_QUERIES as STAGED_R9,
+    )
 
     for name in QUERIES:
         if only is not None and name not in only:
@@ -252,7 +269,8 @@ def main() -> None:
             entry_mod.queries().get(name)
             or STAGED_QUERIES.get(name)
             or STAGED_R7.get(name)
-            or STAGED_R8[name]
+            or STAGED_R8.get(name)
+            or STAGED_R9[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)
