@@ -442,3 +442,60 @@ def test_adjacent_pairs_use_take_ordered(spark):
     plan = buf.getvalue()
     assert n_nodes(plan, "TakeOrderedAndProject") == 1
     assert n_nodes(plan, "HashAggregate") >= 2  # partial + final
+
+
+def _staged9_plan(spark, name: str) -> str:
+    from pinterest_data_pipeline_spark.plans.staged_round9 import (
+        STAGED_QUERIES,
+    )
+
+    df = STAGED_QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_weighted_priority_sample_is_take_ordered(spark):
+    """The A-Res cut must be per-partition top-k + driver merge, never
+    a global sort of the keyed corpus."""
+    plan = _staged9_plan(spark, "weighted_priority_sample")
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert n_nodes(plan, "Sort") == 0
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_gini_windows_run_on_histogram_not_keys(spark):
+    """The Gini rank-sum window must consume the count HISTOGRAM
+    (post-aggregate), never the per-key relation: the plan has the
+    key aggregate BELOW the histogram aggregate BELOW the window, and
+    the top-share cut is TakeOrdered."""
+    plan = _staged9_plan(spark, "gini_user_activity_skew")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    # partial+final pairs for the key count and the histogram
+    assert n_nodes(plan, "HashAggregate") >= 4
+
+
+def test_pmi_marginal_joins_broadcast(spark):
+    """The unigram marginals join onto the (much smaller) pair
+    vocabulary via broadcast, and the cut is TakeOrdered."""
+    plan = _staged9_plan(spark, "pmi_bigram_collocations")
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_audit_queries_single_scan_partial_agg(spark):
+    """Benford / Flesch / charset reduce the corpus in ONE scan with
+    map-side partial aggregation — no joins on corpus-sized relations,
+    no windows."""
+    for name in (
+        "benford_price_audit",
+        "flesch_reading_ease_by_lang",
+        "charset_script_profile",
+    ):
+        plan = _staged9_plan(spark, name)
+        assert n_nodes(plan, "Window") == 0, name
+        assert n_nodes(plan, "SortMergeJoin") == 0, name
+        assert n_nodes(plan, "HashAggregate") >= 2, name
