@@ -106,6 +106,21 @@ def assign_to_codebook(
     differs from the true k-means objective by a codebook-independent
     constant, so objective COMPARISONS between codebooks are exact —
     the basis of the Lloyd-monotonicity driver gate."""
+    best = codebook_argmin(vec_col, centroids)
+    out = df.withColumn("cluster", best.getField("c"))
+    if score_col is not None:
+        # the duplicated array_min is CSE'd by codegen, not recomputed
+        out = out.withColumn(score_col, best.getField("d"))
+    return out
+
+
+def codebook_argmin(vec_col: str, centroids: list[list[float]]) -> Column:
+    """The bare argmin struct expression behind `assign_to_codebook`
+    (fields: d = winning affinity, c = winning cluster id) — for
+    callers that attach MANY assignments in one select (operators/pq:
+    eight chained assign_to_codebook calls re-analyze the growing plan
+    each time, measured ~10 s of driver time; one select with eight of
+    these expressions analyzes once)."""
     candidates = F.array(
         *[
             F.struct(
@@ -115,12 +130,7 @@ def assign_to_codebook(
             for c, centroid in enumerate(centroids)
         ]
     )
-    best = F.array_min(candidates)
-    out = df.withColumn("cluster", best.getField("c"))
-    if score_col is not None:
-        # the duplicated array_min is CSE'd by codegen, not recomputed
-        out = out.withColumn(score_col, best.getField("d"))
-    return out
+    return F.array_min(candidates)
 
 
 def duplicate_clusters(

@@ -1,0 +1,83 @@
+"""First-order Markov model quality over event sequences — the number
+that says whether the learned transition matrix
+(`event_transition_matrix`) actually explains user behavior: the
+average log-loss of observed transitions under their own empirical
+model, and its exp (perplexity). Perplexity near the state count means
+behavior is unpredictable (uniform); near 1 means deterministic paths.
+
+Identity that keeps it one aggregate: with n_pn the (prev, next) count
+and n_p the prev marginal, the training log-loss is
+
+    −Σ_cells n_pn · ln(n_pn / n_p) / N
+
+— computable entirely from the |states|² matrix, never a second pass
+over the corpus. The cell terms fold in sorted (prev, next) order (the
+bm25/chi-square discipline) so the double sum is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def markov_logloss(
+    df: DataFrame,
+    subject_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ONE row: (n_transitions, n_states, n_cells, avg_logloss_r6,
+    perplexity_r6) for the first-order model fitted to and evaluated on
+    the same sequences (the in-sample model-capacity readout; held-out
+    evaluation is the same formula over a hash-split — `hash_split`).
+
+    Sequence order is (ts, tiebreak) — deterministic under concurrent
+    events, matching `event_transition_matrix`.
+
+    Scale: one per-subject lag window (single shuffle on subject), one
+    aggregate down to the ≤|states|² cell table; the fold runs over
+    those cells."""
+    seq_w = Window.partitionBy(subject_col).orderBy(ts_col, tiebreak_col)
+    seq = df.select(
+        F.col(state_col).alias("__next"),
+        F.lag(state_col).over(seq_w).alias("__prev"),
+    ).where(F.col("__prev").isNotNull())
+    cells = seq.groupBy("__prev", "__next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_pn")
+    )
+    prev_tot = cells.groupBy("__prev").agg(
+        F.sum("__n_pn").cast("bigint").alias("__n_p")
+    )
+    terms = cells.join(prev_tot, "__prev").select(
+        "__prev",
+        "__next",
+        "__n_pn",
+        (
+            F.col("__n_pn").cast("double")
+            * F.log(
+                F.col("__n_pn").cast("double") / F.col("__n_p").cast("double")
+            )
+        ).alias("__term"),
+    )
+    folded = terms.agg(
+        F.sum("__n_pn").cast("bigint").alias("n_transitions"),
+        F.count_distinct("__prev").cast("bigint").alias("n_states"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("__prev", "__next", "__term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__term"],
+        ).alias("__ll_sum"),
+    )
+    avg_ll = -F.col("__ll_sum") / F.col("n_transitions").cast("double")
+    return folded.select(
+        "n_transitions",
+        "n_states",
+        "n_cells",
+        F.round(avg_ll, 6).alias("avg_logloss_r6"),
+        F.round(F.exp(avg_ll), 6).alias("perplexity_r6"),
+    )

@@ -1,0 +1,62 @@
+"""Privacy auditing over tabular corpora — the release-gate question a
+training-data pipeline answers before a dataset (or its metadata) leaves
+the boundary: how identifiable are rows from their quasi-identifiers?
+
+k-anonymity (Sweeney 2002): a row is k-anonymous if at least k rows
+share its full quasi-identifier combination. The audit reports the
+minimum group size, how many groups/rows fall below the threshold, and
+the share of rows that are safely anonymous — pure integer counting, so
+a SQL oracle replays every number.
+
+This complements the content-side `pii_redaction_counts` (which finds
+PII INSIDE text); k-anonymity measures re-identification risk from the
+COLUMNS a release would keep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[Column | str],
+    k: int = 5,
+) -> DataFrame:
+    """One-row k-anonymity audit over the given quasi-identifier
+    columns:
+
+        (n_rows, n_groups, k_min, groups_below_k, rows_below_k,
+         anonymous_share_r6)
+
+    ``k_min`` is the smallest equivalence-class size (the dataset's
+    actual k-anonymity level); ``anonymous_share_r6`` the fraction of
+    rows living in classes of size ≥ k. NULL quasi-values form their
+    own class (standard grouping semantics — NULLs group together),
+    which is the conservative reading: an all-NULL row is as linkable
+    as any other repeated combination.
+
+    Scale: ONE grouped count over the quasi columns (map-side combine),
+    then every statistic is an aggregate over the |classes| relation.
+    No windows, no joins."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    n = F.col("__n")
+    return groups.agg(
+        F.sum(n).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min(n).cast("bigint").alias("k_min"),
+        F.sum(F.when(n < k, 1).otherwise(0)).cast("bigint").alias(
+            "groups_below_k"
+        ),
+        F.sum(F.when(n < k, n).otherwise(0)).cast("bigint").alias(
+            "rows_below_k"
+        ),
+        F.round(
+            F.sum(F.when(n >= k, n).otherwise(0)).cast("double")
+            / F.sum(n).cast("double"),
+            6,
+        ).alias("anonymous_share_r6"),
+    )

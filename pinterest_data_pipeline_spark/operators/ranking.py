@@ -417,3 +417,78 @@ def rbo_at_k(
         F.col(f"__o{k}").alias(f"overlap_at_{k}"),
         F.round(rbo, 6).alias("rbo_r6"),
     )
+
+
+def average_precision_at_k(
+    graded: DataFrame,
+    group_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Average precision at depth ``k`` per group — the binary-label
+    companion to NDCG (graded) and RBO (label-free):
+
+        AP@k = Σ_{i≤k, rel_i} P@i / min(R, k),   P@i = (#rel in top i)/i
+
+    ``rel_col`` is a 0/1 relevance indicator, ``rank_col`` a 1-based
+    total-order rank (ties broken upstream — the caller's determinism
+    contract). R is the group's TOTAL relevant count (standard MAP
+    normalization: a perfect ranker scores 1 even when R > k caps the
+    numerator at k hits). Returns one row per group:
+    (group, n_rel, hits_at_k, ap_r6); ap_r6 is NULL for groups with no
+    relevant documents (0/0 guard).
+
+    Exactness: every P@i is an integer ratio; the per-group sum folds
+    in ascending rank order over ≤k rows (the bm25/NDCG sorted-fold
+    discipline), so a SQL oracle replays the double exactly.
+
+    Scale: one grouped aggregate for R, one ≤k-row fold per group; the
+    rank window is the caller's (TakeOrdered for global rankers,
+    per-group window otherwise)."""
+    g = F.col(group_col)
+    rel = F.col(rel_col).cast("bigint")
+    totals = graded.groupBy(g.alias("__g")).agg(
+        F.sum(rel).cast("bigint").alias("n_rel")
+    )
+    top = graded.filter(F.col(rank_col) <= k).select(
+        g.alias("__g"),
+        F.col(rank_col).cast("bigint").alias("__rank"),
+        rel.alias("__rel"),
+    )
+    w = Window.partitionBy("__g").orderBy("__rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = top.withColumn(
+        "__p_at_i",
+        F.when(
+            F.col("__rel") == 1,
+            F.sum("__rel").over(w).cast("double")
+            / F.col("__rank").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    folded = terms.groupBy("__g").agg(
+        F.sum("__rel").cast("bigint").alias("hits_at_k"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("__rank", "__p_at_i"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__p_at_i"],
+        ).alias("__ap_num"),
+    )
+    return (
+        folded.join(totals, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_rel",
+            "hits_at_k",
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.col("__ap_num")
+                    / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+                ),
+                6,
+            ).alias("ap_r6"),
+        )
+        .orderBy(group_col)
+    )

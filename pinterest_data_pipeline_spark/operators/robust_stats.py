@@ -310,3 +310,123 @@ def gini_skew_profile(
             f"top{top_n}_share_r6"
         ),
     )
+
+
+def dow_seasonality(
+    df: DataFrame,
+    ts_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Day-of-week seasonality profile of an event/money stream: one
+    row per weekday (0 = Monday … 6 = Sunday, the ISO convention both
+    engines can express exactly):
+
+        (dow, n_events, revenue_cents, revenue_idx_ppm, events_idx_ppm)
+
+    where idx_ppm = (7_000_000 · dow_total) div grand_total — the
+    seasonal index as integer parts-per-million of a flat profile
+    (1_000_000 = no seasonality), floor-divided from exact counts so
+    the profile is engine-exact with no float ratio anywhere.
+
+    Scale: ONE grouped aggregate (7 groups, map-side combine); the
+    grand totals are a 1-row broadcast."""
+    per = (
+        df.select(
+            F.weekday(F.col(ts_col)).cast("int").alias("dow"),
+            F.round(F.col(amount_col) * 100).cast("bigint").alias("__c"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(F.sum("__c"), F.lit(0).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_events").alias("__tn"),
+        F.sum("revenue_cents").alias("__tc"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_events",
+            "revenue_cents",
+            F.expr("(7000000 * revenue_cents) div __tc")
+            .cast("bigint")
+            .alias("revenue_idx_ppm"),
+            F.expr("(7000000 * n_events) div __tn")
+            .cast("bigint")
+            .alias("events_idx_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """CUSUM level-shift detection on the daily total of a money
+    column: with x̄ the series mean, the cumulative sum
+    S_t = Σ_{i≤t}(x_i − x̄) peaks (in absolute value) at the most
+    likely change point of the series' level. ONE row:
+
+        (n_days, mean_daily_r6, cusum_peak_r6, changepoint_day)
+
+    with ties on |S_t| broken to the EARLIEST day. The series mean
+    comes from the EXACT integer cents total (a double Σx would pick
+    up an aggregation-order ulp that the |days|-term prefix sum then
+    AMPLIFIES past the 6dp rounding grain — measured as a 1-ulp
+    cross-engine flake at sf0.01); with the mean exact, both engines
+    build S_t as the same ordered prefix over the same doubles.
+
+    Scale: one corpus aggregate to the |days| series; the prefix-sum
+    window and the argmax TakeOrdered run over days."""
+    daily = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("__d"),
+            F.round(F.col(amount_col) * 100).cast("bigint").alias("__c"),
+        )
+        .groupBy("__d")
+        .agg(F.sum("__c").alias("__cents"))
+        .select(
+            "__d",
+            "__cents",
+            (F.col("__cents").cast("double") / 100.0).alias("__x"),
+        )
+    )
+    daily = daily.localCheckpoint(eager=True)
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__cents").cast("bigint").alias("__tc"),
+    )
+    mean = (F.col("__tc").cast("double") / F.lit(100.0)) / F.col(
+        "n_days"
+    ).cast("double")
+    w = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("__dev", F.col("__x") - mean)
+        .withColumn("__s", F.sum("__dev").over(w))
+    )
+    peak = (
+        cusum.orderBy(F.abs(F.col("__s")).desc(), F.col("__d").asc())
+        .limit(1)
+        .select(
+            F.round(F.abs(F.col("__s")), 6).alias("cusum_peak_r6"),
+            F.date_format(F.col("__d"), "yyyy-MM-dd").alias(
+                "changepoint_day"
+            ),
+        )
+    )
+    return stats.crossJoin(peak).select(
+        "n_days",
+        F.round(mean, 6).alias("mean_daily_r6"),
+        "cusum_peak_r6",
+        "changepoint_day",
+    )

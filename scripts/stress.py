@@ -180,6 +180,16 @@ QUERIES = [
     "stratified_budget_allocation",
     "kaplan_meier_retention",
     "rbo_rank_agreement",
+    # round-7 pre-staging for round 10 (plans/staged_round10.py):
+    # privacy gate, behavioral features, retrieval infra, ts audits
+    "k_anonymity_docs",
+    "rfm_user_segments",
+    "markov_path_logloss",
+    "phrase_query_table_hash",
+    "average_precision_by_source",
+    "pq_codebook_train_gate",
+    "dow_seasonality_events",
+    "cusum_changepoint_revenue",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -261,6 +271,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round9 import (
         STAGED_QUERIES as STAGED_R9,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round10 import (
+        STAGED_QUERIES as STAGED_R10,
+    )
 
     for name in QUERIES:
         if only is not None and name not in only:
@@ -270,7 +283,8 @@ def main() -> None:
             or STAGED_QUERIES.get(name)
             or STAGED_R7.get(name)
             or STAGED_R8.get(name)
-            or STAGED_R9[name]
+            or STAGED_R9.get(name)
+            or STAGED_R10[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

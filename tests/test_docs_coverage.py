@@ -79,9 +79,16 @@ def test_every_staged_query_mentioned_in_coverage():
     from pinterest_data_pipeline_spark.plans.staged_round9 import (
         STAGED_QUERIES as R9,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round10 import (
+        STAGED_QUERIES as R10,
+    )
 
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
-    missing = [q for q in list(R7) + list(R8) + list(R9) if q not in coverage]
+    missing = [
+        q
+        for q in list(R7) + list(R8) + list(R9) + list(R10)
+        if q not in coverage
+    ]
     assert not missing, f"COVERAGE.md missing staged queries: {missing}"
 
 
@@ -97,14 +104,19 @@ def test_staged_names_do_not_collide_across_rounds():
     from pinterest_data_pipeline_spark.plans.staged_round9 import (
         STAGED_QUERIES as R9,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round10 import (
+        STAGED_QUERIES as R10,
+    )
 
-    assert not (set(R7) & set(R8))
-    assert not (set(R7) & set(R9))
-    assert not (set(R8) & set(R9))
+    staged = {"R8": set(R8), "R9": set(R9), "R10": set(R10)}
+    names = [set(R7), *staged.values()]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            assert not (a & b)
     # R7 promoted in round 7: every staged name must now BE registered
     # (advisor r6: a collision would otherwise only surface at
     # promotion time — post-promotion the subset assert catches it in
-    # CI, and the not-yet-promoted R8/R9 keep the disjointness form).
+    # CI, and the not-yet-promoted rounds keep the disjointness form).
     assert set(R7) <= set(em.queries())
-    assert not (set(R8) & set(em.queries()))
-    assert not (set(R9) & set(em.queries()))
+    for tag, batch in staged.items():
+        assert not (batch & set(em.queries())), tag
