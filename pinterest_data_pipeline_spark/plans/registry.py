@@ -147,6 +147,27 @@ CHECK_FIRST: list[str] = [
     #       range_join_acctbal_bands), then the 37-query r3-evidence
     #       set in registration order.
     #   8 + 5 + 37 = 50 holds exactly.
+    #
+    # ROUND-9 ROTATION NOTES (one further window, sketched):
+    #   (a) 12 promotions from plans/staged_round9.py (all oracled,
+    #       parity-tested, x30-stressed, plan-pinned):
+    #       weighted_priority_sample, flesch_reading_ease_by_lang,
+    #       charset_script_profile, benford_price_audit,
+    #       ks_exact_two_sample, autocorr_daily_revenue,
+    #       gini_user_activity_skew, pmi_bigram_collocations,
+    #       feature_hash_buckets, stratified_budget_allocation,
+    #       kaplan_meier_retention, rbo_rank_agreement.
+    #   (b) changed-in-r8 re-certifications: queue as they happen.
+    #   (c) fill the remaining ~38 slots oldest-evidence-first: the
+    #       44-query r4-evidence set in registration order
+    #       (bilateral_trade_volume ... crosstab_type_value_band); the
+    #       6-query remainder + the r5 set roll to round 10, where the
+    #       8 staged_round10 promotions (k_anonymity_docs,
+    #       rfm_user_segments, markov_path_logloss,
+    #       phrase_query_table_hash, average_precision_by_source,
+    #       pq_codebook_train_gate, dow_seasonality_events,
+    #       cusum_changepoint_revenue) join them.
+    #   12 + 38 = 50 holds.
 ]
 
 CHECK_LAST: list[str] = [

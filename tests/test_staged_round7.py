@@ -635,3 +635,21 @@ def test_chisq_textbook_2x2(spark):
         spark.createDataFrame(indep, "r string, c string"), "r", "c"
     ).collect()[0]
     assert out2["chisq_r6"] == 0.0
+
+
+def test_triplet_mining_rejects_string_ids(spark):
+    """Advisor r6: the max(struct(score, -id)) tiebreak requires a
+    numeric id; a string id must fail fast with a clear TypeError, not
+    an opaque analysis error."""
+    import pytest as _pytest
+
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        triplet_mining,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0], 0), ("b", [0.0, 1.0], 1)],
+        "vec_id string, embedding array<float>, label int",
+    )
+    with _pytest.raises(TypeError, match="numeric"):
+        triplet_mining(df, df)

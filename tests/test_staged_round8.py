@@ -355,3 +355,17 @@ def test_countmin_collision_overcounts_one_sided(spark):
         ).collect()
     }
     assert out == {"x": 10, "y": 10}
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    """Advisor r6: iterations=0 used to dereference a None authority
+    relation; the guard must reject it with a clear error."""
+    import pytest as _pytest
+
+    from pinterest_data_pipeline_spark.operators.pagerank import (
+        hits_bipartite,
+    )
+
+    edges = spark.createDataFrame([("h1", "a1")], "hub string, auth string")
+    with _pytest.raises(ValueError, match="iterations"):
+        hits_bipartite(edges, iterations=0)
