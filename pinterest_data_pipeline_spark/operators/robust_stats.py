@@ -95,11 +95,16 @@ def ks_two_sample(
         F.sum("__na").over(w).alias("__ca"),
         F.sum("__nb").over(w).alias("__cb"),
     )
+    # NULL (not ANSI DivideByZero) when either slice is absent from the
+    # input — the degenerate-denominator guard discipline
     diff = cdf.crossJoin(F.broadcast(totals)).select(
         "__cents",
-        F.abs(
-            F.col("__ca").cast("double") / F.col("n_a").cast("double")
-            - F.col("__cb").cast("double") / F.col("n_b").cast("double")
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.abs(
+                F.col("__ca").cast("double") / F.col("n_a").cast("double")
+                - F.col("__cb").cast("double") / F.col("n_b").cast("double")
+            ),
         ).alias("__d"),
     )
     best = (
@@ -353,7 +358,12 @@ def dow_seasonality(
             "dow",
             "n_events",
             "revenue_cents",
-            F.expr("(7000000 * revenue_cents) div __tc")
+            # NULL (not ANSI DivideByZero) on an all-NULL/zero-revenue
+            # stream — the degenerate-denominator guard discipline
+            F.when(
+                F.col("__tc") > 0,
+                F.expr("(7000000 * revenue_cents) div __tc"),
+            )
             .cast("bigint")
             .alias("revenue_idx_ppm"),
             F.expr("(7000000 * n_events) div __tn")

@@ -428,8 +428,8 @@ def pq_codebook_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per
     )
     SELECT dow, n_events, revenue_cents,
-           CAST((7000000 * revenue_cents) // t.tc AS BIGINT)
-               AS revenue_idx_ppm,
+           CAST(CASE WHEN t.tc > 0 THEN (7000000 * revenue_cents) // t.tc
+                END AS BIGINT) AS revenue_idx_ppm,
            CAST((7000000 * n_events) // t.tn AS BIGINT) AS events_idx_ppm
     FROM per CROSS JOIN t ORDER BY dow
     """,

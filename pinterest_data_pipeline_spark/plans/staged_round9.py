@@ -281,8 +281,10 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT cents,
-               abs(CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE)
-                   - CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE)) AS dd
+               CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+                   abs(CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE))
+               END AS dd
         FROM cdf CROSS JOIN t
     ),
     best AS (

@@ -190,6 +190,10 @@ QUERIES = [
     "pq_codebook_train_gate",
     "dow_seasonality_events",
     "cusum_changepoint_revenue",
+    # round-7 seed for round 11 (plans/staged_round11.py): exact
+    # similarity joins
+    "fastss_customer_name_pairs",
+    "jaccard_exact_doc_pairs",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -274,6 +278,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round10 import (
         STAGED_QUERIES as STAGED_R10,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round11 import (
+        STAGED_QUERIES as STAGED_R11,
+    )
 
     for name in QUERIES:
         if only is not None and name not in only:
@@ -284,7 +291,8 @@ def main() -> None:
             or STAGED_R7.get(name)
             or STAGED_R8.get(name)
             or STAGED_R9.get(name)
-            or STAGED_R10[name]
+            or STAGED_R10.get(name)
+            or STAGED_R11[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

@@ -82,11 +82,14 @@ def test_every_staged_query_mentioned_in_coverage():
     from pinterest_data_pipeline_spark.plans.staged_round10 import (
         STAGED_QUERIES as R10,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round11 import (
+        STAGED_QUERIES as R11,
+    )
 
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [
         q
-        for q in list(R7) + list(R8) + list(R9) + list(R10)
+        for q in list(R7) + list(R8) + list(R9) + list(R10) + list(R11)
         if q not in coverage
     ]
     assert not missing, f"COVERAGE.md missing staged queries: {missing}"
@@ -107,8 +110,13 @@ def test_staged_names_do_not_collide_across_rounds():
     from pinterest_data_pipeline_spark.plans.staged_round10 import (
         STAGED_QUERIES as R10,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round11 import (
+        STAGED_QUERIES as R11,
+    )
 
-    staged = {"R8": set(R8), "R9": set(R9), "R10": set(R10)}
+    staged = {
+        "R8": set(R8), "R9": set(R9), "R10": set(R10), "R11": set(R11),
+    }
     names = [set(R7), *staged.values()]
     for i, a in enumerate(names):
         for b in names[i + 1:]:

@@ -1,0 +1,167 @@
+"""Round-11 seed parity + behavior: the exact-similarity-join pair
+(FastSS edit-distance ≤ 1, prefix-filter shingle Jaccard) must already
+pass the exact check the driver will run once registered — strict-mirror
+value comparison against their DuckDB oracles — and each algorithm's
+completeness claim is pinned against brute force on constructed data.
+
+Staged queries are deliberately NOT in plans/registry (rounds 8-10 are
+already planned/staged); see plans/staged_round11.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pinterest_data_pipeline_spark.plans.staged_round11 import (
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+from tests.oracle_utils import (
+    compare_frames,
+    duckdb_connection,
+    exotic_oracle_columns,
+)
+
+
+def test_staged_queries_are_not_registered():
+    import __spark_entry__ as entry_mod
+
+    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, name, sf):
+    d = f"/root/testdata/{sf}"
+    spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
+    con = duckdb_connection(d)
+    try:
+        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
+        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@{sf}: {problems}"
+    assert len(spark_pdf) > 0
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fastss_equals_brute_force(spark):
+    """Constructed names covering substitution, insertion, deletion,
+    exact duplicates, and ED=2 non-pairs: the variant join must find
+    EXACTLY the brute-force ED ≤ 1 pair set."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        edit_distance_one_pairs,
+    )
+
+    names = [
+        (1, "kitten"), (2, "sitten"),   # substitution
+        (3, "kittens"),                 # insertion vs 1
+        (4, "kitte"),                   # deletion vs 1
+        (5, "kitten"),                  # exact duplicate of 1
+        (6, "mitten"),                  # substitution vs 1
+        (7, "banana"),                  # unrelated
+        (8, "bananas"), (9, "bananaz"),
+        (10, "xyzzy"),                  # ED 2+ from all
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r["key_a"], r["key_b"], r["ed"])
+        for r in edit_distance_one_pairs(df, "id", "name").collect()
+    }
+    brute = set()
+    for (ia, na), (ib, nb) in itertools.combinations(names, 2):
+        ed = _levenshtein(na, nb)
+        if ed <= 1:
+            brute.add((min(ia, ib), max(ia, ib), ed))
+    assert got == brute
+    assert (1, 5, 0) in got  # the exact-duplicate pair rode along
+    assert (1, 3, 1) in got and (1, 4, 1) in got  # insert + delete
+
+
+def test_jaccard_prefix_join_equals_brute_force(spark):
+    """Constructed token sets around the 19/20 boundary: the prefix
+    join must find exactly the brute-force qualifying pairs, including
+    the identical-set pair (J = 1) and excluding a J = 18/19 near-miss."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        jaccard_exact_join,
+    )
+
+    base = [f"t{i:02d}" for i in range(19)]
+    docs = [
+        (1, " ".join(base + ["x1"])),          # 20 tokens
+        (2, " ".join(base + ["x1"])),          # identical to 1: J = 1
+        (3, " ".join(base + ["x2"])),          # J(1,3) = 19/21 < 19/20
+        (4, " ".join(base)),                   # J(1,4) = 19/20 boundary
+        (5, "completely different words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["n_union"])
+        for r in jaccard_exact_join(
+            df, "doc_id", "text", 19, 20, shingle_size=1
+        ).collect()
+    }
+
+    def toks(t):
+        return set(t.split())
+
+    brute = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        inter = len(toks(ta) & toks(tb))
+        union = len(toks(ta) | toks(tb))
+        if 20 * inter >= 19 * union:
+            brute.add((min(ia, ib), max(ia, ib), inter, union))
+    assert got == brute
+    assert (1, 2, 20, 20) in got       # identical pair
+    assert (1, 4, 19, 20) in got       # boundary pair INCLUDED (>=)
+    assert not any(p[:2] == (1, 3) for p in got)  # 19/21 excluded
+
+
+def test_jaccard_shingles_find_planted_near_dup(spark):
+    """3-word shingles: a document and its one-word-edited copy share
+    most shingles (J ≥ 1/2) while an unrelated doc pairs with nothing;
+    too-short docs (< 3 tokens) never pair."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        jaccard_exact_join,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    edited = base.replace("w15", "zz")
+    docs = [
+        (1, base),
+        (2, edited),
+        (3, "totally different content " * 8),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_exact_join(
+            df, "doc_id", "text", 1, 2, shingle_size=3
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    row = jaccard_exact_join(
+        df, "doc_id", "text", 1, 2, shingle_size=3
+    ).collect()[0]
+    # 28 shingles each; the edit breaks 3 of them: inter 25, union 31
+    assert (row["n_inter"], row["n_union"]) == (25, 31)
