@@ -53,7 +53,6 @@ def edit_distance_one_pairs(
     assumption; the verify runs only on candidates. Skewed variant keys
     (a common short name) are the hot spot — the same bucket-histogram
     diagnosis as LSH applies."""
-    name_len = F.length("__name")
     variants = (
         df.select(
             F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
@@ -270,6 +269,126 @@ def jaccard_exact_join(
                 / F.col("n_union").cast("double"),
                 6,
             ).alias("jaccard_r6"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def containment_exact_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """All ORDERED pairs (a, b) where a's shingle set is ≥ num/den
+    CONTAINED in b's (|A∩B| ≥ τ·|A|, a ≠ b) — the asymmetric
+    "document a is mostly inside document b" detector behind quote /
+    excerpt / superset-page analysis, where symmetric Jaccard goes
+    blind (a 10-shingle quote inside a 1000-shingle page has Jaccard
+    ≈ 0.01 but containment 1.0). Returns
+    (id_a, id_b, n_a, n_b, n_inter, containment_r6) ordered by the ids.
+
+    Candidate generation is the containment variant of prefix
+    filtering: only the PROBE side (a) is cut to its prefix
+    (|A| − ⌈τ|A|⌉ + 1 rarest shingles — if fewer than that many of A's
+    shingles hit B, containment cannot reach τ), joined against the
+    FULL posting list of every other document; no length filter exists
+    (b may legitimately be much larger). Verification is the integer
+    predicate den·|A∩B| ≥ num·|A|.
+
+    Scale: candidates = Σ over a's prefix shingles of their posting
+    lists — the rare-shingle postings bound the work; the exact
+    intersection runs on candidates only. Self-pairs are excluded;
+    both directions of a near-equal pair can legitimately appear."""
+    if shingle_size < 1:
+        raise ValueError(f"shingle_size must be >= 1, got {shingle_size}")
+    k = shingle_size
+    toked = df.select(
+        F.col(id_col).alias("__id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("__toks"),
+    )
+    if k == 1:
+        words = F.explode("__toks")
+    else:
+        toked = toked.filter(F.size("__toks") >= k)
+        words = F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {k - 1}), "
+                f"i -> concat_ws(' ', slice(__toks, i, {k})))"
+            )
+        )
+    toks = toked.select("__id", words.alias("__w")).distinct()
+    toks = toks.localCheckpoint(eager=True)
+    freq = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
+    sets = (
+        toks.join(freq, "__w")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__f", "__w"))
+            ).alias("__ordered"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
+        .select(
+            "__id",
+            "__n",
+            F.expr("transform(__ordered, x -> x.__w)").alias("__s"),
+        )
+    )
+    num, den = threshold_num, threshold_den
+    plen = (
+        F.col("__n")
+        - F.expr(f"({num} * __n + {den} - 1) div {den}")
+        + 1
+    )
+    sets = sets.withColumn("__plen", plen.cast("int")).localCheckpoint(
+        eager=True
+    )
+    pre_a = sets.select(
+        F.col("__id").alias("id_a"),
+        F.explode(F.expr("slice(__s, 1, __plen)")).alias("__w"),
+    )
+    cand = (
+        pre_a.join(
+            toks.select(F.col("__id").alias("id_b"), "__w"), "__w"
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa"),
+        F.col("__n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", inter)
+        .filter(
+            F.lit(den) * F.col("n_inter") >= F.lit(num) * F.col("n_a")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n_a").cast("double"),
+                6,
+            ).alias("containment_r6"),
         )
         .orderBy("id_a", "id_b")
     )

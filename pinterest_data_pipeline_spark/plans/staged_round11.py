@@ -161,3 +161,65 @@ def jaccard_exact_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_exact_join(docs, "doc_id", "text", 1, 2, shingle_size=3)
+
+
+@_stage(
+    "containment_exact_doc_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id AS id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT id,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS w
+        FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM sh GROUP BY w),
+    sets AS (
+        SELECT id, list(s.w ORDER BY f.f, s.w) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sh s JOIN freq f USING (w) GROUP BY id
+    ),
+    pre_a AS (
+        SELECT id, s[CAST(i AS INTEGER)] AS w
+        FROM sets,
+             UNNEST(range(1, n - ((4 * n + 4) // 5) + 2)) AS r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pre_a a JOIN sh b ON a.w = b.w AND a.id <> b.id
+    ),
+    ver AS (
+        SELECT c.id_a, c.id_b, sa.n AS n_a, sb.n AS n_b,
+               CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter
+        FROM cand c JOIN sets sa ON sa.id = c.id_a
+                    JOIN sets sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, n_a, n_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+               AS containment_r6
+    FROM ver WHERE 5 * n_inter >= 4 * n_a
+    ORDER BY id_a, id_b
+    """,
+)
+def containment_exact_doc_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 3-shingle containment ≥ 4/5 ordered pairs
+    (operators/similarity_join.containment_exact_join) — the asymmetric
+    quote/excerpt detector symmetric Jaccard misses (a short document
+    fully inside a long one has tiny Jaccard but containment 1). The
+    probe side's rare-shingle prefix generates candidates against full
+    posting lists; the verify predicate is the integer
+    5·|A∩B| ≥ 4·|A|.
+
+    Scale: candidates bounded by the rare-prefix posting lists; exact
+    intersection on candidates only."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        containment_exact_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_exact_join(docs, "doc_id", "text", 4, 5, 3)

@@ -194,6 +194,7 @@ QUERIES = [
     # similarity joins
     "fastss_customer_name_pairs",
     "jaccard_exact_doc_pairs",
+    "containment_exact_doc_pairs",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -165,3 +165,30 @@ def test_jaccard_shingles_find_planted_near_dup(spark):
     ).collect()[0]
     # 28 shingles each; the edit breaks 3 of them: inter 25, union 31
     assert (row["n_inter"], row["n_union"]) == (25, 31)
+
+
+def test_containment_asymmetric_hand_case(spark):
+    """A 10-token quote inside a 60-token page: containment(a in b) = 1
+    (all of a's shingles appear in b) while Jaccard is far below 1/2;
+    the reverse direction does NOT qualify; an unrelated doc pairs with
+    nothing."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        containment_exact_join,
+        jaccard_exact_join,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    page = " ".join(f"p{i}" for i in range(25)) + " " + quote + " " + " ".join(
+        f"z{i}" for i in range(25)
+    )
+    docs = [(1, quote), (2, page), (3, "other stuff entirely here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_r6"]
+        for r in containment_exact_join(df, "doc_id", "text", 4, 5, 3).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0
+    # symmetric Jaccard at 1/2 misses the same pair entirely
+    j = jaccard_exact_join(df, "doc_id", "text", 1, 2, 3).collect()
+    assert not j
