@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
 from pinterest_data_pipeline_spark.sources.parquet import load_table
@@ -223,3 +224,81 @@ def containment_exact_doc_pairs(
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_exact_join(docs, "doc_id", "text", 4, 5, 3)
+
+
+@_stage(
+    "zorder_layout_pruning_report",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey * 10 + l_linenumber AS id,
+               CAST(l_partkey AS BIGINT) AS a,
+               CAST(l_suppkey AS BIGINT) AS b
+        FROM lineitem
+    ),
+    mm AS (
+        SELECT MIN(a) AS a_min, MAX(a) AS a_max,
+               MIN(b) AS b_min, MAX(b) AS b_max
+        FROM base
+    ),
+    q AS (
+        SELECT id,
+               ((a - mm.a_min) * 256) // (mm.a_max - mm.a_min + 1) AS da,
+               ((b - mm.b_min) * 256) // (mm.b_max - mm.b_min + 1) AS db
+        FROM base CROSS JOIN mm
+    ),
+    z AS (SELECT id, da, db, ((da // 1) % 2) * 2 + ((db // 1) % 2) * 1 + ((da // 2) % 2) * 8 + ((db // 2) % 2) * 4 + ((da // 4) % 2) * 32 + ((db // 4) % 2) * 16 + ((da // 8) % 2) * 128 + ((db // 8) % 2) * 64 + ((da // 16) % 2) * 512 + ((db // 16) % 2) * 256 + ((da // 32) % 2) * 2048 + ((db // 32) % 2) * 1024 + ((da // 64) % 2) * 8192 + ((db // 64) % 2) * 4096 + ((da // 128) % 2) * 32768 + ((db // 128) % 2) * 16384 AS zk FROM q),
+    lay AS (
+        SELECT 'insertion' AS layout,
+               ntile(64) OVER (ORDER BY id) AS bucket, da, db FROM z
+        UNION ALL
+        SELECT 'sort_a', ntile(64) OVER (ORDER BY da, id), da, db FROM z
+        UNION ALL
+        SELECT 'zorder', ntile(64) OVER (ORDER BY zk, id), da, db FROM z
+    ),
+    boxes AS (
+        SELECT layout, bucket, CAST(count(*) AS BIGINT) AS rows_n,
+               MIN(da) AS a_lo, MAX(da) AS a_hi,
+               MIN(db) AS b_lo, MAX(db) AS b_hi
+        FROM lay GROUP BY layout, bucket
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN a_hi >= 96 AND a_lo <= 159
+                          AND b_hi >= 96 AND b_lo <= 159
+                    THEN 1 ELSE 0 END) AS BIGINT) AS buckets_read,
+           CAST(SUM(CASE WHEN a_hi >= 96 AND a_lo <= 159
+                          AND b_hi >= 96 AND b_lo <= 159
+                    THEN rows_n ELSE 0 END) AS BIGINT) AS rows_read,
+           CAST((1000000 * SUM(CASE WHEN a_hi >= 96 AND a_lo <= 159
+                                     AND b_hi >= 96 AND b_lo <= 159
+                               THEN rows_n ELSE 0 END))
+                // SUM(rows_n) AS BIGINT) AS read_ppm
+    FROM boxes GROUP BY layout ORDER BY layout
+""",
+)
+def zorder_layout_pruning_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-order layout payoff, measured (operators/zorder): the same
+    central-quarter 2-D predicate on (l_partkey, l_suppkey) scored
+    against zone-map pruning under three layouts — insertion order,
+    single-column sort, Morton interleave. The number a 100 TB layout
+    rewrite is justified by: insertion reads ~every bucket, sort_a
+    prunes only dimension A, z-order prunes both. Quantization, the
+    Morton key, and every reported value are pure integer arithmetic
+    replayed by the oracle; the curve uses (d div 2^b) mod 2 terms so
+    no engine bit operator enters the comparison.
+
+    Scale: min/max one broadcast aggregate; keys are per-row codegen
+    expressions; the ntile layouts exist to make the REPORT
+    deterministic — the production writer uses repartitionByRange on
+    the same Morton key."""
+    from pinterest_data_pipeline_spark.operators.zorder import (
+        zorder_pruning_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return zorder_pruning_report(li, "rid", "l_partkey", "l_suppkey")

@@ -195,6 +195,7 @@ QUERIES = [
     "fastss_customer_name_pairs",
     "jaccard_exact_doc_pairs",
     "containment_exact_doc_pairs",
+    "zorder_layout_pruning_report",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -192,3 +192,58 @@ def test_containment_asymmetric_hand_case(spark):
     # symmetric Jaccard at 1/2 misses the same pair entirely
     j = jaccard_exact_join(df, "doc_id", "text", 1, 2, 3).collect()
     assert not j
+
+
+def test_morton_key_hand_values(spark):
+    """Bit-interleave spot checks: (1,0) -> 2, (0,1) -> 1, (3,3) -> 15,
+    (255,255) -> 65535."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.zorder import morton_key
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (255, 255), (170, 85)],
+        "d1 long, d2 long",
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            morton_key(F.col("d1"), F.col("d2")).alias("z")
+        ).collect()
+    ]
+
+    def morton(a, b):
+        z = 0
+        for bit in range(8):
+            z |= ((a >> bit) & 1) << (2 * bit + 1)
+            z |= ((b >> bit) & 1) << (2 * bit)
+        return z
+
+    assert got == [morton(a, b) for a, b in
+                   [(1, 0), (0, 1), (3, 3), (255, 255), (170, 85)]]
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The report's whole point: z-order must read no more buckets than
+    insertion order, and on a genuinely 2-D predicate it must beat the
+    single-column sort."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.zorder import (
+        zorder_pruning_report,
+    )
+    from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    rows = {
+        r["layout"]: r for r in zorder_pruning_report(
+            li, "rid", "l_partkey", "l_suppkey"
+        ).collect()
+    }
+    assert rows["zorder"]["buckets_read"] <= rows["insertion"]["buckets_read"]
+    assert rows["zorder"]["buckets_read"] < rows["sort_a"]["buckets_read"]
+    assert rows["zorder"]["read_ppm"] < rows["sort_a"]["read_ppm"]
