@@ -63,7 +63,18 @@ def markov_logloss(
     )
     folded = terms.agg(
         F.sum("__n_pn").cast("bigint").alias("n_transitions"),
-        F.count_distinct("__prev").cast("bigint").alias("n_states"),
+        # distinct states over prev ∪ next — count_distinct(__prev)
+        # alone would omit a state that only ever ends sequences, and
+        # the "perplexity near the state count means uniform" reading
+        # needs the true ceiling. |states| is the event-type vocabulary
+        # (tiny), so the two collect_sets are metadata-sized.
+        F.size(
+            F.array_union(
+                F.collect_set("__prev"), F.collect_set("__next")
+            )
+        )
+        .cast("bigint")
+        .alias("n_states"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.aggregate(
             F.sort_array(

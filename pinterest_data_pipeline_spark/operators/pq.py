@@ -91,6 +91,14 @@ def pq_train_gate(
         )
     ).localCheckpoint(eager=True)
     first = work.orderBy("__id").limit(k).collect()
+    if len(first) < k:
+        # fail loud: the empty-cluster fallback below indexes books[i][c]
+        # for c in range(k), which would raise an opaque IndexError when
+        # the init list is short (kmeans_codebook tolerates n < k only
+        # because it never list-indexes its fallback).
+        raise ValueError(
+            f"pq_train_gate needs at least k={k} vectors, got {len(first)}"
+        )
     init = {
         i: [list(map(float, r[f"__sub{i}"])) for r in first]
         for i in range(m)

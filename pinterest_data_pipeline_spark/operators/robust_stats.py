@@ -134,15 +134,22 @@ def benford_audit(
     string (scaling by 100 never changes the leading digit), so no
     log10/floor float boundary is in the comparison path; the Benford
     probabilities are 6-decimal literals baked identically into both
-    engines.
+    engines. The filter is ``cents >= 1`` — NOT ``amount > 0`` — so a
+    positive sub-cent amount (round(x*100) = 0, leading digit '0')
+    is excluded identically on both engines instead of emitting a
+    digit-0 row the 9-digit Benford table can't match.
 
     Scale: one scan → 9-group aggregate with map-side combine; the
     digit table is a 9-row literal."""
     cents = F.round(F.col(amount_col) * 100).cast("bigint")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = (
-        df.filter(F.col(amount_col) > 0)
-        .select(digit.alias("digit"))
+        df.select(cents.alias("__cents"))
+        .filter(F.col("__cents") >= 1)
+        .select(
+            F.substring(F.col("__cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
@@ -182,8 +189,20 @@ def autocorr_daily(
     per lag: (lag, n_days, n_pairs, autocorr_r6) with the standard
     estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
 
-    The daily series is built as exact integer cents (one grouped sum);
-    the day count is tiny (years of days, not rows), so the lag join is
+    The daily series is built as exact integer cents (one grouped sum),
+    and — the cusum_changepoint lesson, generalized — EVERY moment sum
+    (Σx, Σx², Σx·x_lag, head/tail sums) is accumulated as an exact
+    decimal over those integer cents, never as an unordered double
+    aggregate, so the result is bit-identical across partition orders
+    and engines. r_k is scale-invariant, so the ×100 cents factor (and
+    an n² clearing factor that makes the mean terms integral) cancels:
+
+        r_k = (n²·Σcy − n·S(Sh+St) + p·S²) / (n²·Σcc − n·S²)
+
+    with S=Σcents, Σcc=Σcents², Σcy=Σcents·cents_lag — one double
+    division at the very end. Exact up to ~1e38 intermediate magnitude
+    (decimal(38,0); ~1e10 daily cents × decades of days clears easily).
+    The day count is tiny (years of days, not rows), so the lag join is
     a broadcast self-join and the moment sums run over a metadata-sized
     relation. autocorr_r6 is NULL for a constant series (zero
     denominator).
@@ -196,14 +215,13 @@ def autocorr_daily(
             F.round(F.col(amount_col) * 100).cast("bigint").alias("__c"),
         )
         .groupBy("__d")
-        .agg(F.sum("__c").alias("__cents"))
-        .select("__d", (F.col("__cents").cast("double") / 100.0).alias("__x"))
+        .agg(F.sum("__c").cast("decimal(38,0)").alias("__cents"))
     )
     daily = daily.localCheckpoint(eager=True)
     moments = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.sum("__x").alias("__sx"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum("__cents").alias("__sc"),
+        F.sum(F.col("__cents") * F.col("__cents")).alias("__scc"),
     )
     out = None
     for k in lags:
@@ -211,26 +229,32 @@ def autocorr_daily(
             F.date_add(F.col("__d").cast("date"), k)
             .cast("timestamp")
             .alias("__d"),
-            F.col("__x").alias("__x_prev"),
+            F.col("__cents").alias("__c_prev"),
         )
         pairs = daily.join(lagged, "__d").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum(F.col("__x") * F.col("__x_prev")).alias("__sxy"),
-            F.sum("__x").alias("__s_head"),
-            F.sum("__x_prev").alias("__s_tail"),
+            F.sum(F.col("__cents") * F.col("__c_prev")).alias("__scy"),
+            F.sum("__cents").alias("__sh"),
+            F.sum("__c_prev").alias("__st"),
         )
-        mean = F.col("__sx") / F.col("n_days").cast("double")
+        n_dec = F.col("n_days").cast("decimal(38,0)")
+        p_dec = F.col("n_pairs").cast("decimal(38,0)")
         num = (
-            F.col("__sxy")
-            - mean * (F.col("__s_head") + F.col("__s_tail"))
-            + F.col("n_pairs").cast("double") * mean * mean
+            F.col("__scy") * n_dec * n_dec
+            - F.col("__sc") * (F.col("__sh") + F.col("__st")) * n_dec
+            + p_dec * F.col("__sc") * F.col("__sc")
         )
-        den = F.col("__sxx") - F.col("n_days").cast("double") * mean * mean
+        den = (
+            F.col("__scc") * n_dec * n_dec
+            - F.col("__sc") * F.col("__sc") * n_dec
+        )
         row = pairs.crossJoin(F.broadcast(moments)).select(
             F.lit(k).cast("int").alias("lag"),
             "n_days",
             "n_pairs",
-            F.round(F.when(den != 0, num / den), 6).alias("autocorr_r6"),
+            F.round(
+                F.when(den != 0, num.cast("double") / den.cast("double")), 6
+            ).alias("autocorr_r6"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lag")

@@ -199,7 +199,9 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     f AS (
         SELECT CAST(SUM(n_pn) AS BIGINT) AS n_transitions,
-               CAST(COUNT(DISTINCT prv) AS BIGINT) AS n_states,
+               (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM
+                   (SELECT prv AS s FROM cells
+                    UNION SELECT nxt FROM cells)) AS n_states,
                CAST(COUNT(*) AS BIGINT) AS n_cells,
                list_sum(list(term ORDER BY prv, nxt)) AS ll
         FROM terms

@@ -212,10 +212,13 @@ def charset_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_stage(
     "benford_price_audit",
     oracle="""
-    WITH d AS (
-        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        FROM orders WHERE o_totalprice > 0
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM cents WHERE c >= 1
     ),
     c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
     t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
@@ -319,20 +322,21 @@ def ks_exact_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT date_trunc('day', l_shipdate) AS d,
-               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                    AS DOUBLE) / 100.0 AS x
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
         FROM lineitem GROUP BY 1
     ),
     m AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_days, SUM(x) AS sx,
-               SUM(x * x) AS sxx
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(CAST(c AS HUGEINT)) AS sc,
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
         FROM daily
     ),
     lags(lag) AS (VALUES (CAST(1 AS INTEGER)), (CAST(7 AS INTEGER))),
     p AS (
         SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               SUM(a.x * b.x) AS sxy,
-               SUM(a.x) AS s_head, SUM(b.x) AS s_tail
+               SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS scy,
+               SUM(CAST(a.c AS HUGEINT)) AS sh,
+               SUM(CAST(b.c AS HUGEINT)) AS st
         FROM lags l
         JOIN daily b ON TRUE
         JOIN daily a ON a.d = b.d + l.lag * INTERVAL 1 DAY
@@ -340,18 +344,13 @@ def ks_exact_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.lag, m.n_days, p.n_pairs,
            round(CASE WHEN
-               m.sxx - CAST(m.n_days AS DOUBLE)
-                       * (m.sx / CAST(m.n_days AS DOUBLE))
-                       * (m.sx / CAST(m.n_days AS DOUBLE)) <> 0
+               m.scc * m.n_days * m.n_days - m.sc * m.sc * m.n_days <> 0
            THEN
-               (p.sxy - (m.sx / CAST(m.n_days AS DOUBLE))
-                        * (p.s_head + p.s_tail)
-                + CAST(p.n_pairs AS DOUBLE)
-                  * (m.sx / CAST(m.n_days AS DOUBLE))
-                  * (m.sx / CAST(m.n_days AS DOUBLE)))
-               / (m.sxx - CAST(m.n_days AS DOUBLE)
-                          * (m.sx / CAST(m.n_days AS DOUBLE))
-                          * (m.sx / CAST(m.n_days AS DOUBLE)))
+               CAST(p.scy * m.n_days * m.n_days
+                    - m.sc * (p.sh + p.st) * m.n_days
+                    + p.n_pairs * m.sc * m.sc AS DOUBLE)
+               / CAST(m.scc * m.n_days * m.n_days
+                      - m.sc * m.sc * m.n_days AS DOUBLE)
            END, 6) AS autocorr_r6
     FROM p CROSS JOIN m ORDER BY p.lag
     """,

@@ -132,6 +132,9 @@ def test_markov_logloss_closed_forms(spark):
     r2 = markov_logloss(df2).collect()[0]
     assert r2["avg_logloss_r6"] == round(math.log(2), 6)
     assert r2["perplexity_r6"] == 2.0
+    # n_states spans prev ∪ next: b and c only ever END sequences yet
+    # still count (r8 advisor fix — prev-only counting said 1)
+    assert r2["n_states"] == 3
 
 
 # --------------------------------------------- retrieval infrastructure
@@ -203,6 +206,19 @@ def test_pq_gate_zero_violations_and_codes_in_range(spark, sf_dir):
         16,
         8,
     )
+
+
+def test_pq_gate_fewer_vectors_than_k_fails_loud(spark):
+    """n < k must raise a clear ValueError, not the IndexError the
+    empty-cluster fallback would otherwise hit (r8 advisor fix)."""
+    from pinterest_data_pipeline_spark.operators.pq import pq_train_gate
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least k=16"):
+        pq_train_gate(tiny, dim=4, m=2, k=16, iterations=1)
 
 
 # ------------------------------------------------------------ time series

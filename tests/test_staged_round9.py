@@ -145,13 +145,16 @@ def test_benford_counts_leading_digits(spark):
         benford_audit,
     )
 
-    amounts = [1.23, 19.99, 2.50, 29.0, 900.0, 0.0, -5.0]
+    amounts = [1.23, 19.99, 2.50, 29.0, 900.0, 0.0, -5.0, 0.004]
     df = spark.createDataFrame(
         [(float(a),) for a in amounts], "amt double"
     )
     rows = {r["digit"]: r for r in benford_audit(df, "amt").collect()}
-    # 0 and negatives excluded; leading digits of cents: 123→1,
+    # 0, negatives AND positive sub-cent (0.004 → cents 0) excluded
+    # (r8 advisor fix: amount > 0 would emit a digit-0 row the 9-row
+    # Benford table can't join); leading digits of cents: 123→1,
     # 1999→1, 250→2, 2900→2, 90000→9
+    assert 0 not in rows
     assert rows[1]["n"] == 2 and rows[2]["n"] == 2 and rows[9]["n"] == 1
     assert rows[1]["benford_p_r6"] == 0.30103
     assert abs(rows[1]["share_r6"] - 0.4) < 1e-9
