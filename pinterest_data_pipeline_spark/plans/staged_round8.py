@@ -1,15 +1,14 @@
-"""ROUND-8 STAGING AREA — implemented, tested, NOT driver-registered.
+"""ROUND-8 PROMOTIONS — staged in round 7, driver-registered in round 8.
 
-The round-7 window is fully allocated at 50 rows (17 staged_round7
-promotions + 5 minhash-hint re-certifications + 1 gate-oracle upgrade +
-27 oldest-evidence rotations — registry.CHECK_FIRST), so per the
-standing rotation rule this batch stages one window further out; the
-ROUND-8 ROTATION NOTES in plans/registry.py pre-plan its registration. Same contract as every staging round:
-each query has a full DuckDB oracle replayed value-for-value
-(strict-mirror parity test at sf0.001 + sf0.01 in
-tests/test_staged_round8.py) and behavior-pinning unit tests; round 8
-registers them by pointing ``_stage`` at ``registry.register`` and
-queueing the names in CHECK_FIRST.
+Built and fully oracled one window ahead per the standing rotation
+rule; round 8 executed the pre-planned registration (ROUND-8 ROTATION
+NOTES in plans/registry.py): ``_stage`` below now feeds
+``registry.register`` directly, ``__spark_entry__`` imports this
+module, and the eight names lead registry.CHECK_FIRST for their first
+driver correctness rows. Same contract as every staging round: each
+query has a full DuckDB oracle replayed value-for-value (strict-mirror
+parity test at sf0.001 + sf0.01 in tests/test_staged_round8.py) and
+behavior-pinning unit tests.
 
 The batch is the OFFLINE EVALUATION layer a decision-making data
 pipeline needs between "metrics computed" and "change shipped"
@@ -55,7 +54,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.registry import register
 from pinterest_data_pipeline_spark.sources.parquet import load_table
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -63,13 +62,13 @@ STAGED_ORACLE: dict[str, str] = {}
 
 
 def _stage(name: str, oracle: str | None = None):
-    """registry.register's contract, into the round-8 staging dicts."""
+    """ROUND-8 PROMOTION: registry.register proper (driver surface),
+    plus the module-local dicts the behavioral tests in
+    tests/test_staged_round8.py enumerate. All validation (duplicate
+    names, `--`-in-oracle) happens in register()."""
 
     def deco(fn):
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name: {name}")
-        if oracle is not None and has_sql_line_comment(oracle):
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        register(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLE[name] = " ".join(oracle.split())

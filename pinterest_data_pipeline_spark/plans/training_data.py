@@ -34,6 +34,14 @@ _TRIGRAMS = f"""
     ELSE [array_to_string({_TOKS}, ' ')] END
 """
 
+# The identical MinHash permutation constants, baked as SQL literals so
+# DuckDB runs the same 32 hashes the engine does (seed 42).
+_MH_PARAMS_SQL = (
+    "["
+    + ", ".join(f"[{a}, {b}]" for a, b in dedup.minhash_params(32, 42))
+    + "]"
+)
+
 
 def _sw_list(code: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in sorted(text.LANG_STOPWORDS[code])) + "]"
@@ -214,14 +222,110 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_lsh_near_duplicates")  # banded hashing: rows-only check
+@register(
+    "minhash_lsh_near_duplicates",
+    # Gate oracle (rows-only → oracle upgrade, round 8): DuckDB replays
+    # the PORTABLE twin pipeline (md5-prefix shingle hash, identical
+    # baked permutation constants, md5 band keys, exact Jaccard >= 0.5
+    # verification — the minhash_dedup_clusters CTE chain) and asserts
+    # the xxhash64 PRODUCTION path found every twin-verified pair:
+    # n_twin_found_by_xxhash = n_twin_pairs and the found-pair checksum
+    # equals the twin-pair checksum. A recall regression in the
+    # production path (missed pair) breaks both columns.
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(g,
+                   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({_MH_PARAMS_SQL},
+                   p -> list_min(list_transform(hs,
+                            h -> (p[1] * h + p[2]) % 4294967311))) AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, bb.band AS band,
+               md5(concat_ws(',', bb.band,
+                   sig[bb.band * 4 + 1], sig[bb.band * 4 + 2],
+                   sig[bb.band * 4 + 3], sig[bb.band * 4 + 4])) AS key
+        FROM sig, (SELECT unnest(range(0, 8)) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1)
+              >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_twin_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_twin_found_by_xxhash,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                    CAST(id_a AS VARCHAR), ':', CAST(id_b AS VARCHAR))),
+                    1, 8)) AS BIGINT)) AS BIGINT) AS twin_found_checksum
+    FROM verified
+    """,
+)
 def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: MinHash(32)×8-band LSH candidates verified with exact
-    Jaccard ≥ 0.5. Shuffle cost is the band-bucket histogram, not n²."""
+    Jaccard ≥ 0.5, under the PRODUCTION hash (xxhash64) — GATE form.
+
+    xxhash64 band keys are Spark-only, so the pair listing itself can't
+    be value-hashed by DuckDB (the r1–r7 rows-only rationale). What IS
+    checkable: the portable twin's verified-Jaccard pair set (md5-prefix
+    hashes, bit-identical in DuckDB) must be CONTAINED in the xxhash64
+    path's output — both paths verify candidates with the same exact
+    Jaccard ≥ 0.5 filter, so containment is exactly "the production
+    banding missed nothing the portable banding surfaced". The gate row
+    is (n_twin_pairs, n_twin_found_by_xxhash, twin_found_checksum) where
+    the count and the order-independent integer checksum are computed
+    over the twin pairs the xxhash path FOUND — a missed pair shrinks
+    both, and the oracle's replay of the twin set pins them.
+
+    Scale: two banded (band,key) shuffles (one per hash family) + one
+    pair-set semi join; the twin pair list is localCheckpointed so its
+    two consumers (count, semi join) don't re-run the portable LSH."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_duplicates_minhash(
+    xx_pairs = dedup.near_duplicates_minhash(
         docs, "doc_id", "text", threshold=0.5
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b")
+    twin = (
+        dedup.near_duplicates_minhash(
+            docs, "doc_id", "text", threshold=0.5, portable=True
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    found = twin.join(xx_pairs, ["id_a", "id_b"], "left_semi")
+    n_twin = twin.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_twin_pairs")
+    )
+    found_stats = found.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_twin_found_by_xxhash"),
+        F.sum(
+            dedup.portable_hash32(
+                F.concat(
+                    F.col("id_a").cast("string"),
+                    F.lit(":"),
+                    F.col("id_b").cast("string"),
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("twin_found_checksum"),
+    )
+    return n_twin.crossJoin(found_stats)
 
 
 # Portable-hash SimHash, mirrored exactly in DuckDB: per normalized token
@@ -585,15 +689,6 @@ def corpus_curation_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(scored.select("doc_id", "quality"), "doc_id").select(
         "doc_id", "quality"
     )
-
-
-# The identical MinHash permutation constants, baked as SQL literals so
-# DuckDB runs the same 32 hashes the engine does (seed 42).
-_MH_PARAMS_SQL = (
-    "["
-    + ", ".join(f"[{a}, {b}]" for a, b in dedup.minhash_params(32, 42))
-    + "]"
-)
 
 
 @register(

@@ -45,13 +45,28 @@ def _topic_schema(topic: str) -> StructType:
     return {"pin": PIN_RAW, "geo": GEO_RAW, "user": USER_RAW}[topic]
 
 
-def _generate_slice(topic: str, start: int, end: int, seed: int) -> list[tuple]:
+def _generate_slice(
+    topic: str, start: int, end: int, seed: int, mode: str = "emulation"
+) -> list[tuple]:
     """Rows [start, end) for one topic. Each row is a pure function of
     (topic, row index, seed) — its RNG seeds from (seed, index) alone — so
     the SAME rows come back for any partitioning, any batch size, and any
     offset replay; executors never need driver RNG state. Rows with equal
     index across the three topics come from one generator call, mirroring
-    the reference's aligned pin/geo/user emission."""
+    the reference's aligned pin/geo/user emission.
+
+    ``mode="hash"`` (pin topic only) switches to the portable md5-prefix
+    synthesis (sources/fixtures.hash_pin_rows): the same pure-function
+    replayability, but ALSO recomputable by Spark SQL and DuckDB, which
+    is what lets python_datasource_clean_pins carry a value oracle."""
+    if mode == "hash":
+        if topic != "pin":
+            raise ValueError(
+                f"hash mode generates the pin topic only, got {topic!r}"
+            )
+        from pinterest_data_pipeline_spark.sources.fixtures import hash_pin_rows
+
+        return hash_pin_rows(start, end)
     from pinterest_data_pipeline_spark.sources.fixtures import generate_raw_rows
 
     out = []
@@ -73,6 +88,7 @@ class PostingEmulationReader(DataSourceReader):
         self.n = int(options.get("n", "2000"))
         self.seed = int(options.get("seed", "100"))
         self.num_partitions = int(options.get("partitions", "4"))
+        self.mode = options.get("mode", "emulation")
 
     def partitions(self) -> list[InputPartition]:
         step = max(1, -(-self.n // self.num_partitions))
@@ -83,7 +99,7 @@ class PostingEmulationReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         yield from _generate_slice(
-            self.topic, partition.start, partition.end, self.seed
+            self.topic, partition.start, partition.end, self.seed, self.mode
         )
 
 
@@ -99,6 +115,7 @@ class PostingEmulationStreamReader(SimpleDataSourceStreamReader):
         self.n = int(options.get("n", "2000"))
         self.seed = int(options.get("seed", "100"))
         self.rows_per_batch = int(options.get("rows_per_batch", "50"))
+        self.mode = options.get("mode", "emulation")
 
     def initialOffset(self) -> dict:
         return {"ind": 0}
@@ -106,10 +123,17 @@ class PostingEmulationStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = start["ind"]
         hi = min(lo + self.rows_per_batch, self.n)
-        return iter(_generate_slice(self.topic, lo, hi, self.seed)), {"ind": hi}
+        return (
+            iter(_generate_slice(self.topic, lo, hi, self.seed, self.mode)),
+            {"ind": hi},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(_generate_slice(self.topic, start["ind"], end["ind"], self.seed))
+        return iter(
+            _generate_slice(
+                self.topic, start["ind"], end["ind"], self.seed, self.mode
+            )
+        )
 
 
 class PostingEmulationDataSource(DataSource):

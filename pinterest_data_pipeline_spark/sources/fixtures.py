@@ -145,6 +145,88 @@ def generate_raw_tables(
     )
 
 
+# ------------------------------------------------- portable-hash synthesis
+#
+# A SECOND generator family, used by the oracle-replayable Python Data
+# Source mode (sources/emulation_source.py, mode="hash") and pinned
+# against plans/pinterest_driver.pin_raw_from_spine: every field is a
+# pure function of the row index through the portable md5-prefix hash
+# (int(md5(f"{tag}{ind}")[:8], 16) ≡ Spark conv(substr(md5(..),1,8),16,10)
+# ≡ DuckDB CAST(concat('0x', substr(md5(..),1,8)) AS BIGINT)), so all
+# THREE engines — executor Python, Spark SQL, DuckDB — regenerate
+# byte-identical dirty rows from nothing but the index range.
+
+IMAGE_KINDS = ["image", "video", "multi-video(story page format)"]
+
+
+def _h_py(tag: str, seed: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}{seed}".encode()).hexdigest()[:8], 16)
+
+
+def _pick_py(pool: list[str], tag: str, seed: int) -> str:
+    return pool[_h_py(tag, seed) % len(pool)]
+
+
+def hash_pin_rows(start: int, end: int) -> list[tuple]:
+    """PIN_RAW rows [start, end) from the portable-hash synthesis —
+    the pure-Python twin of plans/pinterest_driver.pin_raw_from_spine
+    (field-for-field identical; tests/test_python_datasource.py pins
+    the three-way parity)."""
+    import hashlib
+
+    rows = []
+    for ind in range(start, end):
+        category = _pick_py(CATEGORIES, "cat", ind)
+        fcb = _h_py("fc", ind) % 100
+        if fcb < 3:
+            follower = SENTINEL_USER
+        elif fcb < 5:
+            follower = f"{_h_py('fcd', ind) % 3 + 1}.5M"
+        elif fcb < 35:
+            follower = f"{_h_py('fck', ind) % 999 + 1}k"
+        elif fcb < 45:
+            follower = f"{_h_py('fcm', ind) % 9 + 1}M"
+        else:
+            follower = str(_h_py("fcv", ind) % 1000000)
+        rows.append(
+            (
+                ind,
+                "uid-" + hashlib.md5(str(ind).encode()).hexdigest(),
+                SENTINEL_TITLE
+                if _h_py("title", ind) % 100 < 5
+                else f"Title {ind}",
+                SENTINEL_DESC
+                if _h_py("desc", ind) % 100 < 5
+                else f"A post about {category}",
+                SENTINEL_USER
+                if _h_py("poster", ind) % 100 < 3
+                else (
+                    _pick_py(FIRST_NAMES, "pfn", ind)
+                    + " "
+                    + _pick_py(LAST_NAMES, "pln", ind)
+                ),
+                follower,
+                SENTINEL_TAGS
+                if _h_py("tags", ind) % 100 < 5
+                else (
+                    _pick_py(CATEGORIES, "tg1", ind)
+                    + ","
+                    + _pick_py(CATEGORIES, "tg2", ind)
+                ),
+                _pick_py(IMAGE_KINDS, "iv", ind),
+                SENTINEL_IMG
+                if _h_py("img", ind) % 100 < 3
+                else f"https://i.pinimg.com/{ind}.jpg",
+                _h_py("dl", ind) % 2,
+                "Local save in /data/" + category,
+                category,
+            )
+        )
+    return rows
+
+
 def write_fixture_parquet(
     spark: SparkSession, out_dir: str, n: int = 2000, seed: int = 100
 ) -> dict[str, str]:

@@ -78,3 +78,48 @@ def test_composes_with_cleaning(spark):
     b = sorted(tuple(r) for r in fn(spark, "unused").collect())
     assert a == b
     assert sum(r[1] for r in a) == 1000  # n_pins sums to source n
+
+
+def test_hash_mode_three_way_parity(spark):
+    """mode=hash rows (executor Python, sources/fixtures.hash_pin_rows)
+    equal the Spark-expression synthesis
+    (pinterest_driver.pin_raw_from_spine) row for row — the identity
+    that lets DuckDB replay the source and gives
+    python_datasource_clean_pins its value oracle (r8 rows-only →
+    oracle upgrade). Partitioning-independence holds in hash mode too,
+    and non-pin topics fail loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.plans.pinterest_driver import (
+        pin_raw_from_spine,
+    )
+    from pinterest_data_pipeline_spark.sources.fixtures import hash_pin_rows
+
+    register_posting_emulation(spark)
+
+    def load_hash(partitions):
+        return (
+            spark.read.format("posting_emulation")
+            .option("topic", "pin")
+            .option("n", "90")
+            .option("partitions", str(partitions))
+            .option("mode", "hash")
+            .load()
+        )
+
+    src_rows = {tuple(r) for r in load_hash(4).collect()}
+    assert src_rows == {tuple(r) for r in load_hash(7).collect()}
+    spine = spark.range(0, 90).select(F.col("id").cast("int").alias("ind"))
+    assert src_rows == {tuple(r) for r in pin_raw_from_spine(spine).collect()}
+    assert src_rows == set(hash_pin_rows(0, 90))
+
+    geo = (
+        spark.read.format("posting_emulation")
+        .option("topic", "geo")
+        .option("mode", "hash")
+        .option("n", "5")
+        .load()
+    )
+    with pytest.raises(Exception, match="pin topic only"):
+        geo.collect()

@@ -1,14 +1,14 @@
-"""Round-8 staging parity + behavior: the offline-evaluation batch
+"""Round-8 promotion parity + behavior: the offline-evaluation batch
 (quantile treatment effect, IPS/SNIPS counterfactual value, reliability
-table + ECE) must already pass the exact check the driver will run once
-registered — strict-mirror value comparison against their DuckDB
-oracles — and each operator's semantic guarantees are pinned directly
-(exact quantiles vs a sorted-python replay, IPS vs a closed-form hand
-example, ECE perfect-calibration zero).
+table + ECE) passes the exact check the driver runs — strict-mirror
+value comparison against their DuckDB oracles — and each operator's
+semantic guarantees are pinned directly (exact quantiles vs a
+sorted-python replay, IPS vs a closed-form hand example, ECE
+perfect-calibration zero).
 
-Staged queries are deliberately NOT in plans/registry (the round-7
-window is already fully pre-planned); see plans/staged_round8.py for
-the promotion recipe.
+Round 8 executed the pre-planned registration (plans/registry.py
+ROUND-8 window): the eight queries now sit on the driver surface with
+full oracles, leading CHECK_FIRST.
 """
 
 from __future__ import annotations
@@ -29,11 +29,18 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
+def test_staged_queries_are_promoted():
+    """Round-8 promotion: every formerly-staged query is on the driver
+    surface (registry + oracle). Window membership is the registry
+    rotation's job (see plans/registry.py CHECK_FIRST)."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(STAGED_QUERIES) - set(queries)
+    assert not missing, f"staged queries not promoted: {missing}"
+    missing_oracle = set(STAGED_ORACLE) - set(oracles)
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
 
 
 def test_every_staged_query_has_an_oracle():
