@@ -70,3 +70,87 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(value_col), 6).alias("total_value"),
     )
+
+
+DAY_US = 86_400 * 1_000_000
+
+
+def peak_concurrency_by_day(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Peak concurrent intervals per UTC day, by sweep line: the
+    capacity-planning number ("how many sessions were open at once at
+    the worst moment of each day") that no per-user aggregate can
+    produce.
+
+    Semantics: an interval is ACTIVE at instant t when
+    ``start ≤ t ≤ end`` (inclusive ends — a session ending exactly when
+    another starts overlaps it). Intervals crossing midnight are
+    CLIPPED per day (the day's peak counts carried-over sessions for
+    the part of the day they cover), implemented by exploding each
+    interval over ``sequence(day(start), day(end))`` — bounded fan-out
+    of (span days) rows per interval.
+
+    Sweep: per clipped interval two deltas, (+1 at start) and (−1 at
+    end); ordered by (t, delta DESC) so the +1 at an instant applies
+    before the −1 (inclusive-overlap convention); running sum =
+    concurrency; peak = max; ``peak_at_us`` = earliest instant whose
+    post-update concurrency equals the peak. Ties among identical
+    (t, delta) rows permute only WHICH equal row carries each running
+    value, never the multiset of (t, running) pairs, so the output is
+    deterministic without a third sort key.
+
+    All arithmetic is integer micros (``unix_micros``). Output:
+    (day DATE, n_intervals, peak_concurrent, peak_at_us).
+
+    Scale: one explode bounded by interval spans, one shuffle on the
+    DAY key; each partition sweeps only its own day's deltas — no
+    global ordering anywhere."""
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    days = F.sequence(
+        (s_us / F.lit(DAY_US)).cast("long"),
+        (e_us / F.lit(DAY_US)).cast("long"),
+    )
+    clipped = intervals.select(
+        s_us.alias("__s"), e_us.alias("__e"), F.explode(days).alias("__day")
+    ).select(
+        "__day",
+        F.greatest(F.col("__s"), F.col("__day") * DAY_US).alias("__cs"),
+        F.least(
+            F.col("__e"), (F.col("__day") + 1) * DAY_US - 1
+        ).alias("__ce"),
+    )
+    deltas = clipped.select(
+        "__day", F.col("__cs").alias("__t"), F.lit(1).alias("__d")
+    ).unionAll(
+        clipped.select(
+            "__day", F.col("__ce").alias("__t"), F.lit(-1).alias("__d")
+        )
+    )
+    sweep = Window.partitionBy("__day").orderBy(
+        F.col("__t"), F.col("__d").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = deltas.withColumn("__c", F.sum("__d").over(sweep)).withColumn(
+        "__peak", F.max("__c").over(Window.partitionBy("__day"))
+    )
+    return (
+        run.groupBy("__day")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.max("__c").cast("long").alias("peak_concurrent"),
+            F.min(
+                F.when(F.col("__c") == F.col("__peak"), F.col("__t"))
+            ).alias("peak_at_us"),
+        )
+        .select(
+            F.date_from_unix_date(F.col("__day").cast("int"))
+            .cast("timestamp")
+            .alias("day"),
+            "n_intervals",
+            "peak_concurrent",
+            "peak_at_us",
+        )
+    )

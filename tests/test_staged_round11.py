@@ -1,8 +1,12 @@
-"""Round-11 seed parity + behavior: the exact-similarity-join pair
-(FastSS edit-distance ≤ 1, prefix-filter shingle Jaccard) must already
+"""Round-11 batch parity + behavior: the exact-similarity-join family
+(FastSS edit-distance ≤ 1, prefix-filter shingle Jaccard, asymmetric
+containment, z-order report) and the pipeline-operations family added
+in round 8 (watermark lateness, Mann-Kendall, peak concurrency,
+delta-varint layout, Merkle diff, rendezvous resharding) must already
 pass the exact check the driver will run once registered — strict-mirror
 value comparison against their DuckDB oracles — and each algorithm's
-completeness claim is pinned against brute force on constructed data.
+semantic claim is pinned against brute force / hand cases on
+constructed data.
 
 Staged queries are deliberately NOT in plans/registry (rounds 8-10 are
 already planned/staged); see plans/staged_round11.py.
@@ -247,3 +251,217 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
     assert rows["zorder"]["buckets_read"] <= rows["insertion"]["buckets_read"]
     assert rows["zorder"]["buckets_read"] < rows["sort_a"]["buckets_read"]
     assert rows["zorder"]["read_ppm"] < rows["sort_a"]["read_ppm"]
+
+
+# ------------------------------------------------- pipeline operations
+
+
+def test_watermark_lateness_hand_case(spark):
+    """Planted arrival disorder: the two-level scan must reproduce the
+    textbook watermark semantics row for row — first arrival has no
+    watermark, an event arriving after a much-newer event and more than
+    `delay` behind it is late by exactly the gap, an event exactly AT
+    the watermark is NOT late (strict <)."""
+    from pinterest_data_pipeline_spark.operators.lateness import (
+        MICROS,
+        watermark_lateness,
+    )
+
+    rows = [
+        # (id, arrival, event_time_us)
+        (1, 100, 50 * MICROS),
+        (2, 200, 200 * MICROS),   # advances the max
+        (3, 300, 60 * MICROS),    # wm = 200 - 30 = 170 -> late by 110 s
+        (4, 400, 170 * MICROS),   # exactly at wm -> NOT late
+        (5, 500, 169 * MICROS),   # 1 below wm -> late by 1 s
+    ]
+    df = spark.createDataFrame(
+        [(i, a, t) for i, a, t in rows],
+        "event_id int, arr bigint, us bigint",
+    ).selectExpr("event_id", "arr", "timestamp_micros(us) AS ts")
+    out = {
+        r["event_id"]: r
+        for r in watermark_lateness(
+            df, "arr", "event_id", "ts", delay_s=30
+        ).collect()
+    }
+    assert out[1]["wm_us"] is None and not out[1]["is_late"]
+    assert not out[2]["is_late"]
+    assert out[3]["is_late"] and out[3]["late_us"] == 110 * MICROS
+    assert not out[4]["is_late"]  # strict: at the watermark survives
+    assert out[5]["is_late"] and out[5]["late_us"] == 1 * MICROS
+
+
+def test_watermark_two_level_scan_equals_naive(spark):
+    """The scan decomposition is exact for ANY shard width: a tiny
+    shard (forcing many cross-shard hand-offs) must agree with one
+    huge shard (the naive single-window case) row for row."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.lateness import (
+        MICROS,
+        watermark_lateness,
+    )
+
+    df = (
+        spark.range(0, 300)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") * 7 % 300).cast("bigint").alias("arr"),
+            F.timestamp_micros(
+                (F.col("id") * 13 % 97) * MICROS
+            ).alias("ts"),
+        )
+    )
+
+    def run(shard_us):
+        return sorted(
+            (
+                r["event_id"], r["wm_us"], r["is_late"], r["late_us"]
+            )
+            for r in watermark_lateness(
+                df, "arr", "event_id", "ts", 5, shard_us=shard_us
+            ).collect()
+        )
+
+    assert run(7) == run(10 ** 15)
+
+
+def test_mann_kendall_hand_series(spark):
+    """Monotone series: S = n(n-1)/2, no ties, z > 0; constant series:
+    var_num = 0 -> z NULL; the textbook Gilbert (1987) example's S."""
+    from pinterest_data_pipeline_spark.operators.mann_kendall import (
+        mann_kendall,
+    )
+
+    rows = [("up", i, 10 + i) for i in range(6)]
+    rows += [("flat", i, 7) for i in range(5)]
+    # Gilbert 1987 ex. 16.1-style: 10, 15, 14, 20 -> S = +4
+    for i, v in enumerate([10, 15, 14, 20]):
+        rows.append(("gil", i, v))
+    df = spark.createDataFrame(rows, "g string, t int, v int")
+    out = {r["g"]: r for r in mann_kendall(df, ["g"], "t", "v").collect()}
+    assert out["up"]["s_stat"] == 15 and out["up"]["n_periods"] == 6
+    assert out["up"]["var_num"] == 6 * 5 * 17
+    assert out["up"]["z_r6"] > 0
+    assert out["flat"]["var_num"] == 0 and out["flat"]["z_r6"] is None
+    assert out["gil"]["s_stat"] == 4
+
+
+def test_peak_concurrency_hand_intervals(spark):
+    """Three intervals on one day: [0,10], [5,15], [10,20] (seconds) —
+    at t=10 all three overlap (inclusive ends), so peak 3 at t=10; a
+    midnight-crossing interval must count toward BOTH days."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.sessionize import (
+        DAY_US,
+        peak_concurrency_by_day,
+    )
+
+    m = 1_000_000
+    day0 = 19_000 * DAY_US
+    iv = [
+        (day0 + 0 * m, day0 + 10 * m),
+        (day0 + 5 * m, day0 + 15 * m),
+        (day0 + 10 * m, day0 + 20 * m),
+        # crosses into the next day
+        (day0 + DAY_US - 5 * m, day0 + DAY_US + 5 * m),
+    ]
+    df = spark.createDataFrame(iv, "s bigint, e bigint").select(
+        F.timestamp_micros(F.col("s")).alias("session_start"),
+        F.timestamp_micros(F.col("e")).alias("session_end"),
+    )
+    out = sorted(
+        peak_concurrency_by_day(df).collect(), key=lambda r: r["day"]
+    )
+    assert len(out) == 2
+    d0, d1 = out
+    assert d0["n_intervals"] == 4 and d0["peak_concurrent"] == 3
+    assert d0["peak_at_us"] == day0 + 10 * m
+    assert d1["n_intervals"] == 1 and d1["peak_concurrent"] == 1
+    assert d1["peak_at_us"] == day0 + DAY_US
+
+
+def test_varint_costs_hand_keys(spark):
+    """Densely sorted keys cost 1 byte per delta; a 128-gap zigzags to
+    256 -> 2 bytes; order reversal zigzags negatives correctly."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.encoding import (
+        delta_varint_report,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    out = {
+        r["layout"]: r
+        for r in delta_varint_report(
+            df, "k", {"sorted": []}, n_pages=1
+        ).collect()
+    }
+    # base 8 + 99 deltas of zigzag(1)=2 -> 1 byte each
+    assert out["sorted"]["total_bytes"] == 8 + 99
+    assert out["sorted"]["fixed_bytes"] == 800
+
+    df2 = spark.createDataFrame(
+        [(0,), (128,), (64,)], "k bigint"
+    )  # sorted: 0,64,128 -> gaps 64,64 -> zigzag 128 -> 2 bytes each
+    out2 = delta_varint_report(df2, "k", {"s": []}, n_pages=1).collect()[0]
+    assert out2["total_bytes"] == 8 + 2 + 2
+
+
+def test_merkle_diff_exactness_and_empty(spark):
+    """Hand change set: one added, one removed, one modified key —
+    nothing else; identical versions diff to the empty relation."""
+    from pinterest_data_pipeline_spark.operators.reconcile import merkle_diff
+
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k bigint, p bigint"
+    )
+    v2 = (
+        v1.where("k <> 7")
+        .select(
+            "k",
+            F.when(F.col("k") == 3, F.lit(999)).otherwise(F.col("p")).alias(
+                "p"
+            ),
+        )
+        .unionAll(spark.createDataFrame([(1000, 1)], "k bigint, p bigint"))
+    )
+    out = {
+        r["key"]: r["change_type"]
+        for r in merkle_diff(v1, v2, "k", ["p"], n_buckets=8).collect()
+    }
+    assert out == {7: "removed", 3: "modified", 1000: "added"}
+
+    assert merkle_diff(v1, v1, "k", ["p"], n_buckets=8).count() == 0
+
+
+def test_hrw_property_and_guards(spark):
+    """HRW's defining guarantee on real keys: growing 8 -> 10 shards
+    never moves a key between two old shards; assignments always land
+    in range; bad shard counts fail fast."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.sharding import (
+        hrw_assign,
+        reshard_stability,
+    )
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    shards = {r["shard"] for r in hrw_assign(keys, "k", 5).collect()}
+    assert shards <= set(range(5)) and len(shards) == 5
+
+    rows = {
+        r["strategy"]: r
+        for r in reshard_stability(keys, "k", 8, 10).collect()
+    }
+    assert rows["hrw"]["n_illegal_moves"] == 0
+    assert 0 < rows["hrw"]["n_moved"] < rows["mod"]["n_moved"]
+    assert rows["hrw"]["n_keys"] == 500
+
+    with _pytest.raises(ValueError, match="n_from"):
+        reshard_stability(keys, "k", 10, 8)
