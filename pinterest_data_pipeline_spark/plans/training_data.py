@@ -294,38 +294,44 @@ def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, and the oracle's replay of the twin set pins them.
 
     Scale: two banded (band,key) shuffles (one per hash family) + one
-    pair-set semi join; the twin pair list is localCheckpointed so its
-    two consumers (count, semi join) don't re-run the portable LSH."""
+    hit-flagged pair-set left join feeding a single aggregate (no
+    scalar cross-join, no re-use of the twin relation — so no
+    checkpoint needed)."""
     docs = load_table(spark, sf_dir, "documents")
     xx_pairs = dedup.near_duplicates_minhash(
         docs, "doc_id", "text", threshold=0.5
     ).select("id_a", "id_b")
-    twin = (
-        dedup.near_duplicates_minhash(
-            docs, "doc_id", "text", threshold=0.5, portable=True
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    twin = dedup.near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.5, portable=True
+    ).select("id_a", "id_b")
+    # ONE aggregate over a hit-flagged left join — not two scalar
+    # aggregates cross-joined: this query's plan pin asserts zero
+    # BroadcastNestedLoopJoin so the bucket-join guarantee stays strict
+    # (test_plan_quality.py test_lsh_join_keys_are_band_buckets), and
+    # any one-row × one-row combine plans as a BNLJ.
+    hit = twin.join(
+        xx_pairs.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
     )
-    found = twin.join(xx_pairs, ["id_a", "id_b"], "left_semi")
-    n_twin = twin.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_twin_pairs")
-    )
-    found_stats = found.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_twin_found_by_xxhash"),
+    return hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_twin_pairs"),
+        F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_twin_found_by_xxhash"),
         F.sum(
-            dedup.portable_hash32(
-                F.concat(
-                    F.col("id_a").cast("string"),
-                    F.lit(":"),
-                    F.col("id_b").cast("string"),
-                )
-            )
+            F.when(
+                F.col("__hit").isNotNull(),
+                dedup.portable_hash32(
+                    F.concat(
+                        F.col("id_a").cast("string"),
+                        F.lit(":"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+            ).otherwise(0)
         )
         .cast("bigint")
         .alias("twin_found_checksum"),
     )
-    return n_twin.crossJoin(found_stats)
 
 
 # Portable-hash SimHash, mirrored exactly in DuckDB: per normalized token

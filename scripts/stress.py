@@ -196,6 +196,13 @@ QUERIES = [
     "jaccard_exact_doc_pairs",
     "containment_exact_doc_pairs",
     "zorder_layout_pruning_report",
+    # round-8 extension of the round-11 batch: pipeline operations
+    "watermark_lateness_audit",
+    "mann_kendall_daily_trend",
+    "peak_concurrency_daily",
+    "varint_layout_size_report",
+    "merkle_diff_orders",
+    "rendezvous_reshard_stability",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
