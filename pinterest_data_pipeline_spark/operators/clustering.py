@@ -229,3 +229,128 @@ def assign_probes(
         F.slice(F.array_sort(candidates), 1, nprobe), lambda s: s.getField("c")
     )
     return df.withColumn(out_col, F.explode(probes))
+
+
+def lsh_cell_quality_db(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 3,
+) -> DataFrame:
+    """Davies-Bouldin cluster-quality report over hyperplane-LSH cells
+    (Davies & Bouldin 1979): for each of the 2^n_planes sign-bit cells,
+    the within-cell scatter S_i (mean member→centroid distance) and the
+    DB score max_{j≠i}(S_i+S_j)/M_ij, M the centroid distance. The QA
+    readout for every LSH-bucketed operator in this engine: a cell
+    whose DB score ≫ 1 overlaps its neighbors, so banding there buys
+    little — the measured version of the s-curve assumption.
+
+    Cells, not k-means: assignment is the SIGN of fixed seed-7
+    hyperplane projections (the exact planes `_PLANES_SQL` bakes for
+    the oracle), an integer key with no float argmin boundary to drift
+    across engines.
+
+    Float discipline: per-dim centroid means round to 6dp FIRST (the
+    engine-portability grain); member→centroid and centroid→centroid
+    distances are then sequential folds over (vector, rounded centroid)
+    — deterministic per row — and each member distance QUANTIZES to
+    integer micros before the only cross-row sum, so S_i is exact
+    integer arithmetic. The DB ratio is the one final double, rounded.
+
+    Scale: one scan for cell keys, one posexplode bounded by dim for
+    centroids (map-side combinable), one broadcast join of the
+    2^n_planes-row centroid table back onto members; the pairwise M
+    matrix is (2^n_planes)² rows of driver-free column math."""
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+        dot,
+    )
+
+    planes = _hyperplanes(dim, 32, 7)[:n_planes]
+    vec = F.col(vec_col)
+    cell = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(p) for p in plane]))
+        cell = cell + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    members = df.select(
+        F.col(id_col).alias("__id"),
+        vec.alias("__v"),
+        cell.cast("long").alias("cell"),
+    )
+
+    cent = (
+        members.select("cell", F.posexplode("__v").alias("__p", "__x"))
+        .groupBy("cell", "__p")
+        .agg(F.round(F.avg("__x"), 6).alias("__c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__p", "__c"))
+                ),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+    )
+
+    def dist(a: Column, b: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    scatter = (
+        members.join(F.broadcast(cent), "cell")
+        .select(
+            "cell",
+            F.round(dist(F.col("__v"), F.col("__cent")) * 1e6)
+            .cast("long")
+            .alias("__du"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("__du").alias("s_sum_micro"),
+        )
+    )
+    si = scatter.join(cent, "cell").select(
+        "cell",
+        "n_members",
+        "s_sum_micro",
+        (
+            F.col("s_sum_micro").cast("double")
+            / F.col("n_members").cast("double")
+            / F.lit(1e6)
+        ).alias("__s"),
+        "__cent",
+    )
+    a = si.select(
+        F.col("cell").alias("__ci"),
+        F.col("__s").alias("__si"),
+        F.col("__cent").alias("__centi"),
+    )
+    b = si.select(
+        F.col("cell").alias("__cj"),
+        F.col("__s").alias("__sj"),
+        F.col("__cent").alias("__centj"),
+    )
+    ratios = (
+        a.join(b, F.col("__ci") != F.col("__cj"))
+        .select(
+            "__ci",
+            (
+                (F.col("__si") + F.col("__sj"))
+                / dist(F.col("__centi"), F.col("__centj"))
+            ).alias("__r"),
+        )
+        .groupBy("__ci")
+        .agg(F.round(F.max("__r"), 6).alias("db_r6"))
+    )
+    return (
+        si.join(ratios, si["cell"] == ratios["__ci"])
+        .select("cell", "n_members", "s_sum_micro", "db_r6")
+    )

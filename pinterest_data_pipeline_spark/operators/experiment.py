@@ -893,3 +893,54 @@ def mde_readout(
             "mde_rel_r6"
         ),
     )
+
+
+def group_sequential_obf(
+    looks: DataFrame,
+    look_col: str,
+    c_final: float = 2.04,
+) -> DataFrame:
+    """O'Brien-Fleming group-sequential boundary check (O'Brien &
+    Fleming 1979; the standard interim-analysis discipline — peeking at
+    a fixed z = 1.96 at every look inflates false positives severalfold,
+    OBF spends almost no alpha early by scaling the boundary as
+    C·√(K/k)).
+
+    ``looks`` holds ONE row per interim look with CUMULATIVE counts:
+    (look_col 1..K, n_treat, conv_treat, n_ctrl, conv_ctrl) — exact
+    integers. Output per look: the pooled two-proportion z (one double
+    chain from the four integers, rounded 6), the OBF boundary
+    C·√(K/k) for the default two-sided α ≈ 0.05 at C = 2.04 (the K = 5
+    tabled constant), and ``crossed`` — whether this look stops the
+    experiment.
+
+    Scale: the caller aggregates the fact table once (map-side
+    combinable); this operator only computes expressions over the
+    K-row relation and one max() window for K itself."""
+    k_total = F.max(F.col(look_col)).over(Window.partitionBy())
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_ctrl").cast("double")
+    pt = F.col("conv_treat").cast("double") / nt
+    pc = F.col("conv_ctrl").cast("double") / nc
+    pool = (F.col("conv_treat") + F.col("conv_ctrl")).cast("double") / (
+        F.col("n_treat") + F.col("n_ctrl")
+    ).cast("double")
+    denom = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nt + F.lit(1.0) / nc)
+    )
+    z = F.when(denom > 0, (pt - pc) / denom)
+    boundary = F.lit(float(c_final)) * F.sqrt(
+        k_total.cast("double") / F.col(look_col).cast("double")
+    )
+    return looks.select(
+        F.col(look_col),
+        "n_treat",
+        "conv_treat",
+        "n_ctrl",
+        "conv_ctrl",
+        F.round(z, 6).alias("z_r6"),
+        F.round(boundary, 6).alias("boundary_r6"),
+        F.coalesce(
+            F.abs(F.round(z, 6)) > F.round(boundary, 6), F.lit(False)
+        ).alias("crossed"),
+    )

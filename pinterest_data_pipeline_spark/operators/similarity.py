@@ -806,3 +806,68 @@ def triplet_mining(
             ),
         )
     )
+
+
+def mutual_top1_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs — the SemDeDup-style confidence
+    tier ABOVE one-directional similarity: a pair where EACH vector is
+    the other's top-1 cosine neighbor. Reciprocity is the classic
+    robustness filter (used from Lowe's ratio-test lineage to RNN-based
+    dedup): a hub vector that is "closest" to everything generates many
+    one-way edges but few mutual ones.
+
+    Determinism discipline: the neighbor argmax ranks by
+    (round(cosine, 6) DESC, candidate id ASC) — rounding BEFORE the
+    argmax makes the selection independent of sub-6dp float noise, the
+    same grain every oracled score in this module compares at. Numeric
+    ids (this corpus's vec_id) ride the single-aggregate
+    max(struct(score, −id)) path.
+
+    Scale: written against an ALL-PAIRS score relation, so the caller
+    bounds the universe (the registered query audits a deterministic
+    1-in-10 sample); to run corpus-wide, generate candidates with this
+    module's IVF/LSH generators and feed the same argmax — reciprocity
+    logic is unchanged."""
+    a = df.select(
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    scored = (
+        a.join(b, F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida",
+            "__idb",
+            cosine(F.col("__va"), F.col("__vb")).alias("__s"),
+        )
+    )
+    nn = (
+        scored.groupBy("__ida")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s").alias("s"),
+                    (-F.col("__idb")).alias("neg_id"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            "__ida",
+            (-F.col("__best.neg_id")).alias("__nn"),
+            F.col("__best.s").alias("__s"),
+        )
+    )
+    left = nn.select(
+        F.col("__ida").alias("id_a"),
+        F.col("__nn").alias("id_b"),
+        F.col("__s").alias("score_r6"),
+    ).where(F.col("id_a") < F.col("id_b"))
+    right = nn.select(
+        F.col("__nn").alias("id_a"), F.col("__ida").alias("id_b")
+    ).where(F.col("id_a") < F.col("id_b"))
+    return left.join(right, ["id_a", "id_b"], "left_semi")

@@ -161,6 +161,14 @@ CHECK_FIRST: list[str] = [
     #       dow_seasonality_events, cusum_changepoint_revenue) join
     #       them.
     #   12 + 5 + 33 = 50 holds exactly.
+    #
+    # FURTHER STAGED INVENTORY (keeping every window promotion-only):
+    #   round 11: plans/staged_round11.py, 10 queries (4 exact-
+    #     similarity-join seed + 6 pipeline-operations added in r8);
+    #   round 12: plans/staged_round12.py, 7 queries (bootstrap CI,
+    #     OBF interim looks, span-corruption plan, profile drift,
+    #     mutual NN, DB cell quality, LPA communities).
+    #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 
 CHECK_LAST: list[str] = [

@@ -240,8 +240,12 @@ def replicate(spark, out_dir: str, factor: int) -> None:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     # optional comma-separated query subset (argv[2]) for deep-factor
-    # runs where the full list would take too long at ×100
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    # runs where the full list would take too long at ×100. The subset
+    # is honored VERBATIM (argv order), not intersected with QUERIES —
+    # a name outside the standing list (e.g. a heavy registered query
+    # that never needed an x30 row) still gets its deep point instead
+    # of being silently skipped.
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     out_dir = f"/tmp/stress_x{factor}"
     spark = get_spark(app_name="stress")
     t0 = time.perf_counter()
@@ -291,9 +295,7 @@ def main() -> None:
         STAGED_QUERIES as STAGED_R11,
     )
 
-    for name in QUERIES:
-        if only is not None and name not in only:
-            continue
+    for name in (only if only is not None else QUERIES):
         fn = (
             entry_mod.queries().get(name)
             or STAGED_QUERIES.get(name)

@@ -85,11 +85,17 @@ def test_every_staged_query_mentioned_in_coverage():
     from pinterest_data_pipeline_spark.plans.staged_round11 import (
         STAGED_QUERIES as R11,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round12 import (
+        STAGED_QUERIES as R12,
+    )
 
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [
         q
-        for q in list(R7) + list(R8) + list(R9) + list(R10) + list(R11)
+        for q in (
+            list(R7) + list(R8) + list(R9) + list(R10) + list(R11)
+            + list(R12)
+        )
         if q not in coverage
     ]
     assert not missing, f"COVERAGE.md missing staged queries: {missing}"
@@ -113,9 +119,12 @@ def test_staged_names_do_not_collide_across_rounds():
     from pinterest_data_pipeline_spark.plans.staged_round11 import (
         STAGED_QUERIES as R11,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round12 import (
+        STAGED_QUERIES as R12,
+    )
 
     staged = {
-        "R9": set(R9), "R10": set(R10), "R11": set(R11),
+        "R9": set(R9), "R10": set(R10), "R11": set(R11), "R12": set(R12),
     }
     names = [set(R7), set(R8), *staged.values()]
     for i, a in enumerate(names):
