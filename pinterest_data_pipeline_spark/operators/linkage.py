@@ -1,0 +1,96 @@
+"""Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+1969) — the entity-resolution scoring layer ABOVE this engine's
+string-similarity joins: FastSS/PPJoin answer "which field values are
+close"; Fellegi-Sunter answers "how much evidence does each agreement
+PATTERN carry that two records are the same entity", via
+
+    w_j(agree)    = log2(m_j / u_j)
+    w_j(disagree) = log2((1 − m_j) / (1 − u_j))
+
+with m_j = P(field j agrees | match) and u_j = P(agrees | non-match),
+estimated by COUNTING over a candidate set with known match labels
+(training pairs). A pair's score is Σ_j w_j; thresholding it is the
+classic link/review/reject triage.
+
+Engine discipline:
+
+- every m/u is (count + 1)/(total + 2) — Laplace-smoothed so no
+  log(0), and a ratio of EXACT integers, so the log2 input double is
+  identical across engines;
+- the output is per-PATTERN (2^k rows), not per-pair: the pattern
+  relation is the sufficient statistic, so counts are hash-exact and
+  the only doubles are k log2 terms summed in FIXED field order
+  (Python-constructed expression, not a data-dependent aggregate);
+- the candidate set and labels come from the caller — deterministic
+  blocking, replayable in SQL.
+
+Scale: ONE blocked candidate join feeding ONE map-side-combinable
+pattern aggregate (2^k · 2 rows out); m/u and weights are column
+arithmetic on that tiny relation against a broadcast one-row total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fellegi_sunter_pattern_weights(
+    candidates: DataFrame,
+    agree_cols: list[str],
+    match_col: str = "is_match",
+) -> DataFrame:
+    """Per-pattern Fellegi-Sunter evidence weights.
+
+    ``candidates``: one row per candidate pair with boolean agreement
+    columns ``agree_cols`` (field j agreed?) and boolean ``match_col``
+    (ground-truth label). Output: one row per observed
+    (pattern, counts) with ``n_match``, ``n_nonmatch`` and
+    ``weight_r6`` = Σ_j w_j under smoothed m/u."""
+    pat = candidates.groupBy(
+        *[F.col(c).cast("boolean").alias(c) for c in agree_cols]
+    ).agg(
+        F.sum(F.col(match_col).cast("long")).alias("n_match"),
+        F.sum((~F.col(match_col)).cast("long")).alias("n_nonmatch"),
+    )
+    totals = pat.agg(
+        F.sum("n_match").alias("__tm"), F.sum("n_nonmatch").alias("__tu")
+    )
+    agree_counts = pat.agg(
+        *[
+            F.sum(F.when(F.col(c), F.col("n_match")).otherwise(0)).alias(
+                f"__am_{c}"
+            )
+            for c in agree_cols
+        ],
+        *[
+            F.sum(
+                F.when(F.col(c), F.col("n_nonmatch")).otherwise(0)
+            ).alias(f"__au_{c}")
+            for c in agree_cols
+        ],
+    )
+    enriched = pat.crossJoin(F.broadcast(totals)).crossJoin(
+        F.broadcast(agree_counts)
+    )
+
+    def _log2(x: Column) -> Column:
+        return F.log2(x)
+
+    weight: Column = F.lit(0.0)
+    for c in agree_cols:
+        m = (F.col(f"__am_{c}") + 1).cast("double") / (
+            F.col("__tm") + 2
+        ).cast("double")
+        u = (F.col(f"__au_{c}") + 1).cast("double") / (
+            F.col("__tu") + 2
+        ).cast("double")
+        weight = weight + F.when(F.col(c), _log2(m / u)).otherwise(
+            _log2((F.lit(1.0) - m) / (F.lit(1.0) - u))
+        )
+    return enriched.select(
+        *agree_cols,
+        "n_match",
+        "n_nonmatch",
+        F.round(weight, 6).alias("weight_r6"),
+    )

@@ -26,6 +26,8 @@ already ships:
   over the hyperplane cells every LSH operator here banding-trusts.
 - lpa_purchasing_communities (operators/labelprop): density communities
   inside the one connected component reachability can't split.
+- fellegi_sunter_link_weights (operators/linkage): the probabilistic
+  record-linkage evidence layer above the exact similarity joins.
 """
 
 from __future__ import annotations
@@ -657,3 +659,136 @@ def lpa_purchasing_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(ed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     return community_sizes(edges, iterations=3)
+
+
+_FS_ORIG = """
+    SELECT c_custkey AS k, c_nationkey AS nation, c_name AS name,
+           c_mktsegment AS seg,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+"""
+
+_FS_TWIN = f"""
+    SELECT k, nation,
+           CASE WHEN k % 70 = 0
+                THEN substr(name, 1, length(name) - 1) || 'X'
+                ELSE name END AS name,
+           CASE WHEN k % 35 = 0 THEN 'RE-ENTERED' ELSE seg END AS seg,
+           CASE WHEN k % 21 = 0 THEN cents + 1 ELSE cents END AS cents
+    FROM ({_FS_ORIG}) WHERE k % 7 = 0
+"""
+
+
+@_stage(
+    "fellegi_sunter_link_weights",
+    oracle=f"""
+    WITH o AS ({_FS_ORIG}),
+    t AS ({_FS_TWIN}),
+    cand AS (
+        SELECT o.name = t.name AS a_name,
+               o.seg = t.seg AS a_seg,
+               o.cents = t.cents AS a_bal,
+               o.k = t.k AS is_match
+        FROM o JOIN t ON o.nation = t.nation
+    ),
+    pat AS (
+        SELECT a_name, a_seg, a_bal,
+               CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_nonmatch
+        FROM cand GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT sum(n_match) AS tm, sum(n_nonmatch) AS tu,
+               sum(CASE WHEN a_name THEN n_match ELSE 0 END) AS am_name,
+               sum(CASE WHEN a_name THEN n_nonmatch ELSE 0 END) AS au_name,
+               sum(CASE WHEN a_seg THEN n_match ELSE 0 END) AS am_seg,
+               sum(CASE WHEN a_seg THEN n_nonmatch ELSE 0 END) AS au_seg,
+               sum(CASE WHEN a_bal THEN n_match ELSE 0 END) AS am_bal,
+               sum(CASE WHEN a_bal THEN n_nonmatch ELSE 0 END) AS au_bal
+        FROM pat
+    )
+    SELECT a_name, a_seg, a_bal, n_match, n_nonmatch,
+           round(
+             (CASE WHEN a_name
+              THEN log2((CAST(am_name + 1 AS DOUBLE) / (tm + 2))
+                        / (CAST(au_name + 1 AS DOUBLE) / (tu + 2)))
+              ELSE log2((1.0 - CAST(am_name + 1 AS DOUBLE) / (tm + 2))
+                        / (1.0 - CAST(au_name + 1 AS DOUBLE) / (tu + 2)))
+              END)
+           + (CASE WHEN a_seg
+              THEN log2((CAST(am_seg + 1 AS DOUBLE) / (tm + 2))
+                        / (CAST(au_seg + 1 AS DOUBLE) / (tu + 2)))
+              ELSE log2((1.0 - CAST(am_seg + 1 AS DOUBLE) / (tm + 2))
+                        / (1.0 - CAST(au_seg + 1 AS DOUBLE) / (tu + 2)))
+              END)
+           + (CASE WHEN a_bal
+              THEN log2((CAST(am_bal + 1 AS DOUBLE) / (tm + 2))
+                        / (CAST(au_bal + 1 AS DOUBLE) / (tu + 2)))
+              ELSE log2((1.0 - CAST(am_bal + 1 AS DOUBLE) / (tm + 2))
+                        / (1.0 - CAST(au_bal + 1 AS DOUBLE) / (tu + 2)))
+              END), 6) AS weight_r6
+    FROM pat CROSS JOIN tot
+    """,
+)
+def fellegi_sunter_link_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter evidence weights per agreement pattern
+    (operators/linkage) over a deterministic re-entry scenario: every
+    7th customer re-enters the file with replayable perturbations
+    (name last-char typo on every 70th — m_name ≈ 0.9, names usually
+    survive re-entry — segment rewrite on every 35th, +1 cent on every
+    21st), candidates blocked on nationkey, ground
+    truth = same key. The output is the sufficient statistic of the
+    linkage model — (pattern, n_match, n_nonmatch, Σ log2 weights) —
+    the triage table a dedup-review queue thresholds. m/u are
+    Laplace-smoothed ratios of exact integers; the k log2 terms sum in
+    fixed field order.
+
+    Scale: one blocked candidate join → one map-side pattern
+    aggregate (≤ 2^3·2 rows); everything after is column arithmetic
+    against broadcast one-row totals."""
+    from pinterest_data_pipeline_spark.operators.linkage import (
+        fellegi_sunter_pattern_weights,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    twin = cust.where(F.col("k") % 7 == 0).select(
+        "k",
+        "nation",
+        F.when(
+            F.col("k") % 70 == 0,
+            F.concat(
+                F.expr("substr(name, 1, length(name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(F.col("k") % 35 == 0, F.lit("RE-ENTERED"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+        F.when(F.col("k") % 21 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    cand = (
+        cust.alias("o")
+        .join(twin.alias("t"), F.col("o.nation") == F.col("t.nation"))
+        .select(
+            (F.col("o.name") == F.col("t.name")).alias("a_name"),
+            (F.col("o.seg") == F.col("t.seg")).alias("a_seg"),
+            (F.col("o.cents") == F.col("t.cents")).alias("a_bal"),
+            (F.col("o.k") == F.col("t.k")).alias("is_match"),
+        )
+    )
+    return fellegi_sunter_pattern_weights(
+        cand, ["a_name", "a_seg", "a_bal"]
+    )

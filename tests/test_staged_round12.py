@@ -1,7 +1,8 @@
 """Round-12 staging parity + behavior: the measurement-gap batch
 (Poisson-bootstrap CI, O'Brien-Fleming interim looks, span-corruption
 planning, profile drift, mutual nearest neighbors, LSH-cell
-Davies-Bouldin, label-propagation communities) must already pass the
+Davies-Bouldin, label-propagation communities, Fellegi-Sunter link
+weights) must already pass the
 exact check the driver will run once registered — strict-mirror value
 comparison against their DuckDB oracles — and each operator's semantic
 guarantees are pinned on constructed data.
@@ -275,3 +276,54 @@ def test_lpa_barbell_two_communities(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(edges, iterations=0)
+
+
+# --------------------------------------------------------- Fellegi-Sunter
+
+
+def test_fs_weights_closed_form(spark):
+    """Hand-built candidates with known m/u: weight of the all-agree
+    pattern equals the closed-form Σ log2((am+1)/(tm+2) ÷ (au+1)/(tu+2)),
+    agreement evidence is positive, disagreement negative, and the
+    all-agree pattern dominates every other observed pattern."""
+    import math
+
+    from pinterest_data_pipeline_spark.operators.linkage import (
+        fellegi_sunter_pattern_weights,
+    )
+
+    # 10 matches: 8 agree on f1, all 10 on f2; 90 non-matches: 9 agree
+    # on f1, 45 on f2.
+    rows = []
+    rows += [(True, True, True)] * 8 + [(False, True, True)] * 2
+    rows += [(True, True, False)] * 9 + [(False, True, False)] * 36
+    rows += [(False, False, False)] * 45
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean, is_match boolean")
+    out = {
+        (r["f1"], r["f2"]): r["weight_r6"]
+        for r in fellegi_sunter_pattern_weights(df, ["f1", "f2"]).collect()
+    }
+    m1, u1 = (8 + 1) / 12, (9 + 1) / 92
+    m2, u2 = (10 + 1) / 12, (45 + 1) / 92
+    expect = round(math.log2(m1 / u1) + math.log2(m2 / u2), 6)
+    assert out[(True, True)] == pytest.approx(expect, abs=1e-6)
+    assert out[(True, True)] > 0
+    assert out[(False, False)] < 0
+    assert all(out[(True, True)] >= v for v in out.values())
+
+
+def test_fs_registered_matches_concentrate(spark, sf_dir):
+    """On the re-entry scenario, true matches must sit overwhelmingly
+    in patterns agreeing on name (the near-unique field), and the
+    all-agree pattern must carry the maximum weight."""
+    rows = STAGED_QUERIES["fellegi_sunter_link_weights"](
+        spark, sf_dir
+    ).collect()
+    n_match_name = sum(r["n_match"] for r in rows if r["a_name"])
+    n_match_total = sum(r["n_match"] for r in rows)
+    assert n_match_total > 0
+    # typo rate is 1-in-10 of twins; at sf0.001's 22 twins the integer
+    # granularity puts the agree share at 19/22, so the bound is 0.75
+    assert n_match_name / n_match_total > 0.75
+    best = max(rows, key=lambda r: r["weight_r6"])
+    assert best["a_name"] and best["a_bal"]
