@@ -499,3 +499,89 @@ def test_audit_queries_single_scan_partial_agg(spark):
         assert n_nodes(plan, "Window") == 0, name
         assert n_nodes(plan, "SortMergeJoin") == 0, name
         assert n_nodes(plan, "HashAggregate") >= 2, name
+
+
+def _staged_plan(spark, module: str, name: str) -> str:
+    import importlib
+
+    mod = importlib.import_module(
+        f"pinterest_data_pipeline_spark.plans.{module}"
+    )
+    df = mod.STAGED_QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lateness_scan_is_sharded_not_global(spark):
+    """The watermark prefix-scan must run as the two-level
+    decomposition: exactly two Windows (in-shard exclusive max +
+    cross-shard prefix max), the big one PARTITIONED BY SHARD — the
+    only SinglePartition hop feeds the metadata-sized shard table, and
+    the shard summary joins back by broadcast."""
+    plan = _staged_plan(spark, "staged_round11", "watermark_lateness_audit")
+    assert n_nodes(plan, "Window") == 2
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    # the full-data window partitions by __shard: its details line
+    # carries a partition spec, so at most the tiny shard-prefix window
+    # runs single-partition
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_peak_concurrency_sweeps_per_day(spark):
+    """Every sweep/peak window partitions by the day key — a global
+    time-ordered running sum (SinglePartition) would serialize the
+    whole corpus through one task."""
+    plan = _staged_plan(spark, "staged_round11", "peak_concurrency_daily")
+    assert "SinglePartition" not in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_merkle_diff_prunes_with_broadcast_semis(spark):
+    """The exact diff pass must reach the fact rows through broadcast
+    SEMI joins on the differing-bucket list (cost ∝ change set), never
+    a nested loop or cartesian."""
+    plan = _staged_plan(spark, "staged_round11", "merkle_diff_orders")
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_rendezvous_audit_is_agg_only(spark):
+    """HRW assignment = explode + two hash aggregates; no nested-loop
+    or cartesian anywhere, and the weight argmax is partial-combinable
+    (HashAggregate pairs), not a window over the exploded relation."""
+    plan = _staged_plan(
+        spark, "staged_round11", "rendezvous_reshard_stability"
+    )
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "HashAggregate") >= 8
+
+
+def test_bootstrap_resamples_in_one_scan(spark):
+    """All 64 resamples come from ONE Generate (explode) over one scan,
+    aggregated map-side; the CI order statistics run on the
+    groups×B relation."""
+    plan = _staged_plan(spark, "staged_round12", "poisson_bootstrap_ci_value")
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Window") == 2
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_cell_quality_centroids_broadcast(spark):
+    """Members reach their centroid by BROADCAST of the 8-row centroid
+    table; the only nested loop is the 8×8 centroid-pair inequality
+    join (metadata-sized by construction)."""
+    plan = _staged_plan(spark, "staged_round12", "embedding_cell_quality_db")
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
