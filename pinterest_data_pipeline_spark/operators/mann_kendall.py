@@ -71,10 +71,13 @@ def mann_kendall(
     )
 
     n = F.col("n_periods")
-    joined = tie_term.join(s, group_cols).select(
+    # LEFT join: a single-period group has no pairs (S = 0 by
+    # convention), and must surface with var_num = 0 / z NULL rather
+    # than silently vanish from the report.
+    joined = tie_term.join(s, group_cols, "left").select(
         *group_cols,
         "n_periods",
-        "s_stat",
+        F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
         (n * (n - 1) * (2 * n + 5) - F.col("__tie_sum")).alias("var_num"),
     )
     ss = F.col("s_stat")

@@ -405,7 +405,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(t) AS BIGINT) AS n_periods
         FROM ties GROUP BY 1
     )
-    SELECT tt.priority, n_periods, s_stat,
+    SELECT tt.priority, n_periods, COALESCE(s_stat, 0) AS s_stat,
            CAST(n_periods * (n_periods - 1) * (2 * n_periods + 5)
                 - tie_sum AS BIGINT) AS var_num,
            CASE WHEN n_periods * (n_periods - 1) * (2 * n_periods + 5)
@@ -415,7 +415,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    * (2 * n_periods + 5) - tie_sum)
                                   / 18.0), 6)
            END AS z_r6
-    FROM tt JOIN s USING (priority)
+    FROM tt LEFT JOIN s USING (priority)
     """,
 )
 def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:

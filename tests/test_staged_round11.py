@@ -336,6 +336,7 @@ def test_mann_kendall_hand_series(spark):
 
     rows = [("up", i, 10 + i) for i in range(6)]
     rows += [("flat", i, 7) for i in range(5)]
+    rows += [("one", 0, 3)]  # single period: S=0, var 0, z NULL, kept
     # Gilbert 1987 ex. 16.1-style: 10, 15, 14, 20 -> S = +4
     for i, v in enumerate([10, 15, 14, 20]):
         rows.append(("gil", i, v))
@@ -346,6 +347,8 @@ def test_mann_kendall_hand_series(spark):
     assert out["up"]["z_r6"] > 0
     assert out["flat"]["var_num"] == 0 and out["flat"]["z_r6"] is None
     assert out["gil"]["s_stat"] == 4
+    assert out["one"]["n_periods"] == 1 and out["one"]["s_stat"] == 0
+    assert out["one"]["var_num"] == 0 and out["one"]["z_r6"] is None
 
 
 def test_peak_concurrency_hand_intervals(spark):
