@@ -60,3 +60,56 @@ def k_anonymity_audit(
             6,
         ).alias("anonymous_share_r6"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[Column | str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """One-row ℓ-diversity audit (Machanavajjhala et al. 2007) — the
+    release gate k-anonymity alone cannot provide: a k-anonymous class
+    whose rows all share one SENSITIVE value still discloses it
+    (the homogeneity attack). Distinct-ℓ-diversity counts the distinct
+    sensitive values per quasi-identifier class:
+
+        (n_rows, n_classes, l_min, classes_below_l, rows_below_l,
+         diverse_share_r6)
+
+    ``l_min`` is the dataset's actual ℓ level; ``diverse_share_r6`` the
+    fraction of rows in classes with ≥ ``l_threshold`` distinct
+    sensitive values. NULL sensitive values count as one value (they
+    are a disclosure too — "field withheld" is information); NULL
+    quasi-values group together (the k_anonymity_audit convention).
+
+    Scale: ONE grouped (count, count_distinct) over the quasi columns,
+    then aggregates over the |classes| relation. No windows, no
+    joins."""
+    # count_distinct ignores NULLs in every engine; the sentinel
+    # coalesce makes NULL a countable value per the docstring contract
+    # (mirrored in oracles).
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("__NULL__")
+    )
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.count_distinct(sens).cast("bigint").alias("__l"),
+    )
+    n, lv = F.col("__n"), F.col("__l")
+    return classes.agg(
+        F.sum(n).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min(lv).cast("bigint").alias("l_min"),
+        F.sum(F.when(lv < l_threshold, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_l"),
+        F.sum(F.when(lv < l_threshold, n).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_l"),
+        F.round(
+            F.sum(F.when(lv >= l_threshold, n).otherwise(0)).cast("double")
+            / F.sum(n).cast("double"),
+            6,
+        ).alias("diverse_share_r6"),
+    )

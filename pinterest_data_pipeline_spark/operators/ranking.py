@@ -492,3 +492,132 @@ def average_precision_at_k(
         )
         .orderBy(group_col)
     )
+
+
+def dirichlet_lm_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — BM25's probabilistic sibling and the second
+    standard lexical ranker:
+
+        score(q, d) = Σ_{t ∈ q} ln( (tf_td + μ·p_C(t)) / (dl_d + μ) )
+
+    with p_C(t) = cf_t / |C| the corpus unigram model. Unmatched query
+    terms still contribute their background probability, which is the
+    decomposition this implementation exploits to stay
+    POSTINGS-BOUNDED:
+
+        score = A − m·ln(dl + μ)
+                + Σ_{matched} [ln(tf + μ·p_t) − ln(μ·p_t)]
+
+    where A = Σ_t ln(μ·p_t) and m = |effective query| are corpus
+    constants — so only MATCHED (doc, term) postings are ever
+    materialized, exactly like bm25_scores. Terms absent from the
+    whole corpus (cf = 0, background −∞) drop from the effective
+    query on both engines.
+
+    Determinism: cf/dl/|C| are exact integer aggregates; A and every
+    per-doc correction fold in SORTED TERM ORDER (the bm25 discipline)
+    so the doubles are engine-identical; one final round(…, 6).
+
+    Returns (id_col, n_matched, qlm_r6) for documents matching ≥ 1
+    effective term.
+
+    Scale: identical cost class to bm25_scores — two pruned corpus
+    scans, constant-size broadcast stats, per-doc folds over ≤ |terms|
+    rows."""
+    from pinterest_data_pipeline_spark.operators.chunking import ws_tokens
+
+    toks = ws_tokens(text_col)
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias(
+            "__hits"
+        ),
+        F.size(toks).cast("bigint").alias("__dl"),
+    )
+    consts = base.agg(
+        F.sum("__dl").cast("bigint").alias("__tot_len")
+    )
+    tf = (
+        base.select("__id", "__dl", F.explode("__hits").alias("term"))
+        .groupBy("__id", "__dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("__tf").cast("bigint").alias("__cf"))
+    # A and m fold over the (≤ |terms|)-row cf relation in sorted term
+    # order: collect to one array, sequential-aggregate.
+    qstats = (
+        cf.crossJoin(F.broadcast(consts))
+        .select(
+            F.struct("term", "__cf", "__tot_len").alias("__s")
+        )
+        .agg(F.sort_array(F.collect_list("__s")).alias("__arr"))
+        .select(
+            F.aggregate(
+                F.col("__arr"),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.log(
+                    F.lit(float(mu))
+                    * s["__cf"].cast("double")
+                    / s["__tot_len"].cast("double")
+                ),
+            ).alias("__a"),
+            F.size("__arr").cast("bigint").alias("__m"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "__id",
+            "__dl",
+            "term",
+            (
+                F.log(
+                    F.col("__tf").cast("double")
+                    + F.lit(float(mu))
+                    * F.col("__cf").cast("double")
+                    / F.col("__tot_len").cast("double")
+                )
+                - F.log(
+                    F.lit(float(mu))
+                    * F.col("__cf").cast("double")
+                    / F.col("__tot_len").cast("double")
+                )
+            ).alias("__corr"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("__id", "__dl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sort_array(
+                F.collect_list(F.struct("term", "__corr"))
+            ).alias("__cs"),
+        )
+        .crossJoin(F.broadcast(qstats))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_matched",
+            F.round(
+                F.col("__a")
+                - F.col("__m").cast("double")
+                * F.log(F.col("__dl").cast("double") + F.lit(float(mu)))
+                + F.aggregate(
+                    F.col("__cs"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["__corr"],
+                ),
+                6,
+            ).alias("qlm_r6"),
+        )
+    )
+    return per_doc

@@ -165,9 +165,13 @@ CHECK_FIRST: list[str] = [
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
     #   round 11: plans/staged_round11.py, 10 queries (4 exact-
     #     similarity-join seed + 6 pipeline-operations added in r8);
-    #   round 12: plans/staged_round12.py, 7 queries (bootstrap CI,
+    #   round 12: plans/staged_round12.py, 8 queries (bootstrap CI,
     #     OBF interim looks, span-corruption plan, profile drift,
-    #     mutual NN, DB cell quality, LPA communities).
+    #     mutual NN, DB cell quality, LPA communities, Fellegi-Sunter
+    #     link weights);
+    #   round 13 seed: plans/staged_round13.py, 3 queries (k-core
+    #     profile, l-diversity, Dirichlet query likelihood) — extend
+    #     toward a full batch before its window.
     #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 

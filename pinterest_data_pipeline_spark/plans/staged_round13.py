@@ -1,0 +1,227 @@
+"""ROUND-13 STAGING SEED — implemented, tested, NOT driver-registered.
+
+Rounds 9-12 are already staged (registry ROTATION NOTES;
+plans/staged_round{9,10,11,12}.py), so this seed stages five windows
+out; later rounds extend it toward a full batch before its window
+(the round-11 precedent: seeded at 4, extended to 10). Same contract
+as every staging round: full DuckDB oracles replayed value-for-value
+(strict-mirror parity at sf0.001 + sf0.01 in
+tests/test_staged_round13.py) and behavior-pinning unit tests.
+
+The seed fills three family gaps:
+
+- k_core_purchasing_profile (operators/kcore): the graph-density tier
+  cut — reachability (CC), communities (LPA), importance (PageRank /
+  HITS) exist; "which subgraph is dense enough to trust" did not.
+- l_diversity_docs (operators/privacy.l_diversity_audit): the
+  homogeneity-attack gate k-anonymity alone misses — k_anonymity_docs
+  measures class SIZE, this measures sensitive-value VARIETY.
+- dirichlet_lm_doc_scores (operators/ranking.dirichlet_lm_scores):
+  query-likelihood with Dirichlet smoothing — the probabilistic
+  sibling completing the lexical ranking family (TF-IDF, BM25,
+  unigram/bigram LM), postings-bounded via the background-term
+  decomposition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.sources.parquet import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def _stage(name: str, oracle: str | None = None):
+    """registry.register's contract, into the round-13 staging dicts."""
+
+    def deco(fn):
+        if name in STAGED_QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
+        if oracle is not None and has_sql_line_comment(oracle):
+            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLE[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def _kcore_round_sql(prev: str, cur: str, k: int) -> str:
+    return f"""
+    keep{cur} AS (
+        SELECT src AS node FROM e{prev} GROUP BY src
+        HAVING count(*) >= {k}
+    ),
+    e{cur} AS (
+        SELECT e.src, e.dst FROM e{prev} e
+        JOIN keep{cur} a ON e.src = a.node
+        JOIN keep{cur} b ON e.dst = b.node
+    )"""
+
+
+@_stage(
+    "k_core_purchasing_profile",
+    oracle=f"""
+    WITH ed AS (
+        SELECT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e0 AS (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed
+    ),
+    {_kcore_round_sql('0', '1', 4)},
+    {_kcore_round_sql('1', '2', 4)},
+    {_kcore_round_sql('2', '3', 4)}
+    SELECT 0 AS peel_round,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+           CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e0
+    UNION ALL
+    SELECT 1, CAST(count(DISTINCT src) AS BIGINT),
+           CAST(count(*) // 2 AS BIGINT) FROM e1
+    UNION ALL
+    SELECT 2, CAST(count(DISTINCT src) AS BIGINT),
+           CAST(count(*) // 2 AS BIGINT) FROM e2
+    UNION ALL
+    SELECT 3, CAST(count(DISTINCT src) AS BIGINT),
+           CAST(count(*) // 2 AS BIGINT) FROM e3
+    """,
+)
+def k_core_purchasing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core peeling profile of the repeat-purchase supplier↔part
+    graph (operators/kcore): (nodes, edges) after each of three peel
+    rounds — how fast the graph collapses under the degree-4 threshold
+    is the density readout none of the other graph operators provides.
+    Fixed rounds, unrolled SQL oracle (the LPA / pagerank fixed-point
+    precedent); exact integer counting throughout."""
+    from pinterest_data_pipeline_spark.operators.kcore import (
+        k_core_peel_profile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ed = (
+        li.groupBy(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("l_partkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("a", "b")
+    )
+    edges = ed.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(ed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return k_core_peel_profile(edges, k=4, rounds=3)
+
+
+@_stage(
+    "l_diversity_docs",
+    oracle="""
+    WITH g AS (
+        SELECT lang, n_chars // 500 AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT COALESCE(CAST(source AS VARCHAR),
+                    '__NULL__')) AS BIGINT) AS l
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l) AS BIGINT) AS l_min,
+           CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l,
+           CAST(sum(CASE WHEN l < 2 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_below_l,
+           round(CAST(sum(CASE WHEN l >= 2 THEN n ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE), 6) AS diverse_share_r6
+    FROM g
+    """,
+)
+def l_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-ℓ-diversity audit (ℓ=2) of documents under the
+    quasi-identifier set (lang, 500-char length bucket) with SOURCE as
+    the sensitive attribute (operators/privacy.l_diversity_audit) —
+    the homogeneity-attack gate: a class may be large (k-anonymous,
+    cf. k_anonymity_docs) yet expose its members' source because every
+    row in it shares one. Pure integer class counting, one grouped
+    aggregate."""
+    from pinterest_data_pipeline_spark.operators.privacy import (
+        l_diversity_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars div 500").alias("len_bucket"), "source"
+    )
+    return l_diversity_audit(docs, ["lang", "len_bucket"], "source", 2)
+
+
+_QLM_TERMS = ["batch", "hash", "merge", "row", "table"]
+_QLM_MU = 2000.0
+
+
+@_stage(
+    "dirichlet_lm_doc_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+               list_filter(t, x -> list_contains(
+                   {_QLM_TERMS!r}, x)) AS hits
+        FROM toks
+    ),
+    consts AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_len FROM base),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
+        GROUP BY doc_id, dl, term
+    ),
+    cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+    qstats AS (
+        SELECT list_sum(list(ln({_QLM_MU} * CAST(cf AS DOUBLE)
+                                / CAST(c.tot_len AS DOUBLE))
+                        ORDER BY term)) AS a,
+               CAST(count(*) AS BIGINT) AS m
+        FROM cf CROSS JOIN consts c
+    ),
+    corr AS (
+        SELECT tf.doc_id, tf.dl, tf.term,
+               ln(CAST(tf.tf AS DOUBLE)
+                  + {_QLM_MU} * CAST(cf.cf AS DOUBLE)
+                    / CAST(c.tot_len AS DOUBLE))
+               - ln({_QLM_MU} * CAST(cf.cf AS DOUBLE)
+                    / CAST(c.tot_len AS DOUBLE)) AS corr
+        FROM tf JOIN cf USING (term) CROSS JOIN consts c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+           round(any_value(q.a)
+                 - any_value(q.m) * ln(CAST(any_value(dl) AS DOUBLE)
+                                       + {_QLM_MU})
+                 + list_sum(list(corr ORDER BY term)), 6) AS qlm_r6
+    FROM corr CROSS JOIN qstats q GROUP BY doc_id
+    """,
+)
+def dirichlet_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood (μ=2000) of every matching
+    document against the same five-term bag bm25_doc_scores ranks
+    (operators/ranking.dirichlet_lm_scores) — the probabilistic
+    ranking function beside BM25's heuristic one, kept
+    postings-bounded by folding unmatched query terms into two corpus
+    constants (A, m). Sorted-term folds make the doubles
+    engine-identical; one final round(…, 6)."""
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        dirichlet_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dirichlet_lm_scores(docs, _QLM_TERMS, mu=_QLM_MU)

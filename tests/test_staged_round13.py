@@ -1,0 +1,128 @@
+"""Round-13 seed parity + behavior: k-core peeling, ℓ-diversity, and
+Dirichlet query likelihood must already pass the exact check the
+driver will run once registered — strict-mirror value comparison
+against their DuckDB oracles — with semantics pinned on constructed
+data.
+
+Staged queries are deliberately NOT in plans/registry (rounds 9-12 are
+already staged/planned); see plans/staged_round13.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.staged_round13 import (
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+from tests.oracle_utils import (
+    compare_frames,
+    duckdb_connection,
+    exotic_oracle_columns,
+)
+
+
+def test_staged_queries_are_not_registered():
+    import __spark_entry__ as entry_mod
+
+    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, name, sf):
+    d = f"/root/testdata/{sf}"
+    spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
+    con = duckdb_connection(d)
+    try:
+        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
+        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@{sf}: {problems}"
+    assert len(spark_pdf) > 0
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    """A 5-clique (every degree 4) with a 3-node tail hanging off it:
+    k=4 peeling strips the tail in two rounds and the clique is the
+    stable 4-core; profile rows are pinned exactly."""
+    from pinterest_data_pipeline_spark.operators.kcore import (
+        k_core_peel_profile,
+    )
+
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a != b]
+    tail = [(5, 6), (6, 5), (6, 7), (7, 6), (7, 8), (8, 7)]
+    edges = spark.createDataFrame(clique + tail, "src long, dst long")
+    prof = {
+        r["peel_round"]: (r["n_nodes"], r["n_edges"])
+        for r in k_core_peel_profile(edges, k=4, rounds=3).collect()
+    }
+    assert prof[0] == (8, 13)  # 10 clique pairs + 3 tail edges
+    # round 1 removes 6,7,8 (degrees 2,2,1): the clique alone remains
+    assert prof[1] == (5, 10)
+    assert prof[2] == (5, 10) and prof[3] == (5, 10)  # stable 4-core
+
+    with pytest.raises(ValueError, match="rounds"):
+        k_core_peel_profile(edges, k=0, rounds=3)
+
+
+def test_l_diversity_homogeneous_class_and_null_value(spark):
+    """A class whose rows share one sensitive value has ℓ = 1 (the
+    homogeneity leak); NULL counts as a sensitive value of its own."""
+    from pinterest_data_pipeline_spark.operators.privacy import (
+        l_diversity_audit,
+    )
+
+    rows = [
+        ("a", "s1"), ("a", "s1"), ("a", "s1"),   # homogeneous: l = 1
+        ("b", "s1"), ("b", "s2"),                # diverse: l = 2
+        ("c", "s1"), ("c", None),                # NULL is a value: l = 2
+    ]
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = l_diversity_audit(df, ["q"], "s", 2).collect()[0]
+    assert out["n_rows"] == 7 and out["n_classes"] == 3
+    assert out["l_min"] == 1
+    assert out["classes_below_l"] == 1 and out["rows_below_l"] == 3
+    assert out["diverse_share_r6"] == pytest.approx(4 / 7, abs=1e-6)
+
+
+def test_dirichlet_lm_closed_form_and_ordering(spark):
+    """Two-document corpus with hand-computable statistics: scores
+    match the closed form, the doc with more query-term mass ranks
+    higher, and both scores are negative log-likelihoods."""
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        dirichlet_lm_scores,
+    )
+
+    # corpus: d1 has 'table' twice in 4 tokens; d2 has it once in 4.
+    docs = spark.createDataFrame(
+        [(1, "table table alpha beta"), (2, "table gamma delta eps")],
+        "doc_id long, text string",
+    )
+    mu = 10.0
+    out = {
+        r["doc_id"]: r
+        for r in dirichlet_lm_scores(
+            docs, ["table", "row"], mu=mu
+        ).collect()
+    }
+    # cf(table) = 3, tot = 8, p = 3/8; 'row' absent -> effective q = 1
+    p = 3 / 8
+    s1 = math.log((2 + mu * p) / (4 + mu))
+    s2 = math.log((1 + mu * p) / (4 + mu))
+    assert out[1]["qlm_r6"] == pytest.approx(round(s1, 6), abs=1e-6)
+    assert out[2]["qlm_r6"] == pytest.approx(round(s2, 6), abs=1e-6)
+    assert out[1]["qlm_r6"] > out[2]["qlm_r6"]
+    assert out[1]["n_matched"] == 1 and out[2]["n_matched"] == 1
+    assert all(r["qlm_r6"] < 0 for r in out.values())
