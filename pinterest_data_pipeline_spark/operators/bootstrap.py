@@ -37,9 +37,6 @@ for _k in range(9):
     _cum += math.exp(-1) / math.factorial(_k)
     POISSON_CDF_U32.append(int(_cum * 2**32))
 
-POISSON_CDF_SQL = "[" + ", ".join(str(t) for t in POISSON_CDF_U32) + "]"
-
-
 def poisson_weight(u: Column) -> Column:
     """Inverse-CDF Poisson(1) weight from a uniform u ∈ [0, 2^32)."""
     w: Column = F.lit(len(POISSON_CDF_U32))

@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.operators.bootstrap import (
-    POISSON_CDF_SQL,
     POISSON_CDF_U32,
 )
 from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
