@@ -621,3 +621,83 @@ def dirichlet_lm_scores(
         )
     )
     return per_doc
+
+
+def err_at_k(
+    graded: DataFrame,
+    group_col: str,
+    rank_col: str,
+    grade_col: str,
+    k: int = 10,
+    g_max: int = 9,
+) -> DataFrame:
+    """Expected Reciprocal Rank at k (Chapelle et al. 2009) — the
+    CASCADE-model companion to ndcg_at_k: where NDCG assumes the user
+    inspects every position with geometric patience, ERR models a user
+    who STOPS at the first satisfying result,
+
+        ERR@k = Σ_{r≤k} (R_r / r) · Π_{i<r} (1 − R_i),
+        R = (2^grade − 1) / 2^g_max,
+
+    so a highly relevant document at rank 1 sharply devalues
+    everything below it — the metric that separates "top-heavy good"
+    from "uniformly okay" rankings NDCG scores alike.
+
+    ``graded`` carries one row per (group, item) with the ranker's
+    1-based ``rank_col`` and integer grades in [0, g_max], g_max ≤ 62
+    (2^g exact in the double). With g_max bounding the grades, R < 1
+    always, so the survival product never hits an exact zero and its
+    log-space form is well-defined.
+
+    Engine-portability: R is a dyadic rational of exact integers; the
+    survival product computes as exp(Σ ln(1 − R)) over an
+    ASCENDING-RANK exclusive window (both engines accumulate the frame
+    in rank order); the final Σ of ≤ k terms folds sorted (the
+    bm25/ndcg discipline); one round(…, 6) at the end.
+
+    Returns (group_col, err_r6).
+
+    Scale: one bounded window + one aggregate over ≤ k rows per
+    group."""
+    r_prob = (
+        F.pow(F.lit(2.0), F.col(grade_col).cast("double")) - F.lit(1.0)
+    ) / F.lit(float(2**g_max))
+    top = graded.filter(F.col(rank_col) <= k).select(
+        F.col(group_col).alias("__g"),
+        F.col(rank_col).alias("__pos"),
+        r_prob.alias("__r"),
+    )
+    termed = top.select(
+        "__g",
+        "__pos",
+        (
+            F.col("__r")
+            / F.col("__pos").cast("double")
+            * F.exp(
+                F.coalesce(
+                    F.sum(F.log(F.lit(1.0) - F.col("__r"))).over(
+                        Window.partitionBy("__g")
+                        .orderBy("__pos")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0.0),
+                )
+            )
+        ).alias("__term"),
+    )
+    return (
+        termed.groupBy("__g")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__term"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__term"],
+                ),
+                6,
+            ).alias("err_r6")
+        )
+        .withColumnRenamed("__g", group_col)
+    )

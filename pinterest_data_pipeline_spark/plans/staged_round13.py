@@ -21,13 +21,16 @@ The seed fills three family gaps:
   sibling completing the lexical ranking family (TF-IDF, BM25,
   unigram/bigram LM), postings-bounded via the background-term
   decomposition.
+- err_at_10_length_ranker (operators/ranking.err_at_k): the
+  cascade-model metric beside NDCG's position-discount one — same
+  ranker, same grades, the top-heaviness reading.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
@@ -225,3 +228,97 @@ def dirichlet_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dirichlet_lm_scores(docs, _QLM_TERMS, mu=_QLM_MU)
+
+
+@_stage(
+    "err_at_10_length_ranker",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id, source, n_chars,
+               CAST(3000 * len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> list_contains(
+                            ['and','is','of','that','the','to'], t)))
+                    - 2000 * length(regexp_replace(
+                        text, '[a-zA-Z0-9_\s]', '', 'g'))
+                    - 2000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - 100 * len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS margin
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, n_chars,
+               CAST(10 - ntile(10) OVER (PARTITION BY source
+                   ORDER BY margin DESC, doc_id ASC) AS BIGINT) AS grade
+        FROM feats
+    ),
+    r AS (
+        SELECT source, grade,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        FROM g
+    ),
+    probs AS (
+        SELECT source, rnk,
+               (power(2.0, CAST(grade AS DOUBLE)) - 1.0) / 512.0 AS rp
+        FROM r WHERE rnk <= 10
+    ),
+    termed AS (
+        SELECT source, rnk,
+               rp / CAST(rnk AS DOUBLE)
+               * exp(COALESCE(sum(ln(1.0 - rp)) OVER (
+                     PARTITION BY source ORDER BY rnk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0.0)) AS term
+        FROM probs
+    )
+    SELECT source, round(list_sum(list(term ORDER BY rnk)), 6) AS err_r6
+    FROM termed GROUP BY source
+    """,
+)
+def err_at_10_length_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@10 per source (operators/ranking.err_at_k) of the SAME
+    length ranker and ntile-graded relevance
+    ndcg_length_ranker_by_source evaluates — the cascade-model reading
+    beside NDCG's position-discount one: a ranker that parks one
+    near-perfect document at rank 1 scores high here even when its
+    tail is mediocre, which is exactly the difference a feed team
+    debates. Grades are 0..9, so R = (2^g − 1)/512 < 1 and the
+    survival product never collapses to an exact zero."""
+    from pinterest_data_pipeline_spark.operators.ranking import err_at_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(t) for t in
+                         ["and", "is", "of", "that", "the", "to"]])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    margin = (
+        F.lit(3000)
+        * F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        - F.lit(2000)
+        * F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9_\s]", ""))
+        - F.lit(2000)
+        * F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+        - F.lit(100) * F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).cast("long")
+    feats = docs.select("doc_id", "source", "n_chars", margin.alias("m"))
+    graded = feats.select(
+        "source",
+        (
+            F.lit(10)
+            - F.ntile(10).over(
+                Window.partitionBy("source").orderBy(
+                    F.col("m").desc(), F.col("doc_id").asc()
+                )
+            )
+        )
+        .cast("long")
+        .alias("grade"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("rnk"),
+    )
+    return err_at_k(graded, "source", "rnk", "grade", k=10, g_max=9)

@@ -126,3 +126,27 @@ def test_dirichlet_lm_closed_form_and_ordering(spark):
     assert out[1]["qlm_r6"] > out[2]["qlm_r6"]
     assert out[1]["n_matched"] == 1 and out[2]["n_matched"] == 1
     assert all(r["qlm_r6"] < 0 for r in out.values())
+
+
+def test_err_closed_form_and_top_heaviness(spark):
+    """Closed-form ERR on a hand ranking, and the metric's defining
+    property: a perfect doc AT RANK 1 beats the same doc at rank 3
+    even when NDCG-style total gain is identical."""
+    from pinterest_data_pipeline_spark.operators.ranking import err_at_k
+
+    # group A: grades (9, 0, 0); group B: (0, 0, 9) — same multiset.
+    rows = [
+        ("A", 1, 9), ("A", 2, 0), ("A", 3, 0),
+        ("B", 1, 0), ("B", 2, 0), ("B", 3, 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, rnk int, grade int")
+    out = {
+        r["g"]: r["err_r6"]
+        for r in err_at_k(df, "g", "rnk", "grade", k=10, g_max=9).collect()
+    }
+    ra = 511 / 512
+    expect_a = round(ra / 1, 6)  # grade-0 terms are exactly 0
+    expect_b = round(ra / 3, 6)  # survives two R=0 positions unscathed
+    assert out["A"] == pytest.approx(expect_a, abs=1e-6)
+    assert out["B"] == pytest.approx(expect_b, abs=1e-6)
+    assert out["A"] > out["B"]
