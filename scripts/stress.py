@@ -203,6 +203,20 @@ QUERIES = [
     "varint_layout_size_report",
     "merkle_diff_orders",
     "rendezvous_reshard_stability",
+    # round-8 staging for round 12 (plans/staged_round12.py)
+    "poisson_bootstrap_ci_value",
+    "obrien_fleming_interim_looks",
+    "span_corruption_plan_docs",
+    "profile_drift_audit",
+    "mutual_nn_pairs_sample",
+    "embedding_cell_quality_db",
+    "lpa_purchasing_communities",
+    "fellegi_sunter_link_weights",
+    # round-8 seed for round 13 (plans/staged_round13.py)
+    "k_core_purchasing_profile",
+    "l_diversity_docs",
+    "dirichlet_lm_doc_scores",
+    "err_at_10_length_ranker",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -294,6 +308,12 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round11 import (
         STAGED_QUERIES as STAGED_R11,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round12 import (
+        STAGED_QUERIES as STAGED_R12,
+    )
+    from pinterest_data_pipeline_spark.plans.staged_round13 import (
+        STAGED_QUERIES as STAGED_R13,
+    )
 
     for name in (only if only is not None else QUERIES):
         fn = (
@@ -303,7 +323,9 @@ def main() -> None:
             or STAGED_R8.get(name)
             or STAGED_R9.get(name)
             or STAGED_R10.get(name)
-            or STAGED_R11[name]
+            or STAGED_R11.get(name)
+            or STAGED_R12.get(name)
+            or STAGED_R13[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

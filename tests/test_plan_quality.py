@@ -566,11 +566,13 @@ def test_rendezvous_audit_is_agg_only(spark):
 
 
 def test_bootstrap_resamples_in_one_scan(spark):
-    """All 64 resamples come from ONE Generate (explode) over one scan,
-    aggregated map-side; the CI order statistics run on the
-    groups×B relation."""
+    """All 64 resamples come from ONE scan through exactly TWO
+    Generates — the digest explode (×B/4) and the four-window explode
+    (×4), the shape that computes one md5 per digest instead of one
+    per resample — aggregated map-side; the CI order statistics run on
+    the groups×B relation."""
     plan = _staged_plan(spark, "staged_round12", "poisson_bootstrap_ci_value")
-    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Generate") == 2
     assert n_nodes(plan, "Window") == 2
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "SortMergeJoin") == 0
