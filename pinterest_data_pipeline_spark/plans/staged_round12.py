@@ -257,13 +257,18 @@ def obrien_fleming_interim_looks(
     per = ev.groupBy("look", "arm").agg(
         F.count(F.lit(1)).alias("n"), F.sum("conv").alias("conv")
     )
+    # ONE partition for the 10-row spine: range() defaults to
+    # defaultParallelism slices and crossJoin multiplies partition
+    # counts, which planned 32 × 32 = 1024 one-row tasks of pure
+    # scheduling overhead (measured 15 s of a 17 s count()).
     spine = (
         spark.range(1, 6)
+        .coalesce(1)
         .select(F.col("id").alias("look"))
         .crossJoin(
             spark.createDataFrame(
                 [("treatment",), ("control",)], "arm string"
-            )
+            ).coalesce(1)
         )
     )
     w = (
