@@ -899,6 +899,7 @@ def group_sequential_obf(
     looks: DataFrame,
     look_col: str,
     c_final: float = 2.04,
+    k_total: int | None = None,
 ) -> DataFrame:
     """O'Brien-Fleming group-sequential boundary check (O'Brien &
     Fleming 1979; the standard interim-analysis discipline — peeking at
@@ -916,8 +917,12 @@ def group_sequential_obf(
 
     Scale: the caller aggregates the fact table once (map-side
     combinable); this operator only computes expressions over the
-    K-row relation and one max() window for K itself."""
-    k_total = F.max(F.col(look_col)).over(Window.partitionBy())
+    K-row relation — pass ``k_total`` to skip even the one global
+    max() window a K-discovery would add."""
+    if k_total is not None:
+        k_col = F.lit(int(k_total)).cast("long")
+    else:
+        k_col = F.max(F.col(look_col)).over(Window.partitionBy())
     nt = F.col("n_treat").cast("double")
     nc = F.col("n_ctrl").cast("double")
     pt = F.col("conv_treat").cast("double") / nt
@@ -930,7 +935,7 @@ def group_sequential_obf(
     )
     z = F.when(denom > 0, (pt - pc) / denom)
     boundary = F.lit(float(c_final)) * F.sqrt(
-        k_total.cast("double") / F.col(look_col).cast("double")
+        k_col.cast("double") / F.col(look_col).cast("double")
     )
     return looks.select(
         F.col(look_col),
