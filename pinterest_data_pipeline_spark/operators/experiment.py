@@ -949,3 +949,95 @@ def group_sequential_obf(
             F.abs(F.round(z, 6)) > F.round(boundary, 6), F.lit(False)
         ).alias("crossed"),
     )
+
+
+def post_stratified_lift(
+    units: DataFrame,
+    arm_col: str,
+    stratum_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Post-stratification adjusted lift (the survey-sampling adjuster;
+    Miratrix et al. 2013 for its experiment-analysis properties) — the
+    third member of this engine's variance-reduction family: CUPED
+    regresses on a pre-period covariate, winsorization caps the tail;
+    post-stratification REWEIGHTS within pre-treatment strata so a
+    chance imbalance in stratum composition between arms cannot
+    masquerade as an effect:
+
+        lift_ps = Σ_s w_s · (mean_treat,s − mean_ctrl,s),
+        w_s = n_s / N   over strata with BOTH arms present.
+
+    ``units`` carries one row per experimental unit with its arm
+    ('treatment' / 'control'), a PRE-treatment stratum label, and the
+    outcome in exact integer cents. Output is ONE row: n_treat,
+    n_ctrl, n_strata_used, raw_lift_r6 (unadjusted, full population),
+    poststrat_lift_r6 (weights renormalized over usable strata).
+    Strata missing an arm contribute no term — deterministic, and the
+    n_strata_used column makes the exclusion visible.
+
+    Engine-portability: all counts/sums are exact bigints; per-stratum
+    means are single double divisions; the Σ over strata folds in
+    SORTED stratum order (the bm25 discipline); one round(…, 6) each.
+
+    Scale: ONE map-side-combinable (stratum, arm) aggregate; every
+    later step is column arithmetic on the |strata|-row relation."""
+    cents = F.col(cents_col).cast("long")
+    cells = units.groupBy(stratum_col).agg(
+        F.sum(
+            F.when(F.col(arm_col) == "treatment", 1).otherwise(0)
+        ).alias("__nt"),
+        F.sum(
+            F.when(F.col(arm_col) == "treatment", cents).otherwise(0)
+        ).alias("__st"),
+        F.sum(
+            F.when(F.col(arm_col) == "control", 1).otherwise(0)
+        ).alias("__nc"),
+        F.sum(
+            F.when(F.col(arm_col) == "control", cents).otherwise(0)
+        ).alias("__sc"),
+    )
+    used = cells.where((F.col("__nt") > 0) & (F.col("__nc") > 0))
+    term = F.struct(
+        F.col(stratum_col).alias("s"),
+        (F.col("__nt") + F.col("__nc")).alias("n"),
+        (
+            (F.col("__nt") + F.col("__nc")).cast("double")
+            * (
+                F.col("__st").cast("double") / F.col("__nt").cast("double")
+                - F.col("__sc").cast("double") / F.col("__nc").cast("double")
+            )
+        ).alias("wterm"),
+    )
+    ps = used.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_used"),
+        F.sum(F.col("__nt") + F.col("__nc")).alias("__n_used"),
+        F.sort_array(F.collect_list(term)).alias("__terms"),
+    ).select(
+        "n_strata_used",
+        (
+            F.aggregate(
+                F.col("__terms"),
+                F.lit(0.0),
+                lambda acc, t: acc + t["wterm"],
+            )
+            / F.col("__n_used").cast("double")
+        ).alias("__ps_lift"),
+    )
+    totals = cells.agg(
+        F.sum("__nt").cast("bigint").alias("n_treat"),
+        F.sum("__nc").cast("bigint").alias("n_ctrl"),
+        (
+            F.sum("__st").cast("double") / F.sum("__nt").cast("double")
+            - F.sum("__sc").cast("double") / F.sum("__nc").cast("double")
+        ).alias("__raw"),
+    )
+    # one-row × one-row combine: hit-flag-free crossJoin of broadcast
+    # scalars (the house convention; no plan pin constrains this query)
+    return totals.crossJoin(F.broadcast(ps)).select(
+        "n_treat",
+        "n_ctrl",
+        "n_strata_used",
+        F.round(F.col("__raw"), 6).alias("raw_lift_r6"),
+        F.round(F.col("__ps_lift"), 6).alias("poststrat_lift_r6"),
+    )

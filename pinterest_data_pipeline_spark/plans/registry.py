@@ -169,9 +169,10 @@ CHECK_FIRST: list[str] = [
     #     OBF interim looks, span-corruption plan, profile drift,
     #     mutual NN, DB cell quality, LPA communities, Fellegi-Sunter
     #     link weights);
-    #   round 13 seed: plans/staged_round13.py, 4 queries (k-core
-    #     profile, l-diversity, Dirichlet query likelihood, ERR@10) —
-    #     extend toward a full batch before its window.
+    #   round 13 seed: plans/staged_round13.py, 5 queries (k-core
+    #     profile, l-diversity, Dirichlet query likelihood, ERR@10,
+    #     post-stratified lift) — extend toward a full batch before
+    #     its window.
     #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 

@@ -24,6 +24,10 @@ The seed fills three family gaps:
 - err_at_10_length_ranker (operators/ranking.err_at_k): the
   cascade-model metric beside NDCG's position-discount one — same
   ranker, same grades, the top-heaviness reading.
+- poststratified_lift_user_spend (operators/experiment.
+  post_stratified_lift): the third variance-reduction reading beside
+  CUPED and winsorization — reweighting away stratum-composition
+  imbalance.
 """
 
 from __future__ import annotations
@@ -322,3 +326,104 @@ def err_at_10_length_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
     )
     return err_at_k(graded, "source", "rnk", "grade", k=10, g_max=9)
+
+
+@_stage(
+    "poststratified_lift_user_spend",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
+                        CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                        % 2 = 0
+               THEN 'treatment' ELSE 'control' END AS arm,
+               CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pre,
+               CAST(sum(CASE WHEN day(ts) > 15
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT arm,
+               CASE WHEN n_pre = 0 THEN 0 WHEN n_pre <= 2 THEN 1
+                    WHEN n_pre <= 5 THEN 2 ELSE 3 END AS stratum,
+               cents
+        FROM u
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN arm = 'treatment' THEN cents ELSE 0 END)
+                    AS BIGINT) AS st,
+               CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN arm = 'control' THEN cents ELSE 0 END)
+                    AS BIGINT) AS sc
+        FROM s GROUP BY 1
+    ),
+    used AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
+    ps AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+               list_sum(list(
+                   CAST(nt + nc AS DOUBLE)
+                   * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                      - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                   ORDER BY stratum))
+               / CAST(sum(nt + nc) AS DOUBLE) AS ps_lift
+        FROM used
+    ),
+    tot AS (
+        SELECT CAST(sum(nt) AS BIGINT) AS n_treat,
+               CAST(sum(nc) AS BIGINT) AS n_ctrl,
+               CAST(sum(st) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+               - CAST(sum(sc) AS DOUBLE) / CAST(sum(nc) AS DOUBLE) AS raw
+        FROM cells
+    )
+    SELECT n_treat, n_ctrl, n_strata_used,
+           round(raw, 6) AS raw_lift_r6,
+           round(ps_lift, 6) AS poststrat_lift_r6
+    FROM tot CROSS JOIN ps
+    """,
+)
+def poststratified_lift_user_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-stratification adjusted spend lift
+    (operators/experiment.post_stratified_lift): units are users,
+    strata are PRE-period activity bands (first-half-of-month event
+    counts: 0 / 1-2 / 3-5 / 6+), the outcome is second-half spend in
+    cents, arms hash-assigned — the third variance-reduction reading
+    beside CUPED's regression and the winsorized cap, catching the
+    chance stratum-composition imbalance a raw diff-of-means books as
+    an effect. One (stratum, arm) aggregate; every later step runs on
+    the 4-row strata relation."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        hash_assign_arm,
+        post_stratified_lift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).alias(
+            "n_pre"
+        ),
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") > 15,
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("cents"),
+    )
+    units = units.select(
+        hash_assign_arm("user_id").alias("arm"),
+        F.when(F.col("n_pre") == 0, 0)
+        .when(F.col("n_pre") <= 2, 1)
+        .when(F.col("n_pre") <= 5, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("stratum"),
+        "cents",
+    )
+    return post_stratified_lift(units, "arm", "stratum", "cents")

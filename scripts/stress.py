@@ -217,6 +217,7 @@ QUERIES = [
     "l_diversity_docs",
     "dirichlet_lm_doc_scores",
     "err_at_10_length_ranker",
+    "poststratified_lift_user_spend",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

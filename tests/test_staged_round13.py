@@ -150,3 +150,31 @@ def test_err_closed_form_and_top_heaviness(spark):
     assert out["A"] == pytest.approx(expect_a, abs=1e-6)
     assert out["B"] == pytest.approx(expect_b, abs=1e-6)
     assert out["A"] > out["B"]
+
+
+def test_poststrat_kills_composition_bias(spark):
+    """Planted imbalance: within every stratum the arms have IDENTICAL
+    means, but treatment oversamples the high-spend stratum — raw lift
+    is large and spurious, post-stratified lift is exactly 0. A
+    stratum missing one arm is excluded and visible in
+    n_strata_used."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        post_stratified_lift,
+    )
+
+    rows = []
+    # stratum 'low': mean 100 both arms; 30 control, 10 treatment
+    rows += [("control", "low", 100)] * 30 + [("treatment", "low", 100)] * 10
+    # stratum 'high': mean 1000 both arms; 10 control, 30 treatment
+    rows += [("control", "high", 1000)] * 10
+    rows += [("treatment", "high", 1000)] * 30
+    # stratum 'orphan': control only — must be excluded
+    rows += [("control", "orphan", 5000)] * 5
+    df = spark.createDataFrame(rows, "arm string, stratum string, c long")
+    out = post_stratified_lift(df, "arm", "stratum", "c").collect()[0]
+    assert out["n_treat"] == 40 and out["n_ctrl"] == 45
+    assert out["n_strata_used"] == 2
+    # raw: treatment mean (10*100+30*1000)/40 = 775;
+    # control mean (30*100+10*1000+5*5000)/45 = 844.44 -> negative raw
+    assert abs(out["raw_lift_r6"]) > 50
+    assert out["poststrat_lift_r6"] == 0.0
