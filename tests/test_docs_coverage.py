@@ -130,19 +130,19 @@ def test_staged_names_do_not_collide_across_rounds():
     )
 
     staged = {
-        "R9": set(R9), "R10": set(R10), "R11": set(R11), "R12": set(R12),
-        "R13": set(R13),
+        "R10": set(R10), "R11": set(R11), "R12": set(R12), "R13": set(R13),
     }
-    names = [set(R7), set(R8), *staged.values()]
+    names = [set(R7), set(R8), set(R9), *staged.values()]
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             assert not (a & b)
-    # R7/R8 promoted in their rounds: every staged name must now BE
+    # R7/R8/R9 promoted in their rounds: every staged name must now BE
     # registered (advisor r6: a collision would otherwise only surface
     # at promotion time — post-promotion the subset assert catches it
     # in CI, and the not-yet-promoted rounds keep the disjointness
     # form).
     assert set(R7) <= set(em.queries())
     assert set(R8) <= set(em.queries())
+    assert set(R9) <= set(em.queries())
     for tag, batch in staged.items():
         assert not (batch & set(em.queries())), tag

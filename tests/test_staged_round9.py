@@ -31,11 +31,18 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
+def test_staged_queries_are_promoted():
+    """Round-9 promotion: every formerly-staged query is on the driver
+    surface (registry + oracle). Window membership is the registry
+    rotation's job (see plans/registry.py CHECK_FIRST)."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(STAGED_QUERIES) - set(queries)
+    assert not missing, f"staged queries not promoted: {missing}"
+    missing_oracle = set(STAGED_ORACLE) - set(oracles)
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
 
 
 def test_every_staged_query_has_an_oracle():
