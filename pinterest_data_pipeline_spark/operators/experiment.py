@@ -1041,3 +1041,74 @@ def post_stratified_lift(
         F.round(F.col("__raw"), 6).alias("raw_lift_r6"),
         F.round(F.col("__ps_lift"), 6).alias("poststrat_lift_r6"),
     )
+
+
+def srm_audit(
+    units: DataFrame,
+    experiments: list[tuple[str, Column, int]],
+) -> DataFrame:
+    """Sample-ratio-mismatch audit (Fabijan et al. 2019's "most useful
+    data-quality check in online experimentation"): a chi-square
+    GOODNESS-OF-FIT of each experiment's observed treatment share
+    against its CONFIGURED split — the trust gate run before reading
+    any lift. Distinct from chi_square_independence (metric ⊥ arm,
+    a two-way table): SRM tests the assignment itself, one-way,
+    against an expected ratio, and fires on ramp bugs, redirect
+    losses, and bot filtering that hits one arm harder.
+
+    ``experiments``: (name, is_treatment boolean Column evaluated per
+    unit row, expected_treatment_ppm). Output: one row per experiment
+    with n_units, n_treatment, expected_treatment_ppm, chisq_r6 and
+    srm_flag at the field-standard p<0.001 cut (chi-square_1 > 10.83).
+
+    Engine-portability: unit/treatment counts are exact bigints from
+    ONE aggregate; chi-square is a fixed two-term expression over
+    those integers and the ppm literal (both engines build the same
+    IEEE doubles in the same order, so even the flag compare cannot
+    diverge); one round(…, 6) at the end.
+
+    Scale: ONE map-side-combinable aggregate over the unit relation
+    produces every experiment's counts as conditional sums; the
+    per-experiment rows are unpivoted from that single driver-sized
+    row. Adding an experiment adds a column, not a scan."""
+    agg = units.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[
+            F.sum(F.when(col, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__t{i}")
+            for i, (_, col, _) in enumerate(experiments)
+        ],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("experiment"),
+                        F.col("__n").alias("n_units"),
+                        F.col(f"__t{i}").alias("n_treatment"),
+                        F.lit(ppm).cast("bigint").alias(
+                            "expected_treatment_ppm"
+                        ),
+                    )
+                    for i, (name, _, ppm) in enumerate(experiments)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    n = F.col("n_units").cast("double")
+    ot = F.col("n_treatment").cast("double")
+    et = n * F.col("expected_treatment_ppm").cast("double") / F.lit(1e6)
+    ec = n - et
+    chisq = (ot - et) * (ot - et) / et + (
+        (n - ot) - ec
+    ) * ((n - ot) - ec) / ec
+    return rows.select(
+        "experiment",
+        "n_units",
+        "n_treatment",
+        "expected_treatment_ppm",
+        F.round(chisq, 6).alias("chisq_r6"),
+        (chisq > F.lit(10.83)).alias("srm_flag"),
+    )

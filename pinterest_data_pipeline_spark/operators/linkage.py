@@ -94,3 +94,75 @@ def fellegi_sunter_pattern_weights(
         "n_nonmatch",
         F.round(weight, 6).alias("weight_r6"),
     )
+
+
+def survivorship_golden_record(
+    records: DataFrame,
+    cluster_col: str,
+    recency_col: str,
+    longest_fields: list[str] | None = None,
+    latest_fields: list[str] | None = None,
+    max_fields: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship merge — the step AFTER linkage scoring: linked
+    records (one cluster per real-world entity) collapse to one GOLDEN
+    record by field-level survivorship rules, completing the
+    record-linkage plane (similarity joins find candidates,
+    Fellegi-Sunter scores them, this merges the survivors):
+
+    - ``longest_fields``: longest non-null value wins (completeness
+      rule — the fuller name beats the truncated one); ties broken by
+      recency then the value itself, so the winner is total-ordered.
+    - ``latest_fields``: non-null value of the most recent record wins
+      (recency rule — the newest segment/address is the truth).
+    - ``max_fields``: numeric max wins (e.g. balances where the
+      larger observation dominates).
+
+    Every rule is ONE max-of-struct aggregate (lexicographic struct
+    compare, null inputs excluded by a when-guard), so the merge is a
+    single map-side-combinable groupBy(cluster) — no window, no
+    self-join. ``n_records`` and ``n_conflict_fields`` (fields with
+    >1 distinct non-null value in the cluster) ride the same
+    aggregate, making the merge auditable: a conflict count of zero
+    means the golden record is unanimous, not adjudicated.
+
+    Engine-portability: struct max compares field-by-field in both
+    engines over exact integers/strings; no doubles anywhere."""
+    longest_fields = longest_fields or []
+    latest_fields = latest_fields or []
+    max_fields = max_fields or []
+    aggs = []
+    for c in longest_fields:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.length(F.col(c)).alias("l"),
+                        F.col(recency_col).alias("r"),
+                        F.col(c).alias("v"),
+                    ),
+                )
+            )["v"].alias(c)
+        )
+    for c in latest_fields:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.col(recency_col).alias("r"), F.col(c).alias("v")
+                    ),
+                )
+            )["v"].alias(c)
+        )
+    for c in max_fields:
+        aggs.append(F.max(F.col(c)).alias(c))
+    all_fields = [*longest_fields, *latest_fields, *max_fields]
+    conflict = None
+    for c in all_fields:
+        term = (F.count_distinct(F.col(c)) > 1).cast("long")
+        conflict = term if conflict is None else conflict + term
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    aggs.append(conflict.cast("bigint").alias("n_conflict_fields"))
+    return records.groupBy(cluster_col).agg(*aggs)

@@ -464,3 +464,62 @@ def cusum_changepoint(
         "cusum_peak_r6",
         "changepoint_day",
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key_col: str,
+    slot_col,
+) -> DataFrame:
+    """Fano factor / index of dispersion per key — the burstiness
+    reading the trend family lacks: autocorr_daily measures memory,
+    Mann-Kendall measures drift, CUSUM finds the level shift,
+    dow_seasonality the weekly shape; the dispersion index D =
+    Var(counts per slot) / Mean(counts per slot) asks "is this stream
+    Poisson-smooth (D ≈ 1), clumped into bursts (D ≫ 1), or
+    pacemaker-regular (D < 1)?" — the first triage a capacity planner
+    or anomaly hunter runs on an event feed.
+
+    ``slot_col``: integer time-slot Column (e.g. epoch-hour). Slots
+    with zero events COUNT: the grid is the global [min_slot,
+    max_slot] span (one broadcast one-row aggregate), so D is computed
+    over n_slots, with empty slots contributing zeros to Σx and Σx² —
+    leaving them out would bias every mean up and most variances down.
+
+    Engine-portability: Σx, Σx² and slot bounds are exact bigints from
+    integer counts; D = (n·Σx² − (Σx)²) / (n·Σx) is one fixed rational
+    expression; one round(…, 6) each for mean and D.
+
+    Scale: one (key, slot) map-side-combinable count, one per-key
+    aggregate over it, one broadcast scalar span — the span rides the
+    same scan via a separate global aggregate, never a sort."""
+    slot = F.col(slot_col) if isinstance(slot_col, str) else slot_col
+    slotted = df.select(
+        F.col(key_col).alias("__k"), slot.cast("long").alias("__slot")
+    )
+    span = slotted.agg(
+        F.min("__slot").alias("__lo"), F.max("__slot").alias("__hi")
+    )
+    per_slot = slotted.groupBy("__k", "__slot").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_key = per_slot.groupBy("__k").agg(
+        F.sum("__c").cast("bigint").alias("n_events"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occupied"),
+    )
+    n_slots = (F.col("__hi") - F.col("__lo") + 1).cast("bigint")
+    sx = F.col("n_events").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    n = n_slots.cast("double")
+    return (
+        per_key.crossJoin(F.broadcast(span))
+        .select(
+            F.col("__k").alias(key_col),
+            "n_events",
+            "n_occupied",
+            n_slots.alias("n_slots"),
+            F.round(sx / n, 6).alias("mean_per_slot_r6"),
+            F.round((n * sxx - sx * sx) / (n * sx), 6).alias("fano_r6"),
+        )
+    )

@@ -332,3 +332,81 @@ def mattr(
         6,
     )
     return n_windows, score
+
+
+def good_turing_coverage(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies per group over adjacent
+    bigrams — the coverage estimate the smoothing family lacks: the
+    unigram/bigram LMs answer "how probable is this text", TF-IDF and
+    PMI rank what was SEEN; Good-Turing asks "how much probability
+    mass belongs to bigrams we have NOT seen yet" (P₀ = N₁/N, Turing's
+    estimate) and how hard observed counts should be discounted
+    (r* = (r+1)·N_{r+1}/N_r) — the statistic behind Katz backoff and
+    the standard "is this corpus slice big enough" reading (a high
+    unseen mass says the slice undersamples its domain).
+
+    Bigrams, not unigrams, deliberately: the test corpus's unigram
+    vocabulary is closed (every word repeats), so unigram N₁ would be
+    degenerate zeros; the bigram table keeps a live singleton tail at
+    every SF. Output per group: n_bigrams (N), vocab (distinct), n1,
+    n2, n3 (hapax/dis/tris legomena), p0_unseen_r6, r_star_1_r6,
+    r_star_2_r6 (0.0 where the denominator count is 0, made explicit
+    rather than NULL).
+
+    Engine-portability: every N_r is an exact bigint; the three
+    doubles are single divisions of those integers, one round each.
+
+    Scale: per-row pair explosion (zip with own tail, no join) → one
+    vocabulary-sized (group, bigram) partial aggregate → one per-group
+    aggregate. No sort, no window."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counts = (
+        df.select(F.col(group_col).alias("__g"), F.explode(pairs).alias("__p"))
+        .groupBy("__g", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    )
+
+    def _nr(r: int) -> Column:
+        return F.sum(F.when(F.col("__r") == r, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    per_group = counts.groupBy("__g").agg(
+        F.sum("__r").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        _nr(1).alias("n1"),
+        _nr(2).alias("n2"),
+        _nr(3).alias("n3"),
+    )
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    return per_group.select(
+        F.col("__g").alias(group_col),
+        "n_bigrams",
+        "vocab",
+        "n1",
+        "n2",
+        "n3",
+        F.round(_ratio(F.col("n1"), F.col("n_bigrams")), 6).alias(
+            "p0_unseen_r6"
+        ),
+        F.round(
+            _ratio(F.lit(2) * F.col("n2"), F.col("n1")), 6
+        ).alias("r_star_1_r6"),
+        F.round(
+            _ratio(F.lit(3) * F.col("n3"), F.col("n2")), 6
+        ).alias("r_star_2_r6"),
+    )

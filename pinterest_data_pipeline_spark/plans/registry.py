@@ -160,8 +160,10 @@ CHECK_FIRST: list[str] = [
     #     OBF interim looks, span-corruption plan, profile drift,
     #     mutual NN, DB cell quality, LPA communities, Fellegi-Sunter
     #     link weights);
-    #   round 13: plans/staged_round13.py (extended toward a full
-    #     batch in round 9).
+    #   round 13: plans/staged_round13.py, 10 queries (5-query seed +
+    #     the round-9 extension: survivorship golden record,
+    #     Good-Turing coverage, KMV distinct sketch, Fano burstiness,
+    #     SRM assignment audit).
     #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 

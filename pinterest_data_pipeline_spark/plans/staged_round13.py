@@ -28,6 +28,31 @@ The seed fills three family gaps:
   post_stratified_lift): the third variance-reduction reading beside
   CUPED and winsorization — reweighting away stratum-composition
   imbalance.
+
+Round-9 extension (seed 5 → full batch of 10):
+
+- survivorship_golden_record (operators/linkage.
+  survivorship_golden_record): the merge step AFTER Fellegi-Sunter
+  scoring — field-level survivorship (longest / latest / max rules)
+  collapsing linked clusters to audited golden records, completing
+  the record-linkage plane (r8 verdict item 7).
+- good_turing_bigram_coverage (operators/text.good_turing_coverage):
+  unseen-probability-mass P₀ = N₁/N and Katz discounts
+  r* = (r+1)·N_{r+1}/N_r from the bigram frequency-of-frequencies —
+  the "is this corpus slice big enough" reading.
+- kmv_distinct_price_points (operators/sketches.kmv_distinct): the
+  K-minimum-values distinct sketch with an exact-join error gate —
+  the third explicitly-constructed sketch beside count-min and
+  MinHash, mergeable by union-and-trim.
+- event_burstiness_by_type (operators/robust_stats.
+  dispersion_index): the Fano factor over the global hourly slot
+  grid — burstiness beside the family's memory/drift/level-shift/
+  seasonality readings; empty slots count.
+- srm_assignment_audit (operators/experiment.srm_audit): chi-square
+  goodness-of-fit of observed vs CONFIGURED assignment ratios — the
+  sample-ratio-mismatch trust gate (one-way), distinct from the
+  registered two-way chi_square_independence; includes a deliberate
+  stale-config ramp that fires the flag once n is large enough.
 """
 
 from __future__ import annotations
@@ -427,3 +452,364 @@ def poststratified_lift_user_spend(
         "cents",
     )
     return post_stratified_lift(units, "arm", "stratum", "cents")
+
+
+# ---------------------------------------------------- record survivorship
+_SURV_RECORDS = """
+    orig AS (
+        SELECT c_custkey AS k, 1 AS rec, c_name AS name,
+               c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    twin AS (
+        SELECT k, 2 AS rec,
+               CASE WHEN k % 70 = 0 THEN NULL
+                    WHEN k % 28 = 0 THEN name || ' JR'
+                    ELSE name END AS name,
+               CASE WHEN k % 35 = 0 THEN 'RE-ENTERED' ELSE seg END AS seg,
+               CASE WHEN k % 21 = 0 THEN cents + 1 ELSE cents END AS cents
+        FROM orig WHERE k % 7 = 0
+    ),
+    recs AS (
+        SELECT * FROM orig UNION ALL SELECT * FROM twin
+    )
+"""
+
+
+@_stage(
+    "survivorship_golden_record",
+    oracle=f"""
+    WITH {_SURV_RECORDS}
+    SELECT k,
+           max(CASE WHEN name IS NOT NULL THEN
+               {{'l': length(name), 'r': rec, 'v': name}} END).v AS name,
+           max(CASE WHEN seg IS NOT NULL THEN
+               {{'r': rec, 'v': seg}} END).v AS seg,
+           max(cents) AS cents,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST((CASE WHEN count(DISTINCT name) > 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN count(DISTINCT seg) > 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN count(DISTINCT cents) > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conflict_fields
+    FROM recs GROUP BY k
+    """,
+)
+def survivorship_golden_record(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivorship merge to golden records
+    (operators/linkage.survivorship_golden_record) — the step AFTER
+    fellegi_sunter_link_weights (staged r12) scores the links,
+    completing the record-linkage plane: linked clusters collapse to
+    one golden row by field-level rules. The scenario extends the r12
+    deterministic re-entry file: every 7th customer re-enters (rec 2,
+    newer), with the name MISSING on every 70th (web form skipped it
+    — the longest-non-null rule recovers the original), a LONGER
+    legal-suffix name on every 28th (the fuller value wins), a segment
+    rewrite on every 35th (the recency rule takes the newer segment),
+    and +1 cent on every 21st (max wins). n_conflict_fields makes
+    every adjudication auditable — a zero means unanimous, not merged.
+
+    Scale: ONE map-side-combinable groupBy(cluster) of max-of-struct
+    aggregates — no window, no self-join, no per-field shuffle."""
+    from pinterest_data_pipeline_spark.operators.linkage import (
+        survivorship_golden_record as merge_golden,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("rec"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    twin = cust.where(F.col("k") % 7 == 0).select(
+        "k",
+        F.lit(2).alias("rec"),
+        F.when(F.col("k") % 70 == 0, F.lit(None).cast("string"))
+        .when(F.col("k") % 28 == 0, F.concat(F.col("name"), F.lit(" JR")))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(F.col("k") % 35 == 0, F.lit("RE-ENTERED"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+        F.when(F.col("k") % 21 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    recs = cust.unionByName(twin)
+    return merge_golden(
+        recs,
+        cluster_col="k",
+        recency_col="rec",
+        longest_fields=["name"],
+        latest_fields=["seg"],
+        max_fields=["cents"],
+    )
+
+
+# ------------------------------------------------ Good-Turing coverage
+@_stage(
+    "good_turing_bigram_coverage",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT lang,
+               tk[CAST(g.i AS INTEGER)] || ' ' ||
+               tk[CAST(g.i AS INTEGER) + 1] AS p
+        FROM t, UNNEST(range(1, len(tk))) AS g(i)
+        WHERE len(tk) >= 2
+    ),
+    counts AS (
+        SELECT lang, p, CAST(count(*) AS BIGINT) AS r
+        FROM grams GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT lang,
+               CAST(sum(r) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        FROM counts GROUP BY 1
+    )
+    SELECT lang, n_bigrams, vocab, n1, n2, n3,
+           round(CASE WHEN n_bigrams = 0 THEN 0.0
+                 ELSE CAST(n1 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END, 6)
+               AS p0_unseen_r6,
+           round(CASE WHEN n1 = 0 THEN 0.0
+                 ELSE CAST(2 * n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END, 6)
+               AS r_star_1_r6,
+           round(CASE WHEN n2 = 0 THEN 0.0
+                 ELSE CAST(3 * n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END, 6)
+               AS r_star_2_r6
+    FROM per
+    """,
+)
+def good_turing_bigram_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing unseen-mass and discount estimates per language
+    (operators/text.good_turing_coverage) over adjacent bigrams — the
+    corpus-coverage reading the smoothing family lacks: P₀ = N₁/N is
+    Turing's estimate of the probability mass belonging to bigrams the
+    slice has NOT seen (high ⇒ the slice undersamples its domain), and
+    r* = (r+1)·N_{r+1}/N_r is the Katz-backoff discount. Bigrams
+    deliberately: the synthetic corpus's unigram vocabulary is closed
+    (zero hapaxes at every SF), while the bigram table keeps a live
+    singleton tail.
+
+    Scale: per-row pair explosion (array zip, no join), one
+    vocabulary-sized partial aggregate, one per-group fold."""
+    from pinterest_data_pipeline_spark.operators.text import (
+        good_turing_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return good_turing_coverage(docs, "lang", "text")
+
+
+# ---------------------------------------------------- KMV distinct sketch
+@_stage(
+    "kmv_distinct_price_points",
+    oracle="""
+    WITH vals AS (
+        SELECT DISTINCT CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+        SELECT CAST(concat('0x', substr(md5(concat('kmv:',
+                   CAST(v AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+        FROM vals
+    ),
+    ka AS (
+        SELECT CAST(max(h) AS BIGINT) AS kth_hash,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM (SELECT h FROM h ORDER BY h LIMIT 64)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h),
+    est AS (
+        SELECT n_exact, n_kept, kth_hash,
+               CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                    ELSE 63.0 * 4294967296.0
+                         / (CAST(kth_hash AS DOUBLE) + 1.0) END AS e
+        FROM tot CROSS JOIN ka
+    )
+    SELECT n_exact, n_kept, kth_hash, round(e, 6) AS kmv_est_r6,
+           CAST(floor(abs(e - CAST(n_exact AS DOUBLE)) * 1000000.0
+                / CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_ppm,
+           floor(abs(e - CAST(n_exact AS DOUBLE)) * 1000000.0
+                / CAST(n_exact AS DOUBLE)) < 400000 AS within_bound
+    FROM est
+    """,
+)
+def kmv_distinct_price_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-minimum-values distinct estimate of the observed price points
+    (operators/sketches.kmv_distinct, k=64) with its exact-join error
+    gate — the third explicitly-constructed sketch beside count-min
+    (frequency) and MinHash (similarity), covering distinct-count: the
+    sketch IS a mergeable value set (union-and-trim), every number
+    md5-replayable, and the one-row output carries the true distinct,
+    the estimate, the error in ppm, and the ≈3σ bound verdict, so a
+    regression in the estimator is a hash mismatch, not a silent
+    drift.
+
+    Scale: domain-bounded distinct → hash → one TakeOrdered-64 cut +
+    one count on the same checkpointed relation; never a full sort."""
+    from pinterest_data_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return kmv_distinct(cents, "cents", k=64, salt="kmv")
+
+
+# --------------------------------------------------- burstiness / Fano
+@_stage(
+    "event_burstiness_by_type",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot
+        FROM events
+    ),
+    span AS (SELECT min(slot) AS lo, max(slot) AS hi FROM s),
+    c AS (
+        SELECT event_type, slot, CAST(count(*) AS BIGINT) AS c
+        FROM s GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(sum(c * c) AS BIGINT) AS sxx,
+               CAST(count(*) AS BIGINT) AS n_occupied
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, n_events, n_occupied,
+           CAST(hi - lo + 1 AS BIGINT) AS n_slots,
+           round(CAST(n_events AS DOUBLE)
+                 / CAST(hi - lo + 1 AS DOUBLE), 6) AS mean_per_slot_r6,
+           round((CAST(hi - lo + 1 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                 / (CAST(hi - lo + 1 AS DOUBLE)
+                    * CAST(n_events AS DOUBLE)), 6) AS fano_r6
+    FROM p CROSS JOIN span
+    """,
+)
+def event_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of hourly event counts per
+    type (operators/robust_stats.dispersion_index) — the burstiness
+    reading beside the family's memory (autocorr), drift
+    (Mann-Kendall), level-shift (CUSUM) and weekly-shape
+    (dow_seasonality) statistics: D ≈ 1 is Poisson-smooth, D ≫ 1 is
+    clumped into bursts, D < 1 is pacemaker-regular. The slot grid is
+    the global [min, max] epoch-hour span, so hours with zero events
+    count — leaving them out would bias every mean up.
+
+    Scale: one (type, hour) map-side count, one per-type fold, one
+    broadcast one-row span; no sort, no window."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        dispersion_index,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return dispersion_index(
+        ev, "event_type", F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+    )
+
+
+# ------------------------------------------------------------ SRM audit
+@_stage(
+    "srm_assignment_audit",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat(
+                   'exp1:', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat(
+                   'ramp2:', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                   % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+        FROM u
+    ),
+    rows_ AS (
+        SELECT 'exp1' AS experiment, n AS n_units, t1 AS n_treatment,
+               CAST(500000 AS BIGINT) AS expected_treatment_ppm
+        FROM a
+        UNION ALL
+        SELECT 'ramp2', n, t2, CAST(500000 AS BIGINT) FROM a
+    ),
+    x AS (
+        SELECT experiment, n_units, n_treatment, expected_treatment_ppm,
+               (CAST(n_treatment AS DOUBLE)
+                - CAST(n_units AS DOUBLE)
+                  * CAST(expected_treatment_ppm AS DOUBLE) / 1000000.0)
+               AS dt,
+               CAST(n_units AS DOUBLE)
+                 * CAST(expected_treatment_ppm AS DOUBLE) / 1000000.0
+               AS et
+        FROM rows_
+    )
+    SELECT experiment, n_units, n_treatment, expected_treatment_ppm,
+           round(dt * dt / et
+                 + ((CAST(n_units AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+                    - (CAST(n_units AS DOUBLE) - et))
+                   * ((CAST(n_units AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+                      - (CAST(n_units AS DOUBLE) - et))
+                   / (CAST(n_units AS DOUBLE) - et), 6) AS chisq_r6,
+           (dt * dt / et
+            + ((CAST(n_units AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+               - (CAST(n_units AS DOUBLE) - et))
+              * ((CAST(n_units AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+                 - (CAST(n_units AS DOUBLE) - et))
+              / (CAST(n_units AS DOUBLE) - et)) > 10.83 AS srm_flag
+    FROM x
+    """,
+)
+def srm_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit (operators/experiment.srm_audit) —
+    the trust gate run before reading any experiment: a chi-square
+    goodness-of-fit of each experiment's observed treatment share
+    against its CONFIGURED split (distinct from the registered
+    chi_square_independence, which tests metric ⊥ arm on a two-way
+    table). Two experiments over the distinct-user population: 'exp1'
+    is the standard md5 50/50 assignment audited against 50/50 (must
+    pass); 'ramp2' deliberately assigns hash % 4 == 0 (a 25% ramp
+    whose config was never updated from 50/50) — the classic SRM bug
+    shape the flag exists to catch, firing once n is large enough for
+    chi-square_1 > 10.83 (p < 0.001).
+
+    Scale: ONE aggregate over distinct users computes every
+    experiment's counts as conditional sums; per-experiment rows
+    unpivot from that single driver-sized row."""
+    from pinterest_data_pipeline_spark.operators.dedup import (
+        portable_hash32,
+    )
+    from pinterest_data_pipeline_spark.operators.experiment import srm_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.select("user_id").distinct()
+
+    def _h(salt: str):
+        return portable_hash32(
+            F.concat(F.lit(f"{salt}:"), F.col("user_id").cast("string"))
+        )
+
+    return srm_audit(
+        units,
+        [
+            ("exp1", _h("exp1") % 2 == 0, 500_000),
+            ("ramp2", _h("ramp2") % 4 == 0, 500_000),
+        ],
+    )

@@ -178,3 +178,158 @@ def test_poststrat_kills_composition_bias(spark):
     # control mean (30*100+10*1000+5*5000)/45 = 844.44 -> negative raw
     assert abs(out["raw_lift_r6"]) > 50
     assert out["poststrat_lift_r6"] == 0.0
+
+
+def test_survivorship_rules_pin(spark):
+    """One cluster, three records: longest non-null name wins (NULL
+    skipped), newest segment wins, max balance wins, and every
+    adjudicated field is counted as a conflict."""
+    from pinterest_data_pipeline_spark.operators.linkage import (
+        survivorship_golden_record,
+    )
+
+    rows = [
+        (1, 1, "BOB", "AUTO", 100),
+        (1, 2, "BOBBY JR", "HOUSE", 90),
+        (1, 3, None, "HOUSE", 95),
+        (2, 1, "ANN", "TOYS", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, rec long, name string, seg string, cents long"
+    )
+    out = {
+        r["k"]: r
+        for r in survivorship_golden_record(
+            df, "k", "rec", ["name"], ["seg"], ["cents"]
+        ).collect()
+    }
+    g = out[1]
+    assert g["name"] == "BOBBY JR"  # longest non-null, NULL skipped
+    assert g["seg"] == "HOUSE"  # rec 3 beats rec 1
+    assert g["cents"] == 100  # max rule
+    assert g["n_records"] == 3
+    assert g["n_conflict_fields"] == 3  # all three fields disagreed
+    s = out[2]
+    assert s["name"] == "ANN" and s["n_records"] == 1
+    assert s["n_conflict_fields"] == 0  # singleton: unanimous
+
+
+def test_survivorship_latest_skips_trailing_null(spark):
+    """A newer record with a NULL field must NOT erase the older
+    value: the when-guard excludes NULLs before the struct max."""
+    from pinterest_data_pipeline_spark.operators.linkage import (
+        survivorship_golden_record,
+    )
+
+    rows = [(1, 1, "OLD", "A", 1), (1, 2, None, None, 2)]
+    df = spark.createDataFrame(
+        rows, "k long, rec long, name string, seg string, cents long"
+    )
+    g = survivorship_golden_record(
+        df, "k", "rec", ["name"], ["seg"], ["cents"]
+    ).collect()[0]
+    assert g["name"] == "OLD" and g["seg"] == "A" and g["cents"] == 2
+
+
+def test_good_turing_counts_pin(spark):
+    """Constructed corpus with known bigram table: 'a b' seen twice,
+    'b a' once, 'c d' once -> N=4, V=3, N1=2, N2=1; P0 = 2/4,
+    r*_1 = 2*1/2 = 1.0, r*_2 = 0 (explicit zero, N2's successor
+    empty)."""
+    from pinterest_data_pipeline_spark.operators.text import (
+        good_turing_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", "a b a b"), ("en", "c d"), ("en", "x")],
+        "lang string, text string",
+    )
+    r = good_turing_coverage(docs, "lang", "text").collect()[0]
+    # 'a b a b' -> pairs: a b, b a, a b ; 'c d' -> c d ; 'x' -> none
+    assert r["n_bigrams"] == 4 and r["vocab"] == 3
+    assert r["n1"] == 2 and r["n2"] == 1 and r["n3"] == 0
+    assert r["p0_unseen_r6"] == 0.5
+    assert r["r_star_1_r6"] == 1.0
+    assert r["r_star_2_r6"] == 0.0
+
+
+def test_kmv_exact_when_fewer_than_k(spark):
+    """Fewer distinct values than k: the sketch saw everything, the
+    estimate IS the kept count, error 0, gate green."""
+    from pinterest_data_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 2, 1, 3, 7]], "v long"
+    )
+    r = kmv_distinct(df, "v", k=64).collect()[0]
+    assert r["n_exact"] == 4 and r["n_kept"] == 4
+    assert r["kmv_est_r6"] == 4.0 and r["err_ppm"] == 0
+    assert bool(r["within_bound"])
+
+
+def test_kmv_estimate_formula_pin(spark):
+    """k=2 over known values: the estimate must equal
+    (k-1) * 2^32 / (h_(2) + 1) with h the portable md5-prefix hash —
+    recomputed here with hashlib."""
+    import hashlib
+
+    from pinterest_data_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    vals = [10, 20, 30, 40, 50]
+    hashes = sorted(
+        int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16)
+        for v in vals
+    )
+    expect = round(1 * 4294967296.0 / (hashes[1] + 1), 6)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = kmv_distinct(df, "v", k=2).collect()[0]
+    assert r["n_exact"] == 5 and r["n_kept"] == 2
+    assert r["kth_hash"] == hashes[1]
+    assert r["kmv_est_r6"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_dispersion_index_pin(spark):
+    """4-slot span: a one-event-per-slot key is pacemaker-regular
+    (D = 0); a key with all 4 events in one slot is bursty (D = 3);
+    empty slots count via the global span."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        dispersion_index,
+    )
+
+    rows = [("A", 1), ("A", 2), ("A", 3), ("A", 4),
+            ("B", 2), ("B", 2), ("B", 2), ("B", 2)]
+    df = spark.createDataFrame(rows, "k string, slot long")
+    out = {r["k"]: r for r in dispersion_index(df, "k", "slot").collect()}
+    assert out["A"]["n_slots"] == 4 and out["A"]["fano_r6"] == 0.0
+    # B: n=4 slots, sx=4, sxx=16 -> (4*16 - 16)/(4*4) = 3
+    assert out["B"]["n_occupied"] == 1 and out["B"]["fano_r6"] == 3.0
+    assert out["B"]["mean_per_slot_r6"] == 1.0
+
+
+def test_srm_audit_pin(spark):
+    """Planted SRM: a true 50/50 assignment scores chi-square 0 (no
+    flag); a 10%-actual vs 50%-configured assignment over n=100
+    scores (10-50)^2/50 * 2 = 64 and fires."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        srm_audit,
+    )
+
+    units = spark.range(100).withColumnRenamed("id", "u")
+    out = {
+        r["experiment"]: r
+        for r in srm_audit(
+            units,
+            [
+                ("ok", F.col("u") < 50, 500_000),
+                ("bad", F.col("u") < 10, 500_000),
+            ],
+        ).collect()
+    }
+    ok, bad = out["ok"], out["bad"]
+    assert ok["n_units"] == 100 and ok["n_treatment"] == 50
+    assert ok["chisq_r6"] == 0.0 and not ok["srm_flag"]
+    assert bad["chisq_r6"] == 64.0 and bool(bad["srm_flag"])
