@@ -91,3 +91,76 @@ def delta_varint_report(
     for o in outs[1:]:
         result = result.unionAll(o)
     return result
+
+
+def compaction_binpack_plan(
+    files: DataFrame,
+    group_col: str,
+    order_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction plan — the MAINTENANCE member of the
+    layout family (the zorder report scores clustering, the varint
+    report scores encoding; this one plans the rewrite that fixes
+    file-count pathology): pack each group's files, in their existing
+    ``order_col`` order (preserving date/key clustering and therefore
+    pruning), into output files of ``target_bytes`` by cumulative-sum
+    assignment — bin = floor(bytes_before / target). Parquet rewrites
+    can split a source file across outputs, so the cumulative
+    assignment IS the exact plan, not an approximation, and the bin
+    count per group is provably minimal (⌈Σbytes / target⌉).
+
+    Output per group: n_files_before, n_bins_after, bytes_total,
+    n_boundary_splits (source files straddling an output boundary —
+    the rows a rewrite must actually cut), and fill_ppm =
+    bytes_total · 1e6 / (n_bins · target) — the packedness the plan
+    achieves (last bin underfill is the only slack).
+
+    Scale: one window prefix-sum per group over the FILE MANIFEST
+    (metadata-sized, never row data), one per-group fold."""
+    sized = files.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(bytes_col).cast("long").alias("__b"),
+    ).withColumn(
+        "__before",
+        F.coalesce(
+            F.sum("__b").over(
+                Window.partitionBy("__g")
+                .orderBy("__o")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    t = F.lit(target_bytes)
+    bin_first = F.floor(F.col("__before") / t)
+    bin_last = F.floor((F.col("__before") + F.col("__b") - 1) / t)
+    per_file = sized.select(
+        "__g",
+        "__b",
+        (bin_last > bin_first).cast("long").alias("__split"),
+    )
+    agg = per_file.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files_before"),
+        F.sum("__b").cast("bigint").alias("bytes_total"),
+        F.sum("__split").cast("bigint").alias("n_boundary_splits"),
+    )
+    n_bins = F.floor(
+        (F.col("bytes_total") + t - 1) / t
+    ).cast("bigint")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_files_before",
+        n_bins.alias("n_bins_after"),
+        "bytes_total",
+        "n_boundary_splits",
+        F.floor(
+            F.col("bytes_total").cast("double")
+            * F.lit(1e6)
+            / (n_bins.cast("double") * t.cast("double"))
+        )
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )

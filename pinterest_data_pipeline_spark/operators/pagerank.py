@@ -162,3 +162,62 @@ def hits_bipartite(
             F.col("__score").alias("score_int"),
         )
     )
+
+
+def degree_assortativity(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    graph given as one row per edge — the mixing diagnostic the graph
+    family lacks: k-core finds the dense tier, PageRank/HITS rank
+    importance, LPA finds communities; assortativity asks "do
+    high-degree nodes attach to other hubs (r > 0, social-network
+    shape) or to leaves (r < 0, hub-and-spoke / bipartite shape)?" —
+    one number that predicts how the graph shatters under node loss.
+
+    r is the Pearson correlation of (deg(u), deg(v)) over directed
+    edge stubs (both orientations, the standard symmetrization), with
+    every moment an exact bigint — degrees are integer counts — and
+    one fixed rational-over-sqrt expression at the end, rounded to 6.
+
+    Scale: one distinct on the pair list, one degree aggregate, two
+    hash joins of edges⋈degrees, one global moment fold to a single
+    row. No windows, no n² anywhere."""
+    edges = symmetric_edges(pairs, a_col, b_col)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    stubs = (
+        edges.join(deg.withColumnRenamed("src", "__u"),
+                   F.col("src") == F.col("__u"))
+        .select(F.col("dst"), F.col("deg").alias("du"))
+        .join(
+            deg.select(
+                F.col("src").alias("__v"), F.col("deg").alias("dv")
+            ),
+            F.col("dst") == F.col("__v"),
+        )
+        .select("du", "dv")
+    )
+    m = F.count(F.lit(1)).cast("bigint")
+    agg = stubs.agg(
+        m.alias("m_stubs"),
+        F.sum("du").cast("bigint").alias("__sx"),
+        F.sum("dv").cast("bigint").alias("__sy"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("__syy"),
+    )
+    md = F.col("m_stubs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    return agg.select(
+        "m_stubs",
+        F.round(
+            (md * sxy - sx * sy)
+            / (
+                F.sqrt(md * sxx - sx * sx)
+                * F.sqrt(md * syy - sy * sy)
+            ),
+            6,
+        ).alias("assortativity_r6"),
+    )

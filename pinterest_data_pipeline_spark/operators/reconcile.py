@@ -107,3 +107,66 @@ def merkle_diff(
         F.col("change_type").isin("added", "removed")
         | (F.col("a.__fp") != F.col("b.__fp"))
     )
+
+
+def idempotency_audit(
+    delivered: DataFrame,
+    id_col: str,
+    payload_col,
+    group_col: str,
+) -> DataFrame:
+    """At-least-once delivery audit — the ingest-trust sibling of the
+    merkle diff: a bus that guarantees at-least-once re-delivers
+    messages, and a correct pipeline dedups them by id; this audit
+    CLASSIFIES the duplicates before the dedup throws them away,
+    because the two classes mean opposite things:
+
+    - clean dupes (same id, identical payload): the expected redelivery
+      noise — safe to drop, worth trending as a transport-health rate;
+    - conflicts (same id, ≥2 DISTINCT payloads): corruption or a
+      producer bug — an id whose payload changed between deliveries
+      must page someone, and dedup-by-id would have silently kept an
+      arbitrary version.
+
+    ``payload_col``: a Column or name whose exact equality defines
+    "identical" (hash or canonical integer encoding — the caller
+    decides what payload identity means). Output per ``group_col``:
+    n_delivered, n_logical (distinct ids), n_clean_dupe_ids,
+    n_conflict_ids — all exact bigints.
+
+    Scale: ONE (group, id) aggregate (count + distinct-payload count —
+    the distinct is per id, a handful of deliveries, never
+    corpus-sized) feeding one per-group fold. No self-join."""
+    payload = (
+        F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    )
+    per_id = delivered.groupBy(
+        F.col(group_col).alias("__g"), F.col(id_col).alias("__id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__copies"),
+        F.count_distinct(payload).cast("long").alias("__versions"),
+    )
+    return (
+        per_id.groupBy("__g")
+        .agg(
+            F.sum("__copies").cast("bigint").alias("n_delivered"),
+            F.count(F.lit(1)).cast("bigint").alias("n_logical"),
+            F.sum(
+                F.when(
+                    (F.col("__copies") > 1) & (F.col("__versions") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clean_dupe_ids"),
+            F.sum(F.when(F.col("__versions") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_conflict_ids"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_delivered",
+            "n_logical",
+            "n_clean_dupe_ids",
+            "n_conflict_ids",
+        )
+    )

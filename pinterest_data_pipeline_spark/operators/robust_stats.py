@@ -523,3 +523,79 @@ def dispersion_index(
             F.round((n * sxx - sx * sx) / (n * sx), 6).alias("fano_r6"),
         )
     )
+
+
+def quantile_normalize_by_value(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization mapping (the microarray batch-effect
+    corrector, Bolstad 2003, in its value-level form) — the
+    distribution ALIGNER beside the family's distribution TESTS: KS
+    and drift queries detect that two sources disagree; this produces
+    the monotone per-source remap that makes every source's
+    distribution match the pooled one, so downstream thresholds mean
+    the same thing regardless of which source a row came from.
+
+    Value-level (every row of the same (group, value) maps to one
+    normalized value): a group row with within-group cumulative count
+    c maps to the pooled value at cumulative position
+    ceil(c · N / n_g) — exact integer index arithmetic, no percentile
+    interpolation, engine-identical by construction. Returns the
+    DOMAIN-SIZED mapping (group, value, normalized_value, n_rows);
+    callers join it back to rows or aggregate it directly.
+
+    Scale: the mapping works entirely on (group, value) count tables —
+    bounded by the value domain, not the row count: two window
+    prefix-sums over those tiny tables and one broadcast band join
+    (prev < idx ≤ cdf picks exactly one pooled row). The only
+    row-scale work is the initial count aggregate."""
+    counts = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    cum = counts.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.partitionBy("__g")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n_g = counts.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    pooled = (
+        counts.groupBy("__v")
+        .agg(F.sum("__c").alias("__pc"))
+        .withColumn(
+            "__pcdf",
+            F.sum("__pc").over(
+                Window.orderBy("__v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn("__pprev", F.col("__pcdf") - F.col("__pc"))
+    )
+    total = counts.agg(F.sum("__c").alias("__n"))
+    idx = F.floor(
+        (F.col("__cum") * F.col("__n") + F.col("__ng") - 1) / F.col("__ng")
+    ).cast("long")
+    src = (
+        cum.join(n_g, "__g")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__idx", idx)
+    )
+    return src.join(
+        F.broadcast(
+            pooled.select(
+                F.col("__v").alias("__nv"), "__pcdf", "__pprev"
+            )
+        ),
+        (F.col("__pprev") < F.col("__idx"))
+        & (F.col("__idx") <= F.col("__pcdf")),
+    ).select(
+        F.col("__g").alias(group_col),
+        F.col("__v").alias(value_col),
+        F.col("__nv").alias("normalized_value"),
+        F.col("__c").cast("bigint").alias("n_rows"),
+    )

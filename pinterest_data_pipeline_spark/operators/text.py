@@ -410,3 +410,60 @@ def good_turing_coverage(
             _ratio(F.lit(3) * F.col("n3"), F.col("n2")), 6
         ).alias("r_star_2_r6"),
     )
+
+
+def vocab_growth_ladder(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ladder_ppm: tuple[int, ...] = (100_000, 250_000, 500_000, 1_000_000),
+) -> DataFrame:
+    """Heaps'-law vocabulary growth over an id-ordered prefix ladder —
+    the "is the corpus still discovering words" reading beside
+    Good-Turing's unseen-mass one: V(N) ≈ K·N^β, so the vocabulary at
+    the first 10% / 25% / 50% / 100% of the id space (an append-log's
+    natural prefixes) plus the fitted β between the last two rungs
+    says whether doubling the crawl still buys vocabulary (β near the
+    text-corpus 0.5 band) or the domain is closed (β → 0, this
+    synthetic corpus's regime).
+
+    Prefixes cut on the ID SPACE (id ≤ floor(max_id · ppm / 1e6), one
+    broadcast max), not on a rank — no global sort, exact integers.
+    Output: ONE row with n_docs_i / n_tokens_i / vocab_i per rung and
+    heaps_beta_r6 = ln(V₄/V₃) / ln(N₄/N₃) over token counts (0.0 when
+    degenerate, made explicit).
+
+    Scale: one token explosion scanned ONCE with conditional
+    aggregates per rung (|ladder| distinct-counts — a fixed expand
+    factor, the documented cost of the ladder), one broadcast max."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__t")
+    )
+    mx = df.agg(F.max(F.col(id_col)).cast("long").alias("__mx"))
+    tagged = exploded.crossJoin(F.broadcast(mx))
+    aggs = []
+    for i, ppm in enumerate(ladder_ppm, start=1):
+        cut = F.floor(F.col("__mx") * F.lit(ppm) / F.lit(1_000_000))
+        hit = F.col("__id") <= cut
+        aggs += [
+            F.count_distinct(F.when(hit, F.col("__id")))
+            .cast("bigint")
+            .alias(f"n_docs_{i}"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_tokens_{i}"),
+            F.count_distinct(F.when(hit, F.col("__t")))
+            .cast("bigint")
+            .alias(f"vocab_{i}"),
+        ]
+    wide = tagged.agg(*aggs)
+    last, prev = len(ladder_ppm), len(ladder_ppm) - 1
+    v4, v3 = F.col(f"vocab_{last}"), F.col(f"vocab_{prev}")
+    n4, n3 = F.col(f"n_tokens_{last}"), F.col(f"n_tokens_{prev}")
+    beta = F.when(
+        (v3 > 0) & (v4 > 0) & (n3 > 0) & (n4 > 0) & (n4 != n3),
+        F.log(v4.cast("double") / v3.cast("double"))
+        / F.log(n4.cast("double") / n3.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return wide.select("*", F.round(beta, 6).alias("heaps_beta_r6"))

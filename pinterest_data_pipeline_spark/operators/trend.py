@@ -84,3 +84,77 @@ def ewma_half_latest(
             ).alias("ewma_cents"),
         )
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cents_col,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key — the duration-weighted
+    reading beside ewma_half_latest's recency-decay one: each
+    observation's value holds until the NEXT observation, so its
+    weight is the integer seconds it was in force (the last
+    observation closes the series and carries no weight). EWMA asks
+    "what is the level, trusting recent points more"; TWAP asks "what
+    was the level ON AVERAGE OVER TIME" — the fair-rate number billing
+    and market-data pipelines reconcile against, immune to burst
+    oversampling (a thousand ticks in one second move EWMA, not TWAP).
+
+    Exactness: Σ(cents·Δt) and Σ(Δt) are exact bigints (integer cents
+    × integer epoch-second gaps); one double division, one round(…,6).
+    Keys with a single observation (no closed interval) are dropped —
+    deterministic, and visible via n_obs against the source count.
+
+    Scale: ONE lead() window per key (a single Exchange on the key,
+    the sessionize shuffle shape) feeding one map-side-combinable
+    aggregate. No global sort."""
+    cents = (
+        F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    ).cast("long")
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    stepped = df.select(
+        F.col(key_col).alias("__k"),
+        cents.alias("__c"),
+        epoch.alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).select(
+        "__k",
+        "__c",
+        (
+            F.lead("__t").over(
+                Window.partitionBy("__k").orderBy("__t", "__tb")
+            )
+            - F.col("__t")
+        ).alias("__dt"),
+    )
+    # zero-length intervals (same-timestamp bursts) are kept — they
+    # carry zero weight, which is TWAP's whole point — but a key whose
+    # EVERY interval is zero has no time axis: filter span > 0 below.
+    closed = stepped.where(F.col("__dt").isNotNull())
+    return (
+        closed.groupBy("__k")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_obs"),
+            F.sum("__dt").cast("bigint").alias("span_seconds"),
+            F.sum(F.col("__c") * F.col("__dt"))
+            .cast("bigint")
+            .alias("__wsum"),
+        )
+        .where(F.col("span_seconds") > 0)
+        .select(
+            F.col("__k").alias(key_col),
+            "n_obs",
+            "span_seconds",
+            F.round(
+                F.col("__wsum").cast("double")
+                / F.col("span_seconds").cast("double"),
+                6,
+            ).alias("twap_r6"),
+        )
+    )

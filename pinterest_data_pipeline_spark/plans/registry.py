@@ -163,7 +163,11 @@ CHECK_FIRST: list[str] = [
     #   round 13: plans/staged_round13.py, 10 queries (5-query seed +
     #     the round-9 extension: survivorship golden record,
     #     Good-Turing coverage, KMV distinct sketch, Fano burstiness,
-    #     SRM assignment audit).
+    #     SRM assignment audit);
+    #   round 14: plans/staged_round14.py, 8 queries (built in r9:
+    #     SNM blocking recall, degree assortativity, Heaps vocab
+    #     growth, idempotency conflict audit, revenue proration,
+    #     quantile normalization, TWAP, compaction planning).
     #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 

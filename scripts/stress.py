@@ -218,6 +218,23 @@ QUERIES = [
     "dirichlet_lm_doc_scores",
     "err_at_10_length_ranker",
     "poststratified_lift_user_spend",
+    # round-9 extension of the round-13 batch: record survivorship,
+    # Good-Turing coverage, KMV sketch, Fano burstiness, SRM audit
+    "survivorship_golden_record",
+    "good_turing_bigram_coverage",
+    "kmv_distinct_price_points",
+    "event_burstiness_by_type",
+    "srm_assignment_audit",
+    # round-9 staging for round 14 (plans/staged_round14.py):
+    # pipeline trust + layout planning
+    "snm_blocking_recall",
+    "degree_assortativity_supply",
+    "heaps_vocab_growth_docs",
+    "idempotency_conflict_audit",
+    "monthly_revenue_recognition",
+    "quantile_normalized_value_by_type",
+    "twap_user_value",
+    "daily_file_compaction_plan",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -315,6 +332,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round13 import (
         STAGED_QUERIES as STAGED_R13,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round14 import (
+        STAGED_QUERIES as STAGED_R14,
+    )
 
     for name in (only if only is not None else QUERIES):
         fn = (
@@ -326,7 +346,8 @@ def main() -> None:
             or STAGED_R10.get(name)
             or STAGED_R11.get(name)
             or STAGED_R12.get(name)
-            or STAGED_R13[name]
+            or STAGED_R13.get(name)
+            or STAGED_R14[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

@@ -587,3 +587,149 @@ def test_cell_quality_centroids_broadcast(spark):
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert n_nodes(plan, "SortMergeJoin") == 0
     assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_survivorship_is_one_sort_aggregate(spark):
+    """The golden-record merge is ONE groupBy(cluster) — max-of-struct
+    forces the sort-based aggregate path (structs aren't
+    hash-aggregable), which is the documented cost of the idiom; what
+    matters at scale is that there is NO join, NO window and NO
+    per-field shuffle anywhere."""
+    plan = _staged_plan(
+        spark, "staged_round13", "survivorship_golden_record"
+    )
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_kmv_cut_is_take_ordered(spark):
+    """The k-minimum cut must be TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full sort; the one-row combines are
+    broadcast scalars."""
+    plan = _staged_plan(spark, "staged_round13", "kmv_distinct_price_points")
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_burstiness_is_agg_only(spark):
+    """Fano = two hash-aggregate levels plus ONE broadcast one-row
+    span; no window, no sort-merge join."""
+    plan = _staged_plan(spark, "staged_round13", "event_burstiness_by_type")
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "HashAggregate") >= 4
+
+
+def test_srm_is_one_aggregate_unpivoted(spark):
+    """Every experiment's counts come from ONE conditional-sum
+    aggregate; the per-experiment rows are a Generate over a
+    driver-sized row — no join of any kind."""
+    plan = _staged_plan(spark, "staged_round13", "srm_assignment_audit")
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "Generate") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert n_nodes(plan, j) == 0
+
+
+def test_snm_window_is_partitioned(spark):
+    """The SNM rank must be a PARTITIONED window (in-block sort) and
+    the candidate join an equi hash join — a global sort or a range
+    join would serialize the corpus; the only SinglePartition hops
+    feed one-row report scalars."""
+    plan = _staged_plan(spark, "staged_round14", "snm_blocking_recall")
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_assortativity_is_hash_joins_and_folds(spark):
+    """Degrees reach the stubs through hash joins; the moment fold is
+    one aggregate — no window, no nested loop."""
+    plan = _staged_plan(
+        spark, "staged_round14", "degree_assortativity_supply"
+    )
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") + n_nodes(
+        plan, "SortMergeJoin"
+    ) >= 2
+
+
+def test_heaps_ladder_is_one_scan(spark):
+    """The ladder is conditional aggregates over ONE token explosion
+    (a single Generate) plus one broadcast max — no rank sort, no
+    window."""
+    plan = _staged_plan(spark, "staged_round14", "heaps_vocab_growth_docs")
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_idempotency_is_two_aggregates(spark):
+    """Classes come from one (group, id) aggregate + one per-group
+    fold — no join, no window."""
+    plan = _staged_plan(
+        spark, "staged_round14", "idempotency_conflict_audit"
+    )
+    assert n_nodes(plan, "Window") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert n_nodes(plan, j) == 0
+
+
+def test_proration_windows_are_per_order(spark):
+    """The remainder correction windows partition by order id — never
+    a global sort; the month fan-out is one Generate."""
+    plan = _staged_plan(
+        spark, "staged_round14", "monthly_revenue_recognition"
+    )
+    assert "SinglePartition" not in plan
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_quantile_norm_runs_on_domain_tables(spark):
+    """After the first count aggregate everything is domain-sized: the
+    pooled lookup is a broadcast band join (the one sanctioned nested
+    loop, vs a domain-bounded table), the source CDF window partitions
+    by group, and there is no sort-merge join."""
+    plan = _staged_plan(
+        spark, "staged_round14", "quantile_normalized_value_by_type"
+    )
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2
+
+
+def test_twap_is_one_window_one_fold(spark):
+    """TWAP = one per-user lead() window + one aggregate; nothing
+    global, no joins."""
+    plan = _staged_plan(spark, "staged_round14", "twap_user_value")
+    assert n_nodes(plan, "Window") == 1
+    assert "SinglePartition" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert n_nodes(plan, j) == 0
+
+
+def test_compaction_plan_is_manifest_sized(spark):
+    """The packing runs on the per-day manifest: one per-month
+    prefix-sum window, no global hop, no joins."""
+    plan = _staged_plan(
+        spark, "staged_round14", "daily_file_compaction_plan"
+    )
+    assert n_nodes(plan, "Window") == 1
+    assert "SinglePartition" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert n_nodes(plan, j) == 0
