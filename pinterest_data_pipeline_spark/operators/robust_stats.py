@@ -551,46 +551,80 @@ def quantile_normalize_by_value(
     prefix-sums over those tiny tables and one broadcast band join
     (prev < idx ≤ cdf picks exactly one pooled row). The only
     row-scale work is the initial count aggregate."""
-    counts = df.groupBy(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    cum = counts.withColumn(
-        "__cum",
-        F.sum("__c").over(
+    # The count output is DOMAIN-sized (|groups|·|values|) by this
+    # operator's contract and feeds FOUR consumers (source CDF, group
+    # totals, pooled CDF, grand total) — without a checkpoint each
+    # consumer re-scans the row data and re-runs the aggregate (four
+    # full scans, measured 4× the query's real cost; the multi-consumer
+    # localCheckpoint rule). coalesce(1) additionally collapses the
+    # window/join cascade below into single-task stages over the tiny
+    # relation (the OBF look-spine precedent).
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    # Every prefix/total below is a WINDOW over the checkpointed
+    # domain relation — no scalar joins, so the whole mapping is one
+    # window stage plus the final band lookup (each broadcast exchange
+    # a join would add costs a fixed per-stage latency that dwarfs the
+    # domain-sized data):
+    # - __cum: within-group inclusive prefix (rank of the value's last
+    #   row in its group);
+    # - __ng / __n: group and grand totals as full-frame windows;
+    # - __pcdf / __pprev: POOLED inclusive/exclusive prefixes as
+    #   RANGE-frame windows over the value order — the range frame
+    #   folds all groups' rows of the same (or lower) value together,
+    #   which IS the pooled CDF, no per-value re-aggregation needed.
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    src = counts.select(
+        "__g",
+        "__v",
+        "__c",
+        F.sum("__c")
+        .over(
             Window.partitionBy("__g")
             .orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    n_g = counts.groupBy("__g").agg(F.sum("__c").alias("__ng"))
-    pooled = (
-        counts.groupBy("__v")
-        .agg(F.sum("__c").alias("__pc"))
-        .withColumn(
-            "__pcdf",
-            F.sum("__pc").over(
-                Window.orderBy("__v").rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            ),
         )
-        .withColumn("__pprev", F.col("__pcdf") - F.col("__pc"))
+        .alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__ng"),
+        F.sum("__c").over(full).alias("__n"),
+    ).withColumn(
+        "__idx",
+        F.floor(
+            (F.col("__cum") * F.col("__n") + F.col("__ng") - 1)
+            / F.col("__ng")
+        ).cast("long"),
     )
-    total = counts.agg(F.sum("__c").alias("__n"))
-    idx = F.floor(
-        (F.col("__cum") * F.col("__n") + F.col("__ng") - 1) / F.col("__ng")
-    ).cast("long")
-    src = (
-        cum.join(n_g, "__g")
-        .crossJoin(F.broadcast(total))
-        .withColumn("__idx", idx)
-    )
-    return src.join(
-        F.broadcast(
-            pooled.select(
-                F.col("__v").alias("__nv"), "__pcdf", "__pprev"
+    pooled = counts.select(
+        F.col("__v").alias("__nv"),
+        F.sum("__c")
+        .over(
+            Window.orderBy("__v").rangeBetween(
+                Window.unboundedPreceding, 0
             )
-        ),
+        )
+        .alias("__pcdf"),
+        F.sum("__c")
+        .over(
+            Window.orderBy("__v").rangeBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("__pprev_raw"),
+    ).select(
+        "__nv",
+        "__pcdf",
+        F.coalesce(F.col("__pprev_raw"), F.lit(0)).alias("__pprev"),
+    ).dropDuplicates(["__nv", "__pcdf", "__pprev"])
+    return src.join(
+        F.broadcast(pooled),
         (F.col("__pprev") < F.col("__idx"))
         & (F.col("__idx") <= F.col("__pcdf")),
     ).select(
