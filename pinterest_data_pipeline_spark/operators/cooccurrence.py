@@ -96,3 +96,102 @@ def item_cooccurrence(
             ).alias("cosine_r6"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pairwise association rules (the Apriori support/confidence/lift
+    layer, Agrawal-Srikant 1994) — the RULE reading beside this
+    module's similarity one: co-occurrence CF answers "which items are
+    alike", a rule answers "given a in the basket, how much likelier
+    is b" — the cross-sell / bundling statistic, directional by
+    construction (a→b and b→a differ in confidence).
+
+        supp(a,b) = baskets containing both (distinct-basket counts)
+        conf(a→b) = supp(a,b) / supp(a)
+        lift      = supp(a,b) · N / (supp(a) · supp(b))
+
+    All supports are exact bigints; conf/lift are single fixed-tree
+    divisions, rounded once; both rule directions are emitted and the
+    cut orders by (lift_r6 DESC, antecedent, consequent), ties fully
+    broken, so the top-k is engine-identical.
+
+    Scale: one (basket, item) distinct, one SELF-JOIN ON THE BASKET
+    KEY (fan-out bounded by basket size squared — baskets are small by
+    domain, never corpus-sized), vocabulary-sized pair/item
+    aggregates, broadcast marginal joins, TakeOrdered cut."""
+    bi = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    item_supp = bi.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__s")
+    )
+    l, r = bi.alias("l"), bi.alias("r")
+    pair_supp = (
+        l.join(
+            r,
+            (F.col("l.__b") == F.col("r.__b"))
+            & (F.col("l.__i") < F.col("r.__i")),
+        )
+        .groupBy(
+            F.col("l.__i").alias("__a"), F.col("r.__i").alias("__c")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_pair_support)
+    )
+    directed = pair_supp.select(
+        F.col("__a").alias("antecedent"),
+        F.col("__c").alias("consequent"),
+        "pair_support",
+    ).unionByName(
+        pair_supp.select(
+            F.col("__c").alias("antecedent"),
+            F.col("__a").alias("consequent"),
+            "pair_support",
+        )
+    )
+    sa = item_supp.select(
+        F.col("__i").alias("antecedent"),
+        F.col("__s").alias("antecedent_support"),
+    )
+    sc = item_supp.select(
+        F.col("__i").alias("consequent"),
+        F.col("__s").alias("consequent_support"),
+    )
+    conf = F.col("pair_support").cast("double") / F.col(
+        "antecedent_support"
+    ).cast("double")
+    lift = (
+        F.col("pair_support").cast("double")
+        * F.col("__n").cast("double")
+        / (
+            F.col("antecedent_support").cast("double")
+            * F.col("consequent_support").cast("double")
+        )
+    )
+    return (
+        directed.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            "antecedent_support",
+            "consequent_support",
+            F.round(conf, 6).alias("confidence_r6"),
+            F.round(lift, 6).alias("lift_r6"),
+        )
+        .orderBy(
+            F.col("lift_r6").desc(), "antecedent", "consequent"
+        )
+        .limit(top_k)
+    )

@@ -701,3 +701,84 @@ def err_at_k(
         )
         .withColumnRenamed("__g", group_col)
     )
+
+
+def catalog_coverage_diversity(
+    recs: DataFrame,
+    catalog: DataFrame,
+    user_col: str,
+    item_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Beyond-accuracy evaluation of a recommendation table (Ge et al.
+    2010's coverage/serendipity framing) — the metrics the ranking
+    family lacks: NDCG/ERR/AP score each LIST against relevance; these
+    score the SYSTEM against the catalog. A recommender can win every
+    per-list metric while showing everyone the same five blockbusters;
+    these two numbers are where that failure shows up:
+
+    - catalog coverage: distinct recommended items as ppm of the
+      catalog — the long-tail exposure a marketplace actually sells;
+    - intra-list diversity: over every user's list, the share of item
+      PAIRS whose ``attr_col`` differs (ppm) — 0 means every list is
+      monotone (five phones), 1e6 means maximally mixed.
+
+    ``recs``: one row per (user, item); ``catalog``: one row per item
+    with its attribute. Counts are exact bigints; per-user pair counts
+    come from k·(k−1)/2 and same-attr-group counts within the list —
+    no pair join at all (Σ_g c_g·(c_g−1)/2 per user, subtracted).
+
+    Scale: one distinct over recs, one broadcast attr join, one
+    (user, attr) aggregate + one user aggregate + one global fold —
+    the pair arithmetic is closed-form, never materialized."""
+    r = recs.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    cov = r.select("__i").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recommended_distinct")
+    )
+    cat = catalog.select(
+        F.col(item_col).alias("__i"), F.col(attr_col).alias("__a")
+    )
+    n_cat = cat.agg(F.count(F.lit(1)).cast("bigint").alias("n_catalog"))
+    joined = r.join(F.broadcast(cat), "__i")
+    per_attr = joined.groupBy("__u", "__a").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_user = per_attr.groupBy("__u").agg(
+        F.sum("__c").alias("__k"),
+        F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__same2"),
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("__k") * (F.col("__k") - 1) / 2)
+        .cast("bigint")
+        .alias("__pairs"),
+        (F.sum(F.col("__k") * (F.col("__k") - 1) / 2)
+         - F.sum(F.col("__same2") / 2))
+        .cast("bigint")
+        .alias("__diff_pairs"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(n_cat))
+        .select(
+            "n_users",
+            "n_catalog",
+            "n_recommended_distinct",
+            F.floor(
+                F.col("n_recommended_distinct") * 1_000_000
+                / F.col("n_catalog")
+            )
+            .cast("bigint")
+            .alias("coverage_ppm"),
+            F.when(F.col("__pairs") == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.col("__diff_pairs") * 1_000_000 / F.col("__pairs")
+                )
+            )
+            .cast("bigint")
+            .alias("intralist_diversity_ppm"),
+        )
+    )

@@ -633,3 +633,90 @@ def quantile_normalize_by_value(
         F.col("__nv").alias("normalized_value"),
         F.col("__c").cast("bigint").alias("n_rows"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen estimator — the ROBUST trend line beside the
+    registered OLS one: the median of all pairwise slopes
+    (y_j − y_i)/(x_j − x_i), which a 29%-contaminated series cannot
+    move (OLS breaks at a single wild day). Input is an AGGREGATED
+    series (one row per x, e.g. daily integer cents), so the pairwise
+    self-join runs on a |periods|-sized relation — constant in fact
+    rows, the mann_kendall discipline.
+
+    Output: ONE row (n_points, n_pairs, theil_sen_slope_r6,
+    ols_slope_r6) — the OLS companion from exact integer moments makes
+    the contamination visible as the gap between the two numbers.
+
+    Determinism: every pairwise slope is the same IEEE double in both
+    engines (integer dy / integer dx); the median picks by row_number
+    over (slope, xi, xj) — a total order — and averages the two middle
+    slopes when the pair count is even.
+
+    Scale: one x-level aggregate upstream (caller), one broadcast
+    self-join over |periods|² pairs, one TakeOrdered-free median via a
+    tiny window (the relation is metadata-sized by contract)."""
+    pts = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    l, r = pts.alias("l"), pts.alias("r")
+    slopes = l.join(
+        F.broadcast(r), F.col("l.__x") < F.col("r.__x")
+    ).select(
+        F.col("l.__x").alias("__xi"),
+        F.col("r.__x").alias("__xj"),
+        (
+            (F.col("r.__y") - F.col("l.__y")).cast("double")
+            / (F.col("r.__x") - F.col("l.__x")).cast("double")
+        ).alias("__s"),
+    )
+    w = Window.orderBy("__s", "__xi", "__xj")
+    ranked = slopes.select(
+        "__s", F.row_number().over(w).alias("__rn")
+    )
+    counts = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    npairs = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    # median rows in pure integer arithmetic: odd n → the single row
+    # with 2·rn = n+1; even n → the two rows with 2·rn ∈ {n, n+2};
+    # avg() of one or two identical-on-both-engines doubles
+    med = (
+        ranked.crossJoin(F.broadcast(npairs))
+        .where(
+            (F.col("__rn") * 2 == F.col("n_pairs"))
+            | (F.col("__rn") * 2 == F.col("n_pairs") + 1)
+            | (F.col("__rn") * 2 == F.col("n_pairs") + 2)
+        )
+        .agg(F.avg("__s").alias("__med"))
+    )
+    moments = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("double").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+    )
+    ols = (
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ) / (
+        F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return (
+        counts.crossJoin(F.broadcast(npairs))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(moments))
+        .select(
+            "n_points",
+            "n_pairs",
+            F.round(F.col("__med"), 6).alias("theil_sen_slope_r6"),
+            F.round(ols, 6).alias("ols_slope_r6"),
+        )
+    )

@@ -167,7 +167,10 @@ CHECK_FIRST: list[str] = [
     #   round 14: plans/staged_round14.py, 8 queries (built in r9:
     #     SNM blocking recall, degree assortativity, Heaps vocab
     #     growth, idempotency conflict audit, revenue proration,
-    #     quantile normalization, TWAP, compaction planning).
+    #     quantile normalization, TWAP, compaction planning);
+    #   round 15 seed: plans/staged_round15.py, 4 queries (association
+    #     rules, Theil-Sen slope, LLR collocations, coverage/diversity
+    #     eval) — extend toward a full batch before its window.
     #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 

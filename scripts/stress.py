@@ -235,6 +235,11 @@ QUERIES = [
     "quantile_normalized_value_by_type",
     "twap_user_value",
     "daily_file_compaction_plan",
+    # round-9 seed for round 15 (plans/staged_round15.py)
+    "association_rules_parts",
+    "theil_sen_daily_revenue",
+    "llr_bigram_collocations",
+    "rec_coverage_diversity",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -335,6 +340,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round14 import (
         STAGED_QUERIES as STAGED_R14,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round15 import (
+        STAGED_QUERIES as STAGED_R15,
+    )
 
     for name in (only if only is not None else QUERIES):
         fn = (
@@ -347,7 +355,8 @@ def main() -> None:
             or STAGED_R11.get(name)
             or STAGED_R12.get(name)
             or STAGED_R13.get(name)
-            or STAGED_R14[name]
+            or STAGED_R14.get(name)
+            or STAGED_R15[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

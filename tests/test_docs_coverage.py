@@ -94,13 +94,16 @@ def test_every_staged_query_mentioned_in_coverage():
     from pinterest_data_pipeline_spark.plans.staged_round14 import (
         STAGED_QUERIES as R14,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round15 import (
+        STAGED_QUERIES as R15,
+    )
 
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [
         q
         for q in (
             list(R7) + list(R8) + list(R9) + list(R10) + list(R11)
-            + list(R12) + list(R13) + list(R14)
+            + list(R12) + list(R13) + list(R14) + list(R15)
         )
         if q not in coverage
     ]
@@ -134,10 +137,13 @@ def test_staged_names_do_not_collide_across_rounds():
     from pinterest_data_pipeline_spark.plans.staged_round14 import (
         STAGED_QUERIES as R14,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round15 import (
+        STAGED_QUERIES as R15,
+    )
 
     staged = {
         "R10": set(R10), "R11": set(R11), "R12": set(R12), "R13": set(R13),
-        "R14": set(R14),
+        "R14": set(R14), "R15": set(R15),
     }
     names = [set(R7), set(R8), set(R9), *staged.values()]
     for i, a in enumerate(names):

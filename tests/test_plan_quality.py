@@ -733,3 +733,49 @@ def test_compaction_plan_is_manifest_sized(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert n_nodes(plan, j) == 0
+
+
+def test_association_rules_join_is_basket_keyed(spark):
+    """The pair join must be an equi join on the basket key (hash
+    join), never a cartesian/nested-loop over the catalog; the cut is
+    TakeOrdered."""
+    plan = _staged_plan(spark, "staged_round15", "association_rules_parts")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "BroadcastHashJoin") + n_nodes(
+        plan, "SortMergeJoin"
+    ) >= 2
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+
+
+def test_theil_sen_pairs_are_broadcast_metadata(spark):
+    """Every nested-loop in the Theil-Sen plan is over the
+    |days|-sized daily aggregate or a one-row scalar (the sanctioned
+    broadcast shapes); the median is ONE window over the slope
+    relation."""
+    plan = _staged_plan(spark, "staged_round15", "theil_sen_daily_revenue")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_llr_plan_matches_pmi_shape(spark):
+    """LLR keeps the PMI plan shape: vocabulary-sized aggregates,
+    marginal hash joins, TakeOrdered cut — no cartesian, no
+    sort-merge."""
+    plan = _staged_plan(spark, "staged_round15", "llr_bigram_collocations")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+
+
+def test_coverage_diversity_has_no_pair_join(spark):
+    """The diversity pair counts are closed-form arithmetic — the only
+    joins are the spend build and the broadcast attribute lookup; no
+    cartesian, no pair materialization."""
+    plan = _staged_plan(spark, "staged_round15", "rec_coverage_diversity")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2
+    assert n_nodes(plan, "Window") <= 2

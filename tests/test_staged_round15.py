@@ -1,0 +1,202 @@
+"""Round-15 seed parity + behavior: association rules, Theil-Sen,
+LLR collocations, and coverage/diversity evaluation must already pass
+the exact check the driver will run once registered — strict-mirror
+value comparison against their DuckDB oracles — with semantics pinned
+on constructed data.
+
+Staged queries are deliberately NOT in plans/registry (rounds 9-14
+are already staged/planned); see plans/staged_round15.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans.staged_round15 import (
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+from tests.oracle_utils import (
+    compare_frames,
+    duckdb_connection,
+    exotic_oracle_columns,
+)
+
+
+def test_staged_queries_are_not_registered():
+    import __spark_entry__ as entry_mod
+
+    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED_ORACLE) == set(STAGED_QUERIES)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, name, sf):
+    d = f"/root/testdata/{sf}"
+    spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
+    con = duckdb_connection(d)
+    try:
+        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
+        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@{sf}: {problems}"
+    assert len(spark_pdf) > 0
+
+
+def test_association_rules_hand_counts(spark):
+    """4 baskets: {a,b} ×3, {a} ×1 → supp(a)=4, supp(b)=3,
+    supp(a,b)=3; conf(a→b)=3/4, conf(b→a)=1, lift=3·4/(4·3)=1."""
+    from pinterest_data_pipeline_spark.operators.cooccurrence import (
+        association_rules,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (4, "a")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "b", "i", 2, 10).collect()
+    }
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    assert ab["pair_support"] == 3
+    assert ab["confidence_r6"] == 0.75 and ba["confidence_r6"] == 1.0
+    assert ab["lift_r6"] == 1.0 and ba["lift_r6"] == 1.0
+
+
+def test_association_rules_direction_matters(spark):
+    """b always implies a but not vice versa: conf(b→a)=1,
+    conf(a→b)<1, same lift both ways (lift is symmetric)."""
+    from pinterest_data_pipeline_spark.operators.cooccurrence import (
+        association_rules,
+    )
+
+    rows = []
+    for k in range(6):
+        rows.append((k, "a"))
+    for k in range(2):
+        rows.append((k, "b"))  # b only in baskets that have a
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "b", "i", 2, 10).collect()
+    }
+    assert out[("b", "a")]["confidence_r6"] == 1.0
+    assert out[("a", "b")]["confidence_r6"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out[("a", "b")]["lift_r6"] == out[("b", "a")]["lift_r6"]
+
+
+def test_theil_sen_ignores_outlier(spark):
+    """y = x on days 0..9 except day 9 jumps to 1000: the median
+    pairwise slope stays 1.0 while OLS is dragged far above it."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        theil_sen_slope,
+    )
+
+    rows = [(x, x) for x in range(9)] + [(9, 1000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = theil_sen_slope(df, "x", "y").collect()[0]
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+    assert r["theil_sen_slope_r6"] == 1.0
+    assert r["ols_slope_r6"] > 10
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark):
+    """4 points → 6 pairs (even): the median averages the two middle
+    slopes. Points (0,0),(1,10),(2,12),(3,30): slopes sorted are
+    [1,2,6,10,10,15] (×1? compute: pairs (0,1)=10,(0,2)=6,(0,3)=10,
+    (1,2)=2,(1,3)=10,(2,3)=18 → sorted [2,6,10,10,10,18]; middles
+    10,10 → 10.0."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        theil_sen_slope,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 10), (2, 12), (3, 30)], "x long, y long"
+    )
+    r = theil_sen_slope(df, "x", "y").collect()[0]
+    assert r["n_pairs"] == 6
+    assert r["theil_sen_slope_r6"] == 10.0
+
+
+def test_llr_weighs_evidence_over_rarity(spark):
+    """'of the' repeated 30 times vs a pair seen twice between
+    near-hapaxes: LLR ranks the high-evidence pair first (PMI would
+    rank the rare one higher)."""
+    from pinterest_data_pipeline_spark.operators.collocations import (
+        llr_bigrams,
+    )
+
+    docs = [("of the " * 30).strip()] * 1 + ["rare pair " * 2] + [
+        "filler words here " * 20
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = llr_bigrams(df, "text", min_count=2, top_k=5).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert pairs[0] == ("of", "the")
+    top = out[0]
+    assert top["n_pair"] == 30 and top["llr_r6"] > 0
+
+
+def test_llr_closed_form_pin(spark):
+    """Tiny corpus with hand-computable 2×2: bigrams = [a b, a b,
+    a c, d b] → for (a,b): k11=2, n_first(a)=3, n_second(b)=3, N=4 →
+    k12=1, k21=1, k22=0; LLR matches the formula computed here."""
+    from pinterest_data_pipeline_spark.operators.collocations import (
+        llr_bigrams,
+    )
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b",), ("a c",), ("d b",)], "text string"
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in llr_bigrams(df, "text", min_count=2, top_k=5).collect()
+    }
+    r = out[("a", "b")]
+    n, nf, ns, k11 = 4, 3, 3, 2
+    k12, k21, k22 = nf - k11, ns - k11, n - nf - ns + k11
+    def term(k, rr, c):
+        return 0.0 if k <= 0 else k * (
+            math.log(k) + math.log(n) - math.log(rr) - math.log(c)
+        )
+    expect = round(2.0 * (
+        term(k11, nf, ns) + term(k12, nf, n - ns)
+        + term(k21, n - nf, ns) + term(k22, n - nf, n - ns)
+    ), 6)
+    assert r["llr_r6"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_coverage_diversity_pin(spark):
+    """Two users, catalog of 10: user 1's list is all one type
+    (0 diverse pairs), user 2 mixes two types (2,1 → 2 cross pairs of
+    3 total). coverage = 5 distinct of 10 → 500000 ppm; diversity =
+    2/(3+3) → 333333 ppm."""
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        catalog_coverage_diversity,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 13), (2, 14), (2, 10)],
+        "u long, i long",
+    )
+    catalog = spark.createDataFrame(
+        [(10 + k, "t1" if k < 3 else "t2") for k in range(10)],
+        "i long, a string",
+    )
+    r = catalog_coverage_diversity(recs, catalog, "u", "i", "a").collect()[0]
+    assert r["n_users"] == 2 and r["n_catalog"] == 10
+    assert r["n_recommended_distinct"] == 5
+    assert r["coverage_ppm"] == 500000
+    # user1: items 10,11,12 all t1 -> 0/3; user2: 13,14 (t2) + 10 (t1)
+    # -> same-type pairs: 1 (13,14); diff pairs 2 of 3. total 2/6.
+    assert r["intralist_diversity_ppm"] == 333333
