@@ -158,3 +158,86 @@ def time_weighted_average(
             ).alias("twap_r6"),
         )
     )
+
+
+def mase_backtest(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    season: int = 7,
+    test_len: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest scored by MASE (Hyndman &
+    Koehler 2006) — the forecast-EVALUATION reading the trend family
+    lacks: Mann-Kendall asks "is there drift", CUSUM "where did the
+    level shift", autocorr "is there memory"; MASE asks "would the
+    simplest seasonal forecaster have been any good, and by how much
+    does it beat the naive baseline" — the gate run before anyone
+    ships a fancier model.
+
+    Protocol: the last ``test_len`` periods are the holdout; the
+    forecast for period t is y_{t−season} (seasonal naive); the scale
+    is the IN-SAMPLE seasonal-naive MAE over the training prefix
+    (the standard MASE denominator, same season). MASE < 1 means the
+    forecaster beats its own in-sample baseline; ≥ 1 means the series
+    defeated it.
+
+    Exactness: absolute errors are |integer − integer| bigints;
+    MASE = (Σ|e_test|·n_in) / (Σ|e_in|·n_test) is computed as ONE
+    rational of exact integer products, rounded once — no
+    intermediate means.
+
+    Scale: one lag window over the |periods|-sized series (a
+    metadata-sized relation by contract — the caller aggregates the
+    fact table to periods first), one conditional fold."""
+    pts = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    w = Window.orderBy("__x")
+    lagged = pts.select(
+        "__x",
+        "__y",
+        F.lag("__y", season).over(w).alias("__yl"),
+        F.max("__x").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__mx"),
+    ).where(F.col("__yl").isNotNull())
+    scored = lagged.select(
+        F.abs(F.col("__y") - F.col("__yl")).alias("__ae"),
+        (F.col("__x") > F.col("__mx") - test_len).alias("__is_test"),
+    )
+    agg = scored.agg(
+        F.sum(F.when(F.col("__is_test"), F.col("__ae")).otherwise(0))
+        .cast("bigint")
+        .alias("__sum_test"),
+        F.sum(F.when(F.col("__is_test"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+        F.sum(F.when(~F.col("__is_test"), F.col("__ae")).otherwise(0))
+        .cast("bigint")
+        .alias("__sum_in"),
+        F.sum(F.when(~F.col("__is_test"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train_scored"),
+    )
+    mase = (
+        F.col("__sum_test").cast("double")
+        * F.col("n_train_scored").cast("double")
+    ) / (
+        F.col("__sum_in").cast("double") * F.col("n_test").cast("double")
+    )
+    return agg.select(
+        "n_train_scored",
+        "n_test",
+        F.col("__sum_test").alias("sum_abs_err_test_cents"),
+        F.col("__sum_in").alias("sum_abs_err_train_cents"),
+        F.round(
+            F.when(
+                (F.col("__sum_in") > 0) & (F.col("n_test") > 0), mase
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mase_r6"),
+    )

@@ -8,7 +8,7 @@ round: full DuckDB oracles replayed value-for-value (strict-mirror
 parity at sf0.001 + sf0.01 in tests/test_staged_round15.py) and
 behavior-pinning unit tests.
 
-The seed fills four family gaps:
+The seed fills seven family gaps:
 
 - association_rules_parts (operators/cooccurrence.association_rules):
   the RULE reading beside co-occurrence similarity — directional
@@ -28,8 +28,18 @@ The seed fills four family gaps:
   coverage ppm and intra-list attribute diversity, where the
   same-five-blockbusters failure shows up that NDCG/ERR/AP cannot
   see.
+- mase_seasonal_naive_backtest (operators/trend.mase_backtest): the
+  forecast-evaluation gate — seasonal-naive holdout MAE scaled by the
+  in-sample baseline (MASE), the bar any shipped forecaster clears.
+- skyline_price_size_parts (operators/skyline.skyline_2d): the
+  classic SKYLINE OF dominance operator as a two-level banded
+  prefix-max (the watermark-lateness scan shape — no SinglePartition
+  full-data hop), oracled against the NAIVE NOT-EXISTS definition.
+- trending_parts_rank_shift: period-over-period rank dynamics of the
+  late top-20 — early-period ranks computed per candidate via one
+  broadcast inequality count, never a full catalog sort.
 
-All four follow the engine-portable exactness discipline: integer
+All seven follow the engine-portable exactness discipline: integer
 counts wherever a value crosses an aggregate, ln-decomposed fixed
 expression trees for the final doubles, one rounding at the end.
 """
@@ -367,3 +377,241 @@ def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("i"), F.col("p_type").alias("a")
     )
     return catalog_coverage_diversity(recs, catalog, "u", "i", "a")
+
+
+# ------------------------------------------------------ MASE backtest
+@_stage(
+    "mase_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT x, y,
+               LAG(y, 7) OVER (ORDER BY x) AS yl,
+               MAX(x) OVER () AS mx
+        FROM daily
+    ),
+    scored AS (
+        SELECT abs(y - yl) AS ae, x > mx - 7 AS is_test
+        FROM lagged WHERE yl IS NOT NULL
+    ),
+    agg AS (
+        SELECT
+            CAST(sum(CASE WHEN is_test THEN ae ELSE 0 END) AS BIGINT)
+                AS sum_test,
+            CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_test,
+            CAST(sum(CASE WHEN is_test THEN 0 ELSE ae END) AS BIGINT)
+                AS sum_in,
+            CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_train_scored
+        FROM scored
+    )
+    SELECT n_train_scored, n_test,
+           sum_test AS sum_abs_err_test_cents,
+           sum_in AS sum_abs_err_train_cents,
+           round(CASE WHEN sum_in > 0 AND n_test > 0
+                 THEN (CAST(sum_test AS DOUBLE)
+                       * CAST(n_train_scored AS DOUBLE))
+                      / (CAST(sum_in AS DOUBLE)
+                         * CAST(n_test AS DOUBLE))
+                 ELSE 0.0 END, 6) AS mase_r6
+    FROM agg
+    """,
+)
+def mase_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive (s = 7) forecast backtest on daily revenue,
+    scored by MASE (operators/trend.mase_backtest, last-7-days
+    holdout): the forecast-evaluation gate beside the trend family's
+    detection statistics — MASE < 1 means "last week's value" beats
+    the in-sample baseline, the bar any shipped forecaster must clear.
+    Absolute errors are exact integer cents; MASE is one rational of
+    integer products, rounded once.
+
+    Scale: the lag window runs over the |days|-sized daily aggregate
+    (metadata-sized by contract), one conditional fold after."""
+    from pinterest_data_pipeline_spark.operators.trend import mase_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400)).alias("x")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    return mase_backtest(daily, "x", "y", season=7, test_len=7)
+
+
+# ------------------------------------------------------ 2-D skyline
+@_stage(
+    "skyline_price_size_parts",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT a.p_partkey, a.cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.cents <= a.cents AND b.size >= a.size
+          AND (b.cents < a.cents OR b.size > a.size)
+    )
+    """,
+)
+def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of the part catalog (operators/skyline.skyline_2d):
+    the Pareto frontier minimizing price and maximizing size — every
+    part no other part beats on both axes, the classic SKYLINE OF
+    dominance operator the relational surface lacked. The Spark side
+    runs the two-level banded prefix-max decomposition (the
+    watermark-lateness scan shape: per-band max → tiny cross-band
+    exclusive prefix → partitioned in-band window — no SinglePartition
+    full-data hop); the oracle deliberately replays the NAIVE
+    NOT-EXISTS dominance definition, so a green row certifies the
+    decomposition against the semantics, not against itself.
+
+    Scale: one map-side band aggregate, one |bands| window, one
+    broadcast join back, one partitioned window. Integer comparisons
+    only."""
+    from pinterest_data_pipeline_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return skyline_2d(part, "cents", "size").select(
+        "p_partkey", "cents", "size"
+    )
+
+
+# --------------------------------------------------- trending rank shift
+@_stage(
+    "trending_parts_rank_shift",
+    oracle="""
+    WITH rev AS (
+        SELECT l.l_partkey AS part,
+               CAST(sum(CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS cents_a,
+               CAST(sum(CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS cents_b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    ),
+    top_b AS (
+        SELECT part, cents_a, cents_b,
+               ROW_NUMBER() OVER (ORDER BY cents_b DESC, part ASC)
+                   AS rank_b
+        FROM rev WHERE cents_b > 0
+    ),
+    cand AS (SELECT * FROM top_b WHERE rank_b <= 20),
+    ranked_a AS (
+        SELECT c.part, c.cents_a, c.cents_b, c.rank_b,
+               CAST(1 + (
+                   SELECT count(*) FROM rev r
+                   WHERE r.cents_a > c.cents_a
+                      OR (r.cents_a = c.cents_a AND r.part < c.part)
+               ) AS BIGINT) AS rank_a
+        FROM cand c
+    )
+    SELECT part, cents_a, cents_b,
+           CAST(rank_b AS BIGINT) AS rank_b, rank_a,
+           CAST(rank_a - rank_b AS BIGINT) AS rank_shift
+    FROM ranked_a
+    """,
+)
+def trending_parts_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending analysis: the 20 top-revenue parts of the LATE period
+    (orders from 1998 on) with their rank shift against the EARLY
+    period — the day-over-day "movers" table every commerce dashboard
+    leads with, read here as rank dynamics (a +4,000 shift is a
+    breakout; ~0 is an evergreen). rank_a is computed WITHOUT ranking
+    the whole early period: each of the 20 candidates counts the parts
+    strictly ahead of it (revenue, then key — a total order) through
+    one broadcast inequality join, so the full catalog is never
+    sorted.
+
+    Scale: one (part, period) conditional aggregate, one TakeOrdered
+    for the late top-20, one broadcast 20-row inequality join + count
+    for the early ranks."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rev = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < cut, cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("cents_a"),
+            F.sum(
+                F.when(F.col("o_orderdate") >= cut, cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("cents_b"),
+        )
+    )
+    cand = (
+        rev.where(F.col("cents_b") > 0)
+        .orderBy(F.col("cents_b").desc(), F.col("part").asc())
+        .limit(20)
+        .withColumn(
+            "rank_b",
+            F.row_number().over(
+                Window.orderBy(F.col("cents_b").desc(), F.col("part").asc())
+            ),
+        )
+    )
+    c = cand.select(
+        F.col("part").alias("c_part"),
+        F.col("cents_a").alias("c_cents_a"),
+        F.col("cents_b").alias("c_cents_b"),
+        "rank_b",
+    )
+    ahead = (
+        rev.join(
+            F.broadcast(c),
+            (F.col("cents_a") > F.col("c_cents_a"))
+            | (
+                (F.col("cents_a") == F.col("c_cents_a"))
+                & (F.col("part") < F.col("c_part"))
+            ),
+        )
+        .groupBy("c_part")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_ahead"))
+    )
+    ahead = ahead.withColumnRenamed("c_part", "a_part")
+    return (
+        c.join(
+            ahead, c["c_part"] == ahead["a_part"], "left"
+        )
+        .select(
+            F.col("c_part").alias("part"),
+            F.col("c_cents_a").alias("cents_a"),
+            F.col("c_cents_b").alias("cents_b"),
+            F.col("rank_b").cast("long").alias("rank_b"),
+            (F.coalesce(F.col("__n_ahead"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("rank_a"),
+            (
+                F.coalesce(F.col("__n_ahead"), F.lit(0))
+                + 1
+                - F.col("rank_b")
+            )
+            .cast("long")
+            .alias("rank_shift"),
+        )
+    )

@@ -240,6 +240,9 @@ QUERIES = [
     "theil_sen_daily_revenue",
     "llr_bigram_collocations",
     "rec_coverage_diversity",
+    "mase_seasonal_naive_backtest",
+    "skyline_price_size_parts",
+    "trending_parts_rank_shift",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -779,3 +779,39 @@ def test_coverage_diversity_has_no_pair_join(spark):
     assert n_nodes(plan, "SortMergeJoin") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2
     assert n_nodes(plan, "Window") <= 2
+
+
+def test_mase_is_series_sized(spark):
+    """MASE runs entirely on the daily aggregate: two window specs
+    (lag + full-frame max) over the |days| relation, no joins — the
+    single one-partition hop is that metadata-sized series."""
+    plan = _staged_plan(
+        spark, "staged_round15", "mase_seasonal_naive_backtest"
+    )
+    assert n_nodes(plan, "Window") <= 2
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert n_nodes(plan, j) == 0
+
+
+def test_skyline_has_no_single_partition_full_scan(spark):
+    """The two-level decomposition's ONLY SinglePartition hop is the
+    |bands| prefix window; the full-data windows partition by band,
+    and the band prefix joins back by broadcast."""
+    plan = _staged_plan(spark, "staged_round15", "skyline_price_size_parts")
+    assert plan.count("SinglePartition") <= 1
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_trending_never_sorts_the_catalog(spark):
+    """The late top-20 is a TakeOrdered cut; early ranks come from ONE
+    broadcast inequality join over the 20 candidates — no full-catalog
+    window, no cartesian."""
+    plan = _staged_plan(spark, "staged_round15", "trending_parts_rank_shift")
+    assert n_nodes(plan, "TakeOrderedAndProject") >= 1
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Window") <= 1

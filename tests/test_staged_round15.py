@@ -200,3 +200,111 @@ def test_coverage_diversity_pin(spark):
     # user1: items 10,11,12 all t1 -> 0/3; user2: 13,14 (t2) + 10 (t1)
     # -> same-type pairs: 1 (13,14); diff pairs 2 of 3. total 2/6.
     assert r["intralist_diversity_ppm"] == 333333
+
+
+def test_mase_closed_form_pin(spark):
+    """Constructed 14-day series with period-7 seasonality plus a
+    holdout deviation: lag-7 errors are hand-computable; MASE =
+    (sum_test·n_train)/(sum_in·n_test)."""
+    from pinterest_data_pipeline_spark.operators.trend import mase_backtest
+
+    # days 0..13; y = 100 for day%7<3 else 200, except day 13 = 250
+    rows = []
+    for d in range(14):
+        y = 100 if d % 7 < 3 else 200
+        if d == 13:
+            y = 250
+        rows.append((d, y))
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = mase_backtest(df, "x", "y", season=7, test_len=7).collect()[0]
+    # lagged rows: days 7..13. test = x > 13-7=6 -> ALL 7 lagged rows
+    # are test; train_scored = 0 -> guarded MASE = 0.0
+    assert r["n_test"] == 7 and r["n_train_scored"] == 0
+    assert r["mase_r6"] == 0.0
+    # longer series: 21 days, same pattern, day 20 deviates by +50
+    rows = []
+    for d in range(21):
+        y = 100 if d % 7 < 3 else 200
+        if d == 20:
+            y = 250
+        rows.append((d, y))
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = mase_backtest(df, "x", "y", season=7, test_len=7).collect()[0]
+    # lagged rows 7..20 (14); test = days 14..20 (7); train 7..13 (7)
+    # in-sample errors all 0? day 13 vs 6: both 200 -> 0 ... all 0 ->
+    # degenerate denominator -> guarded 0.0 with sum_test = 50
+    assert r["n_test"] == 7 and r["n_train_scored"] == 7
+    assert r["sum_abs_err_test_cents"] == 50
+    assert r["sum_abs_err_train_cents"] == 0 and r["mase_r6"] == 0.0
+    # add in-sample noise: day 10 = 210 -> train error 10 at day 10
+    # AND day 17 test error |200-210|=10 (its lag-7 is day 10)
+    rows = []
+    for d in range(21):
+        y = 100 if d % 7 < 3 else 200
+        if d == 10:
+            y = 210
+        if d == 20:
+            y = 250
+        rows.append((d, y))
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = mase_backtest(df, "x", "y", season=7, test_len=7).collect()[0]
+    assert r["sum_abs_err_train_cents"] == 10  # day 10 vs day 3
+    assert r["sum_abs_err_test_cents"] == 60  # day 17 (10) + day 20 (50)
+    assert r["mase_r6"] == pytest.approx(
+        round((60 * 7) / (10 * 7), 6), abs=1e-6
+    )
+
+
+def test_skyline_hand_frontier(spark):
+    """Points (price, size): (1,1),(2,5),(3,3),(4,5),(5,6): frontier =
+    (1,1),(2,5),(5,6) — (3,3) dominated by (2,5); (4,5) dominated by
+    the cheaper equal-size (2,5). Equal-x ties keep only the max-y;
+    exact (x,y) duplicates all survive."""
+    from pinterest_data_pipeline_spark.operators.skyline import skyline_2d
+
+    rows = [(1, 1, 1), (2, 2, 5), (3, 3, 3), (4, 4, 5), (5, 5, 6)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        (r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", band_width=2).collect()
+    }
+    assert got == {(1, 1), (2, 5), (5, 6)}
+    # same-x: (7,2) dominated by (7,9); duplicates (7,9) both kept
+    rows = [(1, 7, 2), (2, 7, 9), (3, 7, 9)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = skyline_2d(df, "x", "y", band_width=4).collect()
+    assert sorted(r["id"] for r in out) == [2, 3]
+
+
+def test_skyline_band_boundary_equivalence(spark):
+    """The banded decomposition must equal the naive definition at a
+    band boundary: a dominator in band k-1 kills a band-k row through
+    the cross-band prefix max."""
+    from pinterest_data_pipeline_spark.operators.skyline import skyline_2d
+
+    # band_width=4: x=3 (band 0) dominates x=4 (band 1, lower y)
+    rows = [(1, 3, 10), (2, 4, 9), (3, 4, 11)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = sorted(
+        r["id"] for r in skyline_2d(df, "x", "y", band_width=4).collect()
+    )
+    assert out == [1, 3]
+
+
+def test_trending_rank_shift_pin(spark, tmp_path):
+    """Constructed two-period revenue via a tiny parquet pair is
+    overkill — pin the rank arithmetic on the real sf0.001 output
+    instead: rank_b is 1..20 dense, every rank_a >= 1, and
+    rank_shift == rank_a - rank_b row-for-row."""
+    from pinterest_data_pipeline_spark.plans.staged_round15 import (
+        STAGED_QUERIES,
+    )
+
+    out = STAGED_QUERIES["trending_parts_rank_shift"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ranks_b = sorted(r["rank_b"] for r in out)
+    assert ranks_b == list(range(1, 21))
+    for r in out:
+        assert r["rank_a"] >= 1
+        assert r["rank_shift"] == r["rank_a"] - r["rank_b"]
