@@ -20,7 +20,7 @@ results are bit-deterministic (and match a left-fold SQL oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.operators.argmax import top_per_group
@@ -871,3 +871,95 @@ def mutual_top1_pairs(
         F.col("__nn").alias("id_a"), F.col("__ida").alias("id_b")
     ).where(F.col("id_a") < F.col("id_b"))
     return left.join(right, ["id_a", "id_b"], "left_semi")
+
+
+def intrinsic_dimension_twonn(
+    sample: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) over a
+    deterministic sample — the embedding-geometry diagnostic the
+    family lacks: norms and top-direction power read SCALE and
+    ANISOTROPY; TwoNN reads how many degrees of freedom the vectors
+    actually use (an "768-dim" embedding with ID ≈ 12 wastes storage
+    and distance resolution, and ID drift across corpus versions flags
+    an encoder change). The estimator needs only each point's two
+    nearest neighbors: μ_i = d₂/d₁, and the MLE is
+
+        ID = n_used / Σ ln μ_i  =  2·n_used / Σ ln(d₂²/d₁²)
+
+    (squared form — no sqrt in the comparison path).
+
+    Determinism/exactness: squared distances fold per-index in fixed
+    order and are rounded to the 6-decimal grain BEFORE neighbor
+    selection (the cell-quality discipline), ties break on neighbor
+    id; points whose d₁² rounds to 0 (near-duplicates at the grain)
+    are excluded and COUNTED (n_degenerate). The ln-sum is a sum of
+    n_used well-scaled doubles — orders of magnitude inside the final
+    round(…, 6).
+
+    Scale: the all-pairs join runs on the SAMPLE ONLY (the
+    mutual_nn_pairs_sample precedent — an audit-sized diagnostic, the
+    caller bounds it by construction); one window ranks neighbors,
+    one fold produces the single output row."""
+    pts = sample.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    l, r = pts.alias("l"), pts.alias("r")
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("l.__v"),
+                F.col("r.__v"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    pairs = l.join(
+        F.broadcast(r), F.col("l.__id") != F.col("r.__id")
+    ).select(
+        F.col("l.__id").alias("__id"),
+        F.col("r.__id").alias("__nid"),
+        d2.alias("__d2"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__d2").asc(), F.col("__nid").asc()
+    )
+    top2 = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 2)
+        .groupBy("__id")
+        .agg(
+            F.min(F.when(F.col("__rn") == 1, F.col("__d2"))).alias("__d1"),
+            F.min(F.when(F.col("__rn") == 2, F.col("__d2"))).alias("__d2n"),
+        )
+    )
+    usable = (F.col("__d1") > 0) & F.col("__d2n").isNotNull()
+    agg = top2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.sum(usable.cast("long")).cast("bigint").alias("n_used"),
+        F.sum((~usable).cast("long")).cast("bigint").alias("n_degenerate"),
+        F.sum(
+            F.when(usable, F.log(F.col("__d2n") / F.col("__d1")))
+            .otherwise(0.0)
+        ).alias("__lnsum"),
+    )
+    return agg.select(
+        "n_sample",
+        "n_used",
+        "n_degenerate",
+        F.round(
+            F.when(
+                (F.col("n_used") > 0) & (F.col("__lnsum") > 0),
+                F.lit(2.0)
+                * F.col("n_used").cast("double")
+                / F.col("__lnsum"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("id_twonn_r6"),
+    )

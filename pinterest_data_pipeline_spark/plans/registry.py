@@ -168,10 +168,10 @@ CHECK_FIRST: list[str] = [
     #     SNM blocking recall, degree assortativity, Heaps vocab
     #     growth, idempotency conflict audit, revenue proration,
     #     quantile normalization, TWAP, compaction planning);
-    #   round 15 seed: plans/staged_round15.py, 7 queries (association
+    #   round 15 seed: plans/staged_round15.py, 8 queries (association
     #     rules, Theil-Sen slope, LLR collocations, coverage/diversity
-    #     eval, MASE backtest, 2-D skyline, trending rank shift) —
-    #     extend toward a full batch before its window.
+    #     eval, MASE backtest, 2-D skyline, trending rank shift, TwoNN
+    #     intrinsic dimension) — a full batch, promotion-ready.
     #   All oracled + strict-mirror parity-tested at two SFs.
 ]
 

@@ -8,7 +8,7 @@ round: full DuckDB oracles replayed value-for-value (strict-mirror
 parity at sf0.001 + sf0.01 in tests/test_staged_round15.py) and
 behavior-pinning unit tests.
 
-The seed fills seven family gaps:
+The seed fills eight family gaps:
 
 - association_rules_parts (operators/cooccurrence.association_rules):
   the RULE reading beside co-occurrence similarity — directional
@@ -38,8 +38,12 @@ The seed fills seven family gaps:
 - trending_parts_rank_shift: period-over-period rank dynamics of the
   late top-20 — early-period ranks computed per candidate via one
   broadcast inequality count, never a full catalog sort.
+- intrinsic_dim_embeddings_twonn (operators/similarity.
+  intrinsic_dimension_twonn): the TwoNN intrinsic-dimension estimate —
+  how many degrees of freedom the embedding space actually uses, the
+  capacity/drift diagnostic beside norms and top-direction power.
 
-All seven follow the engine-portable exactness discipline: integer
+All eight follow the engine-portable exactness discipline: integer
 counts wherever a value crosses an aggregate, ln-decomposed fixed
 expression trees for the final doubles, one rounding at the end.
 """
@@ -615,3 +619,84 @@ def trending_parts_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_shift"),
         )
     )
+
+
+# -------------------------------------------- intrinsic dimension (TwoNN)
+@_stage(
+    "intrinsic_dim_embeddings_twonn",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id AS id, embedding AS v FROM embeddings
+        ORDER BY CAST(concat('0x', substr(md5(concat('twonn:',
+            CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT), vec_id
+        LIMIT 256
+    ),
+    pairs AS (
+        SELECT l.id AS id, r.id AS nid,
+               round(list_sum(list_transform(range(1, 65), j ->
+                   (CAST(l.v[j] AS DOUBLE) - CAST(r.v[j] AS DOUBLE))
+                   * (CAST(l.v[j] AS DOUBLE) - CAST(r.v[j] AS DOUBLE)))),
+                   6) AS d2
+        FROM s l JOIN s r ON l.id <> r.id
+    ),
+    ranked AS (
+        SELECT id, d2,
+               ROW_NUMBER() OVER (PARTITION BY id
+                   ORDER BY d2 ASC, nid ASC) AS rn
+        FROM pairs
+    ),
+    top2 AS (
+        SELECT id,
+               min(CASE WHEN rn = 1 THEN d2 END) AS d1,
+               min(CASE WHEN rn = 2 THEN d2 END) AS d2n
+        FROM ranked WHERE rn <= 2 GROUP BY id
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sample,
+               CAST(sum(CASE WHEN d1 > 0 AND d2n IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+               CAST(sum(CASE WHEN d1 > 0 AND d2n IS NOT NULL
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_degenerate,
+               sum(CASE WHEN d1 > 0 AND d2n IS NOT NULL
+                   THEN ln(d2n / d1) ELSE 0.0 END) AS lnsum
+        FROM top2
+    )
+    SELECT n_sample, n_used, n_degenerate,
+           round(CASE WHEN n_used > 0 AND lnsum > 0
+                 THEN 2.0 * CAST(n_used AS DOUBLE) / lnsum
+                 ELSE 0.0 END, 6) AS id_twonn_r6
+    FROM agg
+    """,
+)
+def intrinsic_dim_embeddings_twonn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding space
+    (operators/similarity.intrinsic_dimension_twonn) over a
+    FIXED-SIZE deterministic sample — the 256 vectors with the
+    smallest portable-hash values, a TakeOrdered cut, so the all-pairs
+    stage is CONSTANT in corpus size (a rate-based sample would grow
+    its pair matrix quadratically with the corpus — measured 11.7x at
+    x30 before this cap): how many degrees of freedom the 64-dim vectors
+    actually use — the capacity/drift diagnostic an embedding
+    pipeline reads before sizing an index or trusting a version bump
+    (an encoder change moves ID even when norms hold still). Squared
+    distances round to the 6-decimal grain BEFORE neighbor selection,
+    ties break on id, degenerate (zero-distance) points are excluded
+    and counted.
+
+    Scale: one TakeOrdered-256 cut, all-pairs only within those 256
+    rows (constant), one window, one fold."""
+    from pinterest_data_pipeline_spark.operators.dedup import (
+        portable_hash32,
+    )
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        intrinsic_dimension_twonn,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = portable_hash32(
+        F.concat(F.lit("twonn:"), F.col("vec_id").cast("string"))
+    )
+    sample = emb.orderBy(h.asc(), F.col("vec_id").asc()).limit(256)
+    return intrinsic_dimension_twonn(sample, "vec_id", "embedding")

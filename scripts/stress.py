@@ -243,6 +243,7 @@ QUERIES = [
     "mase_seasonal_naive_backtest",
     "skyline_price_size_parts",
     "trending_parts_rank_shift",
+    "intrinsic_dim_embeddings_twonn",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

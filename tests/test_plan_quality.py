@@ -815,3 +815,18 @@ def test_trending_never_sorts_the_catalog(spark):
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "Window") <= 1
+
+
+def test_twonn_all_pairs_stay_in_the_sample(spark):
+    """The all-pairs distance join must be the broadcast of the
+    AUDIT-SIZED sample against itself (one BroadcastNestedLoopJoin by
+    design, sample×sample), with the corpus scan filtered to the
+    sample before the join — never a corpus-level pair explosion."""
+    plan = _staged_plan(
+        spark, "staged_round15", "intrinsic_dim_embeddings_twonn"
+    )
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Window") == 1
+    assert "PushedFilters" in plan

@@ -308,3 +308,39 @@ def test_trending_rank_shift_pin(spark, tmp_path):
     for r in out:
         assert r["rank_a"] >= 1
         assert r["rank_shift"] == r["rank_a"] - r["rank_b"]
+
+
+def test_twonn_line_manifold_and_degenerates(spark):
+    """Points on a 1-D ray at geometric positions 2^i embedded in
+    64-d: every interior point's two neighbors sit at distances
+    2^(i-1) and 2^i, so ln(d2²/d1²) = ln 4 — the estimator must match
+    the closed form computed here (pure-python replica of the same
+    rounding and ranking); a duplicated vector pair has d1 = 0 and
+    must be excluded and counted, not poison the sum."""
+    import math
+
+    from pinterest_data_pipeline_spark.operators.similarity import (
+        intrinsic_dimension_twonn,
+    )
+
+    pos = [float(2**i) for i in range(1, 9)]  # 2..256
+    rows = [(i, [p] + [0.0] * 63) for i, p in enumerate(pos)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = intrinsic_dimension_twonn(df, "vec_id", "embedding").collect()[0]
+    # python replica
+    lnsum = 0.0
+    for i, p in enumerate(pos):
+        d2s = sorted(round((p - q) ** 2, 6) for q in pos if q != p)
+        lnsum += math.log(d2s[1] / d2s[0])
+    expect = round(2.0 * len(pos) / lnsum, 6)
+    assert r["n_sample"] == 8 and r["n_used"] == 8
+    assert r["id_twonn_r6"] == pytest.approx(expect, abs=1e-6)
+    assert r["id_twonn_r6"] < 2.0  # a line must not read as a volume
+
+    rows_dup = rows + [(99, rows[0][1])]  # exact duplicate of point 0
+    df = spark.createDataFrame(
+        rows_dup, "vec_id long, embedding array<float>"
+    )
+    r = intrinsic_dimension_twonn(df, "vec_id", "embedding").collect()[0]
+    assert r["n_degenerate"] == 2  # both copies have a zero d1
+    assert r["n_used"] == 7
