@@ -819,9 +819,9 @@ def test_trending_never_sorts_the_catalog(spark):
 
 def test_twonn_all_pairs_stay_in_the_sample(spark):
     """The all-pairs distance join must be the broadcast of the
-    AUDIT-SIZED sample against itself (one BroadcastNestedLoopJoin by
-    design, sample×sample), with the corpus scan filtered to the
-    sample before the join — never a corpus-level pair explosion."""
+    FIXED-SIZE sample against itself (one BroadcastNestedLoopJoin by
+    design, 256×256), with the corpus cut by TakeOrdered BEFORE the
+    join — never a corpus-level pair explosion."""
     plan = _staged_plan(
         spark, "staged_round15", "intrinsic_dim_embeddings_twonn"
     )
@@ -829,4 +829,4 @@ def test_twonn_all_pairs_stay_in_the_sample(spark):
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "SortMergeJoin") == 0
     assert n_nodes(plan, "Window") == 1
-    assert "PushedFilters" in plan
+    assert n_nodes(plan, "TakeOrderedAndProject") >= 1
