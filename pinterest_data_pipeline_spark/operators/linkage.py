@@ -159,6 +159,11 @@ def survivorship_golden_record(
     for c in max_fields:
         aggs.append(F.max(F.col(c)).alias(c))
     all_fields = [*longest_fields, *latest_fields, *max_fields]
+    if not all_fields:
+        raise ValueError(
+            "survivorship_golden_record needs at least one field in "
+            "longest_fields / latest_fields / max_fields"
+        )
     conflict = None
     for c in all_fields:
         term = (F.count_distinct(F.col(c)) > 1).cast("long")

@@ -749,15 +749,16 @@ def catalog_coverage_diversity(
         F.sum("__c").alias("__k"),
         F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__same2"),
     )
+    # __pairs2 / __same2s are TWICE the pair counts (Σk(k−1), Σc(c−1)):
+    # keeping the doubled integers through the aggregate and dividing
+    # once with integer `div` keeps every step an exact bigint — no
+    # double division anywhere, so exactness holds past 2^53 pairs.
     totals = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum(F.col("__k") * (F.col("__k") - 1) / 2)
+        F.sum(F.col("__k") * (F.col("__k") - 1))
         .cast("bigint")
-        .alias("__pairs"),
-        (F.sum(F.col("__k") * (F.col("__k") - 1) / 2)
-         - F.sum(F.col("__same2") / 2))
-        .cast("bigint")
-        .alias("__diff_pairs"),
+        .alias("__pairs2"),
+        F.sum(F.col("__same2")).cast("bigint").alias("__same2s"),
     )
     return (
         totals.crossJoin(F.broadcast(cov))
@@ -766,17 +767,14 @@ def catalog_coverage_diversity(
             "n_users",
             "n_catalog",
             "n_recommended_distinct",
-            F.floor(
-                F.col("n_recommended_distinct") * 1_000_000
-                / F.col("n_catalog")
-            )
+            # (2·diff · 1e6) div (2·pairs) == floor(diff·1e6/pairs),
+            # exactly, for non-negative integers
+            F.expr("n_recommended_distinct * 1000000 div n_catalog")
             .cast("bigint")
             .alias("coverage_ppm"),
-            F.when(F.col("__pairs") == 0, F.lit(0))
+            F.when(F.col("__pairs2") == 0, F.lit(0))
             .otherwise(
-                F.floor(
-                    F.col("__diff_pairs") * 1_000_000 / F.col("__pairs")
-                )
+                F.expr("(__pairs2 - __same2s) * 1000000 div __pairs2")
             )
             .cast("bigint")
             .alias("intralist_diversity_ppm"),

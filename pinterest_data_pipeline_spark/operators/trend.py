@@ -115,20 +115,26 @@ def time_weighted_average(
         F.col(cents_col) if isinstance(cents_col, str) else cents_col
     ).cast("long")
     epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
-    w = Window.partitionBy(key_col).orderBy(
-        F.col(ts_col), F.col(tiebreak_col)
-    )
+    # ORDER BY the RAW timestamp (microsecond precision), not the
+    # truncated epoch seconds: two same-key events within one second
+    # must hand the interval weight to the row the full-precision
+    # (ts, tiebreak) order picks — ordering by truncated __t would let
+    # the tiebreak override sub-second ts order and silently diverge
+    # from any full-precision consumer. __dt still comes from the
+    # truncated epochs (integer-second weights); truncation is
+    # monotone, so lead() along raw-ts order never yields __dt < 0.
     stepped = df.select(
         F.col(key_col).alias("__k"),
         cents.alias("__c"),
         epoch.alias("__t"),
+        F.col(ts_col).alias("__ts"),
         F.col(tiebreak_col).alias("__tb"),
     ).select(
         "__k",
         "__c",
         (
             F.lead("__t").over(
-                Window.partitionBy("__k").orderBy("__t", "__tb")
+                Window.partitionBy("__k").orderBy("__ts", "__tb")
             )
             - F.col("__t")
         ).alias("__dt"),

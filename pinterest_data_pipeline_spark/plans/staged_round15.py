@@ -319,16 +319,15 @@ def llr_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
         SELECT CAST(count(*) AS BIGINT) AS n_users,
-               CAST(sum(k * (k - 1) / 2) AS BIGINT) AS pairs,
-               CAST(sum(k * (k - 1) / 2) - sum(same2 / 2) AS BIGINT)
-                   AS diff_pairs
+               CAST(sum(k * (k - 1)) AS BIGINT) AS pairs2,
+               CAST(sum(same2) AS BIGINT) AS same2s
         FROM pu
     )
     SELECT n_users, n_catalog, n_recommended_distinct,
-           CAST(floor(n_recommended_distinct * 1000000
-                / CAST(n_catalog AS DOUBLE)) AS BIGINT) AS coverage_ppm,
-           CAST(CASE WHEN pairs = 0 THEN 0
-                ELSE floor(diff_pairs * 1000000 / CAST(pairs AS DOUBLE))
+           CAST(n_recommended_distinct * 1000000 // n_catalog
+                AS BIGINT) AS coverage_ppm,
+           CAST(CASE WHEN pairs2 = 0 THEN 0
+                ELSE (pairs2 - same2s) * 1000000 // pairs2
                 END AS BIGINT) AS intralist_diversity_ppm
     FROM tot CROSS JOIN cov CROSS JOIN ncat
     """,

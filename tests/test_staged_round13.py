@@ -231,6 +231,20 @@ def test_survivorship_latest_skips_trailing_null(spark):
     assert g["name"] == "OLD" and g["seg"] == "A" and g["cents"] == 2
 
 
+def test_survivorship_rejects_no_fields(spark):
+    """All-empty survivorship rule sets must raise a clear ValueError,
+    not an AttributeError from the unassigned conflict column."""
+    import pytest
+
+    from pinterest_data_pipeline_spark.operators.linkage import (
+        survivorship_golden_record,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "k long, rec long")
+    with pytest.raises(ValueError, match="at least one field"):
+        survivorship_golden_record(df, "k", "rec", [], [], [])
+
+
 def test_good_turing_counts_pin(spark):
     """Constructed corpus with known bigram table: 'a b' seen twice,
     'b a' once, 'c d' once -> N=4, V=3, N1=2, N2=1; P0 = 2/4,
