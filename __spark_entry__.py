@@ -96,6 +96,15 @@ try:
     import pinterest_data_pipeline_spark.plans.staged_round9  # noqa: F401
 except ImportError:
     pass
+try:
+    import pinterest_data_pipeline_spark.plans.staged_round10  # noqa: F401
+except ImportError:
+    pass
+try:
+    # registers only PROMOTED_IN_ROUND10 (4 names); the rest stay staged
+    import pinterest_data_pipeline_spark.plans.staged_round11  # noqa: F401
+except ImportError:
+    pass
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -42,143 +42,140 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 9 WINDOW: exactly 50 entries.
-    # Arithmetic (pre-planned in round 8's ROTATION NOTES, adjusted by
-    # one changed-code slot): 12 staged_round9 promotions; 1 changed
-    # re-certification (incremental_embedding_persisted_pairs, reshaped
-    # to a realistic 1% increment:state ratio per the r8 verdict);
-    # 5 slots re-certify the r3-evidence remainder; 32 slots refresh
-    # green rows oldest-evidence-first (the r4-evidence set in
-    # registration order, first 32 of 42 — the 10-query remainder
-    # rolls to round 10).
+    # ---- ROUND 10 WINDOW: exactly 50 entries.
+    # Arithmetic (pre-planned in round 9's ROTATION NOTES, widened to
+    # 12 promotions per the r9 verdict's backlog-burn-down advice):
+    # 8 staged_round10 promotions + 4 early staged_round11 promotions
+    # (the exact-similarity-join family + its storage-layout sibling,
+    # PROMOTED_IN_ROUND10 in plans/staged_round11.py); 10 slots
+    # re-certify the r4-evidence remainder; 28 slots refresh green rows
+    # oldest-evidence-first (the r5-evidence set in registration order,
+    # first 28 of 49 — the 21-query remainder rolls to round 11).
+    # 12 + 10 + 28 = 50 holds exactly.
     #
-    # -- (1) the twelve round-8-staged queries, now registered
-    # (plans/staged_round9.py — full oracles, strict-mirror parity at
+    # -- (1) the eight round-8-staged queries, now registered
+    # (plans/staged_round10.py — full oracles, strict-mirror parity at
     # sf0.001 + sf0.01, x30 stress rows, pre-pinned plan shapes; built
-    # in r8, first driver rows here). The DATA-AUDIT +
-    # CORPUS-LINGUISTICS layer: forensic numeric audits (Benford,
-    # exact-KS drift, autocorrelation, Gini key-skew), collocations /
-    # readability / charset / feature-hash corpus surfaces, weighted
-    # priority sampling + largest-remainder allocation, Kaplan-Meier
-    # retention, and rank-biased overlap. benford_price_audit and
-    # autocorr_daily_revenue carry the r8 advisor fixes (cents >= 1
-    # filter; exact integer-cents moments), so their first rows double
-    # as fix certifications.
-    "weighted_priority_sample",
-    "flesch_reading_ease_by_lang",
-    "charset_script_profile",
-    "benford_price_audit",
-    "ks_exact_two_sample",
-    "autocorr_daily_revenue",
-    "gini_user_activity_skew",
-    "pmi_bigram_collocations",
-    "feature_hash_buckets",
-    "stratified_budget_allocation",
-    "kaplan_meier_retention",
-    "rbo_rank_agreement",
-    # -- (2) changed-code re-certification (r8 verdict items 2+3): the
-    # persisted-band-table ingest now measures a ~1% increment against
-    # a 99% state table (vec_id % 100 == 0 split) with the one-time
-    # state write moved to a prepare step, so the driver row times the
-    # O(increment + state-scan) claim, not a corpus-dominated ingest.
-    "incremental_embedding_persisted_pairs",
-    # -- (3) r3-evidence remainder (the 5 rows round 8's rotation could
-    # not fit), completing the r3 set's refresh.
-    "hof_array_ops",
-    "hof_map_ops",
-    "parse_url_features",
-    "regex_function_matrix",
-    "from_csv_embedded_records",
-    # -- (4) oldest-evidence rotation: the r4-evidence set in
-    # registration order (32 of 42; the 10-query remainder —
-    # bloom_semi_join_prune, bucketed_colocated_join,
-    # rolling_1h_user_value, event_transition_matrix,
-    # gap_fill_hourly_user_value, cumulative_unique_users,
-    # histogram_acctbal_width_bucket, per_source_lang_mix,
-    # corr_cov_value_hour, crosstab_type_value_band — rotates in
-    # round 10).
-    "bilateral_trade_volume",
-    "local_supplier_volume",
-    "order_count_histogram",
-    "big_order_customers",
-    "part_revenue_share_gate",
-    "dormant_rich_customers",
-    "pivot_multi_value",
-    "salted_topk_events_per_user",
-    "set_except_all_multiset",
-    "set_intersect_all_multiset",
-    "ngram_containment_pairs",
-    "multimodal_decode_features",
-    "multimodal_raw_decode_features",
-    "embedding_lsh_near_duplicates",
-    "incremental_minhash_new_pairs",
-    "dedup_rate_by_source",
-    "reservoir_sample_per_source",
-    "quality_quartiles_by_lang",
-    "split_distribution_drift",
-    "packing_efficiency_report",
-    "length_zipf_slope",
-    "near_dup_triangle_count",
-    "passage_dedup_report",
-    "token_entropy_by_lang",
-    "unigram_kl_by_source",
-    "cdc_chunk_dedup_report",
-    "cross_source_containment",
-    "weighted_sample_per_source",
-    "salted_agg_events",
-    "salted_join_orders_customer",
-    "zonemap_prefilter_join",
-    "group_by_all_sql",
+    # in r8, first driver rows here): privacy release gate
+    # (k-anonymity), behavioral features (RFM quintile segments,
+    # Markov log-loss), retrieval infrastructure (positional phrase
+    # search, AP@10, PQ training gate), time-series audits (day-of-week
+    # seasonality ppm, CUSUM changepoint).
+    "k_anonymity_docs",
+    "rfm_user_segments",
+    "markov_path_logloss",
+    "phrase_query_table_hash",
+    "average_precision_by_source",
+    "pq_codebook_train_gate",
+    "dow_seasonality_events",
+    "cusum_changepoint_revenue",
+    # -- (2) four early promotions from plans/staged_round11.py — the
+    # EXACT-similarity-join family the r9 verdict called out as the
+    # one built-but-uncertified operator group, plus the Z-order
+    # layout/pruning report: FastSS Levenshtein<=1 pairs from one
+    # variant-key equi-join, prefix-filter PPJoin Jaccard>=1/2 with
+    # the integer den*|A∩B| >= num*|A∪B| predicate, exact containment
+    # pairs, and the interleaved-bits layout pruning report.
+    "fastss_customer_name_pairs",
+    "jaccard_exact_doc_pairs",
+    "containment_exact_doc_pairs",
+    "zorder_layout_pruning_report",
+    # -- (3) r4-evidence remainder (the 10 rows round 9's rotation
+    # could not fit), completing the r4 set's refresh.
+    "bloom_semi_join_prune",
+    "bucketed_colocated_join",
+    "rolling_1h_user_value",
+    "event_transition_matrix",
+    "gap_fill_hourly_user_value",
+    "cumulative_unique_users",
+    "histogram_acctbal_width_bucket",
+    "per_source_lang_mix",
+    "corr_cov_value_hour",
+    "crosstab_type_value_band",
+    # -- (4) oldest-evidence rotation: the r5-evidence set in
+    # registration order (28 of 49; the 21-query remainder —
+    # window_running_and_lag onward — rotates in round 11).
+    "q1_top_segment_per_nation",
+    "q2_top_priority_per_year",
+    "q3a_top_customer_per_nation",
+    "q3b_top_nation_overall",
+    "q4_top_priority_per_balance_bucket",
+    "q5_orders_per_year",
+    "project_rename_drop",
+    "filter_pushdown_scan",
+    "null_standardize_replace",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "conditional_null_funcs",
+    "cast_funcs",
+    "join_inner_large",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "agg_pricing_summary",
+    "agg_distinct_counts",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets_sql",
+    "topk_orders",
+    "window_rank_top3",
+    "window_running_and_lag",
+    "set_union_all",
     # ---- 50-row window boundary ----
     #
-    # STANDING ROTATION RULE (policy since round 5; held r4→r8):
+    # ROUND-11 ROTATION NOTES (window arithmetic pre-planned):
+    #   (a) 6 promotions from plans/staged_round11.py (the
+    #       pipeline-operations remainder): watermark_lateness_audit,
+    #       mann_kendall_daily_trend, peak_concurrency_daily,
+    #       varint_layout_size_report, merkle_diff_orders,
+    #       rendezvous_reshard_stability; plus 6 promotions from
+    #       plans/staged_round12.py (bootstrap CI, OBF interim looks,
+    #       span-corruption plan, profile drift, mutual NN, DB cell
+    #       quality) = 12 promotions.
+    #   (b) changed-in-r10 re-certifications: queue as they happen.
+    #   (c) fill the remaining ~38 slots oldest-evidence-first: the
+    #       21-query r5-evidence remainder (set_intersect ...
+    #       mixture_sqrt_temperature_plan), then the r6-evidence set
+    #       in registration order — 17 fit; the rest roll to round 12,
+    #       where the remaining staged_round12 promotions join them.
+    #   12 + 21 + 17 = 50 holds exactly.
+    #
+    # FURTHER STAGED INVENTORY (keeping every window promotion-only):
+    #   round 11: plans/staged_round11.py remainder, 6 queries
+    #     (pipeline operations) + staged_round12 first half;
+    #   round 12: plans/staged_round12.py remainder (LPA communities,
+    #     Fellegi-Sunter link weights) + staged_round13 (10: k-core,
+    #     l-diversity, Dirichlet LM, ERR@10, survivorship golden
+    #     record, Good-Turing, KMV sketch, Fano burstiness, SRM audit);
+    #   round 13: plans/staged_round14.py, 8 queries (SNM blocking
+    #     recall, degree assortativity, Heaps vocab growth, idempotency
+    #     conflict audit, revenue proration, quantile normalization,
+    #     TWAP, compaction planning);
+    #   round 14: plans/staged_round15.py, 8 queries (association
+    #     rules, Theil-Sen slope, LLR collocations, coverage/diversity
+    #     eval, MASE backtest, 2-D skyline, trending rank shift, TwoNN
+    #     intrinsic dimension) + plans/staged_round16.py seed.
+    #   All oracled + strict-mirror parity-tested at two SFs.
+    #
+    # STANDING ROTATION RULE (policy since round 5; held r4→r9):
     # each round's window must fit new + changed + reds; cap net-new
     # registrations so that holds (new + changed + oldest-stale ≤ 50),
     # and fill every remaining slot with green rows
     # oldest-evidence-first. Never let a query sit never-checked across
-    # a round boundary.
-    #
-    # ROUND-10 ROTATION NOTES (window arithmetic pre-planned):
-    #   (a) 8 promotions from plans/staged_round10.py (all oracled,
-    #       parity-tested, x30-stressed):
-    #       k_anonymity_docs, rfm_user_segments, markov_path_logloss,
-    #       phrase_query_table_hash, average_precision_by_source,
-    #       pq_codebook_train_gate, dow_seasonality_events,
-    #       cusum_changepoint_revenue.
-    #   (b) changed-in-r9 re-certifications: queue as they happen.
-    #   (c) fill the remaining ~42 slots oldest-evidence-first: the
-    #       10-query r4-evidence remainder (bloom_semi_join_prune ...
-    #       crosstab_type_value_band), then the r5-evidence set in
-    #       registration order — 32 fit; the rest roll to round 11,
-    #       where the 10 staged_round11 promotions join them.
-    #   8 + 10 + 32 = 50 holds exactly.
-    #
-    # FURTHER STAGED INVENTORY (keeping every window promotion-only):
-    #   round 11: plans/staged_round11.py, 10 queries (4 exact-
-    #     similarity-join seed + 6 pipeline-operations added in r8);
-    #   round 12: plans/staged_round12.py, 8 queries (bootstrap CI,
-    #     OBF interim looks, span-corruption plan, profile drift,
-    #     mutual NN, DB cell quality, LPA communities, Fellegi-Sunter
-    #     link weights);
-    #   round 13: plans/staged_round13.py, 10 queries (5-query seed +
-    #     the round-9 extension: survivorship golden record,
-    #     Good-Turing coverage, KMV distinct sketch, Fano burstiness,
-    #     SRM assignment audit);
-    #   round 14: plans/staged_round14.py, 8 queries (built in r9:
-    #     SNM blocking recall, degree assortativity, Heaps vocab
-    #     growth, idempotency conflict audit, revenue proration,
-    #     quantile normalization, TWAP, compaction planning);
-    #   round 15 seed: plans/staged_round15.py, 8 queries (association
-    #     rules, Theil-Sen slope, LLR collocations, coverage/diversity
-    #     eval, MASE backtest, 2-D skyline, trending rank shift, TwoNN
-    #     intrinsic dimension) — a full batch, promotion-ready.
-    #   All oracled + strict-mirror parity-tested at two SFs.
+    # a round boundary. (Superseded windows live in git history; the
+    # r9 window is commit 0c473ac's parent.)
 ]
 
 CHECK_LAST: list[str] = [
-    # (empty since round 8: minhash_lsh_near_duplicates left when its
-    # gate oracle landed — it now sits in the round-8 window for its
-    # first hash-verified row.)
+    # PERMANENT PIN (r9 verdict "What's wrong #2"): terminally
+    # rows-only — binary image payloads are invisible to DuckDB, so
+    # its driver row can never upgrade past spark_rows; its
+    # oracle-backed twin multimodal_raw_decode_features carries the
+    # hash-verified evidence. Pinning it here frees a window slot for
+    # an unverified query every round.
+    "multimodal_decode_features",
 ]
 
 

@@ -1,14 +1,12 @@
-"""ROUND-10 STAGING AREA — implemented, tested, NOT driver-registered.
+"""ROUND-10 PROMOTIONS — staged in round 8, driver-registered in round 10.
 
-The round-8 window is pre-planned (ROUND-8 ROTATION NOTES,
-plans/registry.py) and the round-9 batch (plans/staged_round9.py) is
-already staged for the round-9 window, so per the standing rotation
-rule this batch stages TWO windows out. Same contract as every staging
-round: each query has a full DuckDB oracle replayed value-for-value
-(strict-mirror parity at sf0.001 + sf0.01 in
-tests/test_staged_round10.py) and behavior-pinning unit tests; round 10
-registers them by pointing ``_stage`` at ``registry.register`` and
-queueing the names in CHECK_FIRST.
+Executed exactly as pre-planned (ROUND-10 ROTATION NOTES,
+plans/registry.py): ``_stage`` below now feeds ``registry.register``
+directly, ``__spark_entry__`` imports this module, and all eight names
+lead CHECK_FIRST for their first driver rows. Same contract as every
+staging round: each query has a full DuckDB oracle replayed
+value-for-value (strict-mirror parity at sf0.001 + sf0.01 in
+tests/test_staged_round10.py) and behavior-pinning unit tests.
 
 The batch fills four remaining engine surfaces:
 
@@ -43,7 +41,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.registry import register
 from pinterest_data_pipeline_spark.sources.parquet import load_table
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -51,13 +49,13 @@ STAGED_ORACLE: dict[str, str] = {}
 
 
 def _stage(name: str, oracle: str | None = None):
-    """registry.register's contract, into the round-10 staging dicts."""
+    """ROUND-10 PROMOTION: registry.register proper (driver surface),
+    plus the module-local dicts the behavioral tests in
+    tests/test_staged_round10.py enumerate. All validation (duplicate
+    names, `--`-in-oracle) happens in register()."""
 
     def deco(fn):
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name: {name}")
-        if oracle is not None and has_sql_line_comment(oracle):
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        register(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLE[name] = " ".join(oracle.split())

@@ -1,11 +1,13 @@
-"""ROUND-11 STAGING BATCH — implemented, tested, NOT driver-registered.
+"""ROUND-11 STAGING BATCH — implemented, tested; the four-query
+exact-similarity/layout family was promoted EARLY in round 10 (see
+PROMOTED_IN_ROUND10 below), the six pipeline-operations queries remain
+staged for the round-11 window.
 
-Rounds 8-10 are already planned/staged (registry ROTATION NOTES;
-plans/staged_round9.py, staged_round10.py), so this batch stages three
-windows out. Same contract as every staging round: full DuckDB oracles
-replayed value-for-value (strict-mirror parity at sf0.001 + sf0.01 in
-tests/test_staged_round11.py) and behavior-pinning unit tests; a later
-round registers them by pointing ``_stage`` at ``registry.register``.
+Same contract as every staging round: full DuckDB oracles replayed
+value-for-value (strict-mirror parity at sf0.001 + sf0.01 in
+tests/test_staged_round11.py) and behavior-pinning unit tests; the
+round-11 window registers the remainder by pointing ``_stage`` at
+``registry.register``.
 
 Two families. First, the EXACT-SIMILARITY-JOIN family
 (operators/similarity_join.py) — the deterministic companions to the
@@ -51,21 +53,44 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.registry import (
+    has_sql_line_comment,
+    register,
+)
 from pinterest_data_pipeline_spark.sources.parquet import load_table
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 STAGED_ORACLE: dict[str, str] = {}
 
+# EARLY PROMOTIONS (round 10): the round-9 verdict asked for 12
+# promotions per window to burn down the staging backlog, so the
+# exact-similarity-join family (+ its storage-layout sibling) rides the
+# round-10 window alongside the eight staged_round10 queries. The six
+# pipeline-operations queries stay staged for round 11.
+PROMOTED_IN_ROUND10 = {
+    "fastss_customer_name_pairs",
+    "jaccard_exact_doc_pairs",
+    "containment_exact_doc_pairs",
+    "zorder_layout_pruning_report",
+}
+
 
 def _stage(name: str, oracle: str | None = None):
-    """registry.register's contract, into the round-11 staging dicts."""
+    """registry.register's contract, into the round-11 staging dicts;
+    names in PROMOTED_IN_ROUND10 also hit registry.register proper
+    (driver surface). register() validates those; local-only names
+    validate here."""
 
     def deco(fn):
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name: {name}")
-        if oracle is not None and has_sql_line_comment(oracle):
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        if name in PROMOTED_IN_ROUND10:
+            register(name, oracle)(fn)
+        else:
+            if name in STAGED_QUERIES:
+                raise ValueError(f"duplicate staged query name: {name}")
+            if oracle is not None and has_sql_line_comment(oracle):
+                raise ValueError(
+                    f"oracle for {name} contains a `--` SQL comment"
+                )
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLE[name] = " ".join(oracle.split())

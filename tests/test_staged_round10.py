@@ -6,9 +6,8 @@ exact check the driver will run once registered — strict-mirror value
 comparison against their DuckDB oracles — and each operator's semantic
 guarantees are pinned against hand-computed examples.
 
-Staged queries are deliberately NOT in plans/registry (the round-8 and
-round-9 windows are already planned/staged); see
-plans/staged_round10.py for the promotion recipe.
+Promoted in round 10: every query here is on the driver surface
+(plans/staged_round10.py now feeds registry.register directly).
 """
 
 from __future__ import annotations
@@ -30,11 +29,18 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
+def test_staged_queries_are_promoted():
+    """Round-10 promotion: every formerly-staged query is on the driver
+    surface (registry + oracle). Window membership is the registry
+    rotation's job (see plans/registry.py CHECK_FIRST)."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(STAGED_QUERIES) - set(queries)
+    assert not missing, f"staged queries not promoted: {missing}"
+    missing_oracle = set(STAGED_ORACLE) - set(oracles)
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
 
 
 def test_every_staged_query_has_an_oracle():

@@ -29,11 +29,24 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
+def test_promotion_split_matches_plan():
+    """Round-10 early-promoted the four-query exact-similarity/layout
+    family (PROMOTED_IN_ROUND10); the six pipeline-operations queries
+    must stay off the driver surface until the round-11 window."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    from pinterest_data_pipeline_spark.plans.staged_round11 import (
+        PROMOTED_IN_ROUND10,
+    )
+
+    queries = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    missing = PROMOTED_IN_ROUND10 - queries
+    assert not missing, f"promoted queries not registered: {missing}"
+    missing_oracle = PROMOTED_IN_ROUND10 - oracles
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
+    leaked = (set(STAGED_QUERIES) - PROMOTED_IN_ROUND10) & queries
+    assert not leaked, f"staged queries leaked into the registry: {leaked}"
 
 
 def test_every_staged_query_has_an_oracle():
