@@ -1112,3 +1112,88 @@ def srm_audit(
         F.round(chisq, 6).alias("chisq_r6"),
         (chisq > F.lit(10.83)).alias("srm_flag"),
     )
+
+
+def eb_beta_binomial_shrinkage(
+    df: DataFrame,
+    unit_col: str,
+    success_col: Column | str,
+    top_k: int = 15,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-unit success rates toward the
+    corpus prior — the beta-binomial method-of-moments (Robbins 1956 /
+    the "add the prior's pseudo-counts" smoothing every CTR / quality
+    feature needs before a ranker consumes it: a 1/1 unit must NOT
+    outrank a 95/100 unit). Fits Beta(α, β) from the across-unit mean
+    and variance of the raw rates, then reports each unit's posterior
+    mean (k+α)/(n+α+β).
+
+    Exactness: per-unit rates enter the fit as FLOOR(1e9·k/n) integer
+    ppb (one `div` per unit), so the moment sums Σr and Σr² are exact
+    integers (r² ≤ 1e18 per row; decimal(38,0)/HUGEINT accumulation),
+    and α, β, and every posterior mean are ONE fixed double expression
+    tree over those integers — both engines replay bit-for-bit. The
+    MoM strength s = m(1−m)/v − 1 is clamped to ≥ 1e-6 (degenerate
+    fits — zero or super-binomial variance — would otherwise flip the
+    shrinkage direction); the clamp is baked into both engines.
+
+    Returns the ``top_k`` units by posterior mean (ties: unit asc),
+    each row carrying (unit, n, k, raw_ppb, shrunk_r6, alpha_r6,
+    beta_r6) — the fitted prior rides every row so the output is
+    self-describing.
+
+    Scale: one map-side-combinable groupBy(unit), one 1-row moment
+    fold broadcast back, TakeOrderedAndProject for the cut. Nothing
+    order-dependent: doubles appear only in the final fixed tree."""
+    success = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    )
+    per_unit = df.groupBy(F.col(unit_col).alias("unit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(success.cast("long")).cast("bigint").alias("k"),
+    )
+    # the prior fit AND the scored output both read this unit-sized
+    # relation: materialize it so the corpus aggregation runs once,
+    # not once per branch
+    rated = per_unit.withColumn(
+        "raw_ppb", F.expr("(k * 1000000000) div n").cast("bigint")
+    ).localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    moments = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__u"),
+        F.sum(F.col("raw_ppb").cast(dec)).alias("__s1"),
+        F.sum((F.col("raw_ppb") * F.col("raw_ppb")).cast(dec)).alias(
+            "__s2"
+        ),
+    )
+    ud = F.col("__u").cast("double")
+    m = F.col("__s1").cast("double") / ud / F.lit(1e9)
+    v = (
+        F.col("__s2").cast("double") / ud / F.lit(1e18)
+        - (F.col("__s1").cast("double") / ud / F.lit(1e9))
+        * (F.col("__s1").cast("double") / ud / F.lit(1e9))
+    )
+    s = F.greatest(m * (F.lit(1.0) - m) / v - F.lit(1.0), F.lit(1e-6))
+    prior = moments.select(
+        (m * s).alias("__alpha"), ((F.lit(1.0) - m) * s).alias("__beta")
+    )
+    shrunk = (
+        F.col("k").cast("double") + F.col("__alpha")
+    ) / (
+        F.col("n").cast("double") + F.col("__alpha") + F.col("__beta")
+    )
+    return (
+        rated.crossJoin(F.broadcast(prior))
+        .withColumn("__shrunk", shrunk)
+        .orderBy(F.col("__shrunk").desc(), F.col("unit").asc())
+        .limit(top_k)
+        .select(
+            "unit",
+            "n",
+            "k",
+            "raw_ppb",
+            F.round("__shrunk", 6).alias("shrunk_r6"),
+            F.round("__alpha", 6).alias("alpha_r6"),
+            F.round("__beta", 6).alias("beta_r6"),
+        )
+    )

@@ -780,3 +780,4 @@ def catalog_coverage_diversity(
             .alias("intralist_diversity_ppm"),
         )
     )
+

@@ -720,3 +720,181 @@ def theil_sen_slope(
             F.round(ols, 6).alias("ols_slope_r6"),
         )
     )
+
+
+def spearman_rank_correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per group — the MONOTONE-association
+    audit beside the linear one (`corr_cov_value_hour` is Pearson on
+    raw values): rank both metrics with AVERAGE ranks over ties
+    (Spearman 1904 / the fractional-rank convention), then Pearson on
+    the ranks. Outliers and nonlinear-but-monotone relationships that
+    wreck raw-value Pearson leave Spearman intact, so the pair
+    (pearson, spearman) separates "linear" from "monotone" from
+    "neither" — the feature-screening question asked of every derived
+    metric before it enters a ranker.
+
+    Exactness: DOUBLED average ranks are exact integers
+    (2·avg_rank = 2·rank_min + ties − 1, and the ×2 cancels in the
+    correlation), so every aggregate is an integer sum — n, Σdx, Σdy,
+    Σdx², Σdy², Σdx·dy, accumulated as decimal(38,0) (Spark) /
+    HUGEINT (DuckDB) — and ONE fixed double expression tree at the
+    end. Per-row products are < 4n² and the decimal sums are exact to
+    n ≈ 10⁹ rows per group; past that, rank-correlate a per-group
+    sample. Constant x or y in a group → NULL rho (0/0 guarded).
+
+    Scale: rank() and the tie count (a RANGE CURRENT ROW..CURRENT ROW
+    peers frame) ride ONE Exchange+Sort per metric — two shuffles on
+    the group key total — then one map-side-combinable aggregate.
+    No global sort, no self-join."""
+    wx = Window.partitionBy("__g").orderBy("__x")
+    wy = Window.partitionBy("__g").orderBy("__y")
+    peers_x = wx.rangeBetween(Window.currentRow, Window.currentRow)
+    peers_y = wy.rangeBetween(Window.currentRow, Window.currentRow)
+    ranked = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(x_col).cast("long").alias("__x"),
+            F.col(y_col).cast("long").alias("__y"),
+        )
+        .withColumn(
+            "__dx",
+            (
+                2 * F.rank().over(wx)
+                + F.count(F.lit(1)).over(peers_x)
+                - 1
+            ).cast("long"),
+        )
+        .withColumn(
+            "__dy",
+            (
+                2 * F.rank().over(wy)
+                + F.count(F.lit(1)).over(peers_y)
+                - 1
+            ).cast("long"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__dx").cast(dec)).alias("__sx"),
+        F.sum(F.col("__dy").cast(dec)).alias("__sy"),
+        F.sum((F.col("__dx") * F.col("__dx")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__dy") * F.col("__dy")).cast(dec)).alias("__syy"),
+        F.sum((F.col("__dx") * F.col("__dy")).cast(dec)).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = nd * F.col("__sxy").cast("double") - sx * sy
+    varx = nd * F.col("__sxx").cast("double") - sx * sx
+    vary = nd * F.col("__syy").cast("double") - sy * sy
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6),
+        ).alias("spearman_r6"),
+    )
+
+
+def kruskal_wallis_h(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H (one-way rank ANOVA, Kruskal & Wallis 1952) —
+    the K-group omnibus beside the pairwise `mann_whitney_u`: "do
+    these K slices draw the metric from the same distribution?", asked
+    of ranks so heavy tails and outliers (which wreck classic ANOVA's
+    variance pooling) don't decide the answer. The standard
+    first-look before K·(K−1)/2 pairwise tests.
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+        H_tie = H / (1 − Σ_v (t_v³ − t_v)/(N³ − N))
+
+    with R_g the per-group sum of GLOBAL average ranks and t_v the
+    tie-group sizes. Returns ONE row: n_rows, n_groups, h_r6,
+    h_tie_corrected_r6 (NULL when every value ties — the correction's
+    denominator vanishes).
+
+    Exactness: doubled average ranks are exact integers (the
+    spearman_rank_correlation discipline), so R2_g = Σ 2·rank and
+    Σ(t³−t) are exact integer sums (decimal(38,0)/HUGEINT); the
+    per-group terms R2_g²/n_g are doubles folded in an ORDERED
+    cumulative window (group ascending, the Kaplan-Meier pattern) so
+    no unordered double accumulation exists; H is one fixed tree.
+
+    Scale: one global rank window — a single total-order sort, the
+    cost every exact global-rank statistic pays (the tie counts ride
+    the same sort as a peers frame); then one groupBy(group) and a
+    K-row ordered fold. Sample per-group first at corpus scale."""
+    wv = Window.orderBy("__v")
+    peers = wv.rangeBetween(Window.currentRow, Window.currentRow)
+    base = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    ranked = base.withColumn(
+        "__d2",
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(peers) - 1).cast(
+            "long"
+        ),
+    )
+    dec = "decimal(38,0)"
+    per_group = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__d2").cast(dec)).alias("__r2"),
+    )
+    # ordered fold of the K per-group terms (R2_g/2)² / n_g
+    term = (
+        (F.col("__r2").cast("double") / F.lit(2.0))
+        * (F.col("__r2").cast("double") / F.lit(2.0))
+        / F.col("__n").cast("double")
+    )
+    wcum = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = (
+        per_group.select(
+            "__g", "__n", F.sum(term).over(wcum).alias("__cum")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.max_by("__cum", "__g").alias("__rsum"),
+        )
+    )
+    # tie census needs no ranks: branch off the PRE-window relation so
+    # this side never touches the global sort
+    ties = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t")
+    )
+    tie_sum = ties.agg(
+        F.sum(
+            (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).cast(
+                dec
+            )
+        ).alias("__tsum")
+    )
+    nd = F.col("n_rows").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("__rsum")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tsum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return folded.crossJoin(F.broadcast(tie_sum)).select(
+        "n_rows",
+        "n_groups",
+        F.round(h, 6).alias("h_r6"),
+        F.when(corr > 0, F.round(h / corr, 6)).alias(
+            "h_tie_corrected_r6"
+        ),
+    )

@@ -532,3 +532,156 @@ def largest_remainder_allocation(
         )
         .orderBy("stratum")
     )
+
+
+def contrastive_negative_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic k-negative sampling for contrastive training —
+    for every anchor row, draw ``k`` negatives from OTHER groups
+    (sources), the batch-construction step of every contrastive /
+    triplet objective (SimCLR, CLIP, two-tower retrieval): the
+    negative must be content-addressed (same pick on every run,
+    engine, and retry — or the training set is irreproducible) and
+    must never collide with the anchor's own group (an in-group
+    "negative" is a false negative that poisons the loss).
+
+    Draw j ∈ 0..k−1 for anchor a: target group = the (md5(a,j) mod
+    (G−1))-th entry of the OTHER groups in name order (collision-free
+    by construction — the anchor's group is excluded from its ballot),
+    position = md5(a,j,'pos') mod |target| + 1 joined against the
+    per-group md5-ranked spine. Returns the audit aggregate — one row
+    per (anchor_group, negative_group): n_pairs, sum_negative_id (a
+    checksum certifying WHICH rows were picked, not just how many),
+    distinct_negatives.
+
+    Scale: the per-group rank spine is a window PARTITIONED by group
+    (parallel across groups; md5 order, no global sort); the pick is
+    one equi-join on (group, position) — anchors×k rows against the
+    spine, never a cross join. Group census is broadcast. At extreme
+    per-group cardinality the spine sort is the cost: build it once
+    per corpus snapshot and reuse across epochs."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(group_col).cast("string").alias("__grp"),
+    )
+    census = base.groupBy("__grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    # group index in name order, and the global group count
+    wg = Window.orderBy("__grp")
+    groups = census.withColumn(
+        "__gidx", (F.row_number().over(wg) - 1).cast("long")
+    )
+    n_groups = groups.agg(F.count(F.lit(1)).alias("__ng"))
+    spine = base.withColumn(
+        "__pos",
+        F.row_number()
+        .over(
+            Window.partitionBy("__grp").orderBy(
+                F.md5(F.col("__id").cast("string")), F.col("__id")
+            )
+        )
+        .cast("long"),
+    )
+    probes = (
+        base.select(
+            F.col("__id").alias("__aid"), F.col("__grp").alias("__agrp")
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "__aid",
+            "__agrp",
+            "__ng",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"),
+        )
+        .withColumn(
+            "__ballot",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("__aid").cast("string"),
+                            F.col("__j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (F.col("__ng") - 1),
+        )
+    )
+    # anchor's own group is skipped by shifting ballots at/after its index
+    own = groups.select(
+        F.col("__grp").alias("__agrp"), F.col("__gidx").alias("__own_idx")
+    )
+    tgt = (
+        probes.join(F.broadcast(own), "__agrp")
+        .withColumn(
+            "__tidx",
+            F.when(
+                F.col("__ballot") >= F.col("__own_idx"),
+                F.col("__ballot") + 1,
+            ).otherwise(F.col("__ballot")),
+        )
+        .join(
+            F.broadcast(
+                groups.select(
+                    F.col("__gidx").alias("__tidx"),
+                    F.col("__grp").alias("__tgrp"),
+                    F.col("__cnt").alias("__tcnt"),
+                )
+            ),
+            "__tidx",
+        )
+        .withColumn(
+            "__pos",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("__aid").cast("string"),
+                            F.col("__j").cast("string"),
+                            F.lit("pos"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("__tcnt")
+            + 1,
+        )
+    )
+    picked = tgt.join(
+        spine.select(
+            F.col("__grp").alias("__tgrp"),
+            "__pos",
+            F.col("__id").alias("__nid"),
+        ),
+        ["__tgrp", "__pos"],
+    )
+    return (
+        picked.groupBy(
+            F.col("__agrp").alias("anchor_group"),
+            F.col("__tgrp").alias("negative_group"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("__nid").cast("bigint").alias("sum_negative_id"),
+            F.count_distinct(F.col("__nid"))
+            .cast("bigint")
+            .alias("distinct_negatives"),
+        )
+        .orderBy("anchor_group", "negative_group")
+    )

@@ -244,6 +244,12 @@ QUERIES = [
     "skyline_price_size_parts",
     "trending_parts_rank_shift",
     "intrinsic_dim_embeddings_twonn",
+    # round-10 seed for round 16 (plans/staged_round16.py)
+    "spearman_doc_len_tokens_by_lang",
+    "eb_shrunk_user_purchase_rate",
+    "contrastive_negative_sources",
+    "burrows_delta_sources",
+    "kruskal_wallis_value_by_type",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -347,6 +353,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round15 import (
         STAGED_QUERIES as STAGED_R15,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round16 import (
+        STAGED_QUERIES as STAGED_R16,
+    )
 
     for name in (only if only is not None else QUERIES):
         fn = (
@@ -360,7 +369,8 @@ def main() -> None:
             or STAGED_R12.get(name)
             or STAGED_R13.get(name)
             or STAGED_R14.get(name)
-            or STAGED_R15[name]
+            or STAGED_R15.get(name)
+            or STAGED_R16[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

@@ -97,13 +97,16 @@ def test_every_staged_query_mentioned_in_coverage():
     from pinterest_data_pipeline_spark.plans.staged_round15 import (
         STAGED_QUERIES as R15,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round16 import (
+        STAGED_QUERIES as R16,
+    )
 
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [
         q
         for q in (
             list(R7) + list(R8) + list(R9) + list(R10) + list(R11)
-            + list(R12) + list(R13) + list(R14) + list(R15)
+            + list(R12) + list(R13) + list(R14) + list(R15) + list(R16)
         )
         if q not in coverage
     ]
@@ -144,14 +147,17 @@ def test_staged_names_do_not_collide_across_rounds():
     from pinterest_data_pipeline_spark.plans.staged_round11 import (
         PROMOTED_IN_ROUND10,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round16 import (
+        STAGED_QUERIES as R16,
+    )
 
     staged = {
         "R11": set(R11) - PROMOTED_IN_ROUND10,
         "R12": set(R12), "R13": set(R13),
-        "R14": set(R14), "R15": set(R15),
+        "R14": set(R14), "R15": set(R15), "R16": set(R16),
     }
     names = [set(R7), set(R8), set(R9), set(R10), set(R11), set(R12),
-             set(R13), set(R14), set(R15)]
+             set(R13), set(R14), set(R15), set(R16)]
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             assert not (a & b)

@@ -830,3 +830,72 @@ def test_twonn_all_pairs_stay_in_the_sample(spark):
     assert n_nodes(plan, "SortMergeJoin") == 0
     assert n_nodes(plan, "Window") == 1
     assert n_nodes(plan, "TakeOrderedAndProject") >= 1
+
+
+def test_spearman_ranks_ride_grouped_sorts(spark):
+    """Spearman's ranks and tie counts are WINDOWS partitioned by the
+    group key (never a self-join): no join of any kind, no
+    TakeOrdered, and at most the two rank orders' worth of Window
+    nodes (rank + peers frame per metric)."""
+    plan = _staged_plan(
+        spark, "staged_round16", "spearman_doc_len_tokens_by_lang"
+    )
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Window") <= 4
+
+
+def test_eb_shrinkage_scans_units_once(spark):
+    """The prior fit and the scored output must both read the
+    MATERIALIZED per-unit relation (ExistingRDD), so the corpus
+    aggregation happens once: the only joins are the 1-row prior
+    broadcast, and the cut is TakeOrderedAndProject."""
+    plan = _staged_plan(
+        spark, "staged_round16", "eb_shrunk_user_purchase_rate"
+    )
+    assert n_nodes(plan, "Scan ExistingRDD") >= 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+
+
+def test_contrastive_sampling_joins_are_hash_or_broadcast(spark):
+    """The negative pick is equi-joins only — ballot/census lookups
+    broadcast, the (group, position) pick a hash join; no cartesian
+    pair explosion anywhere, and the only nested loop is the 1-row
+    group-count broadcast."""
+    plan = _staged_plan(
+        spark, "staged_round16", "contrastive_negative_sources"
+    )
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_burrows_delta_pair_stage_reads_materialized_z(spark):
+    """The z relation is localCheckpointed, so the pair join reads
+    ExistingRDD on both sides (one broadcast hash join) instead of
+    replaying the corpus tokenize per side; no cartesian, no
+    sort-merge, no nested loop."""
+    plan = _staged_plan(spark, "staged_round16", "burrows_delta_sources")
+    assert n_nodes(plan, "Scan ExistingRDD") >= 2
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_kruskal_wallis_tie_census_skips_the_rank_sort(spark):
+    """H's global rank is one total-order sort (by design); the tie
+    census branches off the PRE-window relation, so the plan holds at
+    most the rank windows + the K-row ordered fold and no join beyond
+    the 1-row tie broadcast."""
+    plan = _staged_plan(
+        spark, "staged_round16", "kruskal_wallis_value_by_type"
+    )
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "Window") <= 3
