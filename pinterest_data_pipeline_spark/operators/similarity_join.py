@@ -48,28 +48,58 @@ def edit_distance_one_pairs(
     equi-join loses nothing, and `levenshtein ≤ 1` removes the false
     candidates (two deletions from different strings CAN collide).
 
+    Uniqueness (why there is NO pair-level distinct): with the variant
+    relation distinct per (id, value), an UNEQUAL pair at Levenshtein
+    distance 1 shares EXACTLY ONE variant value — a substitution at p
+    shares only delete-p, an insertion/deletion shares only the shorter
+    string itself (verified exhaustively over a 2-char alphabet to
+    length 4 plus 200k randomized single-edit pairs, and pinned by the
+    brute-force property test). Equal pairs share every variant, so
+    they are carved out into their own name-equality equi-join and the
+    variant join takes only ``name_a != name_b`` rows. Each true pair
+    is therefore emitted exactly once by construction; only false
+    candidates (distance-2 collisions) can repeat, and the levenshtein
+    verify drops them. The previous formulation's pair-level
+    ``.distinct()`` shuffled the ENTIRE candidate stream — measured
+    ~4e9 rows / >52 GB of spill at the ×100 stress point, the kind of
+    shuffle that dies at 100 TB — and is gone.
+
     Scale: Σ(len+1) variant rows (the corpus character volume) through
     ONE equi-join shuffle on the variant key — no n² block, no block-key
-    assumption; the verify runs only on candidates. Skewed variant keys
+    assumption; the verify runs only on candidates, pipelined straight
+    out of the join with no further exchange. Skewed variant keys
     (a common short name) are the hot spot — the same bucket-histogram
     diagnosis as LSH applies."""
-    variants = (
-        df.select(
-            F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+    )
+    variants = base.select(
+        "__id",
+        "__name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(__name)), i -> "
+                "CASE WHEN i = 0 THEN __name "
+                "ELSE concat(substring(__name, 1, i - 1), "
+                "substring(__name, i + 1)) END)"
+            )
+        ).alias("__v"),
+    ).distinct()
+    eq = (
+        base.select(
+            F.col("__id").alias("key_a"), F.col("__name").alias("name_a")
         )
+        .join(
+            base.select(
+                F.col("__id").alias("key_b"),
+                F.col("__name").alias("name_b"),
+            ),
+            F.col("name_a") == F.col("name_b"),
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
         .select(
-            "__id",
-            "__name",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, length(__name)), i -> "
-                    "CASE WHEN i = 0 THEN __name "
-                    "ELSE concat(substring(__name, 1, i - 1), "
-                    "substring(__name, i + 1)) END)"
-                )
-            ).alias("__v"),
+            "key_a", "key_b", "name_a", "name_b", F.lit(0).alias("ed")
         )
-        .distinct()
     )
     a = variants.select(
         F.col("__id").alias("key_a"),
@@ -81,17 +111,15 @@ def edit_distance_one_pairs(
         F.col("__name").alias("name_b"),
         "__v",
     )
-    return (
+    ne = (
         a.join(b, "__v")
         .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.col("name_a") != F.col("name_b"))
         .select("key_a", "key_b", "name_a", "name_b")
-        .distinct()
-        .withColumn(
-            "ed", F.levenshtein("name_a", "name_b").cast("int")
-        )
+        .withColumn("ed", F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("ed") <= 1)
-        .orderBy("key_a", "key_b")
     )
+    return eq.unionByName(ne).orderBy("key_a", "key_b")
 
 
 def jaccard_exact_join(

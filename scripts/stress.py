@@ -300,13 +300,23 @@ def main() -> None:
     print(f"# replicated x{factor} in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     results = {}
-    def timed(fn, d, full_eval=False):
-        """min of two runs: the first execution of a plan pays one-time
+    # STRESS_RUNS=1 collapses min-of-two to a single BIG-side run for
+    # multi-minute output-bound deep points (ED<=1 / Jaccard / containment
+    # pair joins at x100 emit 10^8-10^9 rows per evaluation): the JIT
+    # inflation min-of-two exists to cancel is a constant few seconds,
+    # noise against a 30-minute run, and the second evaluation doubles
+    # cost for nothing. The BASE side always keeps min-of-two — it is
+    # sub-10s, where first-run codegen bias is real and would deflate
+    # the ratio's denominator.
+    big_runs = max(1, int(os.environ.get("STRESS_RUNS", "2")))
+
+    def timed(fn, d, full_eval=False, runs=2):
+        """min of N runs: the first execution of a plan pays one-time
         JIT/codegen compilation (measured 2-8× inflation), and since the
         ×30 run always follows a base run of the same shape, a single-run
         harness systematically biases base_s up and the ratio down (it
         even inverted some ratios below 1). min-of-two measures the plan
-        on both sides."""
+        on both sides (see STRESS_RUNS above for the big-side exception)."""
 
         def run():
             df = fn(spark, d)
@@ -315,13 +325,14 @@ def main() -> None:
                 return df.count()  # row count via the (pruned) fast path
             return df.count()
 
-        t0 = time.perf_counter()
-        n = run()
-        s1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run()
-        s2 = time.perf_counter() - t0
-        return min(s1, s2), n
+        best = None
+        n = 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = run()
+            s = time.perf_counter() - t0
+            best = s if best is None else min(best, s)
+        return best, n
 
     from pinterest_data_pipeline_spark.plans.staged_round6 import (
         STAGED_QUERIES,
@@ -374,7 +385,7 @@ def main() -> None:
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)
-        big_s, n_big = timed(fn, out_dir, full)
+        big_s, n_big = timed(fn, out_dir, full, runs=big_runs)
         ratio = big_s / base_s if base_s > 0 else float("nan")
         # Output-growth annotation: a pair-generating query under
         # uniform replication legitimately emits ~factor² pairs, so a

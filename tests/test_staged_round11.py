@@ -114,6 +114,72 @@ def test_fastss_equals_brute_force(spark):
     assert (1, 3, 1) in got and (1, 4, 1) in got  # insert + delete
 
 
+def test_fastss_emits_each_pair_exactly_once(spark):
+    """The distinct-free formulation's load-bearing invariant: every
+    true pair appears EXACTLY once (an unequal ED=1 pair shares exactly
+    one variant value; equal pairs ride the name-equality join). The
+    names are the adversarial shapes for that claim — runs of repeated
+    characters (where several deletion positions collapse to one
+    variant value), short strings, triplicated exact duplicates, and
+    ED=2 collision pairs like ab/ba that share TWO variant values and
+    must be dropped by the verify, not double-counted."""
+    import collections
+
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        edit_distance_one_pairs,
+    )
+
+    names = [
+        (1, "aab"), (2, "ab"),          # deletion inside a run
+        (3, "aaab"), (4, "aaaa"),
+        (5, "ab"), (6, "ab"),           # triplicated with 2
+        (7, "ba"),                      # ED 2 from ab, shares 2 variants
+        (8, "a"), (9, "b"), (10, "aa"),
+        (11, "abab"), (12, "abba"),
+        (13, ""),                       # empty string edge
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    rows = edit_distance_one_pairs(df, "id", "name").collect()
+    counts = collections.Counter(
+        (r["key_a"], r["key_b"]) for r in rows
+    )
+    assert counts and max(counts.values()) == 1, counts
+    brute = {
+        (min(ia, ib), max(ia, ib), _levenshtein(na, nb))
+        for (ia, na), (ib, nb) in itertools.combinations(names, 2)
+        if _levenshtein(na, nb) <= 1
+    }
+    assert {(r["key_a"], r["key_b"], r["ed"]) for r in rows} == brute
+
+
+def test_fastss_randomized_multiset_equals_brute_force(spark):
+    """Randomized single-edit neighborhoods over a 3-char alphabet,
+    compared as a MULTISET against brute force (a set compare would
+    mask duplicate emissions)."""
+    import random
+
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        edit_distance_one_pairs,
+    )
+
+    rng = random.Random(11)
+    names = []
+    for i in range(60):
+        base = "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+        names.append((i, base))
+    df = spark.createDataFrame(names, "id long, name string")
+    got = sorted(
+        (r["key_a"], r["key_b"], r["ed"])
+        for r in edit_distance_one_pairs(df, "id", "name").collect()
+    )
+    brute = sorted(
+        (ia, ib, _levenshtein(na, nb))
+        for (ia, na), (ib, nb) in itertools.combinations(names, 2)
+        if _levenshtein(na, nb) <= 1
+    )
+    assert got == brute
+
+
 def test_jaccard_prefix_join_equals_brute_force(spark):
     """Constructed token sets around the 19/20 boundary: the prefix
     join must find exactly the brute-force qualifying pairs, including
