@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pinterest_data_pipeline_spark.operators.dedup import (
+    cap_bucket_size,
+    cap_drop_report,
+)
+
 TOKEN_RE = "[a-z0-9]+"
 
 
@@ -35,6 +40,7 @@ def edit_distance_one_pairs(
     df: DataFrame,
     id_col: str,
     name_col: str,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All unordered pairs at Levenshtein distance ≤ 1, exactly, via
     FastSS 1-deletion neighborhoods. Returns
@@ -60,37 +66,50 @@ def edit_distance_one_pairs(
     is therefore emitted exactly once by construction; only false
     candidates (distance-2 collisions) can repeat, and the levenshtein
     verify drops them. The previous formulation's pair-level
-    ``.distinct()`` shuffled the ENTIRE candidate stream — measured
-    ~4e9 rows / >52 GB of spill at the ×100 stress point, the kind of
-    shuffle that dies at 100 TB — and is gone.
+    ``.distinct()`` shuffled the ENTIRE candidate stream — a 21.8e9-row
+    total candidate relation at the ×100 stress point (sum of g² over
+    variant groups × 100², computed exactly; PERF.md), of which ~4e9
+    rows had already shuffled with >52 GB of spill when the run was
+    killed — the kind of shuffle that dies at 100 TB — and is gone.
 
     Scale: Σ(len+1) variant rows (the corpus character volume) through
     ONE equi-join shuffle on the variant key — no n² block, no block-key
-    assumption; the verify runs only on candidates, pipelined straight
-    out of the join with no further exchange. Skewed variant keys
-    (a common short name) are the hot spot — the same bucket-histogram
-    diagnosis as LSH applies."""
+    assumption; the verify runs only on candidates with no
+    candidate-sized exchange (the returned plan's final
+    ``orderBy(key_a, key_b)`` is an OUTPUT-sized range exchange, which
+    ``count()``-based stress measurement eliminates and a real
+    materialization would pay). Skewed keys are the hot spot in BOTH
+    joins — a common short name makes one variant key quadratic in its
+    group size, and a heavily duplicated name does the same to the
+    name-equality join. ``max_bucket_size`` bounds both the same way
+    the LSH family does (:func:`~pinterest_data_pipeline_spark.
+    operators.dedup.cap_bucket_size`): each oversized variant bucket
+    and each oversized equal-name group keeps its ``max_bucket_size``
+    smallest-id members and trims the rest, so recall DEGRADES (min-id
+    survivors still meet) instead of the job dying; trimmed volume is
+    queryable via :func:`edit_distance_one_trim_report` — no silent
+    caps. The retention is replayable by an oracle as
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY id) <= cap``, and
+    each rank window shuffles on the same key its join shuffles on."""
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2 (a pair needs two rows in a "
+            f"bucket), got {max_bucket_size}"
+        )
     base = df.select(
         F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
     )
-    variants = base.select(
-        "__id",
-        "__name",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(__name)), i -> "
-                "CASE WHEN i = 0 THEN __name "
-                "ELSE concat(substring(__name, 1, i - 1), "
-                "substring(__name, i + 1)) END)"
-            )
-        ).alias("__v"),
-    ).distinct()
+    variants = _deletion_variants(base)
+    eq_base = base
+    if max_bucket_size is not None:
+        variants = cap_bucket_size(variants, ["__v"], max_bucket_size)
+        eq_base = cap_bucket_size(base, ["__name"], max_bucket_size)
     eq = (
-        base.select(
+        eq_base.select(
             F.col("__id").alias("key_a"), F.col("__name").alias("name_a")
         )
         .join(
-            base.select(
+            eq_base.select(
                 F.col("__id").alias("key_b"),
                 F.col("__name").alias("name_b"),
             ),
@@ -120,6 +139,66 @@ def edit_distance_one_pairs(
         .filter(F.col("ed") <= 1)
     )
     return eq.unionByName(ne).orderBy("key_a", "key_b")
+
+
+def _deletion_variants(base: DataFrame) -> DataFrame:
+    """FastSS 1-deletion neighborhood relation: one row per distinct
+    (__id, __name, __v) where __v ranges over the string itself (i=0)
+    plus each single-character deletion."""
+    return base.select(
+        "__id",
+        "__name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(__name)), i -> "
+                "CASE WHEN i = 0 THEN __name "
+                "ELSE concat(substring(__name, 1, i - 1), "
+                "substring(__name, i + 1)) END)"
+            )
+        ).alias("__v"),
+    ).distinct()
+
+
+def edit_distance_one_trim_report(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Queryable audit of what :func:`edit_distance_one_pairs` trims at
+    ``max_bucket_size`` — "no silent caps". One row per capped join,
+    labeled by ``join_side``:
+
+    - ``variant``: the FastSS 1-deletion variant-key equi-join (a hot
+      short name's deletion variants);
+    - ``name_eq``: the equal-name equi-join (a heavily duplicated
+      name).
+
+    Columns per row mirror :func:`~pinterest_data_pipeline_spark.
+    operators.dedup.cap_drop_report`: bucket counts, over-cap bucket
+    counts, rows, rows trimmed by the min-id retention, and the
+    trimmed-row share in integer ppm.
+
+    Scale: one partial-combinable size aggregate per join key (the
+    same shuffles the joins pay), each collapsing to a single row."""
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+    )
+    var_row = cap_drop_report(
+        _deletion_variants(base), ["__v"], max_bucket_size
+    ).withColumn("join_side", F.lit("variant"))
+    eq_row = cap_drop_report(
+        base, ["__name"], max_bucket_size
+    ).withColumn("join_side", F.lit("name_eq"))
+    cols = [
+        "join_side",
+        "n_buckets",
+        "n_buckets_capped",
+        "n_rows",
+        "n_rows_trimmed",
+        "trimmed_rows_ppm",
+    ]
+    return var_row.select(*cols).unionByName(eq_row.select(*cols))
 
 
 def jaccard_exact_join(

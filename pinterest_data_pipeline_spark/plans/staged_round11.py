@@ -102,21 +102,46 @@ def _stage(name: str, oracle: str | None = None):
 @_stage(
     "fastss_customer_name_pairs",
     oracle="""
-    WITH v AS (
+    WITH v0 AS (
         SELECT DISTINCT c_custkey AS id, c_name AS name,
                CASE WHEN i = 0 THEN c_name
                     ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
                END AS var
         FROM customer, UNNEST(range(0, length(c_name) + 1)) AS r(i)
     ),
-    cand AS (
+    v AS (
+        SELECT id, name, var FROM (
+            SELECT id, name, var,
+                   ROW_NUMBER() OVER (PARTITION BY var ORDER BY id) AS rn
+            FROM v0
+        ) WHERE rn <= 64
+    ),
+    e AS (
+        SELECT id, name FROM (
+            SELECT c_custkey AS id, c_name AS name,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_name ORDER BY c_custkey
+                   ) AS rn
+            FROM customer
+        ) WHERE rn <= 64
+    ),
+    eqp AS (
+        SELECT a.id AS key_a, b.id AS key_b,
+               a.name AS name_a, b.name AS name_b
+        FROM e a JOIN e b ON a.name = b.name AND a.id < b.id
+    ),
+    nep AS (
         SELECT DISTINCT a.id AS key_a, b.id AS key_b,
                a.name AS name_a, b.name AS name_b
-        FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+        FROM v a JOIN v b
+          ON a.var = b.var AND a.id < b.id AND a.name <> b.name
     )
+    SELECT key_a, key_b, name_a, name_b, CAST(0 AS INTEGER) AS ed
+    FROM eqp
+    UNION ALL
     SELECT key_a, key_b, name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS INTEGER) AS ed
-    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    FROM nep WHERE levenshtein(name_a, name_b) <= 1
     ORDER BY key_a, key_b
     """,
 )
@@ -125,17 +150,28 @@ def fastss_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-deletion neighborhoods (operators/similarity_join) — the
     record-linkage join that needs no block key: Customer#000000417 vs
     Customer#000000418 collide on the variant that deletes the
-    differing digit. The DuckDB oracle replays the identical variant
-    construction, candidate join, and levenshtein verification.
+    differing digit. Runs with the production skew guard
+    (``max_bucket_size=64``): each variant bucket and each equal-name
+    group keeps its 64 smallest-id members (no bucket in any test SF
+    comes near 64, so the guard is active but non-trimming here — its
+    trimming behavior is pinned by the planted-hot-key tests). The
+    DuckDB oracle replays the identical variant construction, BOTH
+    min-id retentions (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    id) <= 64``), the split equal/unequal emission, and the
+    levenshtein verification — note the oracle's unequal branch keeps
+    a pair-level DISTINCT while the Spark plan has none, so a
+    hash-match also certifies the exactly-once emission proof.
 
-    Scale: Σ(len+1) variant rows through one equi-join shuffle; verify
-    on candidates only."""
+    Scale: Σ(len+1) variant rows through one equi-join shuffle, both
+    joins bucket-capped; verify on candidates only."""
     from pinterest_data_pipeline_spark.operators.similarity_join import (
         edit_distance_one_pairs,
     )
 
     cust = load_table(spark, sf_dir, "customer")
-    return edit_distance_one_pairs(cust, "c_custkey", "c_name")
+    return edit_distance_one_pairs(
+        cust, "c_custkey", "c_name", max_bucket_size=64
+    )
 
 
 @_stage(

@@ -180,6 +180,121 @@ def test_fastss_randomized_multiset_equals_brute_force(spark):
     assert got == brute
 
 
+def test_fastss_cap_bounds_planted_hot_keys(spark):
+    """Planted hot keys on BOTH capped joins (VERDICT r10 item 4): a
+    name duplicated far past the cap (hot equal-name group) and a
+    cluster of distinct single-substitution names sharing one deletion
+    variant (hot variant key). With ``max_bucket_size=cap`` the output
+    must equal the brute-force ED<=1 pair set RESTRICTED to the min-id
+    retention replay — pairs among the cap smallest ids of each group
+    survive, the rest are trimmed, never duplicated."""
+    import collections
+
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        edit_distance_one_pairs,
+    )
+
+    cap = 4
+    names = []
+    # hot equal-name group: 10 copies of the same name (> cap)
+    for i in range(10):
+        names.append((i, "hotname"))
+    # hot variant key: "qXrst" for 8 distinct X — all share variant
+    # "qrst" (delete position 2), pairwise ED=1 via substitution
+    for j, ch in enumerate("abcdefgh"):
+        names.append((100 + j, f"q{ch}rst"))
+    # bystanders under the cap
+    names += [(200, "zz"), (201, "zza")]
+    df = spark.createDataFrame(names, "id long, name string")
+    rows = edit_distance_one_pairs(
+        df, "id", "name", max_bucket_size=cap
+    ).collect()
+    counts = collections.Counter((r["key_a"], r["key_b"]) for r in rows)
+    assert counts and max(counts.values()) == 1, counts
+    got = {(r["key_a"], r["key_b"], r["ed"]) for r in rows}
+
+    # replay the retention in plain python: cap smallest ids per
+    # equal-name group, cap smallest ids per variant bucket
+    def dels(s):
+        return [s] + [s[:i] + s[i + 1 :] for i in range(len(s))]
+
+    by_name = collections.defaultdict(list)
+    for i, n in names:
+        by_name[n].append(i)
+    eq_expected = set()
+    for n, ids in by_name.items():
+        for ia, ib in itertools.combinations(sorted(ids)[:cap], 2):
+            eq_expected.add((ia, ib, 0))
+    by_var = collections.defaultdict(list)
+    for i, n in names:
+        for v in set(dels(n)):
+            by_var[v].append((i, n))
+    kept = collections.defaultdict(set)  # variant -> retained ids
+    for v, members in by_var.items():
+        for i, n in sorted(members)[:cap]:
+            kept[v].add(i)
+    name_of = dict(names)
+    ne_expected = set()
+    for v, ids in kept.items():
+        for ia, ib in itertools.combinations(sorted(ids), 2):
+            na, nb = name_of[ia], name_of[ib]
+            if na != nb and _levenshtein(na, nb) <= 1:
+                ne_expected.add((ia, ib, 1))
+    assert got == eq_expected | ne_expected
+    # the cap actually bit: full brute force is strictly larger
+    brute = {
+        (ia, ib)
+        for (ia, na), (ib, nb) in itertools.combinations(names, 2)
+        if _levenshtein(na, nb) <= 1
+    }
+    assert len(brute) > len(got)
+    # and within each hot group exactly C(cap,2) pairs survive
+    assert sum(1 for k in got if k[2] == 0 and k[0] < 10) == cap * (
+        cap - 1
+    ) // 2
+
+
+def test_fastss_trim_report_quantifies_planted_skew(spark):
+    """The no-silent-caps companion: on the same planted-skew corpus
+    the report must show exactly which join trims how much."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        edit_distance_one_trim_report,
+    )
+
+    cap = 4
+    names = [(i, "hotname") for i in range(10)]
+    names += [(100 + j, f"q{ch}rst") for j, ch in enumerate("abcdefgh")]
+    df = spark.createDataFrame(names, "id long, name string")
+    rep = {
+        r["join_side"]: r
+        for r in edit_distance_one_trim_report(
+            df, "id", "name", cap
+        ).collect()
+    }
+    assert set(rep) == {"variant", "name_eq"}
+    eq = rep["name_eq"]
+    # one oversized group (hotname x10) trimmed to 4 -> 6 rows out
+    assert eq["n_buckets_capped"] == 1
+    assert eq["n_rows_trimmed"] == 10 - cap
+    assert eq["n_rows"] == 18
+    var = rep["variant"]
+    # "hotname" itself (8 variants x 10 copies all over cap) plus the
+    # shared "qrst" deletion bucket (8 members) are all capped
+    assert var["n_buckets_capped"] >= 9
+    assert var["n_rows_trimmed"] >= 8 * (10 - cap) + (8 - cap)
+    assert 0 < var["trimmed_rows_ppm"] < 1_000_000
+
+
+def test_fastss_cap_rejects_pairless_cap(spark):
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        edit_distance_one_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        edit_distance_one_pairs(df, "id", "name", max_bucket_size=1)
+
+
 def test_jaccard_prefix_join_equals_brute_force(spark):
     """Constructed token sets around the 19/20 boundary: the prefix
     join must find exactly the brute-force qualifying pairs, including
