@@ -101,8 +101,14 @@ try:
 except ImportError:
     pass
 try:
-    # registers only PROMOTED_IN_ROUND10 (4 names); the rest stay staged
+    # fully promoted as of round 11 (PROMOTED_IN_ROUND10 + ROUND11)
     import pinterest_data_pipeline_spark.plans.staged_round11  # noqa: F401
+except ImportError:
+    pass
+try:
+    # registers only PROMOTED_IN_ROUND11 (6 names); the two
+    # graph/linkage queries stay staged for the round-12 window
+    import pinterest_data_pipeline_spark.plans.staged_round12  # noqa: F401
 except ImportError:
     pass
 

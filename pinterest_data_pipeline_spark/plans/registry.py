@@ -42,113 +42,98 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 10 WINDOW: exactly 50 entries.
-    # Arithmetic (pre-planned in round 9's ROTATION NOTES, widened to
-    # 12 promotions per the r9 verdict's backlog-burn-down advice):
-    # 8 staged_round10 promotions + 4 early staged_round11 promotions
-    # (the exact-similarity-join family + its storage-layout sibling,
-    # PROMOTED_IN_ROUND10 in plans/staged_round11.py); 10 slots
-    # re-certify the r4-evidence remainder; 28 slots refresh green rows
-    # oldest-evidence-first (the r5-evidence set in registration order,
-    # first 28 of 49 — the 21-query remainder rolls to round 11).
-    # 12 + 10 + 28 = 50 holds exactly.
+    # ---- ROUND 11 WINDOW: exactly 50 entries.
+    # Arithmetic (pre-planned in round 10's ROTATION NOTES, adjusted
+    # for one changed-query re-certification): 12 promotions
+    # (6 staged_round11 pipeline-operations + the first 6 of
+    # staged_round12) + 1 changed-in-r11 re-certification
+    # (fastss_customer_name_pairs gained the max_bucket_size=64 skew
+    # cap and a retention-replaying oracle) + the 21-query r5-evidence
+    # remainder + the first 16 of the r6-evidence set in registration
+    # order. 12 + 1 + 21 + 16 = 50 holds exactly.
     #
-    # -- (1) the eight round-8-staged queries, now registered
-    # (plans/staged_round10.py — full oracles, strict-mirror parity at
-    # sf0.001 + sf0.01, x30 stress rows, pre-pinned plan shapes; built
-    # in r8, first driver rows here): privacy release gate
-    # (k-anonymity), behavioral features (RFM quintile segments,
-    # Markov log-loss), retrieval infrastructure (positional phrase
-    # search, AP@10, PQ training gate), time-series audits (day-of-week
-    # seasonality ppm, CUSUM changepoint).
-    "k_anonymity_docs",
-    "rfm_user_segments",
-    "markov_path_logloss",
-    "phrase_query_table_hash",
-    "average_precision_by_source",
-    "pq_codebook_train_gate",
-    "dow_seasonality_events",
-    "cusum_changepoint_revenue",
-    # -- (2) four early promotions from plans/staged_round11.py — the
-    # EXACT-similarity-join family the r9 verdict called out as the
-    # one built-but-uncertified operator group, plus the Z-order
-    # layout/pruning report: FastSS Levenshtein<=1 pairs from one
-    # variant-key equi-join, prefix-filter PPJoin Jaccard>=1/2 with
-    # the integer den*|A∩B| >= num*|A∪B| predicate, exact containment
-    # pairs, and the interleaved-bits layout pruning report.
+    # -- (1) six round-8-staged pipeline-operations queries
+    # (plans/staged_round11.py — full oracles, strict-mirror parity at
+    # sf0.001 + sf0.01, x30 stress rows; first driver rows here):
+    "watermark_lateness_audit",
+    "mann_kendall_daily_trend",
+    "peak_concurrency_daily",
+    "varint_layout_size_report",
+    "merkle_diff_orders",
+    "rendezvous_reshard_stability",
+    # -- (2) first six of the round-8-staged measurement batch
+    # (plans/staged_round12.py): bootstrap CI, group-sequential alpha
+    # spending, span-corruption plan, profile drift, mutual NN,
+    # Davies-Bouldin cell quality.
+    "poisson_bootstrap_ci_value",
+    "obrien_fleming_interim_looks",
+    "span_corruption_plan_docs",
+    "profile_drift_audit",
+    "mutual_nn_pairs_sample",
+    "embedding_cell_quality_db",
+    # -- (3) changed in round 11: the FastSS join gained the min-id
+    # variant/name bucket cap (max_bucket_size=64) and its oracle now
+    # replays both retentions — re-certify.
     "fastss_customer_name_pairs",
-    "jaccard_exact_doc_pairs",
-    "containment_exact_doc_pairs",
-    "zorder_layout_pruning_report",
-    # -- (3) r4-evidence remainder (the 10 rows round 9's rotation
-    # could not fit), completing the r4 set's refresh.
-    "bloom_semi_join_prune",
-    "bucketed_colocated_join",
-    "rolling_1h_user_value",
-    "event_transition_matrix",
-    "gap_fill_hourly_user_value",
-    "cumulative_unique_users",
-    "histogram_acctbal_width_bucket",
-    "per_source_lang_mix",
-    "corr_cov_value_hour",
-    "crosstab_type_value_band",
-    # -- (4) oldest-evidence rotation: the r5-evidence set in
-    # registration order (28 of 49; the 21-query remainder —
-    # window_running_and_lag onward — rotates in round 11).
-    "q1_top_segment_per_nation",
-    "q2_top_priority_per_year",
-    "q3a_top_customer_per_nation",
-    "q3b_top_nation_overall",
-    "q4_top_priority_per_balance_bucket",
-    "q5_orders_per_year",
-    "project_rename_drop",
-    "filter_pushdown_scan",
-    "null_standardize_replace",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
-    "conditional_null_funcs",
-    "cast_funcs",
-    "join_inner_large",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "agg_pricing_summary",
-    "agg_distinct_counts",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets_sql",
-    "topk_orders",
-    "window_rank_top3",
-    "window_running_and_lag",
-    "set_union_all",
+    # -- (4) oldest-evidence rotation: the 21-query r5-evidence
+    # remainder in registration order (completes the r5 set's refresh).
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "pivot_status_counts",
+    "unpivot_part_attrs",
+    "json_extract_events",
+    "sessionize_events",
+    "array_funcs_embeddings",
+    "to_json_envelope",
+    "pinterest_q1_top_category_per_country",
+    "pinterest_q2_top_category_per_year",
+    "pinterest_q3_top_user_per_country",
+    "pinterest_q4_top_category_per_age_group",
+    "pinterest_q5_users_joined_per_year",
+    "ivf_kmeans_codebook_assign",
+    "embedding_ivf_multiprobe_topk",
+    "key_skew_profile_events",
+    "decontaminate_embedding_cosine",
+    "quality_linear_gate",
+    "asof_nearest_view_per_click",
+    "mixture_sqrt_temperature_plan",
+    # -- (5) oldest-evidence rotation continued: the first 16 of the
+    # r6-evidence set in registration order (the remaining 28 roll to
+    # round 12).
+    "limit_offset_sample",
+    "approx_distinct_events",
+    "approx_distinct_error_bound",
+    "approx_percentile_error_bound",
+    "levenshtein_similar_names",
+    "collect_segments_per_nation",
+    "window_distribution_funcs",
+    "scalar_date_arithmetic",
+    "approx_percentiles_sketch",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "exact_dedup_fingerprint",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
     # ---- 50-row window boundary ----
     #
-    # ROUND-11 ROTATION NOTES (window arithmetic pre-planned):
-    #   (a) 6 promotions from plans/staged_round11.py (the
-    #       pipeline-operations remainder): watermark_lateness_audit,
-    #       mann_kendall_daily_trend, peak_concurrency_daily,
-    #       varint_layout_size_report, merkle_diff_orders,
-    #       rendezvous_reshard_stability; plus 6 promotions from
-    #       plans/staged_round12.py (bootstrap CI, OBF interim looks,
-    #       span-corruption plan, profile drift, mutual NN, DB cell
-    #       quality) = 12 promotions.
-    #   (b) changed-in-r10 re-certifications: queue as they happen.
+    # ROUND-12 ROTATION NOTES (window arithmetic pre-planned):
+    #   (a) 12 promotions: the staged_round12 remainder
+    #       (lpa_purchasing_communities, fellegi_sunter_link_weights)
+    #       plus all 10 of plans/staged_round13.py (k-core,
+    #       l-diversity, Dirichlet LM, ERR@10, post-stratified lift,
+    #       survivorship golden record, Good-Turing, KMV sketch, Fano
+    #       burstiness, SRM audit).
+    #   (b) changed-in-r11 re-certifications: queue as they happen.
     #   (c) fill the remaining ~38 slots oldest-evidence-first: the
-    #       21-query r5-evidence remainder (set_intersect ...
-    #       mixture_sqrt_temperature_plan), then the r6-evidence set
-    #       in registration order — 17 fit; the rest roll to round 12,
-    #       where the remaining staged_round12 promotions join them.
-    #   12 + 21 + 17 = 50 holds exactly.
+    #       28-query r6-evidence remainder (embedding_near_dup_pairs
+    #       onward in registration order) fits with 10 slots left for
+    #       the oldest r7-evidence rows.
+    #   12 + 28 + 10 = 50 holds exactly.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
-    #   round 11: plans/staged_round11.py remainder, 6 queries
-    #     (pipeline operations) + staged_round12 first half;
-    #   round 12: plans/staged_round12.py remainder (LPA communities,
-    #     Fellegi-Sunter link weights) + staged_round13 (10: k-core,
-    #     l-diversity, Dirichlet LM, ERR@10, survivorship golden
-    #     record, Good-Turing, KMV sketch, Fano burstiness, SRM audit);
     #   round 13: plans/staged_round14.py, 8 queries (SNM blocking
     #     recall, degree assortativity, Heaps vocab growth, idempotency
     #     conflict audit, revenue proration, quantile normalization,
@@ -156,16 +141,19 @@ CHECK_FIRST: list[str] = [
     #   round 14: plans/staged_round15.py, 8 queries (association
     #     rules, Theil-Sen slope, LLR collocations, coverage/diversity
     #     eval, MASE backtest, 2-D skyline, trending rank shift, TwoNN
-    #     intrinsic dimension) + plans/staged_round16.py seed.
+    #     intrinsic dimension);
+    #   round 15: plans/staged_round16.py (Spearman, Kruskal-Wallis,
+    #     EB shrinkage, contrastive negatives, Burrows' Delta) +
+    #     plans/staged_round17.py seed.
     #   All oracled + strict-mirror parity-tested at two SFs.
     #
-    # STANDING ROTATION RULE (policy since round 5; held r4→r9):
+    # STANDING ROTATION RULE (policy since round 5; held r4→r10):
     # each round's window must fit new + changed + reds; cap net-new
     # registrations so that holds (new + changed + oldest-stale ≤ 50),
     # and fill every remaining slot with green rows
     # oldest-evidence-first. Never let a query sit never-checked across
     # a round boundary. (Superseded windows live in git history; the
-    # r9 window is commit 0c473ac's parent.)
+    # r10 window is commit 0acd1ee's parent.)
 ]
 
 CHECK_LAST: list[str] = [

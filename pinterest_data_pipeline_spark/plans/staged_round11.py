@@ -64,9 +64,8 @@ STAGED_ORACLE: dict[str, str] = {}
 
 # EARLY PROMOTIONS (round 10): the round-9 verdict asked for 12
 # promotions per window to burn down the staging backlog, so the
-# exact-similarity-join family (+ its storage-layout sibling) rides the
-# round-10 window alongside the eight staged_round10 queries. The six
-# pipeline-operations queries stay staged for round 11.
+# exact-similarity-join family (+ its storage-layout sibling) rode the
+# round-10 window alongside the eight staged_round10 queries.
 PROMOTED_IN_ROUND10 = {
     "fastss_customer_name_pairs",
     "jaccard_exact_doc_pairs",
@@ -74,15 +73,28 @@ PROMOTED_IN_ROUND10 = {
     "zorder_layout_pruning_report",
 }
 
+# ROUND-11 PROMOTIONS: the six pipeline-operations queries, per the
+# registry ROTATION NOTES pre-plan — this file is now fully promoted.
+PROMOTED_IN_ROUND11 = {
+    "watermark_lateness_audit",
+    "mann_kendall_daily_trend",
+    "peak_concurrency_daily",
+    "varint_layout_size_report",
+    "merkle_diff_orders",
+    "rendezvous_reshard_stability",
+}
+
+PROMOTED = PROMOTED_IN_ROUND10 | PROMOTED_IN_ROUND11
+
 
 def _stage(name: str, oracle: str | None = None):
     """registry.register's contract, into the round-11 staging dicts;
-    names in PROMOTED_IN_ROUND10 also hit registry.register proper
-    (driver surface). register() validates those; local-only names
-    validate here."""
+    names in PROMOTED also hit registry.register proper (driver
+    surface). register() validates those; local-only names validate
+    here."""
 
     def deco(fn):
-        if name in PROMOTED_IN_ROUND10:
+        if name in PROMOTED:
             register(name, oracle)(fn)
         else:
             if name in STAGED_QUERIES:

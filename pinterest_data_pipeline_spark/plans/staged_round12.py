@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 from pinterest_data_pipeline_spark.operators.bootstrap import (
     POISSON_CDF_U32,
 )
-from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.registry import (
+    has_sql_line_comment,
+    register,
+)
 from pinterest_data_pipeline_spark.plans.training_data import (
     _PLANES_SQL,
     _cos_sql,
@@ -51,14 +54,36 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 STAGED_ORACLE: dict[str, str] = {}
 
 
+# ROUND-11 PROMOTIONS (registry ROTATION NOTES pre-plan): the first
+# six of this batch ride the round-11 window; the two graph/linkage
+# queries (LPA communities, Fellegi-Sunter link weights) stay staged
+# for round 12.
+PROMOTED_IN_ROUND11 = {
+    "poisson_bootstrap_ci_value",
+    "obrien_fleming_interim_looks",
+    "span_corruption_plan_docs",
+    "profile_drift_audit",
+    "mutual_nn_pairs_sample",
+    "embedding_cell_quality_db",
+}
+
+
 def _stage(name: str, oracle: str | None = None):
-    """registry.register's contract, into the round-12 staging dicts."""
+    """registry.register's contract, into the round-12 staging dicts;
+    names in PROMOTED_IN_ROUND11 also hit registry.register proper
+    (driver surface). register() validates those; local-only names
+    validate here."""
 
     def deco(fn):
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name: {name}")
-        if oracle is not None and has_sql_line_comment(oracle):
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        if name in PROMOTED_IN_ROUND11:
+            register(name, oracle)(fn)
+        else:
+            if name in STAGED_QUERIES:
+                raise ValueError(f"duplicate staged query name: {name}")
+            if oracle is not None and has_sql_line_comment(oracle):
+                raise ValueError(
+                    f"oracle for {name} contains a `--` SQL comment"
+                )
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLE[name] = " ".join(oracle.split())

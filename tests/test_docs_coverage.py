@@ -144,16 +144,15 @@ def test_staged_names_do_not_collide_across_rounds():
         STAGED_QUERIES as R15,
     )
 
-    from pinterest_data_pipeline_spark.plans.staged_round11 import (
-        PROMOTED_IN_ROUND10,
+    from pinterest_data_pipeline_spark.plans.staged_round12 import (
+        PROMOTED_IN_ROUND11 as R12_PROMOTED,
     )
     from pinterest_data_pipeline_spark.plans.staged_round16 import (
         STAGED_QUERIES as R16,
     )
 
     staged = {
-        "R11": set(R11) - PROMOTED_IN_ROUND10,
-        "R12": set(R12), "R13": set(R13),
+        "R12": set(R12) - R12_PROMOTED, "R13": set(R13),
         "R14": set(R14), "R15": set(R15), "R16": set(R16),
     }
     names = [set(R7), set(R8), set(R9), set(R10), set(R11), set(R12),
@@ -161,16 +160,16 @@ def test_staged_names_do_not_collide_across_rounds():
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             assert not (a & b)
-    # R7/R8/R9/R10 promoted in their rounds (R10's window also early-
-    # promoted R11's similarity-join family): every promoted name must
-    # now BE registered (advisor r6: a collision would otherwise only
-    # surface at promotion time — post-promotion the subset assert
-    # catches it in CI, and the not-yet-promoted rounds keep the
-    # disjointness form).
+    # R7-R11 promoted in their rounds (R11's window also promoted the
+    # first half of R12): every promoted name must now BE registered
+    # (advisor r6: a collision would otherwise only surface at
+    # promotion time — post-promotion the subset assert catches it in
+    # CI, and the not-yet-promoted rounds keep the disjointness form).
     assert set(R7) <= set(em.queries())
     assert set(R8) <= set(em.queries())
     assert set(R9) <= set(em.queries())
     assert set(R10) <= set(em.queries())
-    assert PROMOTED_IN_ROUND10 <= set(em.queries())
+    assert set(R11) <= set(em.queries())
+    assert R12_PROMOTED <= set(em.queries())
     for tag, batch in staged.items():
         assert not (batch & set(em.queries())), tag

@@ -31,22 +31,21 @@ from tests.oracle_utils import (
 
 def test_promotion_split_matches_plan():
     """Round-10 early-promoted the four-query exact-similarity/layout
-    family (PROMOTED_IN_ROUND10); the six pipeline-operations queries
-    must stay off the driver surface until the round-11 window."""
+    family; round 11 promoted the six pipeline-operations queries —
+    the whole batch is now on the driver surface, oracles included."""
     import __spark_entry__ as entry_mod
 
     from pinterest_data_pipeline_spark.plans.staged_round11 import (
-        PROMOTED_IN_ROUND10,
+        PROMOTED,
     )
 
+    assert PROMOTED == set(STAGED_QUERIES)
     queries = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
-    missing = PROMOTED_IN_ROUND10 - queries
+    missing = PROMOTED - queries
     assert not missing, f"promoted queries not registered: {missing}"
-    missing_oracle = PROMOTED_IN_ROUND10 - oracles
+    missing_oracle = PROMOTED - oracles
     assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
-    leaked = (set(STAGED_QUERIES) - PROMOTED_IN_ROUND10) & queries
-    assert not leaked, f"staged queries leaked into the registry: {leaked}"
 
 
 def test_every_staged_query_has_an_oracle():

@@ -27,11 +27,24 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
+def test_promotion_split_matches_plan():
+    """Round 11 promoted the first six of this batch; the two
+    graph/linkage queries must stay off the driver surface until the
+    round-12 window."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    from pinterest_data_pipeline_spark.plans.staged_round12 import (
+        PROMOTED_IN_ROUND11,
+    )
+
+    queries = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    missing = PROMOTED_IN_ROUND11 - queries
+    assert not missing, f"promoted queries not registered: {missing}"
+    missing_oracle = PROMOTED_IN_ROUND11 - oracles
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
+    leaked = (set(STAGED_QUERIES) - PROMOTED_IN_ROUND11) & queries
+    assert not leaked, f"staged queries leaked into the registry: {leaked}"
 
 
 def test_every_staged_query_has_an_oracle():
