@@ -92,3 +92,60 @@ def markov_logloss(
         F.round(avg_ll, 6).alias("avg_logloss_r6"),
         F.round(F.exp(avg_ll), 6).alias("perplexity_r6"),
     )
+
+
+def top_path_trigrams(
+    df: DataFrame,
+    subject_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Sequential-pattern mining, PrefixSpan's length-3 workhorse tier:
+    the ``top_k`` most frequent CONSECUTIVE state trigrams across all
+    subject sequences, with their occurrence support and subject reach:
+
+        (path, support, n_subjects, path_rank)
+
+    ``path`` is 'a>b>c'; ``support`` counts occurrences (a subject can
+    contribute many); ``n_subjects`` counts distinct subjects containing
+    the trigram at least once — the (frequency, reach) pair that
+    separates "one bot loops this path" from "everyone does this".
+    First-order transition matrices (`event_transition_matrix`) cannot
+    see order-3 structure: a>b>c vs c>b>a have identical bigram rows.
+
+    Ordering is (ts, tiebreak) per subject — deterministic under
+    concurrent events, matching `markov_logloss`. The top-k order is
+    (support DESC, path ASC), a total order, so LIMIT is deterministic
+    and an oracle replays it.
+
+    Scale: one per-subject lead window (single shuffle on subject), one
+    grouped (count, count_distinct) on the trigram, then
+    TakeOrderedAndProject for the LIMIT — no global sort materializes
+    the full trigram relation."""
+    seq_w = Window.partitionBy(subject_col).orderBy(ts_col, tiebreak_col)
+    tri = (
+        df.select(
+            F.col(subject_col).alias("__subj"),
+            F.col(state_col).alias("__s1"),
+            F.lead(state_col, 1).over(seq_w).alias("__s2"),
+            F.lead(state_col, 2).over(seq_w).alias("__s3"),
+        )
+        .where(F.col("__s3").isNotNull())
+        .select(
+            "__subj",
+            F.concat_ws(">", "__s1", "__s2", "__s3").alias("path"),
+        )
+    )
+    counted = tri.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support"),
+        F.count_distinct("__subj").cast("bigint").alias("n_subjects"),
+    )
+    top = counted.orderBy(
+        F.col("support").desc(), F.col("path").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("support").desc(), F.col("path").asc())
+    return top.withColumn(
+        "path_rank", F.row_number().over(w).cast("int")
+    ).orderBy("path_rank")

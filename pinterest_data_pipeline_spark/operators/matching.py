@@ -1,0 +1,170 @@
+"""Caliper nearest-neighbor matching — the observational-causal layer
+of the experimentation plane: when assignment was NOT randomized (or a
+randomized readout needs a covariate-balanced subset), each treatment
+unit is paired with its nearest control on a covariate, within a
+caliper, and the estimate runs on the matched set. The quality readout
+is covariate BALANCE: the standardized mean difference (SMD) before vs
+after matching — matching succeeded when |SMD| collapses toward 0
+(|SMD| < 0.1 is the conventional "balanced" bar).
+
+Matching rule (deterministic, with replacement): control c matches
+treatment t when |x_t − x_c| ≤ caliper, minimizing (|x_t − x_c|, c_id)
+— the id tiebreak makes the argmin total, so every engine and the SQL
+oracle reproduce the identical matched set. With-replacement matching
+keeps the operator one join + one argmin (greedy without-replacement
+matching is inherently sequential — a driver-side loop at any scale —
+and is out of scope by design).
+
+Candidate generation is BUCKETED, never n²: with bucket = floor(x /
+caliper), any control within the caliper of t lives in t's bucket ± 1,
+so treatments probe exactly 3 buckets. Candidate volume is (local
+control density) × 3 per treatment — linear in units for any
+non-degenerate covariate. A pathological spike (many controls in one
+bucket) degrades that bucket only; the LSH bucket-cap pattern applies
+if a production covariate is that degenerate.
+
+Exactness: the covariate enters in INTEGER units (cents); |dx| and the
+argmin are integer comparisons; means/variances derive from bigint
+sums cast to double only for the final scalar arithmetic (identical
+expressions both engines), rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def caliper_match_balance(
+    units: DataFrame,
+    id_col: str,
+    arm_col: str,
+    x_col: str,
+    caliper: int,
+) -> DataFrame:
+    """ONE-row matching + balance report over a unit relation with a
+    two-valued ``arm_col`` ('treatment'/'control') and an integer
+    covariate ``x_col``:
+
+        (n_treatment, n_control, n_matched, match_rate_r6,
+         mean_abs_dx_r6, smd_before_r6, smd_after_r6)
+
+    ``smd_before_r6`` is the classic pooled-SD standardized mean
+    difference over ALL units; ``smd_after_r6`` re-reads it over the
+    matched pairs (treatment x vs matched-control x), against the SAME
+    pre-matching pooled SD so the two numbers share a scale (Stuart
+    2010's convention). Degenerate inputs yield NULL, never a throw
+    (ANSI-safe): SMDs need ≥ 2 units per arm, the after-matching stats
+    need ≥ 1 match. ``mean_abs_dx_r6`` is the average matched
+    distance in covariate units.
+
+    Scale: one grouped moment aggregate per arm (map-side combine, ONE
+    row each), one bucketed equi-join (treatments explode to 3 probe
+    buckets), one per-treatment integer argmin via min(struct), then a
+    single-row aggregate. No window over the full relation, no n²."""
+    if caliper < 1:
+        raise ValueError(f"caliper must be >= 1, got {caliper}")
+    base = units.select(
+        F.col(id_col).alias("__id"),
+        F.col(arm_col).alias("__arm"),
+        F.col(x_col).cast("bigint").alias("__x"),
+    )
+    # floor(x / caliper) via double division: x is integer cents, so
+    # x/caliper lands exactly on an integer only when caliper divides x
+    # — where the double quotient is exact — making floor engine-safe
+    # for negative balances too (integer `div` truncation differs
+    # between engines on negatives; floor does not).
+    bucket = F.floor(
+        F.col("__x").cast("double") / F.lit(float(caliper))
+    ).cast("bigint")
+    treat = base.filter(F.col("__arm") == "treatment").select(
+        F.col("__id").alias("__tid"),
+        F.col("__x").alias("__tx"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("__b"),
+    )
+    ctrl = base.filter(F.col("__arm") == "control").select(
+        F.col("__id").alias("__cid"),
+        F.col("__x").alias("__cx"),
+        bucket.alias("__b"),
+    )
+    cand = (
+        treat.join(ctrl, "__b")
+        .withColumn("__adx", F.abs(F.col("__tx") - F.col("__cx")))
+        .filter(F.col("__adx") <= caliper)
+    )
+    matched = cand.groupBy("__tid", "__tx").agg(
+        F.min(F.struct("__adx", "__cid", "__cx")).alias("__best")
+    )
+    pair_stats = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum("__best.__adx").cast("bigint").alias("__sum_adx"),
+        F.sum("__tx").cast("bigint").alias("__sum_mt"),
+        F.sum("__best.__cx").cast("bigint").alias("__sum_mc"),
+    )
+    arm_is_t = F.when(F.col("__arm") == "treatment", 1).otherwise(0)
+    moments = base.agg(
+        F.sum(arm_is_t).cast("bigint").alias("n_treatment"),
+        F.sum(1 - arm_is_t).cast("bigint").alias("n_control"),
+        F.sum(arm_is_t * F.col("__x")).cast("bigint").alias("__sx_t"),
+        F.sum((1 - arm_is_t) * F.col("__x"))
+        .cast("bigint")
+        .alias("__sx_c"),
+        F.sum(arm_is_t * F.col("__x") * F.col("__x"))
+        .cast("bigint")
+        .alias("__sxx_t"),
+        F.sum((1 - arm_is_t) * F.col("__x") * F.col("__x"))
+        .cast("bigint")
+        .alias("__sxx_c"),
+    )
+    out = moments.crossJoin(F.broadcast(pair_stats))
+    nt = F.col("n_treatment").cast("double")
+    nc = F.col("n_control").cast("double")
+    # ANSI-safe guards: SMDs are undefined when either arm has < 2
+    # units (sample variance needs n-1 > 0) — NULL, never a throw
+    both_arms = (F.col("n_treatment") > 1) & (F.col("n_control") > 1)
+    mean_t = F.when(
+        F.col("n_treatment") > 0, F.col("__sx_t").cast("double") / nt
+    )
+    mean_c = F.when(
+        F.col("n_control") > 0, F.col("__sx_c").cast("double") / nc
+    )
+    var_t = F.when(
+        F.col("n_treatment") > 1,
+        (F.col("__sxx_t").cast("double") - nt * mean_t * mean_t)
+        / (nt - F.lit(1.0)),
+    )
+    var_c = F.when(
+        F.col("n_control") > 1,
+        (F.col("__sxx_c").cast("double") - nc * mean_c * mean_c)
+        / (nc - F.lit(1.0)),
+    )
+    sd_pool = F.sqrt((var_t + var_c) / F.lit(2.0))
+    nm = F.col("n_matched").cast("double")
+    smd_before = F.when(both_arms, (mean_t - mean_c) / sd_pool)
+    smd_after = F.when(
+        both_arms & (F.col("n_matched") > 0),
+        (
+            F.col("__sum_mt").cast("double") / nm
+            - F.col("__sum_mc").cast("double") / nm
+        )
+        / sd_pool,
+    )
+    return out.select(
+        "n_treatment",
+        "n_control",
+        "n_matched",
+        F.round(F.when(F.col("n_treatment") > 0, nm / nt), 6).alias(
+            "match_rate_r6"
+        ),
+        F.round(
+            F.when(
+                F.col("n_matched") > 0,
+                F.col("__sum_adx").cast("double") / nm,
+            ),
+            6,
+        ).alias("mean_abs_dx_r6"),
+        F.round(smd_before, 6).alias("smd_before_r6"),
+        F.round(smd_after, 6).alias("smd_after_r6"),
+    )

@@ -113,3 +113,95 @@ def l_diversity_audit(
             6,
         ).alias("diverse_share_r6"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[Column | str],
+    sensitive_col: str,
+    t_threshold: float = 0.5,
+) -> DataFrame:
+    """One-row t-closeness audit (Li, Li & Venkatasubramanian 2007) —
+    the third gate of the release trio: k-anonymity bounds class SIZE,
+    ℓ-diversity bounds sensitive-value VARIETY, t-closeness bounds how
+    far a class's sensitive-value DISTRIBUTION sits from the global one
+    (the skewness/similarity attacks ℓ-diversity still allows — a class
+    can hold ℓ distinct values yet be 99% one of them). For a
+    categorical sensitive attribute under the uniform ground distance,
+    the Earth-Mover's Distance reduces to total variation:
+
+        t(class) = ½ · Σ_v |p_class(v) − p_global(v)|
+
+    Returns (n_rows, n_classes, t_max_r6, classes_above_t,
+    rows_above_t, compliant_share_r6). The above/below split compares
+    the ROUNDED t (6 decimals) against ``t_threshold`` so the gate is
+    engine-stable at the boundary. NULL sensitive values count as a
+    value; NULL quasi-values group together (the k_anonymity_audit
+    convention).
+
+    Absent-value folding (what keeps this join-sized): a global value v
+    absent from a class contributes exactly p_global(v), so with
+    Q_class = Σ_{v∈class} p_global(v),
+
+        t(class) = ½·(Σ_{v∈class} |p_class(v) − p_global(v)| + 1 − Q_class)
+
+    — everything runs on the (class, value) relation of ONE grouped
+    count; no |classes| × |values| expansion exists. The global
+    marginal joins broadcast (|values| rows); class totals come from a
+    second aggregate of the same cells.
+
+    Scale: one (quasi..., sensitive) grouped count (map-side combine),
+    one same-key re-aggregate to class totals, a broadcast value
+    marginal, then aggregates over the |classes| relation."""
+    quasi = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    names = [f"__q{i}" for i in range(len(quasi))]
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("__NULL__")
+    )
+    cells = df.groupBy(
+        *[c.alias(n) for c, n in zip(quasi, names)], sens.alias("__v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__nqv"))
+    class_tot = cells.groupBy(*names).agg(
+        F.sum("__nqv").cast("bigint").alias("__nq")
+    )
+    val_tot = cells.groupBy("__v").agg(
+        F.sum("__nqv").cast("bigint").alias("__nv")
+    )
+    nn = cells.agg(F.sum("__nqv").cast("bigint").alias("__nn"))
+    p_cls = F.col("__nqv").cast("double") / F.col("__nq").cast("double")
+    p_glob = F.col("__nv").cast("double") / F.col("__nn").cast("double")
+    per_class = (
+        cells.join(class_tot, names)
+        .join(F.broadcast(val_tot), "__v")
+        .crossJoin(F.broadcast(nn))
+        .groupBy(*names)
+        .agg(
+            F.max("__nq").cast("bigint").alias("__n"),
+            F.round(
+                F.lit(0.5)
+                * (
+                    F.sum(F.abs(p_cls - p_glob))
+                    + F.lit(1.0)
+                    - F.sum(p_glob)
+                ),
+                6,
+            ).alias("__t"),
+        )
+    )
+    n, t = F.col("__n"), F.col("__t")
+    return per_class.agg(
+        F.sum(n).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.round(F.max(t), 6).alias("t_max_r6"),
+        F.sum(F.when(t > t_threshold, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_above_t"),
+        F.sum(F.when(t > t_threshold, n).otherwise(0))
+        .cast("bigint")
+        .alias("rows_above_t"),
+        F.round(
+            F.sum(F.when(t <= t_threshold, n).otherwise(0)).cast("double")
+            / F.sum(n).cast("double"),
+            6,
+        ).alias("compliant_share_r6"),
+    )

@@ -250,6 +250,12 @@ QUERIES = [
     "contrastive_negative_sources",
     "burrows_delta_sources",
     "kruskal_wallis_value_by_type",
+    # round-11 seed for round 17 (plans/staged_round17.py)
+    "js_divergence_token_sources",
+    "mutual_info_lang_source_docs",
+    "t_closeness_docs",
+    "caliper_match_balance_customers",
+    "event_trigram_paths_top",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -367,6 +373,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round16 import (
         STAGED_QUERIES as STAGED_R16,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round17 import (
+        STAGED_QUERIES as STAGED_R17,
+    )
 
     for name in (only if only is not None else QUERIES):
         fn = (
@@ -381,7 +390,8 @@ def main() -> None:
             or STAGED_R13.get(name)
             or STAGED_R14.get(name)
             or STAGED_R15.get(name)
-            or STAGED_R16[name]
+            or STAGED_R16.get(name)
+            or STAGED_R17[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)
