@@ -164,6 +164,19 @@ CHECK_LAST: list[str] = [
     # hash-verified evidence. Pinning it here frees a window slot for
     # an unverified query every round.
     "multimodal_decode_features",
+    # HEAVY-PAIR SCHEDULING RULE (r10 verdict item 6): the exact-pair
+    # joins (jaccard_exact_doc_pairs, containment_exact_doc_pairs) and
+    # pq_codebook_train_gate are the registry's heaviest compute. When
+    # their green rows age to the oldest-evidence tier, rotate them
+    # through slots HERE (CHECK_LAST), never through a CHECK_FIRST
+    # slot an unverified promotion could use. Their standing evidence
+    # stays strong regardless: the dtype-strict local mirror re-checks
+    # every registered query at sf0.001 on each pytest run, and a
+    # CHECK_FIRST refresh slot is warranted only in a window with
+    # spare capacity (a light round with few promotions).
+    # fastss_customer_name_pairs took a CHECK_FIRST slot in round 11
+    # only because its implementation changed (skew cap) — a change
+    # re-cert outranks this rule.
 ]
 
 
