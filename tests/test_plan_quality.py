@@ -553,16 +553,22 @@ def test_merkle_diff_prunes_with_broadcast_semis(spark):
 
 
 def test_rendezvous_audit_is_agg_only(spark):
-    """HRW assignment = explode + two hash aggregates; no nested-loop
-    or cartesian anywhere, and the weight argmax is partial-combinable
-    (HashAggregate pairs), not a window over the exploded relation."""
+    """HRW assignment is a PROJECTION (weight array + array_position
+    argmax — the n_from weights are a prefix slice of the n_to array),
+    so the whole audit is: distinct keys (one hash exchange), one
+    5-counter partial-combinable aggregate (one SinglePartition
+    exchange), and a stack() Generate over the one-row result. No join
+    of any kind, no window, no explode over keys×shards."""
     plan = _staged_plan(
         spark, "staged_round11", "rendezvous_reshard_stability"
     )
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Join") == 0
     assert n_nodes(plan, "Window") == 0
-    assert n_nodes(plan, "HashAggregate") >= 8
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Generate") == 1  # the stack(), post-aggregate
+    assert "array_position" in plan and "slice(" in plan
 
 
 def test_bootstrap_resamples_in_one_scan(spark):
