@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline_spark.operators.bootstrap import (
@@ -279,50 +279,38 @@ def obrien_fleming_interim_looks(
         .otherwise(0)
         .alias("conv"),
     )
-    per = ev.groupBy("look", "arm").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("conv")
-    )
-    # ONE partition for the 10-row spine: range() defaults to
-    # defaultParallelism slices and crossJoin multiplies partition
-    # counts, which planned 32 × 32 = 1024 one-row tasks of pure
-    # scheduling overhead (measured 15 s of a 17 s count()).
-    spine = (
-        spark.range(1, 6)
-        .coalesce(1)
-        .select(F.col("id").alias("look"))
-        .crossJoin(
-            spark.createDataFrame(
-                [("treatment",), ("control",)], "arm string"
-            ).coalesce(1)
+    # ALL five cumulative looks as 20 conditional counters in ONE
+    # map-side-combinable aggregate (cumulative look k = sum over
+    # look <= k), then stack() fans the one-row result into the 5-look
+    # relation — the rendezvous_reshard_stability pattern. The earlier
+    # spine-join + per-arm running window + conditional-agg pivot
+    # computed the same 20 numbers through four tiny exchanges whose
+    # fixed scheduling/codegen cost dominated the query (measured ~7 s
+    # warm at sf0.1 vs ~1 s for this shape; the scan itself is 0.4 s).
+    is_t = F.col("arm") == "treatment"
+
+    def _cnt(k: int, treat: bool, of_conv: bool):
+        cond = (F.col("look") <= k) & (is_t if treat else ~is_t)
+        val = F.when(cond, F.col("conv") if of_conv else 1).otherwise(0)
+        return F.sum(val).cast("bigint").alias(
+            f"__{'t' if treat else 'c'}{'v' if of_conv else 'n'}{k}"
         )
+
+    one = ev.agg(
+        *[
+            _cnt(k, treat, of_conv)
+            for k in range(1, 6)
+            for treat in (True, False)
+            for of_conv in (False, True)
+        ]
     )
-    w = (
-        Window.partitionBy("arm")
-        .orderBy("look")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = spine.join(per, ["look", "arm"], "left").select(
-        "look",
-        "arm",
-        F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w).alias("n"),
-        F.sum(F.coalesce(F.col("conv"), F.lit(0))).over(w).alias("conv"),
-    )
-    # pivot by conditional aggregation in ONE pass — a filter/filter/
-    # self-join pivot of the same window output planned ~10 tiny stages
-    # of pure scheduling overhead (measured ~5 s for a 10-row relation)
-    looks = cum.groupBy("look").agg(
-        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias(
-            "n_treat"
-        ),
-        F.max(
-            F.when(F.col("arm") == "treatment", F.col("conv"))
-        ).alias("conv_treat"),
-        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias(
-            "n_ctrl"
-        ),
-        F.max(F.when(F.col("arm") == "control", F.col("conv"))).alias(
-            "conv_ctrl"
-        ),
+    looks = one.selectExpr(
+        "stack(5, "
+        + ", ".join(
+            f"CAST({k} AS BIGINT), __tn{k}, __tv{k}, __cn{k}, __cv{k}"
+            for k in range(1, 6)
+        )
+        + ") as (look, n_treat, conv_treat, n_ctrl, conv_ctrl)"
     )
     return group_sequential_obf(looks, "look", k_total=5)
 
