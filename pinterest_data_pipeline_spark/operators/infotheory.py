@@ -113,15 +113,23 @@ def mutual_information_categorical(
     MI = Σ_cells (n_xy/N)·ln(n_xy·N / (n_x·n_y)); entropies from the
     marginals; NMI = MI / sqrt(H(x)·H(y)) (NULL when either entropy is
     zero — a constant column carries no information to normalize by).
-    NULL category values form their own class (grouping semantics),
-    matching the privacy-audit convention.
+    NULL category values form their own class, matching the
+    privacy-audit convention — they are coalesced to the '__NULL__'
+    sentinel BEFORE grouping, because the marginal joins and the
+    distinct counts below would otherwise silently drop NULL-keyed
+    cells (equi-joins never match NULL = NULL; count_distinct ignores
+    NULLs).
 
     Scale: ONE grouped count over (x, y) (map-side combine) — marginals,
     entropies and the MI fold all run on the |x|×|y| cell relation,
     which is metadata-sized for any sane categorical pair. No second
     pass over the data exists."""
+
+    def _cat(c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("__NULL__"))
+
     cells = df.groupBy(
-        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        _cat(x_col).alias("__x"), _cat(y_col).alias("__y")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("__nxy"))
     mx = cells.groupBy("__x").agg(
         F.sum("__nxy").cast("bigint").alias("__nx")

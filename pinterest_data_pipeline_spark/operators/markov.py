@@ -132,7 +132,14 @@ def top_path_trigrams(
             F.lead(state_col, 1).over(seq_w).alias("__s2"),
             F.lead(state_col, 2).over(seq_w).alias("__s3"),
         )
-        .where(F.col("__s3").isNotNull())
+        .where(
+            # s3 NULL marks the sequence tail; s1/s2/s3 must ALL be
+            # non-NULL states — concat_ws silently skips NULLs, which
+            # would alias (a, NULL, c) to the 2-gram-looking "a>c"
+            F.col("__s1").isNotNull()
+            & F.col("__s2").isNotNull()
+            & F.col("__s3").isNotNull()
+        )
         .select(
             "__subj",
             F.concat_ws(">", "__s1", "__s2", "__s3").alias("path"),

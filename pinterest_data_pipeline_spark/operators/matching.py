@@ -68,7 +68,11 @@ def caliper_match_balance(
         F.col(id_col).alias("__id"),
         F.col(arm_col).alias("__arm"),
         F.col(x_col).cast("bigint").alias("__x"),
-    )
+    ).filter(F.col("__x").isNotNull())
+    # NULL covariates are excluded up front: a NULL x can neither be
+    # matched nor contribute to moments, and keeping such rows in the
+    # arm counts would silently skew means (sums skip NULLs, counts
+    # would not).
     # floor(x / caliper) via double division: x is integer cents, so
     # x/caliper lands exactly on an integer only when caliper divides x
     # — where the double quotient is exact — making floor engine-safe

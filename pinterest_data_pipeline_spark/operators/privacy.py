@@ -15,7 +15,7 @@ COLUMNS a release would keep.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -148,10 +148,12 @@ def t_closeness_audit(
     — everything runs on the (class, value) relation of ONE grouped
     count; no |classes| × |values| expansion exists. The global
     marginal joins broadcast (|values| rows); class totals come from a
-    second aggregate of the same cells.
+    window over the quasi keys (which groups NULL keys together — an
+    equi-join back on the quasi columns would silently drop NULL-keyed
+    classes).
 
     Scale: one (quasi..., sensitive) grouped count (map-side combine),
-    one same-key re-aggregate to class totals, a broadcast value
+    one class-key window over the cell relation, a broadcast value
     marginal, then aggregates over the |classes| relation."""
     quasi = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
     names = [f"__q{i}" for i in range(len(quasi))]
@@ -161,8 +163,14 @@ def t_closeness_audit(
     cells = df.groupBy(
         *[c.alias(n) for c, n in zip(quasi, names)], sens.alias("__v")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("__nqv"))
-    class_tot = cells.groupBy(*names).agg(
-        F.sum("__nqv").cast("bigint").alias("__nq")
+    # class totals come from a WINDOW over the quasi keys, not a join:
+    # window partitioning groups NULL keys together (the k_anonymity
+    # convention), while an equi-join back on the quasi columns would
+    # silently drop every NULL-keyed class (NULL = NULL never matches).
+    # __v needs no such care — it is sentinel-coalesced above.
+    class_w = Window.partitionBy(*[F.col(n) for n in names])
+    cells = cells.withColumn(
+        "__nq", F.sum("__nqv").over(class_w).cast("bigint")
     )
     val_tot = cells.groupBy("__v").agg(
         F.sum("__nqv").cast("bigint").alias("__nv")
@@ -171,8 +179,7 @@ def t_closeness_audit(
     p_cls = F.col("__nqv").cast("double") / F.col("__nq").cast("double")
     p_glob = F.col("__nv").cast("double") / F.col("__nn").cast("double")
     per_class = (
-        cells.join(class_tot, names)
-        .join(F.broadcast(val_tot), "__v")
+        cells.join(F.broadcast(val_tot), "__v")
         .crossJoin(F.broadcast(nn))
         .groupBy(*names)
         .agg(

@@ -212,6 +212,46 @@ def test_t_closeness_planted_skew_hand_value(spark):
     assert r["compliant_share_r6"] == 0.0
 
 
+def test_mi_null_categories_form_their_own_class(spark):
+    """NULL x must behave exactly like a distinct category (the
+    sentinel coalesce) — without it the marginal equi-join would
+    silently drop NULL-keyed cells."""
+    from pinterest_data_pipeline_spark.operators.infotheory import (
+        mutual_information_categorical,
+    )
+
+    with_null = spark.createDataFrame(
+        [(None, "p"), (None, "p"), ("b", "q"), ("b", "q")],
+        "x string, y string",
+    )
+    with_token = spark.createDataFrame(
+        [("__NULL__", "p"), ("__NULL__", "p"), ("b", "q"), ("b", "q")],
+        "x string, y string",
+    )
+    r1 = mutual_information_categorical(with_null, "x", "y").collect()[0]
+    r2 = mutual_information_categorical(with_token, "x", "y").collect()[0]
+    assert r1 == r2
+    assert r1["n_x_values"] == 2 and r1["n_rows"] == 4
+    assert r1["nmi_r6"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_t_closeness_null_quasi_class_is_kept(spark):
+    """A NULL quasi-identifier forms its own class (window partitioning
+    groups NULLs) — an equi-join back on the quasi key would have
+    dropped it, losing rows from the audit."""
+    from pinterest_data_pipeline_spark.operators.privacy import (
+        t_closeness_audit,
+    )
+
+    rows = [(None, "a")] * 4 + [("g", "a"), ("g", "b")] * 2
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness_audit(df, ["q"], "s", t_threshold=0.2).collect()[0]
+    assert r["n_rows"] == 8  # all rows accounted for, incl. NULL class
+    assert r["n_classes"] == 2
+    # global: 6a/2b = 0.75/0.25; NULL class all-a: t = 0.25; g: 0.25
+    assert r["t_max_r6"] == pytest.approx(0.25, abs=1e-6)
+
+
 def test_t_closeness_null_sensitive_is_a_value(spark):
     from pinterest_data_pipeline_spark.operators.privacy import (
         t_closeness_audit,
@@ -300,6 +340,30 @@ def test_caliper_match_no_match_yields_nulls(spark):
     assert r["mean_abs_dx_r6"] is None and r["smd_after_r6"] is None
 
 
+def test_caliper_match_null_covariate_excluded(spark):
+    """NULL x rows are excluded entirely — from matching AND from the
+    arm counts/moments (sums skip NULLs; counting such rows would skew
+    the means silently)."""
+    from pinterest_data_pipeline_spark.operators.matching import (
+        caliper_match_balance,
+    )
+
+    rows = [
+        (1, "treatment", 100),
+        (2, "treatment", None),
+        (10, "control", 150),
+        (11, "control", None),
+        (12, "control", 90),
+    ]
+    df = spark.createDataFrame(rows, "id long, arm string, x long")
+    r = caliper_match_balance(df, "id", "arm", "x", caliper=100).collect()[
+        0
+    ]
+    assert r["n_treatment"] == 1 and r["n_control"] == 2
+    assert r["n_matched"] == 1
+    assert r["mean_abs_dx_r6"] == pytest.approx(10.0, abs=1e-6)  # c12
+
+
 def test_caliper_match_rejects_zero_caliper(spark):
     from pinterest_data_pipeline_spark.operators.matching import (
         caliper_match_balance,
@@ -379,6 +443,28 @@ def test_trigrams_tiebreak_on_equal_timestamps(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = top_path_trigrams(df, top_k=5).collect()
     assert len(got) == 1 and got[0]["path"] == "a>b>c"
+
+
+def test_trigrams_null_state_never_aliases_a_bigram(spark):
+    """A NULL mid-sequence state drops every trigram containing it —
+    concat_ws would otherwise alias (a, NULL, c) to the 2-gram-looking
+    'a>c'."""
+    from pinterest_data_pipeline_spark.operators.markov import (
+        top_path_trigrams,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:01", "a"),
+        (2, 1, "2024-01-01 00:00:02", None),
+        (3, 1, "2024-01-01 00:00:03", "c"),
+        (4, 1, "2024-01-01 00:00:04", "d"),
+        (5, 1, "2024-01-01 00:00:05", "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(r["path"], r["support"]) for r in top_path_trigrams(df).collect()]
+    assert got == [("c>d>e", 1)]
 
 
 def test_trigrams_topk_order_is_total(spark):
