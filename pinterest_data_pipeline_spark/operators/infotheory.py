@@ -67,6 +67,11 @@ def js_divergence_by_group(
     sc = toks.groupBy(g, t).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
+    # one tokenize pass, guaranteed: four consumers read this relation
+    # (corpus marginal, group totals, grand total, the scored join) —
+    # materialize it once instead of trusting runtime exchange reuse
+    # (the jaccard_exact_join / burrows_delta discipline)
+    sc = sc.localCheckpoint(eager=True)
     corpus = sc.groupBy(t).agg(F.sum("__c").cast("bigint").alias("__cc"))
     tot = sc.groupBy(g).agg(F.sum("__c").cast("bigint").alias("__ns"))
     nn = corpus.agg(F.sum("__cc").cast("bigint").alias("__nn"))

@@ -905,3 +905,58 @@ def test_kruskal_wallis_tie_census_skips_the_rank_sort(spark):
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert n_nodes(plan, "Window") <= 3
+
+
+def test_jsd_reads_one_tokenize_and_broadcasts_totals(spark):
+    """JSD's four consumers (corpus marginal, group totals, grand
+    total, scored join) all read the localCheckpointed (source, term)
+    count — the tokenize explode never appears in the final plan; the
+    per-source totals and grand total join BROADCAST."""
+    plan = _staged_plan(spark, "staged_round17", "js_divergence_token_sources")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # 1-row total
+    assert n_nodes(plan, "Generate") == 0  # tokenize ran ONCE, upstream
+    assert n_nodes(plan, "Scan ExistingRDD") >= 4
+
+
+def test_mi_runs_on_the_cell_relation(spark):
+    """One grouped count over (lang, source); marginals/entropies fold
+    on the metadata-sized cells — every join a broadcast."""
+    plan = _staged_plan(spark, "staged_round17", "mutual_info_lang_source_docs")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert "ReadSchema: struct<lang:string,source:string>" in plan
+
+
+def test_t_closeness_scans_three_columns_once(spark):
+    """One (class, value) grouped count feeds the class window and the
+    broadcast value marginal; the scan reads only the three audit
+    columns."""
+    plan = _staged_plan(spark, "staged_round17", "t_closeness_docs")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert "ReadSchema: struct<lang:string,source:string,n_chars:bigint>" in plan
+
+
+def test_caliper_match_is_bucketed_never_n2(spark):
+    """The candidate join is an equi-join on the caliper bucket (the
+    3-bucket probe explode is the only Generate); no cartesian, no
+    nested loop over units."""
+    plan = _staged_plan(
+        spark, "staged_round17", "caliper_match_balance_customers"
+    )
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # 1-row stats cross
+    assert n_nodes(plan, "Generate") == 1
+    assert "ReadSchema: struct<c_custkey:bigint,c_acctbal:double>" in plan
+
+
+def test_trigram_paths_take_ordered_limit(spark):
+    """Top-20 trigram cut runs as TakeOrderedAndProject — the full
+    trigram relation is never globally sorted."""
+    plan = _staged_plan(spark, "staged_round17", "event_trigram_paths_top")
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
