@@ -201,6 +201,63 @@ def edit_distance_one_trim_report(
     return var_row.select(*cols).unionByName(eq_row.select(*cols))
 
 
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int, num: int, den: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of both prefix-filter joins: the distinct
+    (__id, __w) shingle relation (localCheckpointed — every consumer
+    reads it once) and the per-doc (__id, __n, __s, __plen) relation
+    with __s globally ordered rarest-first and __plen the prefix length
+    |X| − ⌈(num/den)·|X|⌉ + 1 in exact integers."""
+    if k < 1:
+        raise ValueError(f"shingle_size must be >= 1, got {k}")
+    toked = df.select(
+        F.col(id_col).alias("__id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("__toks"),
+    )
+    if k == 1:
+        words = F.explode("__toks")
+    else:
+        # pre-filter short docs: Spark's sequence(1, n) DESCENDS for
+        # n < 1, which would emit garbage slices instead of nothing
+        toked = toked.filter(F.size("__toks") >= k)
+        words = F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {k - 1}), "
+                f"i -> concat_ws(' ', slice(__toks, i, {k})))"
+            )
+        )
+    toks = toked.select("__id", words.alias("__w")).distinct()
+    toks = toks.localCheckpoint(eager=True)
+    freq = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
+    sets = (
+        toks.join(freq, "__w")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__f", "__w"))
+            ).alias("__ordered"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
+        .select(
+            "__id",
+            "__n",
+            F.expr("transform(__ordered, x -> x.__w)").alias("__s"),
+        )
+    )
+    plen = (
+        F.col("__n")
+        - F.expr(f"({num} * __n + {den} - 1) div {den}")
+        + 1
+    )
+    sets = sets.withColumn("__plen", plen.cast("int")).localCheckpoint(
+        eager=True
+    )
+    return toks, sets
+
+
 def jaccard_exact_join(
     df: DataFrame,
     id_col: str,
@@ -208,6 +265,7 @@ def jaccard_exact_join(
     threshold_num: int = 1,
     threshold_den: int = 2,
     shingle_size: int = 3,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """All unordered document pairs whose SHINGLE-SET Jaccard
     similarity is ≥ num/den, exactly, via prefix filtering. Returns
@@ -250,56 +308,17 @@ def jaccard_exact_join(
     (the higher τ, the shorter the prefix), exact set intersection on
     candidates. Against an all-duplicated corpus the output itself is
     quadratic — time tracking output is the correct asymptotic (the
-    winnowing precedent)."""
-    if shingle_size < 1:
-        raise ValueError(f"shingle_size must be >= 1, got {shingle_size}")
-    k = shingle_size
-    toked = df.select(
-        F.col(id_col).alias("__id"),
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-        ).alias("__toks"),
-    )
-    if k == 1:
-        words = F.explode("__toks")
-    else:
-        # pre-filter short docs: Spark's sequence(1, n) DESCENDS for
-        # n < 1, which would emit garbage slices instead of nothing
-        toked = toked.filter(F.size("__toks") >= k)
-        words = F.explode(
-            F.expr(
-                f"transform(sequence(1, size(__toks) - {k - 1}), "
-                f"i -> concat_ws(' ', slice(__toks, i, {k})))"
-            )
-        )
-    toks = toked.select("__id", words.alias("__w")).distinct()
-    toks = toks.localCheckpoint(eager=True)
-    freq = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
-    sets = (
-        toks.join(freq, "__w")
-        .groupBy("__id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("__f", "__w"))
-            ).alias("__ordered"),
-            F.count(F.lit(1)).cast("bigint").alias("__n"),
-        )
-        .select(
-            "__id",
-            "__n",
-            F.expr("transform(__ordered, x -> x.__w)").alias("__s"),
-        )
-    )
-    plen = (
-        F.col("__n")
-        - F.expr(
-            f"({threshold_num} * __n + {threshold_den} - 1) "
-            f"div {threshold_den}"
-        )
-        + 1
-    )
-    sets = sets.withColumn("__plen", plen.cast("int")).localCheckpoint(
-        eager=True
+    winnowing precedent). ``max_posting_size`` is the skew guard (the
+    edit_distance_one_pairs / LSH contract): each prefix-token posting
+    group keeps only its ``max_posting_size`` smallest-id rows in the
+    CANDIDATE join — a degenerate boilerplate shingle that survives
+    into prefixes can no longer make one join key quadratic. Emitted
+    pairs stay EXACT (verification always runs on the full sets); only
+    recall degrades, min-id survivors keep every hot cluster
+    detectable, and trim volume is queryable via
+    :func:`jaccard_trim_report`."""
+    toks, sets = _shingle_sets(
+        df, id_col, text_col, shingle_size, threshold_num, threshold_den
     )
     pre = sets.select(
         "__id",
@@ -310,6 +329,8 @@ def jaccard_exact_join(
     ).select(
         "__id", "__n", (F.col("__p0") + 1).alias("__p"), "__w"
     )
+    if max_posting_size is not None:
+        pre = cap_bucket_size(pre, ["__w"], max_posting_size)
     pa = pre.select(
         F.col("__id").alias("id_a"),
         F.col("__n").alias("__na"),
@@ -388,6 +409,7 @@ def containment_exact_join(
     threshold_num: int = 4,
     threshold_den: int = 5,
     shingle_size: int = 3,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """All ORDERED pairs (a, b) where a's shingle set is ≥ num/den
     CONTAINED in b's (|A∩B| ≥ τ·|A|, a ≠ b) — the asymmetric
@@ -408,60 +430,29 @@ def containment_exact_join(
     Scale: candidates = Σ over a's prefix shingles of their posting
     lists — the rare-shingle postings bound the work; the exact
     intersection runs on candidates only. Self-pairs are excluded;
-    both directions of a near-equal pair can legitimately appear."""
-    if shingle_size < 1:
-        raise ValueError(f"shingle_size must be >= 1, got {shingle_size}")
-    k = shingle_size
-    toked = df.select(
-        F.col(id_col).alias("__id"),
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-        ).alias("__toks"),
-    )
-    if k == 1:
-        words = F.explode("__toks")
-    else:
-        toked = toked.filter(F.size("__toks") >= k)
-        words = F.explode(
-            F.expr(
-                f"transform(sequence(1, size(__toks) - {k - 1}), "
-                f"i -> concat_ws(' ', slice(__toks, i, {k})))"
-            )
-        )
-    toks = toked.select("__id", words.alias("__w")).distinct()
-    toks = toks.localCheckpoint(eager=True)
-    freq = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
-    sets = (
-        toks.join(freq, "__w")
-        .groupBy("__id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("__f", "__w"))
-            ).alias("__ordered"),
-            F.count(F.lit(1)).cast("bigint").alias("__n"),
-        )
-        .select(
-            "__id",
-            "__n",
-            F.expr("transform(__ordered, x -> x.__w)").alias("__s"),
-        )
-    )
+    both directions of a near-equal pair can legitimately appear.
+    ``max_posting_size`` is the skew guard on BOTH candidate-join sides
+    (probe prefixes and full posting lists — the posting side is the
+    hot spot here, since b-side lists are uncut by design): min-id
+    retention per shingle, emitted pairs stay exact, recall degrades,
+    trim volume queryable via :func:`containment_trim_report`."""
     num, den = threshold_num, threshold_den
-    plen = (
-        F.col("__n")
-        - F.expr(f"({num} * __n + {den} - 1) div {den}")
-        + 1
-    )
-    sets = sets.withColumn("__plen", plen.cast("int")).localCheckpoint(
-        eager=True
+    toks, sets = _shingle_sets(
+        df, id_col, text_col, shingle_size, num, den
     )
     pre_a = sets.select(
         F.col("__id").alias("id_a"),
         F.explode(F.expr("slice(__s, 1, __plen)")).alias("__w"),
     )
+    post_b = toks
+    if max_posting_size is not None:
+        pre_a = cap_bucket_size(
+            pre_a, ["__w"], max_posting_size, id_col="id_a"
+        )
+        post_b = cap_bucket_size(post_b, ["__w"], max_posting_size)
     cand = (
         pre_a.join(
-            toks.select(F.col("__id").alias("id_b"), "__w"), "__w"
+            post_b.select(F.col("__id").alias("id_b"), "__w"), "__w"
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
@@ -499,3 +490,70 @@ def containment_exact_join(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def jaccard_trim_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_size: int = 3,
+    max_posting_size: int = 64,
+) -> DataFrame:
+    """One-row audit of what :func:`jaccard_exact_join` trims at
+    ``max_posting_size`` — the prefix-token posting groups that exceed
+    the cap, and the rows min-id retention removes. "No silent caps":
+    the companion that prices the recall degradation as a queryable
+    number. Columns mirror :func:`~pinterest_data_pipeline_spark.
+    operators.dedup.cap_drop_report` plus the ``join_side`` label.
+
+    Scale: the same shingle pipeline as the join up to the prefix
+    relation, then one partial-combinable size aggregate."""
+    _, sets = _shingle_sets(
+        df, id_col, text_col, shingle_size, threshold_num, threshold_den
+    )
+    pre = sets.select(
+        "__id", F.explode(F.expr("slice(__s, 1, __plen)")).alias("__w")
+    )
+    return cap_drop_report(pre, ["__w"], max_posting_size).withColumn(
+        "join_side", F.lit("prefix")
+    )
+
+
+def containment_trim_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_size: int = 3,
+    max_posting_size: int = 64,
+) -> DataFrame:
+    """Two-row audit of what :func:`containment_exact_join` trims at
+    ``max_posting_size``, labeled by ``join_side``: ``probe_prefix``
+    (a's rarest-shingle prefixes) and ``posting`` (the FULL b-side
+    posting lists — the hot spot, uncut by design in the exact join).
+    Columns mirror :func:`~pinterest_data_pipeline_spark.operators.
+    dedup.cap_drop_report`."""
+    toks, sets = _shingle_sets(
+        df, id_col, text_col, shingle_size, threshold_num, threshold_den
+    )
+    pre_a = sets.select(
+        "__id", F.explode(F.expr("slice(__s, 1, __plen)")).alias("__w")
+    )
+    cols = [
+        "join_side",
+        "n_buckets",
+        "n_buckets_capped",
+        "n_rows",
+        "n_rows_trimmed",
+        "trimmed_rows_ppm",
+    ]
+    probe = cap_drop_report(pre_a, ["__w"], max_posting_size).withColumn(
+        "join_side", F.lit("probe_prefix")
+    )
+    post = cap_drop_report(toks, ["__w"], max_posting_size).withColumn(
+        "join_side", F.lit("posting")
+    )
+    return probe.select(*cols).unionByName(post.select(*cols))

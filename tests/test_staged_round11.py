@@ -364,6 +364,84 @@ def test_jaccard_shingles_find_planted_near_dup(spark):
     assert (row["n_inter"], row["n_union"]) == (25, 31)
 
 
+def test_jaccard_posting_cap_degrades_never_corrupts(spark):
+    """max_posting_size on a planted hot prefix shingle: capped output
+    must be a SUBSET of uncapped output (emitted pairs stay exact —
+    verification always reads the full sets), min-id survivors of the
+    hot cluster still pair, and the trim report prices the cut."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        jaccard_exact_join,
+        jaccard_trim_report,
+    )
+
+    # 8 identical docs (every prefix shingle hot) + 2 unrelated
+    docs = [(i, "alpha beta gamma delta") for i in range(8)]
+    docs += [(100, "zz yy xx ww"), (101, "zz yy xx vv")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(threshold_num=1, threshold_den=2, shingle_size=1)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_exact_join(df, "doc_id", "text", **kw).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_exact_join(
+            df, "doc_id", "text", max_posting_size=3, **kw
+        ).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)  # the cap actually bit
+    # min-id survivors of the hot cluster (docs 0,1,2) still pair
+    assert {(0, 1), (0, 2), (1, 2)} <= capped
+    # the unrelated small group is untouched
+    assert (100, 101) in capped
+    rep = jaccard_trim_report(
+        df, "doc_id", "text", max_posting_size=3, **kw
+    ).collect()[0]
+    assert rep["join_side"] == "prefix"
+    assert rep["n_buckets_capped"] >= 1
+    assert rep["n_rows_trimmed"] >= 5
+
+
+def test_containment_posting_cap_degrades_never_corrupts(spark):
+    """Same contract for the containment join, whose uncut b-side
+    posting lists are the hot spot: capped ⊆ uncapped, exactness of
+    emitted rows kept, two-row report labels both join sides."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        containment_exact_join,
+        containment_trim_report,
+    )
+
+    docs = [(i, "alpha beta gamma delta epsilon") for i in range(8)]
+    docs += [(100, "solo unique words entirely")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(threshold_num=4, threshold_den=5, shingle_size=1)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in containment_exact_join(
+            df, "doc_id", "text", **kw
+        ).collect()
+    }
+    capped_rows = containment_exact_join(
+        df, "doc_id", "text", max_posting_size=3, **kw
+    ).collect()
+    capped = {(r["id_a"], r["id_b"]) for r in capped_rows}
+    assert capped <= full
+    assert len(capped) < len(full)
+    # emitted rows carry the TRUE intersection sizes (full-set verify)
+    for r in capped_rows:
+        assert r["n_inter"] == 5 and r["n_a"] == 5
+    rep = {
+        r["join_side"]: r
+        for r in containment_trim_report(
+            df, "doc_id", "text", max_posting_size=3, **kw
+        ).collect()
+    }
+    assert set(rep) == {"probe_prefix", "posting"}
+    assert rep["posting"]["n_rows_trimmed"] >= 5 * (8 - 3)
+    assert 0 < rep["posting"]["trimmed_rows_ppm"] < 1_000_000
+
+
 def test_containment_asymmetric_hand_case(spark):
     """A 10-token quote inside a 60-token page: containment(a in b) = 1
     (all of a's shingles appear in b) while Jaccard is far below 1/2;
