@@ -126,7 +126,12 @@ CHECK_FIRST: list[str] = [
     #       l-diversity, Dirichlet LM, ERR@10, post-stratified lift,
     #       survivorship golden record, Good-Turing, KMV sketch, Fano
     #       burstiness, SRM audit).
-    #   (b) changed-in-r11 re-certifications: queue as they happen.
+    #   (b) changed-in-r12 re-certifications: queue as they happen.
+    #       NOTE the r11 pair-join refactor (shared _shingle_sets +
+    #       opt-in max_posting_size caps) is plan-identical at the
+    #       registered defaults and was re-checked against the driver
+    #       mirror at sf0.01 in r11; queue jaccard/containment
+    #       re-certs only into spare capacity (heavy-pair rule below).
     #   (c) fill the remaining ~38 slots oldest-evidence-first: the
     #       28-query r6-evidence remainder (embedding_near_dup_pairs
     #       onward in registration order) fits with 10 slots left for
