@@ -365,22 +365,16 @@ def jaccard_exact_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    # the verify join must NEVER broadcast the sets side: its row count
-    # is modest but each row carries the full shingle array, so AQE's
-    # row-count-flattered size estimate can pick a broadcast that OOMs
-    # the driver exactly when candidates are small (observed at the
-    # capped x100 point). The merge hint pins a shuffle join; the
-    # shuffle is sets-sized, which the pipeline already pays.
     sa = sets.select(
         F.col("__id").alias("id_a"),
         F.col("__s").alias("__sa"),
         F.col("__n").alias("__na"),
-    ).hint("merge")
+    )
     sb = sets.select(
         F.col("__id").alias("id_b"),
         F.col("__s").alias("__sb"),
         F.col("__n").alias("__nb"),
-    ).hint("merge")
+    )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
     return (
         cand.join(sa, "id_a")
@@ -464,19 +458,16 @@ def containment_exact_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    # never broadcast the sets side (see jaccard_exact_join — the
-    # array-carrying relation's size estimate undercounts bytes; the
-    # broadcast attempt OOMed the driver at the capped x100 point)
     sa = sets.select(
         F.col("__id").alias("id_a"),
         F.col("__s").alias("__sa"),
         F.col("__n").alias("n_a"),
-    ).hint("merge")
+    )
     sb = sets.select(
         F.col("__id").alias("id_b"),
         F.col("__s").alias("__sb"),
         F.col("__n").alias("n_b"),
-    ).hint("merge")
+    )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
     return (
         cand.join(sa, "id_a")

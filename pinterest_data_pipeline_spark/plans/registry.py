@@ -44,13 +44,13 @@ ORACLE: dict[str, str] = {}
 CHECK_FIRST: list[str] = [
     # ---- ROUND 11 WINDOW: exactly 50 entries.
     # Arithmetic (pre-planned in round 10's ROTATION NOTES, adjusted
-    # for three changed-query re-certifications): 12 promotions
+    # for one changed-query re-certification): 12 promotions
     # (6 staged_round11 pipeline-operations + the first 6 of
-    # staged_round12) + 3 changed-in-r11 re-certifications (the FastSS
-    # skew cap + retention-replaying oracle; the two prefix-filter
-    # joins' verify-join merge hints) + the 21-query r5-evidence
-    # remainder + the first 14 of the r6-evidence set in registration
-    # order. 12 + 3 + 21 + 14 = 50 holds exactly.
+    # staged_round12) + 1 changed-in-r11 re-certification
+    # (fastss_customer_name_pairs gained the max_bucket_size=64 skew
+    # cap and a retention-replaying oracle) + the 21-query r5-evidence
+    # remainder + the first 16 of the r6-evidence set in registration
+    # order. 12 + 1 + 21 + 16 = 50 holds exactly.
     #
     # -- (1) six round-8-staged pipeline-operations queries
     # (plans/staged_round11.py — full oracles, strict-mirror parity at
@@ -73,15 +73,16 @@ CHECK_FIRST: list[str] = [
     "embedding_cell_quality_db",
     # -- (3) changed in round 11: the FastSS join gained the min-id
     # variant/name bucket cap (max_bucket_size=64) and its oracle now
-    # replays both retentions; the two prefix-filter pair joins gained
-    # merge hints pinning their verify joins to shuffle joins (AQE's
-    # row-count-flattered estimate of the array-carrying sets relation
-    # picked a driver-OOM broadcast at the capped x100 point) — all
-    # three re-certify. A change re-cert outranks the heavy-pair
-    # CHECK_LAST rule.
+    # replays both retentions — re-certify. (The prefix-filter pair
+    # joins keep their r10-certified verify formulation: a three-way
+    # strategy study this round — merge hints, shuffle_hash hints, and
+    # a token-level counting verify — measured WORSE than AQE's
+    # regime-adaptive choice in at least one operating regime each;
+    # PERF.md "verify-join strategy study". Their only r11 source
+    # change is the plan-identical _shingle_sets refactor + unused-at-
+    # default cap parameters, re-checked against the driver mirror at
+    # sf0.01.)
     "fastss_customer_name_pairs",
-    "jaccard_exact_doc_pairs",
-    "containment_exact_doc_pairs",
     # -- (4) oldest-evidence rotation: the 21-query r5-evidence
     # remainder in registration order (completes the r5 set's refresh).
     "set_intersect",
@@ -105,9 +106,9 @@ CHECK_FIRST: list[str] = [
     "quality_linear_gate",
     "asof_nearest_view_per_click",
     "mixture_sqrt_temperature_plan",
-    # -- (5) oldest-evidence rotation continued: the first 14 of the
-    # r6-evidence set in registration order (the remaining 30 roll to
-    # round 12; two slots ceded to the pair-join re-certs above).
+    # -- (5) oldest-evidence rotation continued: the first 16 of the
+    # r6-evidence set in registration order (the remaining 28 roll to
+    # round 12).
     "limit_offset_sample",
     "approx_distinct_events",
     "approx_distinct_error_bound",
@@ -122,6 +123,8 @@ CHECK_FIRST: list[str] = [
     "text_lang_id",
     "exact_dedup_fingerprint",
     "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
     # ---- 50-row window boundary ----
     #
     # ROUND-12 ROTATION NOTES (window arithmetic pre-planned):
@@ -132,15 +135,16 @@ CHECK_FIRST: list[str] = [
     #       survivorship golden record, Good-Turing, KMV sketch, Fano
     #       burstiness, SRM audit).
     #   (b) changed-in-r12 re-certifications: queue as they happen.
-    #       (The r11 pair-join changes — shared _shingle_sets, opt-in
-    #       max_posting_size caps, verify-join merge hints — are fully
-    #       re-certified inside the r11 window above; nothing carries
-    #       over.)
+    #       (The r11 pair-join source changes — shared _shingle_sets,
+    #       opt-in max_posting_size caps — are plan-identical at the
+    #       registered defaults and were re-checked against the driver
+    #       mirror at sf0.01 in r11; queue jaccard/containment
+    #       refresh rows only into spare capacity, heavy-pair rule.)
     #   (c) fill the remaining ~38 slots oldest-evidence-first: the
-    #       30-query r6-evidence remainder (embedding_cosine_topk
-    #       onward in registration order) fits with 8 slots left for
+    #       28-query r6-evidence remainder (embedding_near_dup_pairs
+    #       onward in registration order) fits with 10 slots left for
     #       the oldest r7-evidence rows.
-    #   12 + 30 + 8 = 50 holds exactly.
+    #   12 + 28 + 10 = 50 holds exactly.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
     #   round 13: plans/staged_round14.py, 8 queries (SNM blocking
