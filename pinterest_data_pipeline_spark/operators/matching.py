@@ -73,14 +73,14 @@ def caliper_match_balance(
     # matched nor contribute to moments, and keeping such rows in the
     # arm counts would silently skew means (sums skip NULLs, counts
     # would not).
-    # floor(x / caliper) via double division: x is integer cents, so
-    # x/caliper lands exactly on an integer only when caliper divides x
-    # — where the double quotient is exact — making floor engine-safe
-    # for negative balances too (integer `div` truncation differs
-    # between engines on negatives; floor does not).
-    bucket = F.floor(
-        F.col("__x").cast("double") / F.lit(float(caliper))
-    ).cast("bigint")
+    # floor(x / caliper) in EXACT integer arithmetic: subtract the
+    # non-negative remainder ((x % c) + c) % c so the numerator is an
+    # exact multiple of c, where `div` truncation equals floor — also
+    # for negative balances. (A double round-trip loses integer
+    # precision for |x| >= 2^53, silently shifting boundary buckets;
+    # this formulation is exact over the full bigint range.)
+    c = int(caliper)
+    bucket = F.expr(f"(__x - ((__x % {c}) + {c}) % {c}) div {c}")
     treat = base.filter(F.col("__arm") == "treatment").select(
         F.col("__id").alias("__tid"),
         F.col("__x").alias("__tx"),
@@ -115,11 +115,24 @@ def caliper_match_balance(
         F.sum((1 - arm_is_t) * F.col("__x"))
         .cast("bigint")
         .alias("__sx_c"),
-        F.sum(arm_is_t * F.col("__x") * F.col("__x"))
-        .cast("bigint")
+        # second moments in decimal(38,0): x*x overflows bigint for
+        # |x| > ~3.04e9 (ANSI throw), and the bucket fix above makes
+        # the full bigint covariate range legal — so the moments must
+        # survive it too. decimal(38,0) holds x^2 up to ~1e38 exactly;
+        # the variance math downstream reads these as double anyway.
+        F.sum(
+            arm_is_t
+            * F.col("__x").cast("decimal(38,0)")
+            * F.col("__x").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
         .alias("__sxx_t"),
-        F.sum((1 - arm_is_t) * F.col("__x") * F.col("__x"))
-        .cast("bigint")
+        F.sum(
+            (1 - arm_is_t)
+            * F.col("__x").cast("decimal(38,0)")
+            * F.col("__x").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
         .alias("__sxx_c"),
     )
     out = moments.crossJoin(F.broadcast(pair_stats))
@@ -145,10 +158,15 @@ def caliper_match_balance(
         / (nc - F.lit(1.0)),
     )
     sd_pool = F.sqrt((var_t + var_c) / F.lit(2.0))
+    # SMDs also need a POSITIVE pooled spread: when both arms are
+    # constant (var_t + var_c == 0.0) the quotient would raise
+    # DIVIDE_BY_ZERO under ANSI mode — gate to NULL instead (the
+    # DuckDB oracle mirrors this with CASE WHEN sd_pool > 0).
+    has_spread = both_arms & ((var_t + var_c) > F.lit(0.0))
     nm = F.col("n_matched").cast("double")
-    smd_before = F.when(both_arms, (mean_t - mean_c) / sd_pool)
+    smd_before = F.when(has_spread, (mean_t - mean_c) / sd_pool)
     smd_after = F.when(
-        both_arms & (F.col("n_matched") > 0),
+        has_spread & (F.col("n_matched") > 0),
         (
             F.col("__sum_mt").cast("double") / nm
             - F.col("__sum_mc").cast("double") / nm

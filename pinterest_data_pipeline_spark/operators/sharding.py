@@ -71,6 +71,16 @@ def hrw_assign(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     max weight wins, ties (md5-prefix collisions) break to the lowest
     shard id (array_position takes the first max).
 
+    CONTRACT (changed when the groupBy formulation became a projection;
+    both are explicit, not incidental):
+    - one output row PER INPUT ROW — duplicate keys are NOT deduped
+      (the old groupBy returned one row per distinct key; callers that
+      need that add ``.distinct()``, as ``reshard_stability`` does);
+    - a NULL key gets a NULL shard (``concat`` propagates NULL through
+      md5, so every weight — and the argmax — is NULL; the old
+      ``concat_ws`` silently hashed NULL as the empty string, which
+      collided NULL with '' — the NULL-out is the saner contract).
+
     Scale: ONE projection — the n weights live in an array cell and the
     argmax is an expression, so assignment adds zero shuffles to
     whatever partitioning ``df`` already has (the exploded

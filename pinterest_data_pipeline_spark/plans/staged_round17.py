@@ -208,8 +208,10 @@ def mutual_info_lang_source_docs(
         FROM documents GROUP BY 1, 2, 3
     ),
     ct AS (
-        SELECT source, len_bucket, CAST(SUM(nqv) AS BIGINT) AS nq
-        FROM cells GROUP BY 1, 2
+        SELECT source, len_bucket, v, nqv,
+               CAST(SUM(nqv) OVER (PARTITION BY source, len_bucket)
+                    AS BIGINT) AS nq
+        FROM cells
     ),
     vt AS (SELECT v, CAST(SUM(nqv) AS BIGINT) AS nv FROM cells GROUP BY v),
     nn AS (SELECT CAST(SUM(nqv) AS BIGINT) AS nn FROM cells),
@@ -218,9 +220,8 @@ def mutual_info_lang_source_docs(
                round(0.5 * (
                    SUM(abs(CAST(nqv AS DOUBLE)/nq - CAST(nv AS DOUBLE)/nn))
                    + 1 - SUM(CAST(nv AS DOUBLE)/nn)), 6) AS t
-        FROM cells JOIN ct USING (source, len_bucket)
-                   JOIN vt USING (v)
-                   CROSS JOIN nn
+        FROM ct JOIN vt USING (v)
+                CROSS JOIN nn
         GROUP BY 1, 2
     )
     SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
@@ -273,7 +274,8 @@ def t_closeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT id, x, arm,
-               CAST(floor(CAST(x AS DOUBLE) / 1000.0) AS BIGINT) AS fb
+               CAST((x - ((x % 1000) + 1000) % 1000) // 1000
+                    AS BIGINT) AS fb
         FROM u
     ),
     t AS (
@@ -342,8 +344,10 @@ def t_closeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_matched > 0
                 THEN round(CAST(sadx AS DOUBLE) / nm, 6) END
                AS mean_abs_dx_r6,
-           round((mean_t - mean_c) / sd_pool, 6) AS smd_before_r6,
-           CASE WHEN n_matched > 0
+           CASE WHEN sd_pool > 0
+                THEN round((mean_t - mean_c) / sd_pool, 6) END
+               AS smd_before_r6,
+           CASE WHEN n_matched > 0 AND sd_pool > 0
                 THEN round((CAST(smt AS DOUBLE)/nm
                             - CAST(smc AS DOUBLE)/nm) / sd_pool, 6) END
                AS smd_after_r6
@@ -394,7 +398,8 @@ def caliper_match_balance_customers(
     ),
     tri AS (
         SELECT user_id, s1 || '>' || s2 || '>' || s3 AS path
-        FROM seq WHERE s3 IS NOT NULL
+        FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+                   AND s3 IS NOT NULL
     ),
     counted AS (
         SELECT path, CAST(COUNT(*) AS BIGINT) AS support,

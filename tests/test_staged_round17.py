@@ -379,6 +379,51 @@ def test_caliper_match_rejects_zero_caliper(spark):
         )
 
 
+def test_caliper_match_constant_covariate_smd_is_null(spark):
+    """Both arms constant (zero pooled variance): the SMDs are
+    undefined — NULL, never an ANSI DIVIDE_BY_ZERO throw (r11 advisor
+    finding: the both_arms guard alone did not cover sd_pool == 0)."""
+    from pinterest_data_pipeline_spark.operators.matching import (
+        caliper_match_balance,
+    )
+
+    rows = [
+        (1, "treatment", 500),
+        (2, "treatment", 500),
+        (10, "control", 500),
+        (11, "control", 500),
+    ]
+    r = caliper_match_balance(
+        _match_df(spark, rows), "id", "arm", "x", caliper=1000
+    ).collect()[0]
+    assert r["n_matched"] == 2
+    assert r["smd_before_r6"] is None
+    assert r["smd_after_r6"] is None
+
+
+def test_caliper_match_bucket_exact_beyond_double_precision(spark):
+    """Covariates above 2^53: the bucket must come from exact integer
+    floor division. At xt = 1152921504606864999 / xc = ...864000
+    (distance 999 <= caliper 1000) the old double round-trip put the
+    pair in buckets ...865 vs ...863 — outside the +/-1 probe, a
+    silently missed in-caliper match; exact buckets are ...864/...864.
+    Also exercises the decimal(38,0) second moments (x^2 ~ 1.3e36
+    overflows bigint)."""
+    from pinterest_data_pipeline_spark.operators.matching import (
+        caliper_match_balance,
+    )
+
+    rows = [
+        (1, "treatment", 1152921504606864999),
+        (10, "control", 1152921504606864000),
+    ]
+    r = caliper_match_balance(
+        _match_df(spark, rows), "id", "arm", "x", caliper=1000
+    ).collect()[0]
+    assert r["n_matched"] == 1
+    assert r["mean_abs_dx_r6"] == pytest.approx(999.0, abs=1e-6)
+
+
 def test_caliper_match_balance_improves_on_planted_shift(spark):
     """Treatments shifted +800 vs controls: matching within the caliper
     pulls the matched-set SMD well below the raw SMD."""
