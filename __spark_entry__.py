@@ -106,9 +106,13 @@ try:
 except ImportError:
     pass
 try:
-    # registers only PROMOTED_IN_ROUND11 (6 names); the two
-    # graph/linkage queries stay staged for the round-12 window
+    # fully promoted as of round 12 (PROMOTED_IN_ROUND11 + ROUND12)
     import pinterest_data_pipeline_spark.plans.staged_round12  # noqa: F401
+except ImportError:
+    pass
+try:
+    # fully promoted as of round 12 (PROMOTED_IN_ROUND12, all 10)
+    import pinterest_data_pipeline_spark.plans.staged_round13  # noqa: F401
 except ImportError:
     pass
 

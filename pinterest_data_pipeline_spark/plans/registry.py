@@ -42,131 +42,121 @@ ORACLE: dict[str, str] = {}
 # correctness row across rounds even though each single round checks at
 # most 50.
 CHECK_FIRST: list[str] = [
-    # ---- ROUND 11 WINDOW: exactly 50 entries.
-    # Arithmetic (pre-planned in round 10's ROTATION NOTES, adjusted
-    # for one changed-query re-certification): 12 promotions
-    # (6 staged_round11 pipeline-operations + the first 6 of
-    # staged_round12) + 1 changed-in-r11 re-certification
-    # (fastss_customer_name_pairs gained the max_bucket_size=64 skew
-    # cap and a retention-replaying oracle) + the 21-query r5-evidence
-    # remainder + the first 16 of the r6-evidence set in registration
-    # order. 12 + 1 + 21 + 16 = 50 holds exactly.
+    # ---- ROUND 12 WINDOW: exactly 50 entries.
+    # Arithmetic (pre-planned in round 11's ROTATION NOTES, adjusted
+    # to land the two outstanding pair-join re-certifications and the
+    # new trim-report registration the r11 verdict asked for):
+    # 12 promotions (the 2-query staged_round12 remainder + all 10 of
+    # staged_round13) + 1 new registration (jaccard_trim_report_capped,
+    # r11 verdict item 5) + 2 changed-in-r11 re-certifications
+    # (jaccard/containment exact pair joins: the _shingle_sets refactor
+    # + opt-in max_posting_size caps touched their source in r11 with
+    # local-mirror-only evidence — r11 verdict item 2) + the 28-query
+    # r6-evidence remainder + the first 7 of the r7-evidence set in
+    # registration order. 12 + 1 + 2 + 28 + 7 = 50 holds exactly.
     #
-    # -- (1) six round-8-staged pipeline-operations queries
-    # (plans/staged_round11.py — full oracles, strict-mirror parity at
-    # sf0.001 + sf0.01, x30 stress rows; first driver rows here):
-    "watermark_lateness_audit",
-    "mann_kendall_daily_trend",
-    "peak_concurrency_daily",
-    "varint_layout_size_report",
-    "merkle_diff_orders",
-    "rendezvous_reshard_stability",
-    # -- (2) first six of the round-8-staged measurement batch
-    # (plans/staged_round12.py): bootstrap CI, group-sequential alpha
-    # spending, span-corruption plan, profile drift, mutual NN,
-    # Davies-Bouldin cell quality.
-    "poisson_bootstrap_ci_value",
-    "obrien_fleming_interim_looks",
-    "span_corruption_plan_docs",
-    "profile_drift_audit",
-    "mutual_nn_pairs_sample",
-    "embedding_cell_quality_db",
-    # -- (3) changed in round 11: the FastSS join gained the min-id
-    # variant/name bucket cap (max_bucket_size=64) and its oracle now
-    # replays both retentions — re-certify. (The prefix-filter pair
-    # joins keep their r10-certified verify formulation: a three-way
-    # strategy study this round — merge hints, shuffle_hash hints, and
-    # a token-level counting verify — measured WORSE than AQE's
-    # regime-adaptive choice in at least one operating regime each;
-    # PERF.md "verify-join strategy study". Their only r11 source
-    # change is the plan-identical _shingle_sets refactor + unused-at-
-    # default cap parameters, re-checked against the driver mirror at
-    # sf0.01.)
-    "fastss_customer_name_pairs",
-    # -- (4) oldest-evidence rotation: the 21-query r5-evidence
-    # remainder in registration order (completes the r5 set's refresh).
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "pivot_status_counts",
-    "unpivot_part_attrs",
-    "json_extract_events",
-    "sessionize_events",
-    "array_funcs_embeddings",
-    "to_json_envelope",
-    "pinterest_q1_top_category_per_country",
-    "pinterest_q2_top_category_per_year",
-    "pinterest_q3_top_user_per_country",
-    "pinterest_q4_top_category_per_age_group",
-    "pinterest_q5_users_joined_per_year",
-    "ivf_kmeans_codebook_assign",
-    "embedding_ivf_multiprobe_topk",
-    "key_skew_profile_events",
-    "decontaminate_embedding_cosine",
-    "quality_linear_gate",
-    "asof_nearest_view_per_click",
-    "mixture_sqrt_temperature_plan",
-    # -- (5) oldest-evidence rotation continued: the first 16 of the
-    # r6-evidence set in registration order (the remaining 28 roll to
-    # round 12).
-    "limit_offset_sample",
-    "approx_distinct_events",
-    "approx_distinct_error_bound",
-    "approx_percentile_error_bound",
-    "levenshtein_similar_names",
-    "collect_segments_per_nation",
-    "window_distribution_funcs",
-    "scalar_date_arithmetic",
-    "approx_percentiles_sketch",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "exact_dedup_fingerprint",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_topk",
-    "embedding_ivf_topk",
+    # -- (1) the staged_round12 graph/linkage remainder (full oracles,
+    # strict-mirror parity at sf0.001 + sf0.01, x30 stress rows; first
+    # driver rows here):
+    "lpa_purchasing_communities",
+    "fellegi_sunter_link_weights",
+    # -- (2) all 10 of the round-9-staged round-13 batch
+    # (plans/staged_round13.py):
+    "k_core_purchasing_profile",
+    "l_diversity_docs",
+    "dirichlet_lm_doc_scores",
+    "err_at_10_length_ranker",
+    "poststratified_lift_user_spend",
+    "survivorship_golden_record",
+    "good_turing_bigram_coverage",
+    "kmv_distinct_price_points",
+    "event_burstiness_by_type",
+    "srm_assignment_audit",
+    # -- (3) NEW registration: the capped trim-report driver row that
+    # makes the "no silent caps" contract hash-verifiable (cap=2
+    # demonstration configuration; production 64 never trims at test
+    # SFs).
+    "jaccard_trim_report_capped",
+    # -- (4) changed in round 11 (shared _shingle_sets front half +
+    # opt-in max_posting_size caps, registered defaults plan-identical
+    # but the changed-query re-certification policy wants a DRIVER row,
+    # not just the local mirror): the two prefix-filter pair joins.
+    "jaccard_exact_doc_pairs",
+    "containment_exact_doc_pairs",
+    # -- (5) oldest-evidence rotation: the 28-query r6-evidence
+    # remainder in registration order (completes the r6 set's refresh).
+    "embedding_near_dup_pairs",
+    "multimodal_binary_meta",
+    "corpus_curation_basic",
+    "text_top_pieces",
+    "chunk_documents_tokens",
+    "stratified_sample_per_lang",
+    "mixture_upsample_by_lang",
+    "near_dup_cluster_size_histogram",
+    "winnowing_passage_pairs",
+    "token_budget_selection",
+    "mixture_epoch_capped_plan",
+    "bpe_pair_stats",
+    "winnowing_cap_report",
+    "incremental_embedding_new_pairs",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "bpe_learn_merges",
+    "bpe_encode_compression",
+    "duplicate_span_report",
+    "cut_duplicate_spans_stats",
+    "bpe_fertility_by_lang",
+    "cross_source_span_leakage",
+    "mattr_lexical_diversity",
+    "join_null_safe_agg",
+    "bigram_logprob_quality",
+    "curation_v2_report",
+    "sessionize_event_stats",
+    "doremi_domain_reweight",
+    # -- (6) oldest-evidence rotation continued: the first 7 of the
+    # r7-evidence set in registration order (the remaining 42 roll to
+    # round 13).
+    "minhash_dedup_clusters",
+    "semantic_dedup_survivors",
+    "corpus_curation_full",
+    "embedding_quantize_error_bound",
+    "udtf_split_sentences",
+    "pii_redaction_counts",
+    "repetition_signals",
     # ---- 50-row window boundary ----
     #
-    # ROUND-12 ROTATION NOTES (window arithmetic pre-planned):
-    #   (a) 12 promotions: the staged_round12 remainder
-    #       (lpa_purchasing_communities, fellegi_sunter_link_weights)
-    #       plus all 10 of plans/staged_round13.py (k-core,
-    #       l-diversity, Dirichlet LM, ERR@10, post-stratified lift,
-    #       survivorship golden record, Good-Turing, KMV sketch, Fano
-    #       burstiness, SRM audit).
-    #   (b) changed-in-r12 re-certifications: queue as they happen.
-    #       (The r11 pair-join source changes — shared _shingle_sets,
-    #       opt-in max_posting_size caps — are plan-identical at the
-    #       registered defaults and were re-checked against the driver
-    #       mirror at sf0.01 in r11; queue jaccard/containment
-    #       refresh rows only into spare capacity, heavy-pair rule.)
-    #   (c) fill the remaining ~38 slots oldest-evidence-first: the
-    #       28-query r6-evidence remainder (embedding_near_dup_pairs
-    #       onward in registration order) fits with 10 slots left for
-    #       the oldest r7-evidence rows.
-    #   12 + 28 + 10 = 50 holds exactly.
+    # ROUND-13 ROTATION NOTES (window arithmetic pre-planned):
+    #   (a) 8 promotions: all of plans/staged_round14.py (SNM blocking
+    #       recall, degree assortativity, Heaps vocab growth,
+    #       idempotency conflict audit, revenue proration, quantile
+    #       normalization, TWAP, compaction planning). Note
+    #       twap_user_value was ea26d3d-touched — its promotion row
+    #       doubles as that re-certification.
+    #   (b) changed-in-r13 re-certifications: queue as they happen.
+    #   (c) fill the remaining 42 slots with the full 42-query
+    #       r7-evidence remainder (decontaminate_ngram_overlap onward in
+    #       registration order).
+    #   8 + 42 = 50 holds exactly.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
-    #   round 13: plans/staged_round14.py, 8 queries (SNM blocking
-    #     recall, degree assortativity, Heaps vocab growth, idempotency
-    #     conflict audit, revenue proration, quantile normalization,
-    #     TWAP, compaction planning);
     #   round 14: plans/staged_round15.py, 8 queries (association
     #     rules, Theil-Sen slope, LLR collocations, coverage/diversity
     #     eval, MASE backtest, 2-D skyline, trending rank shift, TwoNN
     #     intrinsic dimension);
     #   round 15: plans/staged_round16.py (Spearman, Kruskal-Wallis,
     #     EB shrinkage, contrastive negatives, Burrows' Delta) +
-    #     plans/staged_round17.py seed.
+    #     plans/staged_round17.py (JSD source drift, MI/NMI leakage,
+    #     t-closeness, caliper matching + SMD, event trigram paths);
+    #   round 16: plans/staged_round18.py seed (authored in round 12).
     #   All oracled + strict-mirror parity-tested at two SFs.
     #
-    # STANDING ROTATION RULE (policy since round 5; held r4→r10):
+    # STANDING ROTATION RULE (policy since round 5; held r4->r11):
     # each round's window must fit new + changed + reds; cap net-new
-    # registrations so that holds (new + changed + oldest-stale ≤ 50),
+    # registrations so that holds (new + changed + oldest-stale <= 50),
     # and fill every remaining slot with green rows
     # oldest-evidence-first. Never let a query sit never-checked across
     # a round boundary. (Superseded windows live in git history; the
-    # r10 window is commit 0acd1ee's parent.)
+    # r11 window is this file at commit 4c03395.)
 ]
 
 CHECK_LAST: list[str] = [

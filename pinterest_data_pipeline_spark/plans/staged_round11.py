@@ -84,7 +84,17 @@ PROMOTED_IN_ROUND11 = {
     "rendezvous_reshard_stability",
 }
 
-PROMOTED = PROMOTED_IN_ROUND10 | PROMOTED_IN_ROUND11
+# ROUND-12 ADDITION (r11 verdict item 5): the "no silent caps"
+# contract says trim volume is queryable — this registers ONE capped
+# trim-report so the driver proves the trim math itself, at a
+# deliberately tight demonstration cap that actually trims on the
+# test corpus (production default is 64, which no test-SF bucket
+# approaches).
+PROMOTED_IN_ROUND12 = {
+    "jaccard_trim_report_capped",
+}
+
+PROMOTED = PROMOTED_IN_ROUND10 | PROMOTED_IN_ROUND11 | PROMOTED_IN_ROUND12
 
 
 def _stage(name: str, oracle: str | None = None):
@@ -822,3 +832,65 @@ def rendezvous_reshard_stability(
 
     o = load_table(spark, sf_dir, "orders")
     return reshard_stability(o, "o_orderkey", 8, 10)
+
+
+@_stage(
+    "jaccard_trim_report_capped",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id AS id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT id,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS w
+        FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM sh GROUP BY w),
+    sets AS (
+        SELECT id, list(s.w ORDER BY f.f, s.w) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sh s JOIN freq f USING (w) GROUP BY id
+    ),
+    pre AS (
+        SELECT id, s[CAST(i AS INTEGER)] AS w
+        FROM sets,
+             UNNEST(range(1, n - ((1 * n + 1) // 2) + 2)) AS r(i)
+    ),
+    g AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM pre GROUP BY w)
+    SELECT 'prefix' AS join_side,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_capped,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n > 2 THEN n - 2 ELSE 0 END) AS BIGINT)
+               AS n_rows_trimmed,
+           CAST((sum(CASE WHEN n > 2 THEN n - 2 ELSE 0 END) * 1000000)
+                // greatest(sum(n), 1) AS BIGINT) AS trimmed_rows_ppm
+    FROM g
+    """,
+)
+def jaccard_trim_report_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queryable price of capping jaccard_exact_join at
+    ``max_posting_size=2`` (operators/similarity_join.
+    jaccard_trim_report): bucket counts, over-cap buckets, and the
+    rows min-id retention would remove from the prefix-shingle posting
+    lists, with the trimmed share in integer ppm. This is the "no
+    silent caps" contract made a driver row — the production cap (64)
+    never trims on the test corpus (max posting group is 4), so the
+    demonstration cap of 2 is what makes the trim arithmetic itself
+    hash-verifiable: the oracle replays shingling, rarest-first prefix
+    construction, and the exact over-cap bucket/row/ppm folds.
+
+    Scale: the join's own shingle pipeline up to the prefix relation,
+    then one partial-combinable posting-size aggregate collapsing to a
+    single row — strictly cheaper than the join it audits."""
+    from pinterest_data_pipeline_spark.operators.similarity_join import (
+        jaccard_trim_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_trim_report(
+        docs, "doc_id", "text", 1, 2, shingle_size=3, max_posting_size=2
+    )

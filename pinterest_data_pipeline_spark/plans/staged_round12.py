@@ -67,15 +67,24 @@ PROMOTED_IN_ROUND11 = {
     "embedding_cell_quality_db",
 }
 
+# ROUND-12 PROMOTIONS: the graph/linkage remainder, per the registry
+# ROTATION NOTES pre-plan — this file is now fully promoted.
+PROMOTED_IN_ROUND12 = {
+    "lpa_purchasing_communities",
+    "fellegi_sunter_link_weights",
+}
+
+PROMOTED = PROMOTED_IN_ROUND11 | PROMOTED_IN_ROUND12
+
 
 def _stage(name: str, oracle: str | None = None):
     """registry.register's contract, into the round-12 staging dicts;
-    names in PROMOTED_IN_ROUND11 also hit registry.register proper
-    (driver surface). register() validates those; local-only names
-    validate here."""
+    names in PROMOTED also hit registry.register proper (driver
+    surface). register() validates those; local-only names validate
+    here."""
 
     def deco(fn):
-        if name in PROMOTED_IN_ROUND11:
+        if name in PROMOTED:
             register(name, oracle)(fn)
         else:
             if name in STAGED_QUERIES:

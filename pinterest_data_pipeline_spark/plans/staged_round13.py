@@ -1,4 +1,4 @@
-"""ROUND-13 STAGING SEED — implemented, tested, NOT driver-registered.
+"""ROUND-13 BATCH — fully promoted to the driver surface in round 12.
 
 Rounds 9-12 are already staged (registry ROTATION NOTES;
 plans/staged_round{9,10,11,12}.py), so this seed stages five windows
@@ -62,21 +62,50 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline_spark.plans.registry import has_sql_line_comment
+from pinterest_data_pipeline_spark.plans.registry import (
+    has_sql_line_comment,
+    register,
+)
 from pinterest_data_pipeline_spark.sources.parquet import load_table
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 STAGED_ORACLE: dict[str, str] = {}
 
 
+# ROUND-12 PROMOTIONS: the full batch of 10, per the registry
+# ROTATION NOTES pre-plan — this file is now fully promoted.
+PROMOTED_IN_ROUND12 = {
+    "k_core_purchasing_profile",
+    "l_diversity_docs",
+    "dirichlet_lm_doc_scores",
+    "err_at_10_length_ranker",
+    "poststratified_lift_user_spend",
+    "survivorship_golden_record",
+    "good_turing_bigram_coverage",
+    "kmv_distinct_price_points",
+    "event_burstiness_by_type",
+    "srm_assignment_audit",
+}
+
+PROMOTED = PROMOTED_IN_ROUND12
+
+
 def _stage(name: str, oracle: str | None = None):
-    """registry.register's contract, into the round-13 staging dicts."""
+    """registry.register's contract, into the round-13 staging dicts;
+    names in PROMOTED also hit registry.register proper (driver
+    surface). register() validates those; local-only names validate
+    here."""
 
     def deco(fn):
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name: {name}")
-        if oracle is not None and has_sql_line_comment(oracle):
-            raise ValueError(f"oracle for {name} contains a `--` SQL comment")
+        if name in PROMOTED:
+            register(name, oracle)(fn)
+        else:
+            if name in STAGED_QUERIES:
+                raise ValueError(f"duplicate staged query name: {name}")
+            if oracle is not None and has_sql_line_comment(oracle):
+                raise ValueError(
+                    f"oracle for {name} contains a `--` SQL comment"
+                )
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLE[name] = " ".join(oracle.split())

@@ -196,6 +196,8 @@ QUERIES = [
     "jaccard_exact_doc_pairs",
     "containment_exact_doc_pairs",
     "zorder_layout_pruning_report",
+    # round-12 addition: the capped trim-report driver row
+    "jaccard_trim_report_capped",
     # round-8 extension of the round-11 batch: pipeline operations
     "watermark_lateness_audit",
     "mann_kendall_daily_trend",

@@ -148,9 +148,6 @@ def test_staged_names_do_not_collide_across_rounds():
         STAGED_QUERIES as R15,
     )
 
-    from pinterest_data_pipeline_spark.plans.staged_round12 import (
-        PROMOTED_IN_ROUND11 as R12_PROMOTED,
-    )
     from pinterest_data_pipeline_spark.plans.staged_round16 import (
         STAGED_QUERIES as R16,
     )
@@ -159,7 +156,6 @@ def test_staged_names_do_not_collide_across_rounds():
     )
 
     staged = {
-        "R12": set(R12) - R12_PROMOTED, "R13": set(R13),
         "R14": set(R14), "R15": set(R15), "R16": set(R16),
         "R17": set(R17),
     }
@@ -168,16 +164,13 @@ def test_staged_names_do_not_collide_across_rounds():
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             assert not (a & b)
-    # R7-R11 promoted in their rounds (R11's window also promoted the
-    # first half of R12): every promoted name must now BE registered
-    # (advisor r6: a collision would otherwise only surface at
-    # promotion time — post-promotion the subset assert catches it in
-    # CI, and the not-yet-promoted rounds keep the disjointness form).
-    assert set(R7) <= set(em.queries())
-    assert set(R8) <= set(em.queries())
-    assert set(R9) <= set(em.queries())
-    assert set(R10) <= set(em.queries())
-    assert set(R11) <= set(em.queries())
-    assert R12_PROMOTED <= set(em.queries())
+    # R7-R13 promoted in their rounds (the round-12 window completed
+    # R12 and took all of R13): every promoted name must now BE
+    # registered (advisor r6: a collision would otherwise only surface
+    # at promotion time — post-promotion the subset assert catches it
+    # in CI, and the not-yet-promoted rounds keep the disjointness
+    # form).
+    for batch in (R7, R8, R9, R10, R11, R12, R13):
+        assert set(batch) <= set(em.queries())
     for tag, batch in staged.items():
         assert not (batch & set(em.queries())), tag

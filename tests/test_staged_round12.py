@@ -7,8 +7,8 @@ exact check the driver will run once registered — strict-mirror value
 comparison against their DuckDB oracles — and each operator's semantic
 guarantees are pinned on constructed data.
 
-Staged queries are deliberately NOT in plans/registry (rounds 9-11 are
-already staged/planned); see plans/staged_round12.py.
+The batch is fully promoted as of round 12 (six names in round 11, the
+graph/linkage remainder in round 12); see plans/staged_round12.py.
 """
 
 from __future__ import annotations
@@ -28,23 +28,22 @@ from tests.oracle_utils import (
 
 
 def test_promotion_split_matches_plan():
-    """Round 11 promoted the first six of this batch; the two
-    graph/linkage queries must stay off the driver surface until the
-    round-12 window."""
+    """Round 11 promoted the first six of this batch; round 12
+    promoted the graph/linkage remainder — the whole batch is now on
+    the driver surface, oracles included."""
     import __spark_entry__ as entry_mod
 
     from pinterest_data_pipeline_spark.plans.staged_round12 import (
-        PROMOTED_IN_ROUND11,
+        PROMOTED,
     )
 
+    assert PROMOTED == set(STAGED_QUERIES)
     queries = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
-    missing = PROMOTED_IN_ROUND11 - queries
+    missing = PROMOTED - queries
     assert not missing, f"promoted queries not registered: {missing}"
-    missing_oracle = PROMOTED_IN_ROUND11 - oracles
+    missing_oracle = PROMOTED - oracles
     assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
-    leaked = (set(STAGED_QUERIES) - PROMOTED_IN_ROUND11) & queries
-    assert not leaked, f"staged queries leaked into the registry: {leaked}"
 
 
 def test_every_staged_query_has_an_oracle():

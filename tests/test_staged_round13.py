@@ -4,8 +4,8 @@ driver will run once registered — strict-mirror value comparison
 against their DuckDB oracles — with semantics pinned on constructed
 data.
 
-Staged queries are deliberately NOT in plans/registry (rounds 9-12 are
-already staged/planned); see plans/staged_round13.py.
+The full batch was promoted to the driver surface in round 12; see
+plans/staged_round13.py PROMOTED_IN_ROUND12.
 """
 
 from __future__ import annotations
@@ -26,11 +26,22 @@ from tests.oracle_utils import (
 )
 
 
-def test_staged_queries_are_not_registered():
+def test_promotion_split_matches_plan():
+    """Round 12 promoted the full batch of 10 — all on the driver
+    surface, oracles included."""
     import __spark_entry__ as entry_mod
 
-    overlap = set(STAGED_QUERIES) & set(entry_mod.queries())
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+    from pinterest_data_pipeline_spark.plans.staged_round13 import (
+        PROMOTED,
+    )
+
+    assert PROMOTED == set(STAGED_QUERIES)
+    queries = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    missing = PROMOTED - queries
+    assert not missing, f"promoted queries not registered: {missing}"
+    missing_oracle = PROMOTED - oracles
+    assert not missing_oracle, f"promoted without oracle: {missing_oracle}"
 
 
 def test_every_staged_query_has_an_oracle():
