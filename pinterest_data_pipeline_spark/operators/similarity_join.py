@@ -316,7 +316,10 @@ def jaccard_exact_join(
     pairs stay EXACT (verification always runs on the full sets); only
     recall degrades, min-id survivors keep every hot cluster
     detectable, and trim volume is queryable via
-    :func:`jaccard_trim_report`."""
+    :func:`jaccard_trim_report`. Verify-join strategy is deliberately
+    AQE's (PERF.md "Verify-join strategy study"); driver-heap sizing
+    for the broadcast it may pick lives in README "Deployment
+    thresholds (verify-join broadcast)"."""
     toks, sets = _shingle_sets(
         df, id_col, text_col, shingle_size, threshold_num, threshold_den
     )
@@ -435,7 +438,10 @@ def containment_exact_join(
     (probe prefixes and full posting lists — the posting side is the
     hot spot here, since b-side lists are uncut by design): min-id
     retention per shingle, emitted pairs stay exact, recall degrades,
-    trim volume queryable via :func:`containment_trim_report`."""
+    trim volume queryable via :func:`containment_trim_report`.
+    Verify-join strategy is deliberately AQE's (PERF.md "Verify-join
+    strategy study"); driver-heap sizing for the broadcast it may pick
+    lives in README "Deployment thresholds (verify-join broadcast)"."""
     num, den = threshold_num, threshold_den
     toks, sets = _shingle_sets(
         df, id_col, text_col, shingle_size, num, den
