@@ -1197,3 +1197,64 @@ def eb_beta_binomial_shrinkage(
             F.round("__beta", 6).alias("beta_r6"),
         )
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two 0/1 raters — chance-corrected
+    agreement, the number a labeling or rule-consensus audit actually
+    wants where raw agreement flatters imbalanced label rates (two
+    raters that both say "keep" 95% of the time agree 90%+ by luck
+    alone). Completes the trust-gate tier beside the SRM and chi-square
+    audits: those test DISTRIBUTIONS, this scores RATER CONSENSUS.
+
+    κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement share
+    and p_e = p_Ay·p_By + p_An·p_Bn the chance agreement from the
+    marginals. Returns ONE row:
+
+        (n, n_agree, n_a_pos, n_b_pos, po_r6, pe_r6, kappa_r6)
+
+    κ is NULL when p_e = 1 (both raters constant and identical — the
+    0/0 case; ANSI-safe NULL, never a throw) or when n = 0. Rows where
+    either rater is NULL are excluded up front (no adjudication).
+
+    Scale: ONE map-side-combinable conditional-sum aggregate — the
+    whole contingency table folds in a single pass; doubles appear
+    only in the three final readouts over exact bigint cells."""
+    base = df.select(
+        F.col(rater_a_col).cast("bigint").alias("__a"),
+        F.col(rater_b_col).cast("bigint").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("__a") == F.col("__b"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+        F.sum("__a").cast("bigint").alias("n_a_pos"),
+        F.sum("__b").cast("bigint").alias("n_b_pos"),
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pay = F.col("n_a_pos").cast("double") / nd
+    pby = F.col("n_b_pos").cast("double") / nd
+    pe = pay * pby + (F.lit(1.0) - pay) * (F.lit(1.0) - pby)
+    return cells.select(
+        "n",
+        "n_agree",
+        "n_a_pos",
+        "n_b_pos",
+        F.round(F.when(F.col("n") > 0, po), 6).alias("po_r6"),
+        F.round(F.when(F.col("n") > 0, pe), 6).alias("pe_r6"),
+        F.round(
+            F.when(
+                (F.col("n") > 0) & (pe < F.lit(1.0)),
+                (po - pe) / (F.lit(1.0) - pe),
+            ),
+            6,
+        ).alias("kappa_r6"),
+    )

@@ -195,3 +195,92 @@ def mutual_information_categorical(
         F.round(F.col("__mi"), 6).alias("mi_nats_r6"),
         F.round(nmi, 6).alias("nmi_r6"),
     )
+
+
+def psi_fixed_bins(
+    df: DataFrame,
+    bin_col: str,
+    is_current_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    slice over PRE-ASSIGNED fixed bins — the industry drift dashboard
+    number beside the bounded JSD (PSI's ubiquity in model monitoring
+    earns it its own formulation: the 0.1 / 0.25 action thresholds are
+    quoted against THIS statistic, not against JSD nats).
+
+    Input: one row per observation with an integer bin id in
+    [0, n_bins) (``bin_col``) and a 0/1 current-slice flag
+    (``is_current_col``). Rows with a NULL bin or flag are excluded up
+    front; an OUT-OF-RANGE bin id is dropped by the spine join — by
+    contract the caller's binner clamps into range (the registered
+    query's ``least(..., n_bins−1)``), so a row outside it is a binner
+    bug, and the slice totals deliberately count only in-range rows so
+    the shares still sum to 1. Returns one row per bin id 0..n_bins−1 (ALL bins, including
+    empty ones — the smoothed shares below give every bin a defined
+    term) plus a TOTAL row (bin_id = −1):
+
+        (bin_id, n_base, n_cur, psi_term_r6)
+
+    where the total row's ``psi_term_r6`` is the PSI itself and its
+    counts are the slice totals. Shares are Laplace-smoothed:
+    p = (c + 1)/(n + n_bins) on BOTH sides, so empty bins contribute a
+    finite, replayable term instead of log(0) — the smoothing is part
+    of the statistic's published definition here, stated so the oracle
+    replays it exactly.
+
+    Scale: ONE map-side-combinable grouped count over ≤ n_bins keys, a
+    broadcast join to the n_bins-row spine, single-row total folds.
+    Doubles appear only in the final ln terms over exact-integer
+    ratios."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    base = df.select(
+        F.col(bin_col).cast("int").alias("__b"),
+        F.col(is_current_col).cast("int").alias("__cur"),
+    ).filter(F.col("__b").isNotNull() & F.col("__cur").isNotNull())
+    counts = base.groupBy("__b").agg(
+        F.sum(1 - F.col("__cur")).cast("bigint").alias("__nb"),
+        F.sum("__cur").cast("bigint").alias("__nc"),
+    )
+    spine = (
+        base.sparkSession.range(0, int(n_bins))
+        .select(F.col("id").cast("int").alias("__b"))
+    )
+    cells = (
+        spine.join(F.broadcast(counts), "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__nb", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("__nc", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n_base").cast("bigint").alias("__tb"),
+        F.sum("n_cur").cast("bigint").alias("__tc"),
+    )
+    k = F.lit(float(n_bins))
+    pb = (F.col("n_base").cast("double") + F.lit(1.0)) / (
+        F.col("__tb").cast("double") + k
+    )
+    pc = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
+        F.col("__tc").cast("double") + k
+    )
+    term = (pc - pb) * (F.log(pc) - F.log(pb))
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "__b", "n_base", "n_cur", term.alias("__t")
+    )
+    per_bin = scored.select(
+        F.col("__b").alias("bin_id"),
+        "n_base",
+        "n_cur",
+        F.round("__t", 6).alias("psi_term_r6"),
+    )
+    total = scored.agg(
+        F.lit(-1).alias("bin_id"),
+        F.sum("n_base").cast("bigint").alias("n_base"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.sum("__t"), 6).alias("psi_term_r6"),
+    )
+    return per_bin.unionByName(total).orderBy("bin_id")

@@ -258,6 +258,12 @@ QUERIES = [
     "t_closeness_docs",
     "caliper_match_balance_customers",
     "event_trigram_paths_top",
+    # round-12 seed for round 18 (plans/staged_round18.py)
+    "psi_price_drift_orders",
+    "score_calibration_ece_orders",
+    "roc_auc_price_status",
+    "conformal_coverage_acctbal",
+    "cohen_kappa_doc_raters",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive
@@ -378,6 +384,9 @@ def main() -> None:
     from pinterest_data_pipeline_spark.plans.staged_round17 import (
         STAGED_QUERIES as STAGED_R17,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round18 import (
+        STAGED_QUERIES as STAGED_R18,
+    )
 
     for name in (only if only is not None else QUERIES):
         fn = (
@@ -393,7 +402,8 @@ def main() -> None:
             or STAGED_R14.get(name)
             or STAGED_R15.get(name)
             or STAGED_R16.get(name)
-            or STAGED_R17[name]
+            or STAGED_R17.get(name)
+            or STAGED_R18[name]
         )
         full = name in FORCE_FULL_EVAL
         base_s, n_base = timed(fn, SRC_SF, full)

@@ -103,6 +103,9 @@ def test_every_staged_query_mentioned_in_coverage():
     from pinterest_data_pipeline_spark.plans.staged_round17 import (
         STAGED_QUERIES as R17,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round18 import (
+        STAGED_QUERIES as R18,
+    )
 
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [
@@ -110,7 +113,7 @@ def test_every_staged_query_mentioned_in_coverage():
         for q in (
             list(R7) + list(R8) + list(R9) + list(R10) + list(R11)
             + list(R12) + list(R13) + list(R14) + list(R15) + list(R16)
-            + list(R17)
+            + list(R17) + list(R18)
         )
         if q not in coverage
     ]
@@ -154,13 +157,17 @@ def test_staged_names_do_not_collide_across_rounds():
     from pinterest_data_pipeline_spark.plans.staged_round17 import (
         STAGED_QUERIES as R17,
     )
+    from pinterest_data_pipeline_spark.plans.staged_round18 import (
+        STAGED_QUERIES as R18,
+    )
 
     staged = {
         "R14": set(R14), "R15": set(R15), "R16": set(R16),
-        "R17": set(R17),
+        "R17": set(R17), "R18": set(R18),
     }
     names = [set(R7), set(R8), set(R9), set(R10), set(R11), set(R12),
-             set(R13), set(R14), set(R15), set(R16), set(R17)]
+             set(R13), set(R14), set(R15), set(R16), set(R17),
+             set(R18)]
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             assert not (a & b)

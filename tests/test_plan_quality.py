@@ -960,3 +960,74 @@ def test_trigram_paths_take_ordered_limit(spark):
     assert "TakeOrderedAndProject" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_psi_folds_on_the_bin_relation(spark):
+    """One grouped count collapses the fact scan to <= n_bins rows;
+    everything after (spine join, totals, terms) runs on that 10-row
+    relation — no sort-merge join, no cartesian, the only nested-loop
+    joins are the 1-row/10-row broadcast folds."""
+    plan = _staged_plan(spark, "staged_round18", "psi_price_drift_orders")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 4
+    assert n_nodes(plan, "Generate") == 0
+
+
+def test_ece_is_one_grouped_aggregate_no_joins(spark):
+    """The reliability table is ONE map-side-combinable 10-key
+    aggregate; the total row folds from the checkpointed bin relation
+    — zero joins of any kind in the final plan."""
+    plan = _staged_plan(
+        spark, "staged_round18", "score_calibration_ece_orders"
+    )
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert n_nodes(plan, node) == 0
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_auc_window_runs_on_the_bounded_histogram(spark):
+    """The cumulative scan is a window over the <= 1e6+1-row score
+    histogram (constant in data size), never over the fact relation;
+    the scan reads only the two scorer columns."""
+    plan = _staged_plan(spark, "staged_round18", "roc_auc_price_status")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert "ReadSchema: struct<o_orderstatus:string,o_totalprice:double>" in plan
+
+
+def test_conformal_joins_broadcast_group_stats(spark):
+    """Both data-sized joins (calib x stats for ranking, test x gstats
+    for coverage) BROADCAST the |groups|-sized side; the residual rank
+    is the only window and it partitions by group."""
+    plan = _staged_plan(
+        spark, "staged_round18", "conformal_coverage_acctbal"
+    )
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert (
+        "ReadSchema: struct<c_custkey:bigint,c_acctbal:double,"
+        "c_mktsegment:string>" in plan
+    )
+
+
+def test_kappa_contingency_folds_in_one_pass(spark):
+    """The whole 2x2 table is one conditional-sum aggregate over a
+    two-column scan — no joins, no windows, no explodes."""
+    plan = _staged_plan(spark, "staged_round18", "cohen_kappa_doc_raters")
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "Window",
+        "Generate",
+    ):
+        assert n_nodes(plan, node) == 0
+    assert "ReadSchema: struct<text:string,n_chars:bigint>" in plan
