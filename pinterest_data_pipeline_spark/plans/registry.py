@@ -48,12 +48,16 @@ CHECK_FIRST: list[str] = [
     # new trim-report registration the r11 verdict asked for):
     # 12 promotions (the 2-query staged_round12 remainder + all 10 of
     # staged_round13) + 1 new registration (jaccard_trim_report_capped,
-    # r11 verdict item 5) + 2 changed-in-r11 re-certifications
+    # r11 verdict item 5) + 3 changed re-certifications
     # (jaccard/containment exact pair joins: the _shingle_sets refactor
     # + opt-in max_posting_size caps touched their source in r11 with
-    # local-mirror-only evidence — r11 verdict item 2) + the 28-query
-    # r6-evidence remainder + the first 7 of the r7-evidence set in
-    # registration order. 12 + 1 + 2 + 28 + 7 = 50 holds exactly.
+    # local-mirror-only evidence — r11 verdict item 2; plus
+    # mutual_nn_pairs_sample, whose rate-based sample was capped to a
+    # fixed 1024-id md5 panel in r12 after its x100 deep point read
+    # 567 s — non-binding at test SFs, values unchanged, but changed
+    # source takes a driver row) + the 28-query r6-evidence remainder
+    # + the first 6 of the r7-evidence set in registration order.
+    # 12 + 1 + 3 + 28 + 6 = 50 holds exactly.
     #
     # -- (1) the staged_round12 graph/linkage remainder (full oracles,
     # strict-mirror parity at sf0.001 + sf0.01, x30 stress rows; first
@@ -83,6 +87,7 @@ CHECK_FIRST: list[str] = [
     # not just the local mirror): the two prefix-filter pair joins.
     "jaccard_exact_doc_pairs",
     "containment_exact_doc_pairs",
+    "mutual_nn_pairs_sample",
     # -- (5) oldest-evidence rotation: the 28-query r6-evidence
     # remainder in registration order (completes the r6 set's refresh).
     "embedding_near_dup_pairs",
@@ -113,16 +118,15 @@ CHECK_FIRST: list[str] = [
     "curation_v2_report",
     "sessionize_event_stats",
     "doremi_domain_reweight",
-    # -- (6) oldest-evidence rotation continued: the first 7 of the
-    # r7-evidence set in registration order (the remaining 42 roll to
-    # round 13).
+    # -- (6) oldest-evidence rotation continued: the first 6 of the
+    # r7-evidence set in registration order (the remaining 43 roll to
+    # rounds 13-14).
     "minhash_dedup_clusters",
     "semantic_dedup_survivors",
     "corpus_curation_full",
     "embedding_quantize_error_bound",
     "udtf_split_sentences",
     "pii_redaction_counts",
-    "repetition_signals",
     # ---- 50-row window boundary ----
     #
     # ROUND-13 ROTATION NOTES (window arithmetic pre-planned):
@@ -133,9 +137,9 @@ CHECK_FIRST: list[str] = [
     #       twap_user_value was ea26d3d-touched — its promotion row
     #       doubles as that re-certification.
     #   (b) changed-in-r13 re-certifications: queue as they happen.
-    #   (c) fill the remaining 42 slots with the full 42-query
-    #       r7-evidence remainder (decontaminate_ngram_overlap onward in
-    #       registration order).
+    #   (c) fill the remaining 42 slots with the first 42 of the
+    #       43-query r7-evidence remainder (repetition_signals onward
+    #       in registration order; the 43rd rolls to round 14).
     #   8 + 42 = 50 holds exactly.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):

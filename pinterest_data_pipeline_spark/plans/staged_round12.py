@@ -503,7 +503,10 @@ def profile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mutual_nn_pairs_sample",
     oracle=f"""
     WITH s AS (
-        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 10 = 0
+        ORDER BY md5(concat('mnn:', CAST(vec_id AS VARCHAR))), vec_id
+        LIMIT 1024
     ),
     sc AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -532,16 +535,29 @@ def mutual_nn_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     without human review. Argmax ranks by (round(cos,6) DESC, id ASC),
     making selection independent of sub-grain float noise.
 
-    Scale: the audited universe is the bounded sample (all-pairs by
-    design at audit size); corpus-wide runs swap in this module's
-    IVF/LSH candidate generators and keep the same reciprocity
-    logic."""
+    Scale: the audited universe is a FIXED-SIZE panel, not a fixed
+    RATE — the 1-in-10 sample is additionally capped to the 1024
+    md5-smallest ids (TakeOrderedAndProject; ties to the id), because
+    a rate-based sample grows with the corpus and its all-pairs score
+    relation grows quadratically: the uncapped formulation read
+    567 s at the x100 stress point (492x on 100x input) behind a
+    4x-row output. The cap is non-binding at every test SF (panel
+    <= 200 rows there, so the certified values are unchanged) and
+    binds exactly in the regimes where the quadratic lived; corpus-
+    wide runs swap in this module's IVF/LSH candidate generators and
+    keep the same reciprocity logic."""
     from pinterest_data_pipeline_spark.operators.similarity import (
         mutual_top1_pairs,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % 10 == 0
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 10 == 0)
+        .orderBy(
+            F.md5(F.concat(F.lit("mnn:"), F.col("vec_id").cast("string"))),
+            F.col("vec_id"),
+        )
+        .limit(1024)
     )
     return mutual_top1_pairs(emb, "vec_id", "embedding")
 
