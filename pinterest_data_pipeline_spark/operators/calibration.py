@@ -1,113 +1,21 @@
-"""Model-trust gates over scored rows — the audits a pipeline runs on
-any learned (or heuristic) scorer before its scores steer selection:
+"""Split-conformal prediction-interval coverage — the
+distribution-free trust gate over a per-group mean predictor: "90% of
+held-out values fall inside the interval, no model assumptions". The
+guarantee is only as good as its arithmetic, so this implementation
+never divides in the decision path — the residual quantile rank and
+the coverage predicate run on scaled bigints and replay bit-for-bit in
+any engine. (The scorer-eval cousins — reliability/ECE, rank-sum
+discrimination, Cohen's kappa — already live in operators/experiment:
+``reliability_table_ece``, ``mann_whitney_u`` (rank-biserial =
+2·AUC − 1), ``agreement_kappa``.)
 
-- :func:`calibration_bins_ece`: the reliability table + Expected
-  Calibration Error. A quality classifier whose 0.9 bucket is right
-  61% of the time poisons every threshold downstream; ECE is that gap
-  as one number, the bins are the dashboard behind it.
-- :func:`conformal_coverage`: split-conformal prediction-interval
-  coverage, EXACT. The distribution-free guarantee ("90% of held-out
-  values fall inside the interval, no model assumptions") is only as
-  good as its arithmetic — this implementation never divides until the
-  final readout, so the quantile rank and the coverage predicate are
-  integer-exact and replay bit-for-bit in any engine.
-
-Exactness discipline (the house rule): scores enter as INTEGER
-micro-units, labels as 0/1 bigints, residuals as scaled bigints; every
-cross-row sum is exact, and doubles appear only in the final rounded
-readout columns. Degenerate inputs yield NULL, never a throw
-(ANSI-safe).
+Degenerate inputs yield NULL, never a throw (ANSI-safe).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-SCORE_SCALE = 1_000_000  # scores are integer micro-units in [0, 1e6]
-
-
-def calibration_bins_ece(
-    df: DataFrame,
-    score_micros_col: str,
-    label_col: str,
-    n_bins: int = 10,
-) -> DataFrame:
-    """Reliability bins + ECE for an integer micro-unit score in
-    [0, 1e6] against a 0/1 label. Returns one row per NON-EMPTY bin:
-
-        (bin_id, n, mean_score_r6, frac_pos_r6, gap_r6)
-
-    plus one TOTAL row (bin_id = -1) where ``n`` is the scored-row
-    total and ``gap_r6`` carries the ECE — the bin-weighted mean
-    |confidence − accuracy| (mean_score/frac_pos are NULL there; empty
-    bins hold zero weight so omitting their rows changes nothing).
-
-    bin_id = min(score·n_bins div 1e6, n_bins − 1), integer floor —
-    a score of exactly 1e6 lands in the top bin instead of a phantom
-    n-th one. Rows with a NULL score or label are excluded up front
-    (they can neither place in a bin nor count as an outcome), and so
-    are scores OUTSIDE [0, 1e6] — a value outside that range is not a
-    probability, and a negative one would otherwise mint a bin_id that
-    collides with the total row's −1 sentinel.
-
-    Scale: ONE map-side-combinable grouped aggregate over ≤ n_bins
-    keys; the total row folds from the bin relation (n_bins rows).
-    Doubles appear only inside the final round(...) readouts; the
-    sums they divide are exact bigints."""
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    base = df.select(
-        F.col(score_micros_col).cast("bigint").alias("__s"),
-        F.col(label_col).cast("bigint").alias("__y"),
-    ).filter(
-        F.col("__y").isNotNull()
-        & F.col("__s").isNotNull()
-        & (F.col("__s") >= 0)
-        & (F.col("__s") <= SCORE_SCALE)
-    )
-    bins = (
-        base.groupBy(
-            F.least(
-                F.expr(f"(__s * {int(n_bins)}) div {SCORE_SCALE}"),
-                F.lit(int(n_bins) - 1),
-            )
-            .cast("int")
-            .alias("bin_id")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("__s").cast("bigint").alias("__su"),
-            F.sum("__y").cast("bigint").alias("__pos"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    nd = F.col("n").cast("double")
-    conf = F.col("__su").cast("double") / (nd * F.lit(float(SCORE_SCALE)))
-    acc = F.col("__pos").cast("double") / nd
-    per_bin = bins.select(
-        "bin_id",
-        "n",
-        F.round(conf, 6).alias("mean_score_r6"),
-        F.round(acc, 6).alias("frac_pos_r6"),
-        F.round(F.abs(conf - acc), 6).alias("gap_r6"),
-    )
-    # ECE = Σ_b (n_b/N)·|conf_b − acc_b|: fold the UNROUNDED per-bin
-    # gaps weighted by exact counts; the only rounding is the final 6dp
-    total = bins.agg(
-        F.lit(-1).cast("int").alias("bin_id"),
-        F.sum("n").cast("bigint").alias("n"),
-        F.lit(None).cast("double").alias("mean_score_r6"),
-        F.lit(None).cast("double").alias("frac_pos_r6"),
-        F.round(
-            F.when(
-                F.sum("n") > 0,
-                F.sum(nd * F.abs(conf - acc)) / F.sum("n").cast("double"),
-            ),
-            6,
-        ).alias("gap_r6"),
-    )
-    return per_bin.unionByName(total).orderBy("bin_id")
 
 
 def conformal_coverage(
@@ -237,86 +145,3 @@ def conformal_coverage(
             6,
         ).alias("halfwidth_r6"),
     ).orderBy(group_col)
-
-
-def roc_auc_binary(
-    df: DataFrame,
-    score_micros_col: str,
-    label_col: str,
-) -> DataFrame:
-    """Exact ROC AUC of an integer micro-unit score against a 0/1
-    label, with the standard midrank tie treatment — the DISCRIMINATION
-    reading beside :func:`calibration_bins_ece`'s calibration one (a
-    scorer can be perfectly calibrated and useless, or sharp and
-    miscalibrated; selection thresholds need both numbers).
-
-    AUC = (Σ_{positives} midrank − n_pos(n_pos+1)/2) / (n_pos·n_neg),
-    computed on the SCORE HISTOGRAM (the gini_skew_profile discipline):
-    for distinct score v with n_v rows (p_v positive) and C_v rows
-    strictly below, every row of v has midrank C_v + (n_v+1)/2, so
-
-        2·Σ_pos midrank = Σ_v p_v·(2·C_v + n_v + 1)
-
-    is exact — summed in decimal(38,0), since a concentrated score can
-    make single terms approach 2n² and overflow bigint past ~2e9 rows
-    — and the single rounded division happens last.
-    Returns ONE row: (n, n_pos, n_neg, n_scores, auc_r6); AUC is NULL
-    when either class is empty (undefined, never a throw). NULL scores
-    or labels are excluded up front, as are scores outside [0, 1e6]
-    (the same domain contract as calibration_bins_ece — outside it the
-    bounded-histogram scale claim below is void).
-
-    Scale: one map-side-combinable grouped count over ≤ 1e6 + 1
-    distinct micro-unit scores, one cumulative window over that
-    BOUNDED histogram (constant in data size — this is why the score
-    contract is integer micro-units), one single-row fold."""
-    from pyspark.sql import Window
-
-    base = df.select(
-        F.col(score_micros_col).cast("bigint").alias("__s"),
-        F.col(label_col).cast("bigint").alias("__y"),
-    ).filter(
-        F.col("__y").isNotNull()
-        & F.col("__s").isNotNull()
-        & (F.col("__s") >= 0)
-        & (F.col("__s") <= SCORE_SCALE)
-    )
-    hist = base.groupBy("__s").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__nv"),
-        F.sum("__y").cast("bigint").alias("__pv"),
-    )
-    w = Window.orderBy("__s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    scanned = hist.withColumn(
-        "__cv", F.sum("__nv").over(w) - F.col("__nv")
-    )
-    out = scanned.agg(
-        F.sum("__nv").cast("bigint").alias("n"),
-        F.sum("__pv").cast("bigint").alias("n_pos"),
-        (F.sum("__nv") - F.sum("__pv")).cast("bigint").alias("n_neg"),
-        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
-        F.sum(
-            F.col("__pv").cast("decimal(38,0)")
-            * (2 * F.col("__cv") + F.col("__nv") + 1).cast("decimal(38,0)")
-        )
-        .cast("decimal(38,0)")
-        .alias("__mr2"),
-    )
-    auc = (
-        F.col("__mr2").cast("double")
-        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double")
-    ) / (
-        F.lit(2.0)
-        * F.col("n_pos").cast("double")
-        * F.col("n_neg").cast("double")
-    )
-    return out.select(
-        "n",
-        "n_pos",
-        "n_neg",
-        "n_scores",
-        F.round(
-            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), 6
-        ).alias("auc_r6"),
-    )

@@ -1199,62 +1199,109 @@ def eb_beta_binomial_shrinkage(
     )
 
 
-def cohen_kappa(
-    df: DataFrame,
-    rater_a_col: str,
-    rater_b_col: str,
+def cmh_test(
+    units: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    success_col: str,
+    treat: str = "treatment",
+    control: str = "control",
 ) -> DataFrame:
-    """Cohen's kappa between two 0/1 raters — chance-corrected
-    agreement, the number a labeling or rule-consensus audit actually
-    wants where raw agreement flatters imbalanced label rates (two
-    raters that both say "keep" 95% of the time agree 90%+ by luck
-    alone). Completes the trust-gate tier beside the SRM and chi-square
-    audits: those test DISTRIBUTIONS, this scores RATER CONSENSUS.
+    """Cochran-Mantel-Haenszel test + Mantel-Haenszel pooled odds
+    ratio over K stratified 2×2 tables — the stratified-PROPORTIONS
+    companion to `post_stratified_lift` (which adjusts MEANS): "is
+    treatment associated with success once the stratum composition is
+    held fixed", the Simpson's-paradox-safe readout a ramped rollout
+    needs when arms are imbalanced across segments.
 
-    κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement share
-    and p_e = p_Ay·p_By + p_An·p_Bn the chance agreement from the
-    marginals. Returns ONE row:
+    Per stratum with cells a=succ_t, b=fail_t, c=succ_c, d=fail_c and
+    n = a+b+c+d: E[a] = (a+b)(a+c)/n and the hypergeometric variance
+    V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)). The statistic (no continuity
+    correction — stated so the oracle replays it exactly) is
 
-        (n, n_agree, n_a_pos, n_b_pos, po_r6, pe_r6, kappa_r6)
+        chisq = (Σa − ΣE[a])² / ΣV,
 
-    κ is NULL when p_e = 1 (both raters constant and identical — the
-    0/0 case; ANSI-safe NULL, never a throw) or when n = 0. Rows where
-    either rater is NULL are excluded up front (no adjudication).
+    and OR_MH = Σ(a·d/n) / Σ(b·c/n). Strata with n < 2 carry no
+    information (V undefined) and are EXCLUDED, visibly via
+    ``n_strata_used``. Every per-stratum term is a ratio of exact
+    bigint products; the cross-stratum sums are doubles folded in one
+    fixed expression each (the infotheory log-sum precedent). Returns
+    ONE row:
 
-    Scale: ONE map-side-combinable conditional-sum aggregate — the
-    whole contingency table folds in a single pass; doubles appear
-    only in the three final readouts over exact bigint cells."""
-    base = df.select(
-        F.col(rater_a_col).cast("bigint").alias("__a"),
-        F.col(rater_b_col).cast("bigint").alias("__b"),
-    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
-    cells = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(
-            F.when(F.col("__a") == F.col("__b"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_agree"),
-        F.sum("__a").cast("bigint").alias("n_a_pos"),
-        F.sum("__b").cast("bigint").alias("n_b_pos"),
+        (n_strata_used, n_units, succ_treat, n_treat, succ_ctrl,
+         n_ctrl, chisq_r6, or_mh_r6)
+
+    chisq is NULL when ΣV = 0 (every used stratum degenerate);
+    OR_MH is NULL when Σ(b·c/n) = 0. Rows with a NULL stratum form
+    their own stratum (sentinel coalesce); rows with a NULL success or
+    an arm outside {treat, control} are excluded.
+
+    Scale: one grouped conditional-sum aggregate keyed by stratum
+    (map-side combinable), then a single-row fold over the K-row cell
+    relation. Magnitude guard: the four-way product (a+b)(c+d)(a+c)(b+d)
+    is computed in decimal(38,0) — bigint would overflow past ~55k
+    units per stratum."""
+    su = F.col(success_col).cast("bigint")
+    is_t = F.col(arm_col) == treat
+    is_c = F.col(arm_col) == control
+    base = units.filter((is_t | is_c) & su.isNotNull()).select(
+        F.coalesce(F.col(stratum_col).cast("string"), F.lit("__NULL__"))
+        .alias("__s"),
+        is_t.alias("__t"),
+        su.alias("__y"),
     )
-    nd = F.col("n").cast("double")
-    po = F.col("n_agree").cast("double") / nd
-    pay = F.col("n_a_pos").cast("double") / nd
-    pby = F.col("n_b_pos").cast("double") / nd
-    pe = pay * pby + (F.lit(1.0) - pay) * (F.lit(1.0) - pby)
-    return cells.select(
-        "n",
-        "n_agree",
-        "n_a_pos",
-        "n_b_pos",
-        F.round(F.when(F.col("n") > 0, po), 6).alias("po_r6"),
-        F.round(F.when(F.col("n") > 0, pe), 6).alias("pe_r6"),
+    cells = base.groupBy("__s").agg(
+        F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("__a"),
+        F.sum(F.when(F.col("__t"), 1 - F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("__b"),
+        F.sum(F.when(~F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("__c"),
+        F.sum(F.when(~F.col("__t"), 1 - F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("__d"),
+    )
+    a, b, c, d = (F.col(x) for x in ("__a", "__b", "__c", "__d"))
+    n = (a + b + c + d).cast("bigint")
+    used = cells.filter(n >= 2)
+    nd = n.cast("double")
+    e_a = ((a + b) * (a + c)).cast("double") / nd
+    v = (
+        (a + b).cast("decimal(38,0)")
+        * (c + d).cast("decimal(38,0)")
+        * (a + c).cast("decimal(38,0)")
+        * (b + d).cast("decimal(38,0)")
+    ).cast("double") / (nd * nd * (nd - F.lit(1.0)))
+    agg = used.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_used"),
+        F.sum(n).cast("bigint").alias("n_units"),
+        F.sum(a).cast("bigint").alias("succ_treat"),
+        F.sum(a + b).cast("bigint").alias("n_treat"),
+        F.sum(c).cast("bigint").alias("succ_ctrl"),
+        F.sum(c + d).cast("bigint").alias("n_ctrl"),
+        F.sum(a.cast("double") - e_a).alias("__oe"),
+        F.sum(v).alias("__v"),
+        F.sum((a * d).cast("double") / nd).alias("__ad"),
+        F.sum((b * c).cast("double") / nd).alias("__bc"),
+    )
+    return agg.select(
+        "n_strata_used",
+        "n_units",
+        "succ_treat",
+        "n_treat",
+        "succ_ctrl",
+        "n_ctrl",
         F.round(
             F.when(
-                (F.col("n") > 0) & (pe < F.lit(1.0)),
-                (po - pe) / (F.lit(1.0) - pe),
+                F.col("__v") > 0,
+                F.col("__oe") * F.col("__oe") / F.col("__v"),
             ),
             6,
-        ).alias("kappa_r6"),
+        ).alias("chisq_r6"),
+        F.round(
+            F.when(F.col("__bc") > 0, F.col("__ad") / F.col("__bc")), 6
+        ).alias("or_mh_r6"),
     )

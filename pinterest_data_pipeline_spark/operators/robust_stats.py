@@ -898,3 +898,68 @@ def kruskal_wallis_h(
             "h_tie_corrected_r6"
         ),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Hill tail-index estimate over the top-k order statistics of a
+    positive integer metric — the "HOW heavy is this tail" number the
+    family's other audits stop short of: winsorization and the whale
+    diagnostics bound tail INFLUENCE, Benford tests digit SHAPE; the
+    Hill estimator reads the Pareto exponent α itself (α ≤ 2 ⇒
+    infinite variance ⇒ every mean-based readout needs the robust
+    path; Hill 1975).
+
+        1/α̂ = (1/k) · Σ_{i=1..k} ln( x_(i) / x_(k+1) )
+             = ( Σ_{top k+1} ln x  −  (k+1)·ln x_(k+1) ) / k
+
+    — the second form is what runs: ONE TakeOrdered(k+1) panel by
+    (value DESC), one single-row fold of (count, min, Σ ln). Ties at
+    the panel floor are harmless (their ln(x/x_floor) terms are 0, and
+    which tied ROWS are selected cannot change the value multiset).
+    Returns ONE row:
+
+        (n_pos, k_used, tail_floor, alpha_r6)
+
+    ``k_used`` = min(k, n_pos − 1); alpha is NULL when k_used < 1 or
+    the top k_used values all equal the floor (zero log-spread — a
+    degenerate tail has no index, never a throw). Rows with NULL or
+    non-positive values are excluded (the estimator lives on logs).
+
+    Scale: TakeOrderedAndProject with FIXED k+1 — constant in data
+    size — plus one map-side count of the positive support; no global
+    sort, no window."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(
+        F.col(value_col).cast("bigint").alias("__x")
+    ).filter(F.col("__x") > 0)
+    n_pos = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_pos"))
+    top = base.orderBy(F.col("__x").desc()).limit(int(k) + 1)
+    panel = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+        F.min("__x").cast("bigint").alias("tail_floor"),
+        F.sum(F.log(F.col("__x").cast("double"))).alias("__lnsum"),
+    )
+    out = n_pos.crossJoin(F.broadcast(panel))
+    k_used = (F.col("__m") - 1).cast("bigint")
+    inv_alpha = (
+        F.col("__lnsum")
+        - F.col("__m").cast("double")
+        * F.log(F.col("tail_floor").cast("double"))
+    ) / k_used.cast("double")
+    return out.select(
+        "n_pos",
+        F.greatest(k_used, F.lit(0)).alias("k_used"),
+        "tail_floor",
+        F.round(
+            F.when(
+                (k_used >= 1) & (inv_alpha > 0),
+                F.lit(1.0) / inv_alpha,
+            ),
+            6,
+        ).alias("alpha_r6"),
+    )

@@ -95,3 +95,121 @@ def kaplan_meier(
     return curve.select(
         "day", "n_risk", "n_churn", "n_censored", "survival_r6"
     ).filter(F.col("day") <= max_day).orderBy("day")
+
+
+def logrank_test(
+    subjects: DataFrame,
+    cohort_col: str,
+    duration_col: str,
+    event_col: str,
+    cohort_a: str = "a",
+    cohort_b: str = "b",
+) -> DataFrame:
+    """Log-rank test between two cohorts' time-to-event curves — the
+    inference half the Kaplan-Meier family lacked: `kaplan_meier`
+    DESCRIBES one cohort's curve; this answers "are these two curves
+    different", censoring-correct, as one chi-square number (Mantel
+    1966 — the survival-time specialization of the same hypergeometric
+    machinery as `cmh_test`).
+
+    ``subjects``: one row per subject with an integer ``duration_col``,
+    a 0/1 ``event_col`` (1 = the event was OBSERVED at duration;
+    0 = censored there), and a cohort label. At each distinct duration
+    t with d_t ≥ 1 observed events, cohort a contributes
+    O−E = d_a(t) − d_t·n_a(t)/n_t and hypergeometric variance
+    V_t = d_t·(n_a/n_t)·(n_b/n_t)·(n_t−d_t)/(n_t−1) (0 when n_t < 2);
+    chisq = (ΣO−E)²/ΣV.
+
+    At-risk counts never explode subject×time: the per-duration exit
+    histogram plus ONE cumulative window over the distinct-duration
+    relation gives n_g(t) = total_g − exits_g(< t) (the mann_whitney_u
+    midrank-histogram discipline). Returns ONE row:
+
+        (n_subj_a, n_subj_b, n_events_a, n_events_b,
+         o_minus_e_r6, chisq_r6)
+
+    chisq is NULL when ΣV = 0 (no comparable event time). Rows with a
+    NULL duration/event, or a cohort outside {a, b}, are excluded.
+
+    Scale: one grouped exit histogram keyed by duration (map-side
+    combinable), one ordered window over the distinct-duration
+    relation — bounded by the duration grid, not subject count — and
+    a single-row fold."""
+    ev = F.col(event_col).cast("int")
+    is_a = F.col(cohort_col) == cohort_a
+    is_b = F.col(cohort_col) == cohort_b
+    base = subjects.filter(
+        (is_a | is_b)
+        & F.col(duration_col).isNotNull()
+        & ev.isNotNull()
+    ).select(
+        F.col(duration_col).cast("bigint").alias("__t"),
+        is_a.alias("__ca"),
+        ev.alias("__e"),
+    )
+    hist = base.groupBy("__t").agg(
+        F.sum(F.when(F.col("__ca"), F.col("__e")).otherwise(0))
+        .cast("bigint")
+        .alias("__da"),
+        F.sum(F.when(~F.col("__ca"), F.col("__e")).otherwise(0))
+        .cast("bigint")
+        .alias("__db"),
+        F.sum(F.when(F.col("__ca"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__xa"),
+        F.sum(F.when(~F.col("__ca"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__xb"),
+    )
+    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = hist.agg(
+        F.sum("__xa").cast("bigint").alias("__ta"),
+        F.sum("__xb").cast("bigint").alias("__tb"),
+        F.sum("__da").cast("bigint").alias("n_events_a"),
+        F.sum("__db").cast("bigint").alias("n_events_b"),
+    )
+    scanned = (
+        hist.withColumn(
+            "__cuma", F.coalesce(F.sum("__xa").over(w), F.lit(0))
+        )
+        .withColumn("__cumb", F.coalesce(F.sum("__xb").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__na", F.col("__ta") - F.col("__cuma"))
+        .withColumn("__nb", F.col("__tb") - F.col("__cumb"))
+    )
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    nt = F.col("__na") + F.col("__nb")
+    ntd = nt.cast("double")
+    d = (F.col("__da") + F.col("__db")).cast("double")
+    oe = F.when(
+        d > 0, F.col("__da").cast("double") - d * na / ntd
+    ).otherwise(F.lit(0.0))
+    v = F.when(
+        (d > 0) & (nt > 1),
+        d
+        * (na / ntd)
+        * (nb / ntd)
+        * ((ntd - d) / (ntd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    agg = scanned.agg(
+        F.max("__ta").cast("bigint").alias("n_subj_a"),
+        F.max("__tb").cast("bigint").alias("n_subj_b"),
+        F.max("n_events_a").alias("n_events_a"),
+        F.max("n_events_b").alias("n_events_b"),
+        F.sum(oe).alias("__oe"),
+        F.sum(v).alias("__v"),
+    )
+    return agg.select(
+        "n_subj_a",
+        "n_subj_b",
+        "n_events_a",
+        "n_events_b",
+        F.round("__oe", 6).alias("o_minus_e_r6"),
+        F.round(
+            F.when(
+                F.col("__v") > 0,
+                F.col("__oe") * F.col("__oe") / F.col("__v"),
+            ),
+            6,
+        ).alias("chisq_r6"),
+    )

@@ -7,29 +7,32 @@ sf0.001 + sf0.01 in tests/test_staged_round18.py) and behavior-pinning
 unit tests; a later round registers them by pointing ``_stage`` at
 ``registry.register``.
 
-The batch is the MODEL-TRUST tier — the audits a pipeline runs on any
-scorer (learned or heuristic) before its scores steer selection, plus
-the drift statistic model monitoring actually quotes:
+The batch fills five surfaces the engine lacked — each checked against
+the existing inventory first (an early draft of this seed duplicated
+``agreement_kappa`` / ``reliability_table_ece`` / the
+``mann_whitney_u`` midrank identity and was cut for it):
 
 - PSI (operators/infotheory.psi_fixed_bins): the Population Stability
   Index over fixed bins — the industry drift dashboard number whose
   0.1 / 0.25 action thresholds are quoted against THIS statistic, not
   against the registered JSD/KL nats; Laplace-smoothed so empty bins
   replay exactly.
-- CALIBRATION (operators/calibration.calibration_bins_ece): the
-  reliability table + ECE — "is the 0.9 bucket right 90% of the
-  time", the gate before any score threshold is trusted.
-- DISCRIMINATION (operators/calibration.roc_auc_binary): exact
-  midrank-tie ROC AUC on the score histogram — the ranking-power
-  companion (calibrated-but-useless and sharp-but-miscalibrated are
-  different failures; thresholds need both numbers).
 - DISTRIBUTION-FREE INTERVALS (operators/calibration.
   conformal_coverage): split-conformal coverage, integer-exact — the
   residual quantile rank and the coverage predicate never divide, so
   the finite-sample ≥ 1−α guarantee is replayable bit-for-bit.
-- RATER CONSENSUS (operators/experiment.cohen_kappa): Cohen's kappa
-  between two binary raters — chance-corrected agreement where raw
-  agreement flatters imbalanced label rates; the labeling-audit gate.
+- SURVIVAL INFERENCE (operators/survival.logrank_test): the log-rank
+  test — `kaplan_meier` DESCRIBES one cohort's curve; this answers
+  "are these two curves DIFFERENT", censoring-correct.
+- STRATIFIED PROPORTIONS (operators/experiment.cmh_test): the
+  Cochran-Mantel-Haenszel chi-square + Mantel-Haenszel pooled odds
+  ratio — `post_stratified_lift` adjusts MEANS; this is the
+  Simpson's-paradox-safe readout for CONVERSION under imbalanced
+  stratum composition.
+- TAIL HEAVINESS (operators/robust_stats.hill_tail_index): the Hill
+  Pareto-exponent estimate — winsorization bounds tail INFLUENCE,
+  Benford tests digit SHAPE; this reads α itself (α ≤ 2 ⇒ infinite
+  variance ⇒ mean-based readouts need the robust path).
 """
 
 from __future__ import annotations
@@ -60,17 +63,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# The shared scorer for the calibration + AUC pair: a logistic-shaped
-# pseudo-probability from the order total, in integer micro-units.
-# CAST(round(..)) is integral before the cast, so Spark's truncating
-# and DuckDB's rounding double->bigint casts agree; the label is the
-# F order status (NULL status NULL-propagates out on both sides).
-_SCORE_SQL = (
-    "CAST(round((o_totalprice * 1000000.0) / "
-    "(o_totalprice + 250000.0)) AS BIGINT)"
-)
 
 
 # ------------------------------------------------------------- PSI drift
@@ -142,131 +134,6 @@ def psi_price_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(o_orderkey % 2 as int)").alias("cur"),
     )
     return psi_fixed_bins(binned, "bin", "cur", n_bins=10)
-
-
-# ---------------------------------------------------- calibration + ECE
-@_stage(
-    "score_calibration_ece_orders",
-    oracle=f"""
-    WITH s AS (
-        SELECT {_SCORE_SQL} AS su,
-               CAST(o_orderstatus = 'F' AS BIGINT) AS y
-        FROM orders
-        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
-    ),
-    bins AS (
-        SELECT CAST(LEAST((su * 10) // 1000000, 9) AS INTEGER) AS bin_id,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(su) AS BIGINT) AS ssu,
-               CAST(sum(y) AS BIGINT) AS pos
-        FROM s GROUP BY 1
-    )
-    SELECT bin_id, n,
-           round(ssu / (n * 1000000.0), 6) AS mean_score_r6,
-           round(pos / CAST(n AS DOUBLE), 6) AS frac_pos_r6,
-           round(abs(ssu / (n * 1000000.0)
-                     - pos / CAST(n AS DOUBLE)), 6) AS gap_r6
-    FROM bins
-    UNION ALL
-    SELECT CAST(-1 AS INTEGER), CAST(SUM(n) AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           round(SUM(CAST(n AS DOUBLE)
-                     * abs(ssu / (n * 1000000.0)
-                           - pos / CAST(n AS DOUBLE)))
-                 / CAST(SUM(n) AS DOUBLE), 6)
-    FROM bins
-    ORDER BY bin_id
-    """,
-)
-def score_calibration_ece_orders(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Reliability bins + ECE of a deterministic logistic-shaped price
-    score against the F order status
-    (operators/calibration.calibration_bins_ece): the gate a quality
-    classifier passes before its threshold steers selection, run here
-    on a scorer both engines can rebuild bit-for-bit. The statuses are
-    hash-uniform, so the planted truth is a flat ~1/3 positive rate
-    against a sloped score — a KNOWN miscalibration profile the ten
-    bin gaps and the ECE read out exactly.
-
-    Scale: one map-side-combinable 10-key grouped aggregate; the total
-    row folds from the 10-row bin relation."""
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        calibration_bins_ece,
-    )
-
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & F.col("o_orderstatus").isNotNull()
-    )
-    scored = o.select(
-        F.expr(_SCORE_SQL).alias("su"),
-        F.expr("CAST(o_orderstatus = 'F' AS BIGINT)").alias("y"),
-    )
-    return calibration_bins_ece(scored, "su", "y", n_bins=10)
-
-
-# -------------------------------------------------------------- ROC AUC
-@_stage(
-    "roc_auc_price_status",
-    oracle=f"""
-    WITH s AS (
-        SELECT {_SCORE_SQL} AS su,
-               CAST(o_orderstatus = 'F' AS BIGINT) AS y
-        FROM orders
-        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
-    ),
-    hist AS (
-        SELECT su, CAST(count(*) AS BIGINT) AS nv,
-               CAST(sum(y) AS BIGINT) AS pv
-        FROM s GROUP BY su
-    ),
-    scanned AS (
-        SELECT *, CAST(SUM(nv) OVER (ORDER BY su ROWS BETWEEN UNBOUNDED
-                       PRECEDING AND CURRENT ROW) - nv AS BIGINT) AS cv
-        FROM hist
-    ),
-    a AS (
-        SELECT CAST(SUM(nv) AS BIGINT) AS n,
-               CAST(SUM(pv) AS BIGINT) AS n_pos,
-               CAST(SUM(nv) - SUM(pv) AS BIGINT) AS n_neg,
-               CAST(COUNT(*) AS BIGINT) AS n_scores,
-               CAST(SUM(pv * (2 * cv + nv + 1)) AS BIGINT) AS mr2
-        FROM scanned
-    )
-    SELECT n, n_pos, n_neg, n_scores,
-           round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-               (CAST(mr2 AS DOUBLE)
-                - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
-               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
-           END, 6) AS auc_r6
-    FROM a
-    """,
-)
-def roc_auc_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact midrank-tie ROC AUC of the SAME price score against the
-    SAME F-status label as `score_calibration_ece_orders`
-    (operators/calibration.roc_auc_binary) — the discrimination half
-    of the scorer-trust pair: the statuses are hash-uniform and
-    price-independent, so the planted truth is AUC ≈ 0.5, and the
-    hash-verified value certifies the histogram midrank algebra
-    (2·Σ midrank = Σ p_v·(2C_v + n_v + 1)) at that known answer.
-
-    Scale: one grouped count over ≤ 1e6+1 micro-unit scores, one
-    cumulative window over that BOUNDED histogram (constant in data
-    size), one single-row fold."""
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        roc_auc_binary,
-    )
-
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & F.col("o_orderstatus").isNotNull()
-    )
-    scored = o.select(
-        F.expr(_SCORE_SQL).alias("su"),
-        F.expr("CAST(o_orderstatus = 'F' AS BIGINT)").alias("y"),
-    )
-    return roc_auc_binary(scored, "su", "y")
 
 
 # ------------------------------------------------- conformal coverage
@@ -359,71 +226,265 @@ def conformal_coverage_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("seg", "c_mktsegment")
 
 
-# ---------------------------------------------------------- Cohen kappa
+# --------------------------------------------------------- log-rank test
 @_stage(
-    "cohen_kappa_doc_raters",
+    "logrank_purchase_by_cohort",
     oracle="""
-    WITH r AS (
-        SELECT CAST(n_chars >= 300 AS BIGINT) AS a,
-               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                    >= 55 AS BIGINT) AS b
-        FROM documents
+    WITH per_user AS (
+        SELECT user_id,
+               date_trunc('day', MIN(ts)) AS first_ts,
+               date_trunc('day', MAX(ts)) AS last_ts,
+               date_trunc('day', MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END)) AS first_buy
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
     ),
-    f AS (SELECT a, b FROM r WHERE a IS NOT NULL AND b IS NOT NULL),
-    c AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_agree,
-               CAST(SUM(a) AS BIGINT) AS n_a_pos,
-               CAST(SUM(b) AS BIGINT) AS n_b_pos
-        FROM f
+    subj AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+               CAST(CASE WHEN first_buy IS NOT NULL
+                    THEN datediff('day', first_ts, first_buy)
+                    ELSE datediff('day', first_ts, last_ts) END
+                    AS BIGINT) AS t,
+               CASE WHEN first_buy IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM per_user
+    ),
+    hist AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN cohort = 'a' THEN e ELSE 0 END)
+                    AS BIGINT) AS da,
+               CAST(SUM(CASE WHEN cohort = 'b' THEN e ELSE 0 END)
+                    AS BIGINT) AS db,
+               CAST(SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS xa,
+               CAST(SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS xb
+        FROM subj GROUP BY t
+    ),
+    tot AS (
+        SELECT CAST(SUM(xa) AS BIGINT) AS ta,
+               CAST(SUM(xb) AS BIGINT) AS tb,
+               CAST(SUM(da) AS BIGINT) AS ea,
+               CAST(SUM(db) AS BIGINT) AS eb
+        FROM hist
+    ),
+    scanned AS (
+        SELECT h.*,
+               ta - COALESCE(CAST(SUM(xa) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS na,
+               tb - COALESCE(CAST(SUM(xb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS nb,
+               ta, tb, ea, eb
+        FROM hist h CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT ta, tb, ea, eb,
+               CASE WHEN da + db > 0
+                    THEN CAST(da AS DOUBLE)
+                         - CAST(da + db AS DOUBLE) * na / (na + nb)
+                    ELSE 0.0 END AS oe,
+               CASE WHEN da + db > 0 AND na + nb > 1
+                    THEN CAST(da + db AS DOUBLE)
+                         * (CAST(na AS DOUBLE) / (na + nb))
+                         * (CAST(nb AS DOUBLE) / (na + nb))
+                         * ((CAST(na + nb AS DOUBLE) - (da + db))
+                            / (CAST(na + nb AS DOUBLE) - 1.0))
+                    ELSE 0.0 END AS v
+        FROM scanned
     )
-    SELECT n, n_agree, n_a_pos, n_b_pos,
-           round(CASE WHEN n > 0
-                 THEN n_agree / CAST(n AS DOUBLE) END, 6) AS po_r6,
-           round(CASE WHEN n > 0 THEN
-                 (n_a_pos / CAST(n AS DOUBLE))
-                 * (n_b_pos / CAST(n AS DOUBLE))
-                 + (1.0 - n_a_pos / CAST(n AS DOUBLE))
-                 * (1.0 - n_b_pos / CAST(n AS DOUBLE)) END, 6) AS pe_r6,
-           round(CASE WHEN n > 0 AND
-                 (n_a_pos / CAST(n AS DOUBLE))
-                 * (n_b_pos / CAST(n AS DOUBLE))
-                 + (1.0 - n_a_pos / CAST(n AS DOUBLE))
-                 * (1.0 - n_b_pos / CAST(n AS DOUBLE)) < 1.0
-                 THEN (n_agree / CAST(n AS DOUBLE)
-                       - ((n_a_pos / CAST(n AS DOUBLE))
-                          * (n_b_pos / CAST(n AS DOUBLE))
-                          + (1.0 - n_a_pos / CAST(n AS DOUBLE))
-                          * (1.0 - n_b_pos / CAST(n AS DOUBLE))))
-                      / (1.0 - ((n_a_pos / CAST(n AS DOUBLE))
-                                * (n_b_pos / CAST(n AS DOUBLE))
-                                + (1.0 - n_a_pos / CAST(n AS DOUBLE))
-                                * (1.0 - n_b_pos / CAST(n AS DOUBLE))))
-           END, 6) AS kappa_r6
-    FROM c
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_subj_a,
+           CAST(MAX(tb) AS BIGINT) AS n_subj_b,
+           CAST(MAX(ea) AS BIGINT) AS n_events_a,
+           CAST(MAX(eb) AS BIGINT) AS n_events_b,
+           round(SUM(oe), 6) AS o_minus_e_r6,
+           round(CASE WHEN SUM(v) > 0
+                 THEN SUM(oe) * SUM(oe) / SUM(v) END, 6) AS chisq_r6
+    FROM terms
     """,
 )
-def cohen_kappa_doc_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa between two deterministic document raters
-    (operators/experiment.cohen_kappa): rater A keeps docs with
-    n_chars >= 300, rater B keeps docs with >= 55 tokens — two
-    length-correlated gates whose agreement is far above chance but
-    deliberately not 1, so the chance-corrected kappa lands strictly
-    inside (0, 1) and the hash pins the full contingency fold
-    (po, pe, kappa) rather than a degenerate endpoint.
+def logrank_purchase_by_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank test of time-to-first-purchase between the even- and
+    odd-user-id cohorts (operators/survival.logrank_test): per user,
+    duration = days from first activity to first purchase, censored at
+    last activity when no purchase was observed — the standard
+    right-censored construction `kaplan_meier` uses. The deterministic
+    even/odd split plants "no difference", so the hash-verified value
+    certifies the hypergeometric O−E / variance machinery at a known
+    near-null answer — the same fold a real cohort comparison (a
+    feature rollout, a new source) would run.
 
-    Scale: one tokenize projection feeding ONE conditional-sum
-    aggregate — the whole contingency table folds map-side."""
+    Scale: one per-user aggregate (map-side combinable), one exit
+    histogram keyed by duration, one cumulative window over the
+    distinct-duration grid (bounded by the observation window, ~30
+    values here), one single-row fold."""
+    from pinterest_data_pipeline_spark.operators.survival import (
+        logrank_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("__first"),
+        F.date_trunc("day", F.max("ts")).alias("__last"),
+        F.date_trunc(
+            "day",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ),
+        ).alias("__buy"),
+    )
+    subjects = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("cohort"),
+        F.when(
+            F.col("__buy").isNotNull(),
+            F.datediff(F.col("__buy"), F.col("__first")),
+        )
+        .otherwise(F.datediff(F.col("__last"), F.col("__first")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("__buy").isNotNull(), 1).otherwise(0).alias("e"),
+    )
+    return logrank_test(subjects, "cohort", "t", "e")
+
+
+# ------------------------------------------------------------ CMH test
+@_stage(
+    "cmh_order_status_by_priority",
+    oracle="""
+    WITH u AS (
+        SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__NULL__')
+                   AS s,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('cmh1:',
+                        CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)
+                        % 2 = 0
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               CAST(o_orderstatus = 'F' AS BIGINT) AS y
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL
+    ),
+    cells AS (
+        SELECT s,
+               CAST(SUM(CASE WHEN arm = 'treatment' THEN y
+                        ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 - y
+                        ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN arm = 'control' THEN y
+                        ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN arm = 'control' THEN 1 - y
+                        ELSE 0 END) AS BIGINT) AS d
+        FROM u GROUP BY s
+    ),
+    used AS (SELECT * FROM cells WHERE a + b + c + d >= 2),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_used,
+               CAST(SUM(a + b + c + d) AS BIGINT) AS n_units,
+               CAST(SUM(a) AS BIGINT) AS succ_treat,
+               CAST(SUM(a + b) AS BIGINT) AS n_treat,
+               CAST(SUM(c) AS BIGINT) AS succ_ctrl,
+               CAST(SUM(c + d) AS BIGINT) AS n_ctrl,
+               SUM(CAST(a AS DOUBLE)
+                   - CAST((a + b) * (a + c) AS DOUBLE)
+                     / (a + b + c + d)) AS oe,
+               SUM(CAST((a + b) * (c + d) AS DOUBLE)
+                   * CAST((a + c) * (b + d) AS DOUBLE)
+                   / (CAST(a + b + c + d AS DOUBLE)
+                      * CAST(a + b + c + d AS DOUBLE)
+                      * (CAST(a + b + c + d AS DOUBLE) - 1.0))) AS v,
+               SUM(CAST(a * d AS DOUBLE) / (a + b + c + d)) AS ad,
+               SUM(CAST(b * c AS DOUBLE) / (a + b + c + d)) AS bc
+        FROM used
+    )
+    SELECT n_strata_used, n_units, succ_treat, n_treat, succ_ctrl,
+           n_ctrl,
+           round(CASE WHEN v > 0 THEN oe * oe / v END, 6) AS chisq_r6,
+           round(CASE WHEN bc > 0 THEN ad / bc END, 6) AS or_mh_r6
+    FROM t
+    """,
+)
+def cmh_order_status_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of F-status rate between md5 arms,
+    stratified by order priority (operators/experiment.cmh_test): the
+    Simpson's-paradox-safe pooled 2×2 reading — per-priority cells,
+    hypergeometric E/V per stratum, one chi-square and the MH pooled
+    odds ratio. Hash arms against a hash-independent status plant
+    "no association", so the driver row certifies the stratified fold
+    at a known near-null answer; the odds ratio lands near 1.
+
+    Scale: one grouped conditional-sum aggregate keyed by the 5-value
+    stratum, then a single-row fold over the 5-row cell relation."""
     from pinterest_data_pipeline_spark.operators.experiment import (
-        cohen_kappa,
+        cmh_test,
+        hash_assign_arm,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.expr("CAST(n_chars >= 300 AS BIGINT)").alias("a"),
-        F.expr(
-            "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
-            " >= 55 AS BIGINT)"
-        ).alias("b"),
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
     )
-    return cohen_kappa(docs, "a", "b")
+    units = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        hash_assign_arm("o_orderkey", salt="cmh1").alias("arm"),
+        F.expr("CAST(o_orderstatus = 'F' AS BIGINT)").alias("y"),
+    )
+    return cmh_test(units, "stratum", "arm", "y")
+
+
+# ---------------------------------------------------- Hill tail index
+@_stage(
+    "hill_tail_order_values",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
+    ),
+    top AS (SELECT v FROM x ORDER BY v DESC LIMIT 201),
+    p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(MIN(v) AS BIGINT) AS tail_floor,
+               SUM(ln(CAST(v AS DOUBLE))) AS lnsum
+        FROM top
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos FROM x)
+    SELECT n_pos,
+           GREATEST(m - 1, 0) AS k_used,
+           tail_floor,
+           round(CASE WHEN m - 1 >= 1 AND
+                 (lnsum - m * ln(CAST(tail_floor AS DOUBLE)))
+                     / (m - 1) > 0
+                 THEN 1.0 / ((lnsum
+                              - m * ln(CAST(tail_floor AS DOUBLE)))
+                             / (m - 1)) END, 6) AS alpha_r6
+    FROM n CROSS JOIN p
+    """,
+)
+def hill_tail_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of order totals in cents, k = 200
+    (operators/robust_stats.hill_tail_index): the Pareto exponent of
+    the spend tail — the number that decides whether the mean-based
+    revenue readouts upstream are even well-posed (alpha <= 2 means
+    infinite variance and the winsorized/rank paths become mandatory).
+    The synthetic totals are near-uniform, so the planted truth is a
+    LIGHT tail (alpha well above the heavy-tail band) — the
+    hash-verified value certifies the order-statistic panel and the
+    log-spread fold, not a dramatic verdict.
+
+    Scale: TakeOrderedAndProject of a FIXED 201-row panel + one
+    map-side positive-support count; constant beyond the scan
+    regardless of input size."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        hill_tail_index,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    return hill_tail_index(o, "cents", k=200)

@@ -260,10 +260,10 @@ QUERIES = [
     "event_trigram_paths_top",
     # round-12 seed for round 18 (plans/staged_round18.py)
     "psi_price_drift_orders",
-    "score_calibration_ece_orders",
-    "roc_auc_price_status",
     "conformal_coverage_acctbal",
-    "cohen_kappa_doc_raters",
+    "logrank_purchase_by_cohort",
+    "cmh_order_status_by_priority",
+    "hill_tail_order_values",
 ]
 
 # Queries whose count() plan lets Catalyst eliminate the expensive

@@ -974,33 +974,6 @@ def test_psi_folds_on_the_bin_relation(spark):
     assert n_nodes(plan, "Generate") == 0
 
 
-def test_ece_is_one_grouped_aggregate_no_joins(spark):
-    """The reliability table is ONE map-side-combinable 10-key
-    aggregate; the total row folds from the checkpointed bin relation
-    — zero joins of any kind in the final plan."""
-    plan = _staged_plan(
-        spark, "staged_round18", "score_calibration_ece_orders"
-    )
-    for node in (
-        "SortMergeJoin",
-        "BroadcastHashJoin",
-        "BroadcastNestedLoopJoin",
-        "CartesianProduct",
-    ):
-        assert n_nodes(plan, node) == 0
-    assert n_nodes(plan, "Window") == 0
-
-
-def test_auc_window_runs_on_the_bounded_histogram(spark):
-    """The cumulative scan is a window over the <= 1e6+1-row score
-    histogram (constant in data size), never over the fact relation;
-    the scan reads only the two scorer columns."""
-    plan = _staged_plan(spark, "staged_round18", "roc_auc_price_status")
-    assert n_nodes(plan, "CartesianProduct") == 0
-    assert n_nodes(plan, "SortMergeJoin") == 0
-    assert "ReadSchema: struct<o_orderstatus:string,o_totalprice:double>" in plan
-
-
 def test_conformal_joins_broadcast_group_stats(spark):
     """Both data-sized joins (calib x stats for ranking, test x gstats
     for coverage) BROADCAST the |groups|-sized side; the residual rank
@@ -1031,3 +1004,54 @@ def test_kappa_contingency_folds_in_one_pass(spark):
     ):
         assert n_nodes(plan, node) == 0
     assert "ReadSchema: struct<text:string,n_chars:bigint>" in plan
+
+
+def test_logrank_window_runs_on_the_duration_grid(spark):
+    """The at-risk scan is one cumulative window over the
+    distinct-duration histogram (bounded by the observation window),
+    never a subject x time explosion; totals broadcast (1-row BNL);
+    the scan reads only the three framing columns."""
+    plan = _staged_plan(spark, "staged_round18", "logrank_purchase_by_cohort")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2  # 1-row totals
+    assert n_nodes(plan, "Generate") == 0
+    assert (
+        "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,"
+        "event_type:string>" in plan
+    )
+
+
+def test_cmh_folds_on_the_stratum_cells(spark):
+    """One grouped conditional-sum aggregate keyed by the stratum;
+    the chi-square/odds-ratio fold runs on the K-row cell relation —
+    no joins, no windows, three-column scan."""
+    plan = _staged_plan(
+        spark, "staged_round18", "cmh_order_status_by_priority"
+    )
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "Window",
+        "Generate",
+    ):
+        assert n_nodes(plan, node) == 0
+    assert (
+        "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,"
+        "o_orderpriority:string>" in plan
+    )
+
+
+def test_hill_panel_is_take_ordered_fixed_k(spark):
+    """The tail panel is TakeOrderedAndProject with FIXED k+1 — no
+    global sort of the metric relation; the support count crosses via
+    a 1-row broadcast; single-column scan."""
+    plan = _staged_plan(spark, "staged_round18", "hill_tail_order_values")
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2  # 1-row panel
+    assert "ReadSchema: struct<o_totalprice:double>" in plan
+

@@ -1,14 +1,17 @@
-"""Round-18 seed parity + behavior: the model-trust tier (PSI drift,
-calibration/ECE, exact ROC AUC, split-conformal coverage, Cohen's
-kappa) must already pass the exact check the driver will run once
-registered — strict-mirror value comparison against their DuckDB
-oracles — with semantics pinned on constructed data.
+"""Round-18 seed parity + behavior: the trust-gate tier (PSI drift,
+split-conformal coverage, log-rank survival inference, CMH stratified
+proportions, Hill tail index) must already pass the exact check the
+driver will run once registered — strict-mirror value comparison
+against their DuckDB oracles — with semantics pinned on constructed
+data.
 
 Staged queries are deliberately NOT in plans/registry (rounds 14-17
 are already staged/planned); see plans/staged_round18.py.
 """
 
 from __future__ import annotations
+
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -65,12 +68,11 @@ def test_psi_identical_halves_read_zero(spark):
         psi_fixed_bins,
     )
 
-    rows = [(b, c, ) for b in (0, 1, 2) for c in (0, 1) for _ in range(5)]
+    rows = [(b, c) for b in (0, 1, 2) for c in (0, 1) for _ in range(5)]
     out = {
         r["bin_id"]: r
-        for r in psi_fixed_bins(
-            _psi_df(spark, [(b, c) for b, c in rows]), "bin", "cur", 4
-        ).collect()
+        for r in psi_fixed_bins(_psi_df(spark, rows), "bin", "cur", 4)
+        .collect()
     }
     assert set(out) == {-1, 0, 1, 2, 3}
     assert all(out[b]["psi_term_r6"] == 0.0 for b in (0, 1, 2, 3))
@@ -82,8 +84,6 @@ def test_psi_planted_shift_fires_and_matches_hand_value(spark):
     """All baseline mass in bin 0, all current mass in bin 1: PSI must
     exceed the 0.25 action threshold, and the bin-0 term matches the
     hand-computed smoothed value."""
-    import math
-
     from pinterest_data_pipeline_spark.operators.infotheory import (
         psi_fixed_bins,
     )
@@ -114,100 +114,6 @@ def test_psi_null_bins_and_flags_excluded(spark):
         .collect()
     }
     assert out[-1]["n_base"] == 1 and out[-1]["n_cur"] == 1
-
-
-# ----------------------------------------------------------------- ECE
-
-
-def _score_df(spark, rows):
-    return spark.createDataFrame(rows, "su long, y long")
-
-
-def test_ece_perfectly_calibrated_bins_read_zero(spark):
-    """A bin whose mean score equals its positive rate has gap 0; with
-    every bin calibrated the ECE total is 0."""
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        calibration_bins_ece,
-    )
-
-    # bin 2 (scores in [200000, 300000)): 4 rows at 250000, 1 positive
-    # → conf 0.25, acc 0.25; bin 7: 4 rows at 750000, 3 positive
-    rows = [(250_000, 1)] + [(250_000, 0)] * 3
-    rows += [(750_000, 1)] * 3 + [(750_000, 0)]
-    out = {
-        r["bin_id"]: r
-        for r in calibration_bins_ece(
-            _score_df(spark, rows), "su", "y", 10
-        ).collect()
-    }
-    assert set(out) == {-1, 2, 7}
-    assert out[2]["gap_r6"] == 0.0 and out[7]["gap_r6"] == 0.0
-    assert out[-1]["gap_r6"] == 0.0
-    assert out[-1]["n"] == 8
-    assert out[2]["mean_score_r6"] == pytest.approx(0.25, abs=1e-6)
-    assert out[7]["frac_pos_r6"] == pytest.approx(0.75, abs=1e-6)
-
-
-def test_ece_weights_bins_by_count_and_tops_out_scores(spark):
-    """ECE is the count-weighted mean gap, and a score of exactly 1e6
-    lands in the top bin (no phantom bin 10)."""
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        calibration_bins_ece,
-    )
-
-    # bin 0: 3 rows, conf 0.0, acc 1.0 → gap 1.0; bin 9 (su = 1e6):
-    # 1 row, conf 1.0, acc 1.0 → gap 0. ECE = 3/4 · 1.0 = 0.75
-    rows = [(0, 1)] * 3 + [(1_000_000, 1)]
-    out = {
-        r["bin_id"]: r
-        for r in calibration_bins_ece(
-            _score_df(spark, rows), "su", "y", 10
-        ).collect()
-    }
-    assert set(out) == {-1, 0, 9}
-    assert out[0]["gap_r6"] == 1.0
-    assert out[9]["gap_r6"] == 0.0
-    assert out[-1]["gap_r6"] == pytest.approx(0.75, abs=1e-6)
-
-
-# ----------------------------------------------------------------- AUC
-
-
-def test_auc_separation_endpoints_and_ties(spark):
-    """Perfect separation → 1.0; inverted → 0.0; a single tied score →
-    0.5 by the midrank convention; one-class input → NULL."""
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        roc_auc_binary,
-    )
-
-    perfect = [(100, 0)] * 5 + [(900, 1)] * 5
-    inverted = [(900, 0)] * 5 + [(100, 1)] * 5
-    tied = [(500, 0)] * 5 + [(500, 1)] * 5
-    one_class = [(100, 1), (900, 1)]
-    for rows, expect in (
-        (perfect, 1.0),
-        (inverted, 0.0),
-        (tied, 0.5),
-        (one_class, None),
-    ):
-        r = roc_auc_binary(_score_df(spark, rows), "su", "y").collect()[0]
-        if expect is None:
-            assert r["auc_r6"] is None
-        else:
-            assert r["auc_r6"] == pytest.approx(expect, abs=1e-6)
-
-
-def test_auc_hand_value_with_partial_ties(spark):
-    """Hand case: scores (1,2,2,3), labels (0,0,1,1). Midranks: 1,
-    2.5, 2.5, 4 → Σ_pos = 6.5; AUC = (6.5 − 3)/(2·2) = 0.875."""
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        roc_auc_binary,
-    )
-
-    rows = [(1, 0), (2, 0), (2, 1), (3, 1)]
-    r = roc_auc_binary(_score_df(spark, rows), "su", "y").collect()[0]
-    assert r["n_scores"] == 3
-    assert r["auc_r6"] == pytest.approx(0.875, abs=1e-6)
 
 
 # ------------------------------------------------------------ conformal
@@ -278,73 +184,214 @@ def test_conformal_guarantee_on_planted_group(spark):
         conformal_coverage,
     )
 
-    # values follow the same deterministic pattern in both halves
     rows = [("g", k, (k * 37) % 1000) for k in range(400)]
     r = conformal_coverage(_conf_df(spark, rows), "g", "k", "x").collect()[0]
     assert r["n_calib"] == 200 and r["n_test"] == 200
     assert r["coverage_ppm"] >= 900_000
 
 
-# ---------------------------------------------------------------- kappa
+# ------------------------------------------------------------- log-rank
 
 
-def _rater_df(spark, rows):
-    return spark.createDataFrame(rows, "a long, b long")
+def _surv_df(spark, rows):
+    return spark.createDataFrame(rows, "cohort string, t long, e int")
 
 
-def test_kappa_perfect_and_chance_and_degenerate(spark):
-    """Identical raters → κ = 1; hand 2×2 with known κ; both raters
-    constant and identical → p_e = 1 → κ NULL (never a throw); NULL
-    adjudications excluded."""
+def test_logrank_identical_cohorts_read_zero(spark):
+    """The same duration/event profile in both cohorts: O−E = 0 at
+    every event time, chisq exactly 0."""
+    from pinterest_data_pipeline_spark.operators.survival import (
+        logrank_test,
+    )
+
+    profile = [(1, 1), (2, 1), (3, 0), (5, 1), (7, 0)]
+    rows = [("a", t, e) for t, e in profile] + [
+        ("b", t, e) for t, e in profile
+    ]
+    r = logrank_test(_surv_df(spark, rows), "cohort", "t", "e").collect()[0]
+    assert r["n_subj_a"] == 5 and r["n_subj_b"] == 5
+    assert r["o_minus_e_r6"] == 0.0
+    assert r["chisq_r6"] == 0.0
+
+
+def test_logrank_hand_value(spark):
+    """a: two events at t=1; b: two events at t=2. At t=1: O−E =
+    2 − 2·(2/4) = 1, V = 2·(2/4)·(2/4)·(2/3) = 1/3; at t=2 both are
+    0 (only b at risk). chisq = 1²/(1/3) = 3."""
+    from pinterest_data_pipeline_spark.operators.survival import (
+        logrank_test,
+    )
+
+    rows = [("a", 1, 1), ("a", 1, 1), ("b", 2, 1), ("b", 2, 1)]
+    r = logrank_test(_surv_df(spark, rows), "cohort", "t", "e").collect()[0]
+    assert r["o_minus_e_r6"] == pytest.approx(1.0, abs=1e-6)
+    assert r["chisq_r6"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_logrank_censoring_exits_risk_set_without_counting(spark):
+    """A censored subject leaves the denominator at its duration but
+    is never an event: with every a-event AFTER b's censoring, b's
+    censored subjects must not inflate the event counts, and no
+    comparable event time exists once only one cohort remains →
+    chisq NULL."""
+    from pinterest_data_pipeline_spark.operators.survival import (
+        logrank_test,
+    )
+
+    rows = [("b", 1, 0), ("b", 1, 0), ("a", 5, 1), ("a", 6, 1)]
+    r = logrank_test(_surv_df(spark, rows), "cohort", "t", "e").collect()[0]
+    assert r["n_events_a"] == 2 and r["n_events_b"] == 0
+    # at t=5 and t=6 only cohort a is at risk: oe = 0, v = 0
+    assert r["o_minus_e_r6"] == 0.0
+    assert r["chisq_r6"] is None
+
+
+def test_logrank_excludes_unknown_cohorts_and_nulls(spark):
+    from pinterest_data_pipeline_spark.operators.survival import (
+        logrank_test,
+    )
+
+    rows = [
+        ("a", 1, 1),
+        ("b", 2, 1),
+        ("z", 1, 1),      # unknown cohort label
+        ("a", None, 1),   # NULL duration
+        (None, 3, 1),     # NULL cohort
+    ]
+    r = logrank_test(_surv_df(spark, rows), "cohort", "t", "e").collect()[0]
+    assert r["n_subj_a"] == 1 and r["n_subj_b"] == 1
+
+
+# ------------------------------------------------------------------ CMH
+
+
+def _cmh_df(spark, rows):
+    return spark.createDataFrame(rows, "s string, arm string, y long")
+
+
+def test_cmh_single_stratum_equals_hand_chi_square(spark):
+    """One stratum (a,b,c,d) = (30,20,10,40): E[a] = 20, O−E = 10,
+    V = 50·50·40·60/(100²·99) = 600/99; chisq = 100·99/600 = 16.5;
+    OR_MH = (30·40)/(20·10) = 6."""
     from pinterest_data_pipeline_spark.operators.experiment import (
-        cohen_kappa,
+        cmh_test,
     )
 
-    perfect = [(1, 1)] * 3 + [(0, 0)] * 5
-    r = cohen_kappa(_rater_df(spark, perfect), "a", "b").collect()[0]
-    assert r["kappa_r6"] == 1.0 and r["po_r6"] == 1.0
-
-    # hand case: a=(1,1,0,0), b=(1,0,1,0) → po=0.5, pe=0.5, κ=0
-    hand = [(1, 1), (1, 0), (0, 1), (0, 0)]
-    r = cohen_kappa(_rater_df(spark, hand), "a", "b").collect()[0]
-    assert r["po_r6"] == 0.5 and r["pe_r6"] == 0.5
-    assert r["kappa_r6"] == 0.0
-
-    degen = [(1, 1)] * 4
-    r = cohen_kappa(_rater_df(spark, degen), "a", "b").collect()[0]
-    assert r["pe_r6"] == 1.0 and r["kappa_r6"] is None
-
-    with_nulls = [(1, 1), (None, 1), (0, None), (0, 0)]
-    r = cohen_kappa(_rater_df(spark, with_nulls), "a", "b").collect()[0]
-    assert r["n"] == 2 and r["n_agree"] == 2
+    rows = (
+        [("s1", "treatment", 1)] * 30
+        + [("s1", "treatment", 0)] * 20
+        + [("s1", "control", 1)] * 10
+        + [("s1", "control", 0)] * 40
+    )
+    r = cmh_test(_cmh_df(spark, rows), "s", "arm", "y").collect()[0]
+    assert r["n_strata_used"] == 1 and r["n_units"] == 100
+    assert r["chisq_r6"] == pytest.approx(16.5, abs=1e-6)
+    assert r["or_mh_r6"] == pytest.approx(6.0, abs=1e-6)
 
 
-def test_ece_out_of_domain_scores_never_collide_with_total_row(spark):
-    """A negative micro-unit score must be EXCLUDED, not minted into a
-    bin_id of -1 that aliases the total row; scores above 1e6 are
-    excluded symmetrically."""
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        calibration_bins_ece,
+def test_cmh_is_simpsons_paradox_safe(spark):
+    """Two strata each with OR = 1 (no within-stratum association) but
+    wildly different sizes/arm mixes: the naive pooled rates differ,
+    yet CMH reads O−E = 0 in every stratum → chisq exactly 0 and
+    OR_MH exactly 1."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        cmh_test,
     )
 
-    rows = [(-5, 1), (1_000_001, 1), (250_000, 1), (250_000, 0)]
-    out = calibration_bins_ece(
-        _score_df(spark, rows), "su", "y", 10
-    ).collect()
-    by_bin = {}
-    for r in out:
-        assert r["bin_id"] not in by_bin, "duplicate bin_id rows"
-        by_bin[r["bin_id"]] = r
-    assert set(by_bin) == {-1, 2}
-    assert by_bin[-1]["n"] == 2  # only the in-domain rows
+    rows = (
+        # stratum s1: treat 50/50 of 100, ctrl 5/5 of 10 — both 50%
+        [("s1", "treatment", 1)] * 50
+        + [("s1", "treatment", 0)] * 50
+        + [("s1", "control", 1)] * 5
+        + [("s1", "control", 0)] * 5
+        # stratum s2: treat 1/9 of 10, ctrl 10/90 of 100 — both 10%
+        + [("s2", "treatment", 1)] * 1
+        + [("s2", "treatment", 0)] * 9
+        + [("s2", "control", 1)] * 10
+        + [("s2", "control", 0)] * 90
+    )
+    r = cmh_test(_cmh_df(spark, rows), "s", "arm", "y").collect()[0]
+    assert r["n_strata_used"] == 2
+    # naive pooled: treat 51/110 ≈ 46%, ctrl 15/110 ≈ 14% — looks huge
+    assert r["succ_treat"] == 51 and r["succ_ctrl"] == 15
+    assert r["chisq_r6"] == 0.0
+    assert r["or_mh_r6"] == pytest.approx(1.0, abs=1e-6)
 
 
-def test_auc_out_of_domain_scores_excluded(spark):
-    from pinterest_data_pipeline_spark.operators.calibration import (
-        roc_auc_binary,
+def test_cmh_excludes_tiny_strata_and_null_labels(spark):
+    """Strata with n < 2 are excluded (visible in n_strata_used); a
+    NULL stratum is its own class; NULL successes and unknown arms
+    are excluded."""
+    from pinterest_data_pipeline_spark.operators.experiment import (
+        cmh_test,
     )
 
-    rows = [(-5, 0), (1_000_001, 1), (100, 0), (900, 1)]
-    r = roc_auc_binary(_score_df(spark, rows), "su", "y").collect()[0]
-    assert r["n"] == 2 and r["n_pos"] == 1
-    assert r["auc_r6"] == pytest.approx(1.0, abs=1e-6)
+    rows = (
+        [("s1", "treatment", 1), ("s1", "control", 0)]
+        + [("tiny", "treatment", 1)]        # n = 1: excluded
+        + [(None, "treatment", 1), (None, "control", 0)]
+        + [("s1", "rollout", 1)]            # unknown arm: excluded
+        + [("s1", "treatment", None)]       # NULL success: excluded
+    )
+    r = cmh_test(_cmh_df(spark, rows), "s", "arm", "y").collect()[0]
+    assert r["n_strata_used"] == 2  # s1 and the NULL-sentinel stratum
+    assert r["n_units"] == 4
+
+
+# ----------------------------------------------------------------- Hill
+
+
+def _vals_df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v long")
+
+
+def test_hill_hand_value_and_tie_safety(spark):
+    """k=2 over [1000, 800, 400, 100]: 1/α = (ln(1000/400) +
+    ln(800/400))/2 → α ≈ 1.242674. Duplicating the floor value must
+    not change the estimate (ties at the panel floor contribute 0)."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        hill_tail_index,
+    )
+
+    inv = (math.log(1000 / 400) + math.log(800 / 400)) / 2
+    want = round(1.0 / inv, 6)
+    r = hill_tail_index(
+        _vals_df(spark, [1000, 800, 400, 100]), "v", k=2
+    ).collect()[0]
+    assert r["k_used"] == 2 and r["tail_floor"] == 400
+    assert r["alpha_r6"] == pytest.approx(want, abs=1e-6)
+
+    r2 = hill_tail_index(
+        _vals_df(spark, [1000, 800, 400, 400, 100]), "v", k=2
+    ).collect()[0]
+    assert r2["alpha_r6"] == pytest.approx(want, abs=1e-6)
+
+
+def test_hill_recovers_planted_pareto_exponent(spark):
+    """Deterministic Pareto(α=2) order statistics x_i = 1e6/√i: the
+    Hill estimate over the top 100 must land near 2."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        hill_tail_index,
+    )
+
+    vals = [int(1_000_000 / math.sqrt(i)) for i in range(1, 2001)]
+    r = hill_tail_index(_vals_df(spark, vals), "v", k=100).collect()[0]
+    assert r["n_pos"] == 2000 and r["k_used"] == 100
+    assert r["alpha_r6"] == pytest.approx(2.0, rel=0.1)
+
+
+def test_hill_degenerate_inputs_yield_null(spark):
+    """All-equal tail → zero log-spread → NULL; a single positive
+    value → k_used = 0 → NULL; non-positive values excluded."""
+    from pinterest_data_pipeline_spark.operators.robust_stats import (
+        hill_tail_index,
+    )
+
+    r = hill_tail_index(_vals_df(spark, [7, 7, 7, 7]), "v", k=2).collect()[0]
+    assert r["alpha_r6"] is None and r["tail_floor"] == 7
+
+    r = hill_tail_index(
+        _vals_df(spark, [5, 0, -3]), "v", k=2
+    ).collect()[0]
+    assert r["n_pos"] == 1 and r["k_used"] == 0
+    assert r["alpha_r6"] is None
