@@ -989,23 +989,6 @@ def test_conformal_joins_broadcast_group_stats(spark):
         "c_mktsegment:string>" in plan
     )
 
-
-def test_kappa_contingency_folds_in_one_pass(spark):
-    """The whole 2x2 table is one conditional-sum aggregate over a
-    two-column scan — no joins, no windows, no explodes."""
-    plan = _staged_plan(spark, "staged_round18", "cohen_kappa_doc_raters")
-    for node in (
-        "SortMergeJoin",
-        "BroadcastHashJoin",
-        "BroadcastNestedLoopJoin",
-        "CartesianProduct",
-        "Window",
-        "Generate",
-    ):
-        assert n_nodes(plan, node) == 0
-    assert "ReadSchema: struct<text:string,n_chars:bigint>" in plan
-
-
 def test_logrank_window_runs_on_the_duration_grid(spark):
     """The at-risk scan is one cumulative window over the
     distinct-duration histogram (bounded by the observation window),
