@@ -1233,8 +1233,10 @@ def cmh_test(
 
     chisq is NULL when ΣV = 0 (every used stratum degenerate);
     OR_MH is NULL when Σ(b·c/n) = 0. Rows with a NULL stratum form
-    their own stratum (sentinel coalesce); rows with a NULL success or
-    an arm outside {treat, control} are excluded.
+    their own stratum (sentinel coalesce); rows with a success outside
+    {0, 1} (including NULL) or an arm outside {treat, control} are
+    EXCLUDED — a success of 2 would otherwise mint a negative failure
+    cell silently.
 
     Scale: one grouped conditional-sum aggregate keyed by stratum
     (map-side combinable), then a single-row fold over the K-row cell
@@ -1244,7 +1246,7 @@ def cmh_test(
     su = F.col(success_col).cast("bigint")
     is_t = F.col(arm_col) == treat
     is_c = F.col(arm_col) == control
-    base = units.filter((is_t | is_c) & su.isNotNull()).select(
+    base = units.filter((is_t | is_c) & su.isin(0, 1)).select(
         F.coalesce(F.col(stratum_col).cast("string"), F.lit("__NULL__"))
         .alias("__s"),
         is_t.alias("__t"),

@@ -332,6 +332,9 @@ def test_cmh_excludes_tiny_strata_and_null_labels(spark):
         + [(None, "treatment", 1), (None, "control", 0)]
         + [("s1", "rollout", 1)]            # unknown arm: excluded
         + [("s1", "treatment", None)]       # NULL success: excluded
+        + [("s1", "treatment", 2)]          # out-of-domain success:
+                                            # excluded, never a
+                                            # negative failure cell
     )
     r = cmh_test(_cmh_df(spark, rows), "s", "arm", "y").collect()[0]
     assert r["n_strata_used"] == 2  # s1 and the NULL-sentinel stratum
