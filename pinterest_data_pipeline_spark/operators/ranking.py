@@ -724,16 +724,24 @@ def catalog_coverage_diversity(
       monotone (five phones), 1e6 means maximally mixed.
 
     ``recs``: one row per (user, item); ``catalog``: one row per item
-    with its attribute. Counts are exact bigints; per-user pair counts
+    with its attribute. Rows with a NULL item are excluded up front —
+    a NULL is not a recommendable item, and the coverage distinct
+    would otherwise count it as a catalog hit in one engine and not
+    the other (COUNT(DISTINCT) skips NULL, a distinct-then-count does
+    not). Counts are exact bigints; per-user pair counts
     come from k·(k−1)/2 and same-attr-group counts within the list —
     no pair join at all (Σ_g c_g·(c_g−1)/2 per user, subtracted).
 
     Scale: one distinct over recs, one broadcast attr join, one
     (user, attr) aggregate + one user aggregate + one global fold —
     the pair arithmetic is closed-form, never materialized."""
-    r = recs.select(
-        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
-    ).distinct()
+    r = (
+        recs.select(
+            F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+        )
+        .filter(F.col("__i").isNotNull())
+        .distinct()
+    )
     cov = r.select("__i").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_recommended_distinct")
     )

@@ -544,7 +544,11 @@ def quantile_normalize_by_value(
     ceil(c · N / n_g) — exact integer index arithmetic, no percentile
     interpolation, engine-identical by construction. Returns the
     DOMAIN-SIZED mapping (group, value, normalized_value, n_rows);
-    callers join it back to rows or aggregate it directly.
+    callers join it back to rows or aggregate it directly. Rows with a
+    NULL value are excluded up front (engines disagree on where NULL
+    sorts in the CDF windows); a NULL group stays its own class —
+    windows partition it together, and the oracle must replay that
+    with a null-safe join, not equality.
 
     Scale: the mapping works entirely on (group, value) count tables —
     bounded by the value domain, not the row count: two window
@@ -560,7 +564,8 @@ def quantile_normalize_by_value(
     # window/join cascade below into single-task stages over the tiny
     # relation (the OBF look-spine precedent).
     counts = (
-        df.groupBy(
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
             F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
@@ -745,7 +750,12 @@ def spearman_rank_correlation(
     HUGEINT (DuckDB) — and ONE fixed double expression tree at the
     end. Per-row products are < 4n² and the decimal sums are exact to
     n ≈ 10⁹ rows per group; past that, rank-correlate a per-group
-    sample. Constant x or y in a group → NULL rho (0/0 guarded).
+    sample. Constant x or y in a group → NULL rho (0/0 guarded). Rows
+    with a NULL x or y are excluded up front — engines disagree on
+    where NULL sorts in a rank window (Spark NULLS FIRST, DuckDB NULLS
+    LAST), so an unfiltered NULL coordinate silently shifts every rank
+    on one side; a NULL group stays its own class (GROUP BY keeps
+    it).
 
     Scale: rank() and the tie count (a RANGE CURRENT ROW..CURRENT ROW
     peers frame) ride ONE Exchange+Sort per metric — two shuffles on
@@ -761,6 +771,7 @@ def spearman_rank_correlation(
             F.col(x_col).cast("long").alias("__x"),
             F.col(y_col).cast("long").alias("__y"),
         )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
         .withColumn(
             "__dx",
             (
@@ -821,7 +832,10 @@ def kruskal_wallis_h(
     with R_g the per-group sum of GLOBAL average ranks and t_v the
     tie-group sizes. Returns ONE row: n_rows, n_groups, h_r6,
     h_tie_corrected_r6 (NULL when every value ties — the correction's
-    denominator vanishes).
+    denominator vanishes). Rows missing EITHER coordinate are excluded
+    up front (a rank needs a value, a group sum needs a group — and an
+    unfiltered NULL would otherwise silently take a rank in one engine
+    and not the other).
 
     Exactness: doubled average ranks are exact integers (the
     spearman_rank_correlation discipline), so R2_g = Σ 2·rank and
@@ -839,7 +853,7 @@ def kruskal_wallis_h(
     base = df.select(
         F.col(group_col).cast("string").alias("__g"),
         F.col(value_col).cast("long").alias("__v"),
-    )
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
     ranked = base.withColumn(
         "__d2",
         (2 * F.rank().over(wv) + F.count(F.lit(1)).over(peers) - 1).cast(

@@ -556,7 +556,10 @@ def contrastive_negative_sample(
     per-group md5-ranked spine. Returns the audit aggregate — one row
     per (anchor_group, negative_group): n_pairs, sum_negative_id (a
     checksum certifying WHICH rows were picked, not just how many),
-    distinct_negatives.
+    distinct_negatives. Rows with a NULL group are excluded up front —
+    group identity is the whole contract ("from ANOTHER source"), and
+    an unfiltered NULL group would anchor in one engine and vanish in
+    the other's equality joins.
 
     Scale: the per-group rank spine is a window PARTITIONED by group
     (parallel across groups; md5 order, no global sort); the pick is
@@ -567,7 +570,7 @@ def contrastive_negative_sample(
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(group_col).cast("string").alias("__grp"),
-    )
+    ).filter(F.col("__grp").isNotNull())
     census = base.groupBy("__grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     )

@@ -44,9 +44,15 @@ def skyline_2d(
     row dominates. Ties: among rows with identical x, only rows with
     the band's maximal y at that x survive (an equal-x higher-y row
     dominates); exact duplicates on (x, y) all survive (no strict
-    inequality exists between them). Input columns pass through."""
-    base = df.withColumn("__x", F.col(x_col).cast("long")).withColumn(
-        "__y", F.col(y_col).cast("long")
+    inequality exists between them). Rows missing EITHER coordinate
+    are excluded up front — dominance is undefined against a NULL, and
+    an unfiltered NULL row would survive a SQL NOT-EXISTS replay (every
+    comparison against it is NULL) while the window formulation drops
+    it, a silent cross-engine split. Input columns pass through."""
+    base = (
+        df.withColumn("__x", F.col(x_col).cast("long"))
+        .withColumn("__y", F.col(y_col).cast("long"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     )
     banded = base.withColumn(
         "__band", F.floor(F.col("__x") / F.lit(band_width)).cast("long")

@@ -188,9 +188,7 @@ def snm_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_true_pairs",
             "n_captured",
-            F.floor(
-                (F.col("n_captured") * 1_000_000) / F.col("n_true_pairs")
-            )
+            F.expr("(n_captured * 1000000) div n_true_pairs")
             .cast("bigint")
             .alias("recall_ppm"),
         )
@@ -504,6 +502,7 @@ def monthly_revenue_recognition(
     WITH rows_ AS (
         SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
         FROM events
+        WHERE value IS NOT NULL
     ),
     counts AS (
         SELECT g, v, CAST(count(*) AS BIGINT) AS c
@@ -537,7 +536,7 @@ def monthly_revenue_recognition(
                                * CAST(t.n AS DOUBLE)
                                + CAST(ng.ng AS DOUBLE) - 1.0)
                               / CAST(ng.ng AS DOUBLE)) AS BIGINT) AS idx
-            FROM cum JOIN ng ON cum.g = ng.g CROSS JOIN tot t
+            FROM cum JOIN ng ON cum.g IS NOT DISTINCT FROM ng.g CROSS JOIN tot t
         ) s
         JOIN pooled p ON p.pprev < s.idx AND s.idx <= p.pcdf
     )

@@ -459,6 +459,7 @@ def mase_seasonal_naive_backtest(
                CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
                CAST(p_size AS BIGINT) AS size
         FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     )
     SELECT a.p_partkey, a.cents, a.size
     FROM p a

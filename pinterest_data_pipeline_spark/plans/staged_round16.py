@@ -67,6 +67,7 @@ def _stage(name: str, oracle: str | None = None):
                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
                     AS BIGINT) AS y
         FROM documents
+        WHERE n_chars IS NOT NULL AND text IS NOT NULL
     ),
     r AS (
         SELECT g,
@@ -202,7 +203,7 @@ def eb_shrunk_user_purchase_rate(
 @_stage(
     "contrastive_negative_sources",
     oracle="""
-    WITH base AS (SELECT doc_id AS id, source AS grp FROM documents),
+    WITH base AS (SELECT doc_id AS id, source AS grp FROM documents WHERE source IS NOT NULL),
     census AS (
         SELECT grp, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY grp
     ),
@@ -368,6 +369,7 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS g,
                CAST(round(value * 100) AS BIGINT) AS v
         FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
     ),
     r AS (
         SELECT g, 2 * rank() OVER (ORDER BY v)

@@ -139,7 +139,9 @@ def js_divergence_token_sources(
     "mutual_info_lang_source_docs",
     oracle="""
     WITH cells AS (
-        SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+        SELECT COALESCE(CAST(lang AS VARCHAR), '__NULL__') AS x,
+               COALESCE(CAST(source AS VARCHAR), '__NULL__') AS y,
+               CAST(COUNT(*) AS BIGINT) AS nxy
         FROM documents GROUP BY 1, 2
     ),
     mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
@@ -271,6 +273,7 @@ def t_closeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         % 2 = 0
                     THEN 'treatment' ELSE 'control' END AS arm
         FROM customer
+        WHERE c_acctbal IS NOT NULL
     ),
     b AS (
         SELECT id, x, arm,
