@@ -92,6 +92,16 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/tmp/nullfuzz_sf0.001")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--registered",
+        action="store_true",
+        help="fuzz the registry surface (optionally --window-only)",
+    )
+    ap.add_argument(
+        "--window-only",
+        action="store_true",
+        help="with --registered: just the driver-checked first 50",
+    )
     args = ap.parse_args()
 
     from pinterest_data_pipeline_spark.session import get_spark
@@ -106,12 +116,23 @@ def main() -> None:
 
     qs: dict = {}
     oracles: dict = {}
-    for n in range(14, 19):
-        m = importlib.import_module(
-            f"pinterest_data_pipeline_spark.plans.staged_round{n}"
-        )
-        qs.update(m.STAGED_QUERIES)
-        oracles.update(m.STAGED_ORACLE)
+    if args.registered:
+        import __spark_entry__ as entry_mod
+
+        names = list(entry_mod.queries())
+        if args.window_only:
+            names = names[:50]
+        qs = {n: entry_mod.queries()[n] for n in names}
+        oracles = {
+            n: s for n, s in entry_mod.oracle_sql().items() if n in qs
+        }
+    else:
+        for n in range(14, 19):
+            m = importlib.import_module(
+                f"pinterest_data_pipeline_spark.plans.staged_round{n}"
+            )
+            qs.update(m.STAGED_QUERIES)
+            oracles.update(m.STAGED_ORACLE)
 
     only = set(args.only.split(",")) if args.only else None
     n_ok = n_bad = 0
