@@ -396,7 +396,7 @@ def err_at_10_length_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN day(ts) > 15
                         THEN CAST(round(value * 100) AS BIGINT)
                         ELSE 0 END) AS BIGINT) AS cents
-        FROM events GROUP BY 1, 2
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
     ),
     s AS (
         SELECT arm,
@@ -451,14 +451,19 @@ def poststratified_lift_user_spend(
     cents, arms hash-assigned — the third variance-reduction reading
     beside CUPED's regression and the winsorized cap, catching the
     chance stratum-composition imbalance a raw diff-of-means books as
-    an effect. One (stratum, arm) aggregate; every later step runs on
+    an effect. NULL user ids are excluded up front (the srm_audit
+    rationale: unidentifiable units cannot be randomized, and DuckDB's
+    NULL-skipping concat would hash them to an arm the engine does
+    not). One (stratum, arm) aggregate; every later step runs on
     the 4-row strata relation."""
     from pinterest_data_pipeline_spark.operators.experiment import (
         hash_assign_arm,
         post_stratified_lift,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     units = ev.groupBy("user_id").agg(
         F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).alias(
             "n_pre"
@@ -761,7 +766,7 @@ def event_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_stage(
     "srm_assignment_audit",
     oracle="""
-    WITH u AS (SELECT DISTINCT user_id FROM events),
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
     a AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat(
@@ -821,14 +826,22 @@ def srm_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE aggregate over distinct users computes every
     experiment's counts as conditional sums; per-experiment rows
-    unpivot from that single driver-sized row."""
+    unpivot from that single driver-sized row. NULL unit ids are
+    excluded up front — you cannot randomize a unit you cannot
+    identify, and the engines would diverge on one anyway (DuckDB's
+    concat SKIPS NULL arguments, Spark's propagates, so the md5 arm
+    of a NULL id differs)."""
     from pinterest_data_pipeline_spark.operators.dedup import (
         portable_hash32,
     )
     from pinterest_data_pipeline_spark.operators.experiment import srm_audit
 
     ev = load_table(spark, sf_dir, "events")
-    units = ev.select("user_id").distinct()
+    units = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
 
     def _h(salt: str):
         return portable_hash32(
