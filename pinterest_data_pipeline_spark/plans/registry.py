@@ -137,13 +137,13 @@ CHECK_FIRST: list[str] = [
     #       twap_user_value was ea26d3d-touched — its promotion row
     #       doubles as that re-certification.
     #   (b) changed-in-r13 re-certifications: queue as they happen.
-    #       PRE-QUEUED WORK: retire the nine registry-window NULL-fuzz
-    #       splits PERF.md documents (winnowing/minhash oracle md5
-    #       NULL guards; dsir n-gram NULL features; srm/poststrat NULL
-    #       unit ids — DuckDB concat skips NULLs, Spark propagates;
-    #       fellegi NULL-safe agreement flags; span-cut NULL text) —
-    #       each fix is a changed query and takes a window slot that
-    #       round.
+    #       PRE-QUEUED WORK: retire the seven remaining registry-window
+    #       NULL-fuzz splits PERF.md documents (winnowing/minhash
+    #       oracle md5 NULL guards; dsir n-gram NULL features; fellegi
+    #       NULL-safe agreement flags; span-cut NULL text; the
+    #       srm/poststrat NULL-unit split was fixed in r12 while their
+    #       window slots were live) — each fix is a changed query and
+    #       takes a window slot that round.
     #   (c) fill the remaining 42 slots with the first 42 of the
     #       43-query r7-evidence remainder (repetition_signals onward
     #       in registration order; the 43rd rolls to round 14).
