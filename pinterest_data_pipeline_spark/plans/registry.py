@@ -137,13 +137,14 @@ CHECK_FIRST: list[str] = [
     #       twap_user_value was ea26d3d-touched — its promotion row
     #       doubles as that re-certification.
     #   (b) changed-in-r13 re-certifications: queue as they happen.
-    #       PRE-QUEUED WORK: retire the seven remaining registry-window
-    #       NULL-fuzz splits PERF.md documents (winnowing/minhash
-    #       oracle md5 NULL guards; dsir n-gram NULL features; fellegi
-    #       NULL-safe agreement flags; span-cut NULL text; the
-    #       srm/poststrat NULL-unit split was fixed in r12 while their
-    #       window slots were live) — each fix is a changed query and
-    #       takes a window slot that round.
+    #       (The registry-window NULL-fuzz queue is EMPTY: all nine
+    #       splits were retired inside round 12 while their window
+    #       slots were live — winnowing/minhash oracle NULL≍'' guards,
+    #       the dsir NULL-lang raw-model contract, fellegi's NULL-safe
+    #       binary-γ agreement flags, span-cut's NULL-vs-'' kept_text,
+    #       and the srm/poststrat NULL-unit exclusions — so no r13
+    #       slots are consumed by them. Pinned by
+    #       tests/test_nullfuzz_parity.py.)
     #   (c) fill the remaining 42 slots with the first 42 of the
     #       43-query r7-evidence remainder (repetition_signals onward
     #       in registration order; the 43rd rolls to round 14).

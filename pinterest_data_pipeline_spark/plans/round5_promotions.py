@@ -143,9 +143,17 @@ def quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gram hash) as DuckDB CTEs — shared with the staged cap-drop report
 # (plans/staged_round6.winnowing_cap_report), which audits the same
 # relation this query's cap filters.
+#
+# NULL text: the engine's whole-document fallback treats a NULL text
+# exactly like an empty one (split(trim(NULL)) -> NULL tokens,
+# concat_ws over a NULL array -> '' -> the single hash('') fingerprint);
+# coalesce replays that here. Without it DuckDB's md5(NULL) feeds
+# concat('0x', NULL) = '0x' (concat SKIPS NULL args) and the BIGINT
+# cast throws — the NULL-fuzz harness's ORACLE-ONLY-ERROR class.
 WINNOWING_FP_CTES = r"""
     t AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        SELECT doc_id,
+               regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS tk
         FROM documents
     ), g AS (
         SELECT doc_id,

@@ -741,9 +741,9 @@ _FS_TWIN = f"""
     WITH o AS ({_FS_ORIG}),
     t AS ({_FS_TWIN}),
     cand AS (
-        SELECT o.name = t.name AS a_name,
-               o.seg = t.seg AS a_seg,
-               o.cents = t.cents AS a_bal,
+        SELECT coalesce(o.name = t.name, FALSE) AS a_name,
+               coalesce(o.seg = t.seg, FALSE) AS a_seg,
+               coalesce(o.cents = t.cents, FALSE) AS a_bal,
                o.k = t.k AS is_match
         FROM o JOIN t ON o.nation = t.nation
                    AND o.cents // 1000 = t.cents // 1000
@@ -804,7 +804,11 @@ def fellegi_sunter_link_weights(
     the ×100 stress point before the band landed; with it the blocked
     join is output-proportional. Band recall on the planted truth is
     ~100%: the only perturbation touching cents is +1, which crosses a
-    band boundary only when cents ≡ −1 (mod 1000). As in any blocked
+    band boundary only when cents ≡ −1 (mod 1000). Agreement flags are
+    NULL-safe under the binary-γ convention: a missing name/segment/
+    balance on either side is a DISAGREEMENT (coalesce to False), never
+    a NULL pattern row — absent evidence cannot support a link, and the
+    pattern key stays a total three-bit domain. As in any blocked
     FS deployment, m/u are estimated ON THE CANDIDATE population —
     u_bal within a shared band reads higher than a global u would, the
     standard blocking bias, and the oracle replays the identical
@@ -853,9 +857,19 @@ def fellegi_sunter_link_weights(
             ),
         )
         .select(
-            (F.col("o.name") == F.col("t.name")).alias("a_name"),
-            (F.col("o.seg") == F.col("t.seg")).alias("a_seg"),
-            (F.col("o.cents") == F.col("t.cents")).alias("a_bal"),
+            # NULL-safe agreement flags: a missing field is a
+            # DISAGREEMENT (the binary-γ convention — absent evidence
+            # never supports a link), so each comparison coalesces to
+            # False instead of propagating NULL into the pattern key
+            F.coalesce(
+                F.col("o.name") == F.col("t.name"), F.lit(False)
+            ).alias("a_name"),
+            F.coalesce(
+                F.col("o.seg") == F.col("t.seg"), F.lit(False)
+            ).alias("a_seg"),
+            F.coalesce(
+                F.col("o.cents") == F.col("t.cents"), F.lit(False)
+            ).alias("a_bal"),
             (F.col("o.k") == F.col("t.k")).alias("is_match"),
         )
     )

@@ -672,6 +672,18 @@ def incremental_embedding_persisted_pairs(
 # replayed verbatim: portable md5 bucket ids, add-one smoothing as four
 # explicit ln terms (the operator keeps the same expression tree so the
 # rounded sums hash-match).
+#
+# NULL-lang docs: the engine's raw-pool model counts every document
+# that is not identified target (importance_log_ratios coalesces the
+# target flag to False), so a NULL-lang doc's features belong to the
+# RAW background model even though the doc itself is never SCORED
+# (neither side emits a weight for a doc whose lang — hence whose
+# raw/target identity — is unknown). The lm CTE's cr branch therefore
+# tests `lang = 'en' THEN 0 ELSE cnt` (NULL lands in ELSE = raw), NOT
+# `lang <> 'en'` (NULL would land in the dropped branch and the two
+# model totals would drift — the NULL-fuzz split this retires). The
+# weights CTE's `f.lang <> 'en'` mirrors the engine's ~target_pred
+# scoring filter, which likewise drops NULL.
 _DSIR_CTES = r"""
     toks AS (
         SELECT doc_id, lang,
@@ -695,7 +707,7 @@ _DSIR_CTES = r"""
     lm AS (
         SELECT bucket,
                sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct,
-               sum(CASE WHEN lang <> 'en' THEN cnt ELSE 0 END) AS cr
+               sum(CASE WHEN lang = 'en' THEN 0 ELSE cnt END) AS cr
         FROM feats GROUP BY bucket
     ),
     tot AS (
@@ -1012,7 +1024,8 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens,
            CAST(len(k) AS BIGINT) AS n_kept,
-           coalesce(array_to_string(k, ' '), '') AS kept_text
+           CASE WHEN k IS NULL THEN NULL
+                ELSE coalesce(array_to_string(k, ' '), '') END AS kept_text
     FROM kept
     """,
 )
@@ -1020,7 +1033,13 @@ def cut_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup proper (operators/substring_dedup.
     cut_duplicate_spans): every duplicated span removed, the unique
     remainder kept, for EVERY document — untouched docs pass through,
-    fully-duplicated docs keep ''. The covered positions travel as one
+    fully-duplicated docs keep ''. NULL text stays NULL (no text in,
+    no text out — distinct from the fully-duplicated doc's ''); the
+    oracle's CASE keeps the two apart because DuckDB's array_to_string
+    returns NULL for BOTH an empty and a NULL list, where Spark's
+    array_join distinguishes them ('' vs NULL) — the inner coalesce
+    restores '' for the empty case, the outer CASE preserves NULL for
+    the no-text case. The covered positions travel as one
     per-document array (duplicate-volume-sized), so the corpus scan
     rebuilds kept text with a pure indexed-filter expression and never
     re-shuffles."""

@@ -699,9 +699,15 @@ def corpus_curation_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_dedup_clusters",
+    # the sh CTE's coalesce replays the engine's whole-document
+    # fallback for NULL text (shingle set {''}, same as an empty doc);
+    # bare NULL would feed md5(NULL) -> concat('0x', NULL) = '0x'
+    # (DuckDB concat SKIPS NULL args) and the BIGINT cast throws
     oracle=f"""
     WITH RECURSIVE sh AS (
-        SELECT doc_id, {_TRIGRAMS} AS g FROM documents
+        SELECT doc_id, {_TRIGRAMS} AS g
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+             documents
     ),
     hashed AS (
         SELECT doc_id,

@@ -69,3 +69,41 @@ def test_staged_query_matches_oracle_on_null_fuzz(spark, fuzz_dir, name):
         con.close()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}@nullfuzz: {problems}"
+
+
+# The nine REGISTERED queries the round-12 `--registered --window-only`
+# sweep flagged, each retired with a specific NULL contract (PERF.md
+# "NULL-fuzz of the registry window"). Pinned individually — running
+# the full 275-query registry through the fuzz every pytest would cost
+# minutes for queries whose NULL paths never changed; these nine are
+# the ones with a fixed-in-anger contract worth a standing regression:
+#   srm/poststrat        — NULL unit ids excluded from randomization
+#   winnowing ×2/minhash — oracle replays the engine's NULL≍'' fallback
+#   dsir ×2              — NULL-lang features count in the RAW model
+#   fellegi              — NULL field = disagreement (binary γ)
+#   cut spans            — NULL text keeps NULL, '' only when cut empty
+RETIRED_REGISTRY_SPLITS = [
+    "srm_assignment_audit",
+    "poststratified_lift_user_spend",
+    "winnowing_passage_pairs",
+    "winnowing_cap_report",
+    "minhash_dedup_clusters",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "fellegi_sunter_link_weights",
+    "cut_duplicate_spans_stats",
+]
+
+
+@pytest.mark.parametrize("name", RETIRED_REGISTRY_SPLITS)
+def test_retired_registry_split_stays_null_parity(spark, fuzz_dir, name):
+    import __spark_entry__ as entry_mod
+
+    spark_pdf = entry_mod.queries()[name](spark, fuzz_dir).toPandas()
+    con = duckdb_connection(fuzz_dir)
+    try:
+        oracle_pdf = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@nullfuzz: {problems}"
