@@ -41,7 +41,15 @@ def asof_join(
     row with ``right.ts >= left.ts`` (the "next reading" join — same
     union-spine window with the order reversed, so cost is identical).
     For the closest row in either direction use
-    :func:`asof_join_nearest`."""
+    :func:`asof_join_nearest`.
+
+    NULL keys follow JOIN semantics, not window semantics: a NULL-key
+    right row matches nothing (filtered off the spine — the window's
+    partitionBy would otherwise group all NULL keys together and
+    attach them to NULL-key left rows, which no equality-based as-of
+    join, DuckDB's included, would do), and NULL-key left rows pass
+    through with NULL value columns."""
+    right = right.filter(F.col(key).isNotNull())
     left_cols = left.columns
     # All value columns ride in ONE struct, carried atomically: the struct is
     # non-NULL exactly when the row is a right row, so last(ignorenulls) always

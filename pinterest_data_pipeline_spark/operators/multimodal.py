@@ -91,7 +91,12 @@ def decode_image_features(
     ``use_real_decoder=True`` is the production path (Pillow etc.) — it
     raises ``NotImplementedError`` in this container (no codec libs). The
     stub path derives features from the payload md5: deterministic, and it
-    exercises the identical batch shape, schema, and partitioning."""
+    exercises the identical batch shape, schema, and partitioning.
+
+    NULL payloads are dropped BEFORE the Python crossing, same contract
+    as decode_raw_bitmap_features: nothing to decode, and bytes(None)
+    would kill the whole Arrow batch."""
+    assets = assets.filter(F.col("content").isNotNull())
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,8 +179,16 @@ def decode_raw_bitmap_features(assets: DataFrame, tile: int = RAW_TILE) -> DataF
 
     Scale: one Python crossing, whole batches at a time; upstream
     metadata-plane filters (binary_metadata) cut the decoded slice
-    first. Per-row work is O(tile²) regardless of original media size."""
+    first. Per-row work is O(tile²) regardless of original media size.
+
+    NULL payloads are dropped BEFORE the Python crossing: a missing
+    asset has nothing to decode, and fabricating all-zero features for
+    it would be indistinguishable from a genuinely black tile. (The
+    filter also keeps the UDF total: bytes(None) would throw and kill
+    the whole Arrow batch.)"""
     import numpy as np
+
+    assets = assets.filter(F.col("content").isNotNull())
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         npx = tile * tile

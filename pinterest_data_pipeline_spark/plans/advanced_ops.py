@@ -114,12 +114,19 @@ def grouped_map_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int32, not numpy int32: a NULL group key arrives as
+        # NaN in a float64 column (Arrow int-with-nulls → pandas), and
+        # the non-nullable cast throws IntCastingNaNError — the grouped
+        # Arrow path must survive a NULL group like the window form
+        # does. NaN balances sort last under DESC with the custkey
+        # tiebreak still applied inside the NaN block, matching the
+        # oracle's NULLS LAST ordering.
         pdf = pdf.sort_values(
             ["c_acctbal", "c_custkey"], ascending=[False, True]
         ).head(2)
         return pd.DataFrame(
             {
-                "nationkey": pdf["c_nationkey"].astype("int32"),
+                "nationkey": pdf["c_nationkey"].astype("Int32"),
                 "custkey": pdf["c_custkey"],
                 "rn": range(1, len(pdf) + 1),
             }
@@ -208,12 +215,24 @@ def argmax_literal_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="acctbal",
         label_cols=["segment"],
     )
+    # null-safe membership join: a NULL group key (or a first() label
+    # that is legitimately NULL) must still find its row in the label
+    # set — a plain equality join would report FALSE for those groups
+    # and break alignment with the oracle's unconditional TRUE
     labels = (
-        cust.select("nationkey", "segment")
+        cust.select(
+            F.col("nationkey").alias("__ln"),
+            F.col("segment").alias("__ls"),
+        )
         .distinct()
         .withColumn("__in", F.lit(True))
     )
-    return lit_out.join(labels, ["nationkey", "segment"], "left").select(
+    return lit_out.join(
+        labels,
+        lit_out["nationkey"].eqNullSafe(labels["__ln"])
+        & lit_out["segment"].eqNullSafe(labels["__ls"]),
+        "left",
+    ).select(
         "nationkey",
         F.col("acctbal").alias("max_acctbal"),
         F.coalesce(F.col("__in"), F.lit(False)).alias("label_in_group"),
@@ -772,6 +791,7 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(concat('0x', substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))
                  AS BIGINT) % 4096 AS pos
         FROM lineitem
+        WHERE l_suppkey IS NOT NULL
     ),
     passed AS (
         SELECT l_suppkey FROM fact WHERE pos IN (SELECT pos FROM bloom)
@@ -793,7 +813,10 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtimeFilter.bloomFilter` applies to shuffle joins — expressed
     explicitly so the FP behavior is measurable (and bit-reproducible:
     the position hash is the portable md5-prefix both engines compute
-    identically, see operators/dedup.py portable_hash32).
+    identically, see operators/dedup.py portable_hash32). A NULL fact
+    key hashes to a NULL position and can never pass the semi join —
+    the oracle's fact CTE filters NULL keys to replay that (DuckDB's
+    concat would otherwise turn md5(NULL) into a bare '0x' and throw).
 
     Scale: the Bloom relation is ≤4096 rows regardless of dimension
     cardinality — broadcast stays O(bits) while the dimension itself may

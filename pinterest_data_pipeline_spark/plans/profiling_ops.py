@@ -248,6 +248,12 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs after every ingest, since a broken FK silently turns
     inner joins into row loss.
 
+    An orphan is an IDENTIFIABLE key whose parent is missing: NULL FKs
+    are excluded on both sides (the SQL MATCH SIMPLE convention, and
+    what the oracle's NOT IN computes anyway — NULL NOT IN is never
+    true). A NULL FK is a completeness defect, not a dangling
+    reference; the column-profile queries count those.
+
     Scale: each check is an anti-join (LeftAnti hash join — NOT IN's
     naive form would be a per-row subquery), counted map-side. The three
     counts cross-join into one row — each side is a single scalar.
@@ -256,11 +262,13 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     orphan_li = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "anti")
+        li.where(F.col("l_orderkey").isNotNull())
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"], "anti")
         .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
     )
     orphan_o = (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "anti")
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(cust, orders["o_custkey"] == cust["c_custkey"], "anti")
         .agg(F.count(F.lit(1)).alias("orphan_orders"))
     )
     childless = (

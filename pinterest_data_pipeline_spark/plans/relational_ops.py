@@ -1273,6 +1273,13 @@ def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("returnflag")
         .agg(
             F.count("*").alias("n"),
+            # per-statistic NON-NULL denominators: approx_percentile
+            # sketches only non-NULL values, so the empirical rank must
+            # be measured against the same population — dividing by the
+            # group row count would false-fail the gate as soon as the
+            # column carries NULLs
+            F.count("l_quantity").alias("__qn"),
+            F.count("l_extendedprice").alias("__pn"),
             F.count(
                 F.when(F.col("l_quantity") < F.col("__p50q"), True)
             ).alias("__q_lt"),
@@ -1288,18 +1295,20 @@ def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def rank_ok(lt: str, le: str, q: float):
-        n = F.col("n")
+    def rank_ok(lt: str, le: str, nn: str, q: float):
+        n = F.col(nn)
         eps = F.lit(0.002) + F.lit(1.0) / n
-        return (F.col(lt) / n <= F.lit(q) + eps) & (
+        ok = (F.col(lt) / n <= F.lit(q) + eps) & (
             F.col(le) / n >= F.lit(q) - eps
         )
+        # an all-NULL group has no sketch and nothing to verify
+        return F.when(n == 0, F.lit(True)).otherwise(ok)
 
     return counted.select(
         "returnflag",
         "n",
-        rank_ok("__q_lt", "__q_le", 0.5).alias("qty_p50_rank_ok"),
-        rank_ok("__p_lt", "__p_le", 0.9).alias("price_p90_rank_ok"),
+        rank_ok("__q_lt", "__q_le", "__qn", 0.5).alias("qty_p50_rank_ok"),
+        rank_ok("__p_lt", "__p_le", "__pn", 0.9).alias("price_p90_rank_ok"),
     )
 
 

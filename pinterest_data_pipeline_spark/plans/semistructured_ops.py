@@ -104,7 +104,9 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM orders GROUP BY 1, 2
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
     )
     SELECT status, priority, n * 2 AS n_doubled
     FROM counts WHERE n >= 20
@@ -118,11 +120,18 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the same result relationally, so the driver hash
     checks that a value survives the full map pipeline unchanged.
 
+    A NULL priority cannot be a map key (Spark throws NULL_MAP_KEY at
+    map_from_entries, per map semantics), so NULL-priority rows are
+    excluded up front on both sides — a map pipeline only carries
+    identifiable keys.
+
     Scale note: per-group maps hold |priorities| entries (bounded domain)
     — collect_list into a map is safe ONLY for such metadata-sized
     domains; an unbounded key domain stays relational.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isNotNull()
+    )
     counts = orders.groupBy(
         F.col("o_orderstatus").alias("status"),
         F.col("o_orderpriority").alias("priority"),
@@ -230,11 +239,15 @@ def regex_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "from_csv_embedded_records",
+    # nullif: DuckDB's split_part on a NULL line returns '' (not NULL),
+    # and a valid synthesized line never carries an empty field, so
+    # nullif maps the NULL-line case back to NULL fields — mirroring
+    # the engine's NULL-line -> NULL-struct parse
     oracle="""
     SELECT o_orderkey AS orderkey,
-           split_part(csv_line, ',', 1) AS status,
-           CAST(split_part(csv_line, ',', 2) AS BIGINT) AS cents,
-           CAST(split_part(csv_line, ',', 3) AS INTEGER) AS yr
+           nullif(split_part(csv_line, ',', 1), '') AS status,
+           CAST(nullif(split_part(csv_line, ',', 2), '') AS BIGINT) AS cents,
+           CAST(nullif(split_part(csv_line, ',', 3), '') AS INTEGER) AS yr
     FROM (
         SELECT o_orderkey,
                o_orderstatus || ',' ||
@@ -258,10 +271,16 @@ def from_csv_embedded_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON landing reader.
     """
     orders = load_table(spark, sf_dir, "orders")
-    line = F.concat_ws(
-        ",",
+    # concat, NOT concat_ws: concat_ws SKIPS a NULL field, silently
+    # shifting every later field one slot left in the parsed struct
+    # (a NULL status would make from_csv read cents as status and the
+    # year as cents). concat propagates the NULL so a record missing
+    # any field yields a NULL line and a NULL-parsed struct instead.
+    line = F.concat(
         F.col("o_orderstatus"),
+        F.lit(","),
         F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit(","),
         F.year("o_orderdate").cast("string"),
     )
     parsed = orders.select(

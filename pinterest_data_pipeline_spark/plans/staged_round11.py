@@ -469,7 +469,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_trunc('day', o_orderdate) AS day,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2
     ),
     s AS (
         SELECT a.priority,
@@ -508,12 +508,18 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the one rounded double). The pairwise statistic runs on the
     |days|-per-priority aggregate — a broadcastable relation whose
     size is CONSTANT in the fact-table size, so the |periods|² work
-    never grows with data volume."""
+    never grows with data volume. NULL priorities are excluded up
+    front: a trend series needs an identifiable key, and the pairwise
+    self-join cannot pair a NULL group anyway — without the filter
+    both sides would emit a fabricated s=0 row whose z fill differed
+    (the NULL-fuzz split this retires)."""
     from pinterest_data_pipeline_spark.operators.mann_kendall import (
         mann_kendall,
     )
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isNotNull()
+    )
     daily = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.date_trunc("day", F.col("o_orderdate")).alias("day"),

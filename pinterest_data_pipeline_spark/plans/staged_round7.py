@@ -394,7 +394,7 @@ def rrf_quality_length_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
                         THEN CAST(round(value * 100) AS BIGINT)
                         ELSE 0 END) AS BIGINT) AS y
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
@@ -434,7 +434,10 @@ def cuped_event_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the covariate their first-half spend; θ comes from integer moment
     sums and each arm's adjusted mean from the algebraic identity
     ȳ_arm − θ(x̄_arm − x̄_all) — no per-unit double accumulation
-    anywhere, so the whole readout is engine-exact.
+    anywhere, so the whole readout is engine-exact. NULL unit ids are
+    excluded up front (you cannot randomize a unit you cannot identify,
+    and DuckDB's NULL-skipping concat would hash one to an arm the
+    engine does not — the srm_assignment_audit contract).
 
     Scale: one user-keyed aggregate, one single-row moment pass, then
     |arms|-row arithmetic with a 1-row broadcast."""
@@ -443,7 +446,9 @@ def cuped_event_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_assign_arm,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     units = (
         events.groupBy("user_id")
@@ -1057,7 +1062,7 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'treatment' ELSE 'control' END AS arm,
                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                    = 1 AS conv
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     c AS (
         SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
@@ -1100,7 +1105,9 @@ def ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary outcome (did the user purchase at all?), z from four integer
     counters in fixed IEEE expression trees. Under the null (the arms
     are a hash split of one population) z should hover near 0 — the
-    driver hash pins the exact value.
+    driver hash pins the exact value. NULL unit ids are excluded up
+    front (the srm_assignment_audit contract: you cannot randomize a
+    unit you cannot identify).
 
     Scale: one user-keyed aggregate builds the conversion units; the
     test itself is a single four-counter aggregate and one output row."""
@@ -1109,7 +1116,9 @@ def ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_proportion_ztest,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     units = (
         events.groupBy("user_id")
         .agg(
@@ -1235,8 +1244,9 @@ _ARM_SQL = """CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
     oracle=f"""
     WITH units AS (
         SELECT user_id, {_ARM_SQL} AS arm,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
-        FROM events GROUP BY user_id
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     lv AS (
         SELECT v,
@@ -1292,6 +1302,13 @@ def mann_whitney_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank-biserial effect size; under the null of a pure hash split
     z should hover near 0, and the driver hash pins the exact value.
 
+    NULL hygiene (the srm_assignment_audit contract): NULL unit ids are
+    excluded — you cannot randomize a unit you cannot identify — and a
+    unit whose every value is NULL counts as ZERO spend (coalesced on
+    both sides) rather than carrying a NULL rank coordinate, which the
+    engines would order at opposite ends (Spark NULLS FIRST, DuckDB
+    NULLS LAST).
+
     Scale: one user-keyed aggregate, one value-keyed aggregate, one
     ordered window over DISTINCT values only (bounded by metric
     resolution, not unit count), one output row."""
@@ -1300,11 +1317,17 @@ def mann_whitney_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         mann_whitney_u,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     units = (
         events.groupBy("user_id")
-        .agg(F.sum(cents).cast("bigint").alias("value_int"))
+        .agg(
+            F.coalesce(F.sum(cents), F.lit(0))
+            .cast("bigint")
+            .alias("value_int")
+        )
         .withColumn("arm", hash_assign_arm("user_id"))
     )
     return mann_whitney_u(units, "arm", "value_int")
@@ -1315,6 +1338,7 @@ def mann_whitney_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT event_type AS r, {_ARM_SQL} AS c FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ),
     cells AS (
         SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY r, c
@@ -1350,7 +1374,10 @@ def chisq_event_type_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of arm, so χ² should sit near its dof; a biased
     assignment (the sample-ratio-mismatch family of bugs) shows up here
     before any metric readout is trusted. Cell terms fold in sorted
-    (event_type, arm) order so the statistic is engine-exact.
+    (event_type, arm) order so the statistic is engine-exact. Rows with
+    a NULL unit id (no arm can be assigned — the srm_assignment_audit
+    contract) or a NULL event type (no contingency cell) are excluded
+    on both sides.
 
     Scale: one aggregate down to the |types|×2 cell table; everything
     after runs on cells."""
@@ -1359,7 +1386,9 @@ def chisq_event_type_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_assign_arm,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     e = events.select(
         "event_type", hash_assign_arm("user_id").alias("arm")
     )

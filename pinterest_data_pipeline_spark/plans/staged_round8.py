@@ -87,8 +87,9 @@ _ARM_SQL = """CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
     oracle=f"""
     WITH units AS (
         SELECT user_id, {_ARM_SQL} AS arm,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
-        FROM events GROUP BY user_id
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     lv AS (
         SELECT arm, v, CAST(count(*) AS BIGINT) AS n
@@ -128,6 +129,12 @@ def quantile_lift_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "everyone moved" from "whales moved". Under the null split the
     lifts hover near 0; the driver hash pins the exact integers.
 
+    NULL hygiene (the srm_assignment_audit contract): NULL unit ids
+    are excluded — you cannot randomize a unit you cannot identify —
+    and a unit whose every value is NULL counts as ZERO spend
+    (coalesced on both sides) rather than carrying a NULL rank
+    coordinate the engines would order at opposite ends.
+
     Scale: value-level counts only — the ordered window runs over
     distinct (arm, value) rows, bounded by metric resolution, never
     unit count."""
@@ -136,11 +143,17 @@ def quantile_lift_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_lift,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     units = (
         events.groupBy("user_id")
-        .agg(F.sum(cents).cast("bigint").alias("value_int"))
+        .agg(
+            F.coalesce(F.sum(cents), F.lit(0))
+            .cast("bigint")
+            .alias("value_int")
+        )
         .withColumn("arm", hash_assign_arm("user_id"))
     )
     return quantile_lift(units).orderBy("q")
@@ -340,8 +353,9 @@ def ece_quality_gate_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH units AS (
         SELECT user_id, {_ARM_SQL} AS arm,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
-        FROM events GROUP BY user_id
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     lv AS (
         SELECT arm, v, CAST(count(*) AS BIGINT) AS n
@@ -393,6 +407,12 @@ def winsorized_mean_lift_user_spend(
     exact integers; the driver hash pins the two caps and all three
     rounded means.
 
+    NULL hygiene (the srm_assignment_audit contract): NULL unit ids
+    are excluded — you cannot randomize a unit you cannot identify —
+    and a unit whose every value is NULL counts as ZERO spend
+    (coalesced on both sides) rather than carrying a NULL rank
+    coordinate the engines would order at opposite ends.
+
     Scale: value-level counts only; the cap search and the capped sum
     share one materialized distinct-(arm, value) relation."""
     from pinterest_data_pipeline_spark.operators.experiment import (
@@ -400,11 +420,17 @@ def winsorized_mean_lift_user_spend(
         winsorized_mean_lift,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     units = (
         events.groupBy("user_id")
-        .agg(F.sum(cents).cast("bigint").alias("value_int"))
+        .agg(
+            F.coalesce(F.sum(cents), F.lit(0))
+            .cast("bigint")
+            .alias("value_int")
+        )
         .withColumn("arm", hash_assign_arm("user_id"))
     )
     return winsorized_mean_lift(units, pct=95)
@@ -541,7 +567,7 @@ def dr_reranker_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, {_ARM_SQL} AS arm,
                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                    = 1 AS conv
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     c AS (
         SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
@@ -586,6 +612,9 @@ def mde_power_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment health (chi-square) → readouts (CUPED, z, U, quantile,
     winsorized) → counterfactual (IPS, DR).
 
+    NULL unit ids are excluded up front (the srm_assignment_audit
+    contract: you cannot randomize a unit you cannot identify).
+
     Scale: one user-keyed aggregate, one four-counter aggregate, one
     row."""
     from pinterest_data_pipeline_spark.operators.experiment import (
@@ -593,7 +622,9 @@ def mde_power_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde_readout,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     units = (
         events.groupBy("user_id")
         .agg(

@@ -27,11 +27,20 @@ _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+# _TRIGRAMS tokenizes coalesce(text, '') — NOT raw text — because the
+# engine's word_shingles whole-document fallback gives a NULL text the
+# same shingle set as an empty one ({''}); a bare NULL here would feed
+# md5(NULL) into concat('0x', ...) = '0x' downstream (DuckDB concat
+# SKIPS NULL args) and the BIGINT cast throws. _TOKS itself stays raw:
+# other oracles rely on NULL text dropping out via len(NULL) filters.
+_TRIG_TOKS = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
+
 _TRIGRAMS = f"""
-    CASE WHEN len({_TOKS}) >= 3 THEN
-        list_distinct(list_transform(range(1, len({_TOKS}) - 1),
-            i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
-    ELSE [array_to_string({_TOKS}, ' ')] END
+    CASE WHEN len({_TRIG_TOKS}) >= 3 THEN
+        list_distinct(list_transform(range(1, len({_TRIG_TOKS}) - 1),
+            i -> {_TRIG_TOKS}[i] || ' ' || {_TRIG_TOKS}[i+1] || ' '
+                 || {_TRIG_TOKS}[i+2]))
+    ELSE [array_to_string({_TRIG_TOKS}, ' ')] END
 """
 
 # The identical MinHash permutation constants, baked as SQL literals so
@@ -559,6 +568,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN CAST(ascii(substr(text, i, 1)) AS BIGINT)
                         ELSE 0 END) AS v
         FROM documents
+        WHERE text IS NOT NULL
     )
     SELECT asset_id,
            CAST(16 AS INTEGER) AS width,
@@ -699,15 +709,9 @@ def corpus_curation_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_dedup_clusters",
-    # the sh CTE's coalesce replays the engine's whole-document
-    # fallback for NULL text (shingle set {''}, same as an empty doc);
-    # bare NULL would feed md5(NULL) -> concat('0x', NULL) = '0x'
-    # (DuckDB concat SKIPS NULL args) and the BIGINT cast throws
     oracle=f"""
     WITH RECURSIVE sh AS (
-        SELECT doc_id, {_TRIGRAMS} AS g
-        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
-             documents
+        SELECT doc_id, {_TRIGRAMS} AS g FROM documents
     ),
     hashed AS (
         SELECT doc_id,

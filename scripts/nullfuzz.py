@@ -25,7 +25,13 @@ verdict, and fixes land as oracle/engine NULL-hardening commits.
 
 Usage:
     python scripts/nullfuzz.py [--sf /root/testdata/sf0.001] \
-        [--out /tmp/nullfuzz_sf0.001] [--only name1,name2]
+        [--out /tmp/nullfuzz_sf0.001] [--only name1,name2] \
+        [--registered [--window-only]] [--mode null|nan|empty]
+
+``--mode nan`` swaps the poison for NaN (+Infinity on a second stripe)
+in DOUBLE columns — hunting ANSI cast/round throws and cross-engine
+NaN ordering splits; ``--mode empty`` injects '' into STRING columns —
+hunting ''-vs-NULL conflation. Same deterministic stripes throughout.
 """
 
 from __future__ import annotations
@@ -59,7 +65,32 @@ FUZZ_PLAN = {
 }
 
 
-def make_fuzzed(spark, src: str, out: str) -> None:
+def _poison(mode: str, dtype: str, idc: str, c: str, i: int):
+    """(condition, value) for fuzz ``mode`` on column ``c`` of Spark
+    dtype ``dtype`` — or None when the mode doesn't apply to the type.
+
+    Modes beyond ``null`` probe different hazard classes:
+    - ``nan``: NaN on one stripe and +Infinity on a second, DOUBLE
+      columns only — hunts ANSI cast/round throws (engine-only-error)
+      and cross-engine NaN ordering/aggregation splits;
+    - ``empty``: '' on the stripe, STRING columns only — hunts
+      ''-vs-NULL conflation (trim/split/md5-of-empty paths).
+    """
+    stripe = F.pmod(F.col(idc), F.lit(53)) == (7 + i)
+    if mode == "null":
+        return [(stripe, F.lit(None).cast(dtype))]
+    if mode == "nan" and dtype == "double":
+        inf_stripe = F.pmod(F.col(idc), F.lit(53)) == (33 + i)
+        return [
+            (stripe, F.lit(float("nan"))),
+            (inf_stripe, F.lit(float("inf"))),
+        ]
+    if mode == "empty" and dtype == "string":
+        return [(stripe, F.lit(""))]
+    return None
+
+
+def make_fuzzed(spark, src: str, out: str, mode: str = "null") -> None:
     # single-FILE parquet on purpose: the DuckDB oracle side reads
     # {out}/{table}.parquet as one file, exactly like the driver
     # testdata layout (Spark's writer would emit a directory)
@@ -73,13 +104,13 @@ def make_fuzzed(spark, src: str, out: str) -> None:
             continue
         df = spark.read.parquet(path)
         for i, c in enumerate(cols):
-            stripe = F.pmod(F.col(idc), F.lit(53)) == (7 + i)
-            df = df.withColumn(
-                c,
-                F.when(stripe, F.lit(None).cast(dict(df.dtypes)[c])).otherwise(
-                    F.col(c)
-                ),
-            )
+            edits = _poison(mode, dict(df.dtypes)[c], idc, c, i)
+            if edits is None:
+                continue
+            col = F.col(c)
+            for cond, val in edits:
+                col = F.when(cond, val).otherwise(col)
+            df = df.withColumn(c, col)
         src_schema = pq.read_schema(path)
         tbl = pa.Table.from_pandas(
             df.toPandas(), preserve_index=False
@@ -102,13 +133,23 @@ def main() -> None:
         action="store_true",
         help="with --registered: just the driver-checked first 50",
     )
+    ap.add_argument(
+        "--mode",
+        default="null",
+        choices=["null", "nan", "empty"],
+        help="poison value class (see _poison); default NULL stripes",
+    )
     args = ap.parse_args()
+    if args.mode != "null" and args.out == "/tmp/nullfuzz_sf0.001":
+        args.out = f"/tmp/{args.mode}fuzz_sf0.001"
 
     from pinterest_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="nullfuzz")
-    make_fuzzed(spark, args.sf, args.out)
-    print(f"# fuzzed tables written to {args.out}", file=sys.stderr)
+    make_fuzzed(spark, args.sf, args.out, args.mode)
+    print(
+        f"# {args.mode}-fuzzed tables written to {args.out}", file=sys.stderr
+    )
 
     import importlib
 
@@ -143,6 +184,11 @@ def main() -> None:
         spark_pdf = oracle_pdf = None
         try:
             spark_pdf = qs[name](spark, args.out).toPandas()
+            if spark_pdf is None:
+                # toPandas can WARN-and-return-None when the Arrow
+                # conversion dies mid-computation (e.g. a pandas UDF
+                # throwing on a NULL group) instead of raising
+                eng_err = "toPandas returned None (Arrow mid-run failure)"
         except Exception as ex:  # noqa: BLE001 — triage harness
             eng_err = str(ex).splitlines()[0][:160]
         if name in oracles:
