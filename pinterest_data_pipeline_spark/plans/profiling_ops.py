@@ -287,14 +287,14 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
         SELECT source, lang, n,
                SUM(n) OVER (PARTITION BY source) AS total,
+               COUNT(*) OVER (PARTITION BY source) AS nl,
                ROW_NUMBER() OVER (PARTITION BY source
                                   ORDER BY n DESC, lang) AS rn
         FROM counts
     )
     SELECT source,
            CAST(total AS BIGINT) AS n_docs,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM counts c
-            WHERE c.source = ranked.source) AS n_langs,
+           CAST(nl AS BIGINT) AS n_langs,
            lang AS top_lang,
            CAST((n * 1000000) // total AS BIGINT) AS top_lang_ppm
     FROM ranked WHERE rn = 1
@@ -308,8 +308,11 @@ def per_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     actuator; this is the report).
 
     All-integer outputs (floor-div ppm) so the hash compare never sees
-    a ratio double. Scale: one (source, lang) aggregate — the ranking
-    window and share arithmetic run over that metadata-sized table.
+    a ratio double. n_langs is a window COUNT over the (source, lang)
+    relation on BOTH sides — a correlated equality subquery would drop
+    the NULL-source group the window keeps. Scale: one (source, lang)
+    aggregate — the ranking window and share arithmetic run over that
+    metadata-sized table.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source", "lang").agg(

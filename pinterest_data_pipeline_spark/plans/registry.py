@@ -136,19 +136,41 @@ CHECK_FIRST: list[str] = [
     #       normalization, TWAP, compaction planning). Note
     #       twap_user_value was ea26d3d-touched — its promotion row
     #       doubles as that re-certification.
-    #   (b) changed-in-r13 re-certifications: queue as they happen.
-    #       (The registry-window NULL-fuzz queue is EMPTY: all nine
-    #       splits were retired inside round 12 while their window
-    #       slots were live — winnowing/minhash oracle NULL≍'' guards,
-    #       the dsir NULL-lang raw-model contract, fellegi's NULL-safe
-    #       binary-γ agreement flags, span-cut's NULL-vs-'' kept_text,
-    #       and the srm/poststrat NULL-unit exclusions — so no r13
-    #       slots are consumed by them. Pinned by
-    #       tests/test_nullfuzz_parity.py.)
-    #   (c) fill the remaining 42 slots with the first 42 of the
-    #       43-query r7-evidence remainder (repetition_signals onward
-    #       in registration order; the 43rd rolls to round 14).
-    #   8 + 42 = 50 holds exactly.
+    #   (b) 35 changed-in-r12 re-certifications: the FULL-REGISTRY
+    #       NULL-fuzz sweep (round 12 extended the harness past the
+    #       window to all 288 registered queries) retired 28 more
+    #       latent splits; the fixes touching queries whose r12 window
+    #       slots were NOT live take r13 slots here (every fix is
+    #       clean-data-identical — re-verified at sf0.01 with the
+    #       driver comparator when it landed — and NULL-parity-pinned
+    #       by tests/test_nullfuzz_parity.py):
+    #       bloom_semi_join_prune, dedup_keep_best_quality,
+    #       leakage_safe_split_assign, soft_dedup_weights,
+    #       ngram_jaccard_pairs, ngram_containment_pairs,
+    #       minhash_lsh_near_duplicates, minhash_estimate_accuracy_gate,
+    #       incremental_minhash_new_pairs, from_csv_embedded_records,
+    #       hof_map_ops, grouped_map_top2_per_nation, ab_purchase_ztest,
+    #       cuped_event_experiment, mann_whitney_event_value,
+    #       chisq_event_type_by_arm, mde_power_purchase,
+    #       quantile_lift_user_spend, winsorized_mean_lift_user_spend,
+    #       fk_integrity_audit, approx_percentiles_sketch,
+    #       argmax_literal_max_first, asof_join_latest_view,
+    #       mann_kendall_daily_trend, multimodal_raw_decode_features,
+    #       obrien_fleming_interim_looks, parse_url_features,
+    #       per_source_lang_mix, quality_linear_gate,
+    #       regex_function_matrix, stream_running_totals_batch,
+    #       text_lang_id, to_json_envelope, try_arithmetic_funcs,
+    #       zorder_layout_pruning_report.
+    #       (Window-slot-live r12 changes — the nine window splits plus
+    #       the _TRIGRAMS-shared oracles of minhash_dedup_clusters,
+    #       near_dup_cluster_size_histogram, curation_v2_report,
+    #       corpus_curation_full — re-certify in THIS round's sweep and
+    #       need no r13 slot. multimodal_decode_features is terminally
+    #       rows-only, CHECK_LAST-pinned.)
+    #   (c) fill the remaining 7 slots with the first 7 of the 43-query
+    #       r7-evidence remainder (repetition_signals onward in
+    #       registration order; the rest roll to rounds 14-15).
+    #   8 + 35 + 7 = 50 holds exactly.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
     #   round 14: plans/staged_round15.py, 8 queries (association

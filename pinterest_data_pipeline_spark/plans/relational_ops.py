@@ -854,15 +854,19 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to_json_envelope",
     oracle="""
     SELECT o_orderkey AS orderkey,
-           '{"orderkey":' || CAST(o_orderkey AS VARCHAR) ||
-           ',"status":"' || o_orderstatus || '"}' AS payload
+           CASE WHEN o_orderstatus IS NULL
+                THEN '{"orderkey":' || CAST(o_orderkey AS VARCHAR) || '}'
+                ELSE '{"orderkey":' || CAST(o_orderkey AS VARCHAR) ||
+                     ',"status":"' || o_orderstatus || '"}' END AS payload
     FROM orders
     """,
 )
 def to_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: the producers' JSON record envelope
     (user_posting_emulation.py:67-90) as to_json(struct(...)); oracle
-    reconstructs Spark's exact serialization."""
+    reconstructs Spark's exact serialization — including the NULL-field
+    rule (to_json OMITS a NULL struct field rather than emitting
+    "status":null, so the oracle's CASE drops it the same way)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         F.col("o_orderkey").alias("orderkey"),
@@ -1404,11 +1408,13 @@ def collated_compare_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "try_arithmetic_funcs",
     oracle="""
-    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0
+                                    OR o_totalprice IS NULL) AS BIGINT)
                AS n_div_null,
            CAST(COUNT(*) AS BIGINT) AS n_add_null,
            CAST(COUNT(*) FILTER (
-               WHERE NOT regexp_matches(o_orderpriority, '^[0-9]+$')
+               WHERE o_orderpriority IS NULL
+                  OR NOT regexp_matches(o_orderpriority, '^[0-9]+$')
            ) AS BIGINT) AS n_tonum_null
     FROM orders
     """,
@@ -1422,7 +1428,9 @@ def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against an oracle that states each failure condition directly
     (even order keys make the denominator ``o_orderkey % 2`` zero;
     Long.MAX + 1 overflows every row; priorities like '1-URGENT' never
-    parse as numbers).
+    parse as numbers). A NULL input also yields a NULL try_* result —
+    not a throw — so the oracle's failure predicates include the
+    IS NULL legs; counting those rows is the point of the quarantine.
     """
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(

@@ -107,9 +107,8 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT doc_id,
            CAST(3000 * stop_hits - 2000 * punct_n - 2000 * digit_n
                 - 100 * n_tokens AS BIGINT) AS margin,
-           CAST(CASE WHEN 3000 * stop_hits - 2000 * punct_n
-                          - 2000 * digit_n - 100 * n_tokens >= 0
-                THEN 1 ELSE 0 END AS BIGINT) AS keep
+           CAST((3000 * stop_hits - 2000 * punct_n
+                 - 2000 * digit_n - 100 * n_tokens >= 0) AS BIGINT) AS keep
     FROM feats
     """,
 )
@@ -121,7 +120,10 @@ def quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned-filter stage of an LLM data pipeline with fixed stand-in
     weights, expressed division-free so both engines agree bit-for-bit
     (Spark ``div`` truncates, DuckDB ``//`` floors — a ratio-based
-    score would diverge on negative numerators).
+    score would diverge on negative numerators). NULL text carries
+    through as NULL margin AND NULL keep on both sides — the oracle
+    casts the bare comparison instead of CASE-defaulting it to 0, so a
+    doc with no text is neither kept nor dropped, it is unknown.
 
     Scale: pure codegen expression scan, zero shuffle."""
     from pinterest_data_pipeline_spark.operators.text import (

@@ -163,11 +163,18 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           split_part(split_part(u, '://', 2), ':', 1) AS host,
-           '/corpus/' || split_part(split_part(u, '/corpus/', 2), '/', 1)
-               || '/doc' AS path,
-           split_part(split_part(u, 'id=', 2), '&', 1) AS id_param,
-           split_part(u, '://', 1) AS protocol
+           CASE WHEN u IS NULL THEN NULL
+                ELSE split_part(split_part(u, '://', 2), ':', 1) END
+               AS host,
+           CASE WHEN u IS NULL THEN NULL
+                ELSE '/corpus/'
+                     || split_part(split_part(u, '/corpus/', 2), '/', 1)
+                     || '/doc' END AS path,
+           CASE WHEN u IS NULL THEN NULL
+                ELSE split_part(split_part(u, 'id=', 2), '&', 1) END
+               AS id_param,
+           CASE WHEN u IS NULL THEN NULL
+                ELSE split_part(u, '://', 1) END AS protocol
     FROM urls
     """,
 )
@@ -179,7 +186,10 @@ def parse_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain quality stats and dedup blocking. The oracle reassembles
     the same fields with generic string splitting, so the URL grammar
     Spark implements is cross-checked against a parser-free
-    decomposition.
+    decomposition. A NULL source or lang makes the synthesized URL NULL
+    (concat propagates) and every parsed field NULL with it; the
+    oracle's CASEs replay that, since DuckDB's split_part would
+    otherwise turn a NULL line into '' fields.
 
     Scale: pure scan-side codegen; the synthesized-URL column exercises
     the identical expression pipeline a real `url` column would.
@@ -210,8 +220,8 @@ def parse_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
                AS n_number_runs,
            COALESCE(regexp_extract(text, '[0-9]+'), '') AS first_number,
-           CAST(CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1 ELSE 0
-                END AS INTEGER) AS ends_terminal
+           CAST(regexp_matches(text, '[.!?]\\s*$') AS INTEGER)
+               AS ends_terminal
     FROM documents
     """,
 )
@@ -219,9 +229,11 @@ def regex_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The counting/locating regex kernels beyond extract/replace:
     `regexp_count` (occurrences), `regexp_substr` (first match —
     NULL-safe, coalesced to '' so both engines agree on no-match), and
-    an anchored `rlike` (terminal punctuation). All scan-side codegen;
-    RE2-safe patterns (no backtracking blowup on adversarial documents,
-    same discipline as the PII redaction pass).
+    an anchored `rlike` (terminal punctuation). NULL text propagates to
+    NULL counts/flags (the oracle casts the bare boolean rather than
+    CASE-defaulting it to 0, matching rlike's NULL). All scan-side
+    codegen; RE2-safe patterns (no backtracking blowup on adversarial
+    documents, same discipline as the PII redaction pass).
     """
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(

@@ -337,6 +337,7 @@ def containment_exact_doc_pairs(
                CAST(l_partkey AS BIGINT) AS a,
                CAST(l_suppkey AS BIGINT) AS b
         FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
     ),
     mm AS (
         SELECT MIN(a) AS a_min, MAX(a) AS a_max,
@@ -394,12 +395,17 @@ def zorder_layout_pruning_report(
     Scale: min/max one broadcast aggregate; keys are per-row codegen
     expressions; the ntile layouts exist to make the REPORT
     deterministic — the production writer uses repartitionByRange on
-    the same Morton key."""
+    the same Morton key. Rows with a NULL coordinate are excluded on
+    both sides: they have no quantized cell or zone-map range, and the
+    layout sorts would otherwise place them at opposite ends (Spark
+    NULLS FIRST vs DuckDB NULLS LAST), shifting every bucket box."""
     from pinterest_data_pipeline_spark.operators.zorder import (
         zorder_pruning_report,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    ).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
         "l_partkey",
         "l_suppkey",

@@ -197,7 +197,7 @@ def poisson_bootstrap_ci_value(
                THEN 'treatment' ELSE 'control' END AS arm,
                (day(ts) + 5) // 6 AS look,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     per AS (
         SELECT look, arm, CAST(count(*) AS BIGINT) AS n,
@@ -272,7 +272,9 @@ def obrien_fleming_interim_looks(
     per look against the C·√(K/k) boundary — the peeking-safe readout
     the fixed-z queries (ab_purchase_ztest, mde_power_purchase) assume
     away. Counts are exact integers; z and boundary are single double
-    chains rounded 6.
+    chains rounded 6. NULL unit ids are excluded up front (the
+    srm_assignment_audit contract: you cannot randomize a unit you
+    cannot identify).
 
     Scale: ONE map-side-combinable aggregate over the fact table to
     (look, arm); everything after runs on a 10-row relation."""
@@ -281,7 +283,9 @@ def obrien_fleming_interim_looks(
         hash_assign_arm,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select(
         hash_assign_arm("user_id").alias("arm"),
         ((F.dayofmonth("ts") + 5) / 6).cast("long").alias("look"),
         F.when(F.col("event_type") == "purchase", 1)

@@ -133,7 +133,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+           CASE WHEN COALESCE(greatest(h_de, h_en, h_es, h_fr), 0) = 0
+                THEN 'und'
                 WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
                 WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
                 WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
@@ -142,7 +143,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID; first language (sorted order) wins ties."""
+    """Stopword-hit language ID; first language (sorted order) wins
+    ties. NULL text predicts 'und' like zero-hit text does (the
+    oracle's COALESCE keeps its NULL hit counts out of the ELSE 'fr'
+    fall-through)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
 

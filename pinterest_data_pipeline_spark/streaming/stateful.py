@@ -64,10 +64,18 @@ def running_totals_batch(events: DataFrame) -> DataFrame:
     Totals are accumulated in integer CENTS, not floats: ``value`` is
     2-decimal money, and float summation is partition/row-order-dependent,
     which would break cross-engine value hashes. Integer cents are exact
-    and order-independent."""
+    and order-independent.
+
+    NULL values contribute nothing to the total but still count as
+    events — SQL SUM semantics, and what the stream twin's pandas
+    ``.sum()`` (NaN-skipping) already does. The dropna also keeps the
+    int64 cast total: astype on a NaN-carrying column would throw and
+    kill the whole Arrow batch."""
 
     def _totals(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = int((pdf["value"] * 100).round().astype("int64").sum())
+        cents = int(
+            (pdf["value"].dropna() * 100).round().astype("int64").sum()
+        )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

@@ -191,14 +191,23 @@ def main() -> None:
                 eng_err = "toPandas returned None (Arrow mid-run failure)"
         except Exception as ex:  # noqa: BLE001 — triage harness
             eng_err = str(ex).splitlines()[0][:160]
-        if name in oracles:
-            con = duckdb_connection(args.out)
-            try:
-                oracle_pdf = con.execute(oracles[name]).fetchdf()
-            except Exception as ex:  # noqa: BLE001
-                orc_err = str(ex).splitlines()[0][:160]
-            finally:
-                con.close()
+        if name not in oracles:
+            # rows-only query (no oracle to mirror): surviving the
+            # fuzzed data without an engine throw is the whole check
+            if eng_err:
+                print(f"ENGINE-ONLY-ERROR {name}: {eng_err}")
+                n_bad += 1
+            else:
+                print(f"OK {name} (rows-only, {len(spark_pdf)} rows)")
+                n_ok += 1
+            continue
+        con = duckdb_connection(args.out)
+        try:
+            oracle_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            orc_err = str(ex).splitlines()[0][:160]
+        finally:
+            con.close()
         if eng_err and orc_err:
             print(f"both-error {name}: engine={eng_err} oracle={orc_err}")
             n_ok += 1

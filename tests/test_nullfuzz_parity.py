@@ -71,17 +71,23 @@ def test_staged_query_matches_oracle_on_null_fuzz(spark, fuzz_dir, name):
     assert not problems, f"{name}@nullfuzz: {problems}"
 
 
-# The nine REGISTERED queries the round-12 `--registered --window-only`
-# sweep flagged, each retired with a specific NULL contract (PERF.md
-# "NULL-fuzz of the registry window"). Pinned individually — running
-# the full 275-query registry through the fuzz every pytest would cost
-# minutes for queries whose NULL paths never changed; these nine are
-# the ones with a fixed-in-anger contract worth a standing regression:
-#   srm/poststrat        — NULL unit ids excluded from randomization
-#   winnowing ×2/minhash — oracle replays the engine's NULL≍'' fallback
-#   dsir ×2              — NULL-lang features count in the RAW model
-#   fellegi              — NULL field = disagreement (binary γ)
-#   cut spans            — NULL text keeps NULL, '' only when cut empty
+# The REGISTERED queries the round-12 fuzz sweeps flagged — first the
+# nine window splits, then the 28 the FULL-registry sweep found — each
+# retired with a specific NULL contract (PERF.md "NULL-fuzz of the
+# registry window" / "NULL-fuzz of the full registry"). Pinned
+# individually — running all 288 registered queries through the fuzz
+# every pytest would cost ~15 min for queries whose NULL paths never
+# changed; these are the ones with a fixed-in-anger contract worth a
+# standing regression. Contract classes:
+#   unit-id exclusions   — NULL unit ids excluded from randomization
+#                          (srm/poststrat + the whole experiment family)
+#   NULL≍'' oracles      — md5 pipelines replay the engines' whole-
+#                          document fallback (winnowing/minhash/bloom)
+#   NULL propagation     — string synthesis (from_csv/URL/JSON envelope)
+#                          and try_* quarantine counts keep NULL rows
+#   identity exclusions  — map keys, FK orphans, trend series keys,
+#                          z-order coordinates need identifiable values
+#   Arrow survivability  — pandas UDFs must survive NULL groups/payloads
 RETIRED_REGISTRY_SPLITS = [
     "srm_assignment_audit",
     "poststratified_lift_user_spend",
@@ -92,6 +98,42 @@ RETIRED_REGISTRY_SPLITS = [
     "dsir_gumbel_topk",
     "fellegi_sunter_link_weights",
     "cut_duplicate_spans_stats",
+    # --- full-registry sweep (round 12), alphabetical ---
+    "ab_purchase_ztest",
+    "approx_percentiles_sketch",
+    "argmax_literal_max_first",
+    "asof_join_latest_view",
+    "bloom_semi_join_prune",
+    "chisq_event_type_by_arm",
+    "cuped_event_experiment",
+    "dedup_keep_best_quality",
+    "fk_integrity_audit",
+    "from_csv_embedded_records",
+    "grouped_map_top2_per_nation",
+    "hof_map_ops",
+    "incremental_minhash_new_pairs",
+    "leakage_safe_split_assign",
+    "mann_kendall_daily_trend",
+    "mann_whitney_event_value",
+    "mde_power_purchase",
+    "minhash_estimate_accuracy_gate",
+    "minhash_lsh_near_duplicates",
+    "multimodal_raw_decode_features",
+    "ngram_containment_pairs",
+    "ngram_jaccard_pairs",
+    "obrien_fleming_interim_looks",
+    "parse_url_features",
+    "per_source_lang_mix",
+    "quality_linear_gate",
+    "quantile_lift_user_spend",
+    "regex_function_matrix",
+    "soft_dedup_weights",
+    "stream_running_totals_batch",
+    "text_lang_id",
+    "to_json_envelope",
+    "try_arithmetic_funcs",
+    "winsorized_mean_lift_user_spend",
+    "zorder_layout_pruning_report",
 ]
 
 
