@@ -53,6 +53,37 @@ def expand_follower_count(df: DataFrame, col: str = "follower_count") -> DataFra
     return df.withColumn(col, expanded.try_cast("int"))
 
 
+def quarantine_nonfinite(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """NULL out NaN and ±Infinity in double/float columns — the numeric
+    twin of ``null_out_sentinels``.
+
+    Why this must happen at ingest (NaN-fuzz recon, PERF.md): a
+    non-finite value that survives into analytics fails LOUDLY in the
+    integer-cents paths (``round(v*100)::bigint`` throws CAST_OVERFLOW
+    under ANSI, killing the job on one dirty row) and SILENTLY in the
+    DECIMAL paths (Spark 4's ANSI ``inf → DECIMAL`` cast yields NULL,
+    so an inf quietly drops out of DECIMAL sums). Quarantining to NULL
+    here gives every downstream aggregate one consistent story: a
+    non-measurable value contributes nothing, visibly.
+
+    The finite test is two comparisons (``-inf < v < inf``): NaN
+    compares greater than +Infinity in Spark's total order, so NaN and
+    both infinities all fail it — no ``isnan`` branch needed. Pure
+    codegen, zero shuffle, batch/streaming-identical like every
+    transform in this module."""
+    if cols is None:
+        cols = [c for c, t in df.dtypes if t in ("double", "float")]
+    for c in cols:
+        v = F.col(c)
+        df = df.withColumn(
+            c,
+            F.when(
+                (v > F.lit(float("-inf"))) & (v < F.lit(float("inf"))), v
+            ),
+        )
+    return df
+
+
 def clean_pin(df: DataFrame) -> DataFrame:
     """Raw pin records → cleaned ``df_pin`` (reference README.md:371-400).
 

@@ -97,3 +97,42 @@ def test_age_range_matches_model(spark, ages):
         for r in df.withColumn("bucket", age_range("age")).collect()
     }
     assert got == {i: model_age_range(a) for i, a in enumerate(ages)}
+
+
+def test_quarantine_nonfinite_nulls_nan_and_infinities_only(spark):
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators.cleaning import (
+        quarantine_nonfinite,
+    )
+
+    vals = [
+        (0, 1.25),
+        (1, float("nan")),
+        (2, float("inf")),
+        (3, float("-inf")),
+        (4, 0.0),
+        (5, -99.5),
+        (6, None),
+        (7, 1.7976931348623157e308),  # finite DBL_MAX survives
+    ]
+    df = spark.createDataFrame(vals, "i int, v double").withColumn(
+        "s", F.lit("x")
+    )
+    q = quarantine_nonfinite(df)
+    out = {r["i"]: r["v"] for r in q.collect()}
+    assert out[0] == 1.25
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert out[4] == 0.0 and out[5] == -99.5
+    assert out[6] is None
+    assert out[7] == 1.7976931348623157e308
+    # string columns untouched (double/float only by default)
+    assert all(r["s"] == "x" for r in q.select("s").collect())
+    # the quarantined frame survives the ANSI integer-cents money path
+    # that a raw Infinity kills with CAST_OVERFLOW (DBL_MAX excluded:
+    # it is FINITE, so quarantine rightly keeps it, and *100 overflows
+    # — range enforcement is a schema contract, not this operator's)
+    cents = q.filter(F.col("i") != 7).select(
+        F.round(F.col("v") * 100).cast("bigint").alias("c")
+    ).collect()
+    assert {r["c"] for r in cents} >= {125, 0, -9950, None}
