@@ -136,14 +136,16 @@ CHECK_FIRST: list[str] = [
     #       normalization, TWAP, compaction planning). Note
     #       twap_user_value was ea26d3d-touched — its promotion row
     #       doubles as that re-certification.
-    #   (b) 35 changed-in-r12 re-certifications: the FULL-REGISTRY
-    #       NULL-fuzz sweep (round 12 extended the harness past the
-    #       window to all 288 registered queries) retired 28 more
-    #       latent splits; the fixes touching queries whose r12 window
-    #       slots were NOT live take r13 slots here (every fix is
+    #   (b) 38 changed-in-r12 re-certifications: the FULL-REGISTRY
+    #       fuzz sweeps (round 12 extended the harness past the window
+    #       to all 288 registered queries, in NULL, NaN and
+    #       empty-string modes) retired 32 more latent splits; the
+    #       fixes touching queries whose r12 window slots were NOT
+    #       live take r13 slots here (every fix is
     #       clean-data-identical — re-verified at sf0.01 with the
-    #       driver comparator when it landed — and NULL-parity-pinned
-    #       by tests/test_nullfuzz_parity.py):
+    #       driver comparator when it landed — and parity-pinned by
+    #       tests/test_nullfuzz_parity.py). First the 35 from the NULL
+    #       sweep:
     #       bloom_semi_join_prune, dedup_keep_best_quality,
     #       leakage_safe_split_assign, soft_dedup_weights,
     #       ngram_jaccard_pairs, ngram_containment_pairs,
@@ -161,16 +163,21 @@ CHECK_FIRST: list[str] = [
     #       regex_function_matrix, stream_running_totals_batch,
     #       text_lang_id, to_json_envelope, try_arithmetic_funcs,
     #       zorder_layout_pruning_report.
+    #       Plus 3 from the `--mode empty` sweep (same policy):
+    #       json_extract_events, variant_extract_events,
+    #       item_cooccurrence_similarity. (parse_url_features' empty
+    #       fix shares its slot already queued above.) That makes (b)
+    #       38 re-certs total.
     #       (Window-slot-live r12 changes — the nine window splits plus
     #       the _TRIGRAMS-shared oracles of minhash_dedup_clusters,
     #       near_dup_cluster_size_histogram, curation_v2_report,
     #       corpus_curation_full — re-certify in THIS round's sweep and
     #       need no r13 slot. multimodal_decode_features is terminally
     #       rows-only, CHECK_LAST-pinned.)
-    #   (c) fill the remaining 7 slots with the first 7 of the 43-query
+    #   (c) fill the remaining 4 slots with the first 4 of the 43-query
     #       r7-evidence remainder (repetition_signals onward in
     #       registration order; the rest roll to rounds 14-15).
-    #   8 + 35 + 7 = 50 holds exactly.
+    #   8 + 38 + 4 = 50 holds exactly.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
     #   round 14: plans/staged_round15.py, 8 queries (association

@@ -751,10 +751,13 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_events",
+    # nullif: DuckDB's json_extract THROWS on an empty-string payload
+    # where Spark's get_json_object returns NULL — '' is quarantined to
+    # NULL so both sides read a missing payload as a missing field
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(nullif(props, ''), '$.k')
+                         AS INTEGER)) AS BIGINT) AS sum_k,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1
     """,
@@ -762,7 +765,8 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props payload (the reference handles
     JSON only at load time — SURVEY §2.12; the engine exposes it as a
-    column function)."""
+    column function). Empty-string payloads extract NULL, same as NULL
+    payloads (get_json_object's behavior; the oracle nullifs to match)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))

@@ -19,14 +19,18 @@ from pinterest_data_pipeline_spark.sources.parquet import load_table
 
 @register(
     "variant_extract_events",
+    # nullif: DuckDB's json_extract THROWS on '' where the engine's
+    # try_parse_json yields a NULL variant — both sides read an empty
+    # payload as a missing one
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS INTEGER) AS max_k,
+           CAST(SUM(CAST(json_extract_string(nullif(props, ''), '$.k')
+                         AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(nullif(props, ''), '$.k')
+                         AS INTEGER)) AS INTEGER) AS max_k,
            CAST(COUNT(*) FILTER (
-                WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                WHERE CAST(json_extract_string(nullif(props, ''), '$.k')
+                           AS INTEGER) > 50
            ) AS BIGINT) AS n_big
     FROM events GROUP BY event_type
     """,
@@ -42,11 +46,16 @@ def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the variant decode path is value-checked against an independent
     JSON parser.
 
+    ``try_parse_json``, not ``parse_json``: a malformed or empty payload
+    becomes a NULL variant (and NULL extractions) instead of throwing —
+    the same one-dirty-row-must-not-kill-the-job quarantine as the
+    try_* arithmetic family. The oracle nullifs '' to match.
+
     Scale: parse + extract run scan-side in codegen; the aggregate is the
     only exchange, over |event_types| groups.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -158,7 +167,8 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH urls AS (
         SELECT doc_id,
-               'https://' || source || '.example.com:8443/corpus/' || lang
+               'https://' || nullif(source, '') || '.example.com:8443/corpus/'
+               || nullif(lang, '')
                || '/doc?id=' || CAST(doc_id AS VARCHAR) || '&rev=2' AS u
         FROM documents
     )
@@ -186,10 +196,14 @@ def parse_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain quality stats and dedup blocking. The oracle reassembles
     the same fields with generic string splitting, so the URL grammar
     Spark implements is cross-checked against a parser-free
-    decomposition. A NULL source or lang makes the synthesized URL NULL
-    (concat propagates) and every parsed field NULL with it; the
-    oracle's CASEs replay that, since DuckDB's split_part would
-    otherwise turn a NULL line into '' fields.
+    decomposition. A NULL — or empty — source or lang makes the
+    synthesized URL NULL (nullif then concat-propagate) and every
+    parsed field NULL with it; the oracle's CASEs replay that. The
+    empty case matters because '' provenance would synthesize
+    'https://.example.com' — a URL Spark's URI parser half-rejects
+    (NULL host, parseable path) while the oracle's string splitting
+    happily decomposes: empty provenance IS missing provenance, decided
+    before any parser sees it.
 
     Scale: pure scan-side codegen; the synthesized-URL column exercises
     the identical expression pipeline a real `url` column would.
@@ -197,9 +211,9 @@ def parse_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     u = F.concat(
         F.lit("https://"),
-        F.col("source"),
+        F.nullif(F.col("source"), F.lit("")),
         F.lit(".example.com:8443/corpus/"),
-        F.col("lang"),
+        F.nullif(F.col("lang"), F.lit("")),
         F.lit("/doc?id="),
         F.col("doc_id").cast("string"),
         F.lit("&rev=2"),

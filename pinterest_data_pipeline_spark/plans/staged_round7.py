@@ -995,10 +995,11 @@ def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ui AS (
         SELECT DISTINCT user_id AS u,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+               CAST(json_extract_string(nullif(props, ''), '$.k')
+                    AS BIGINT) AS i
         FROM events
         WHERE props IS NOT NULL
-          AND json_extract_string(props, '$.k') IS NOT NULL
+          AND json_extract_string(nullif(props, ''), '$.k') IS NOT NULL
     ),
     capped AS (
         SELECT u, i FROM (

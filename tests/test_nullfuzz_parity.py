@@ -149,3 +149,45 @@ def test_retired_registry_split_stays_null_parity(spark, fuzz_dir, name):
         con.close()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}@nullfuzz: {problems}"
+
+
+EMPTY_FUZZ_DIR = "/tmp/emptyfuzz_pytest_sf0.001"
+
+# The four registered queries the round-12 `--mode empty` sweep flagged
+# (PERF.md "empty-string fuzz"): DuckDB's json_extract THROWS on an ''
+# payload where Spark's extractors yield NULL, and an '' provenance
+# field synthesized a half-parseable URL. Contracts: '' payload ==
+# missing payload (nullif both sides; the variant path quarantines via
+# try_parse_json), '' provenance == missing provenance.
+RETIRED_EMPTY_SPLITS = [
+    "json_extract_events",
+    "variant_extract_events",
+    "item_cooccurrence_similarity",
+    "parse_url_features",
+]
+
+
+@pytest.fixture(scope="session")
+def empty_fuzz_dir(spark):
+    from scripts.nullfuzz import make_fuzzed
+
+    marker = os.path.join(EMPTY_FUZZ_DIR, "customer.parquet")
+    if not os.path.exists(marker):
+        make_fuzzed(
+            spark, "/root/testdata/sf0.001", EMPTY_FUZZ_DIR, mode="empty"
+        )
+    return EMPTY_FUZZ_DIR
+
+
+@pytest.mark.parametrize("name", RETIRED_EMPTY_SPLITS)
+def test_retired_empty_split_stays_parity(spark, empty_fuzz_dir, name):
+    import __spark_entry__ as entry_mod
+
+    spark_pdf = entry_mod.queries()[name](spark, empty_fuzz_dir).toPandas()
+    con = duckdb_connection(empty_fuzz_dir)
+    try:
+        oracle_pdf = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@emptyfuzz: {problems}"
