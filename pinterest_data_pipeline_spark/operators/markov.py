@@ -116,7 +116,11 @@ def top_path_trigrams(
     see order-3 structure: a>b>c vs c>b>a have identical bigram rows.
 
     Ordering is (ts, tiebreak) per subject — deterministic under
-    concurrent events, matching `markov_logloss`. The top-k order is
+    concurrent events, matching `markov_logloss`. Rows with a NULL
+    ``ts_col`` are DROPPED before windowing: an event with no
+    timestamp has no position in a sequence, and keeping it would
+    make the result engine-dependent (Spark ASC windows order NULL
+    first, ANSI engines commonly last). The top-k order is
     (support DESC, path ASC), a total order, so LIMIT is deterministic
     and an oracle replays it.
 
@@ -126,7 +130,8 @@ def top_path_trigrams(
     the full trigram relation."""
     seq_w = Window.partitionBy(subject_col).orderBy(ts_col, tiebreak_col)
     tri = (
-        df.select(
+        df.where(F.col(ts_col).isNotNull())
+        .select(
             F.col(subject_col).alias("__subj"),
             F.col(state_col).alias("__s1"),
             F.lead(state_col, 1).over(seq_w).alias("__s2"),

@@ -193,13 +193,19 @@ def mase_backtest(
     rational of exact integer products, rounded once — no
     intermediate means.
 
+    NULL period indices (``x_col`` NULL — e.g. the day bucket of a
+    NULL-timestamped event) are DROPPED: a point with no position on
+    the time axis cannot participate in a lag, and keeping it would
+    make the window order engine-dependent (Spark ASC orders NULL
+    first, ANSI engines commonly last).
+
     Scale: one lag window over the |periods|-sized series (a
     metadata-sized relation by contract — the caller aggregates the
     fact table to periods first), one conditional fold."""
     pts = df.select(
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
-    )
+    ).where(F.col("__x").isNotNull())
     w = Window.orderBy("__x")
     lagged = pts.select(
         "__x",

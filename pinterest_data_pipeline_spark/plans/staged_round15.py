@@ -390,7 +390,7 @@ def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                    AS y
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     lagged AS (
         SELECT x, y,

@@ -396,7 +396,7 @@ def caliper_match_balance_customers(
         SELECT user_id, event_type AS s1,
                lead(event_type, 1) OVER w AS s2,
                lead(event_type, 2) OVER w AS s3
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     tri AS (

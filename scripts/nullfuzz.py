@@ -44,19 +44,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-# (table, primary id column, columns to fuzz)
+# (table, primary id column, columns to fuzz). Timestamp columns sit
+# LAST in each list so their stripe indices never shift the indices of
+# the original columns (the pinned pytest fuzz dirs must stay
+# byte-stable); they are poisoned ONLY by the dedicated `nullts` mode.
 FUZZ_PLAN = {
     "documents": ("doc_id", ["lang", "source", "n_chars", "text"]),
     "orders": (
         "o_orderkey",
-        ["o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"],
+        [
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+            "o_custkey",
+            "o_orderdate",
+        ],
     ),
     "customer": (
         "c_custkey",
         ["c_mktsegment", "c_acctbal", "c_name", "c_nationkey"],
     ),
-    "events": ("event_id", ["event_type", "value", "user_id", "props"]),
-    "lineitem": ("l_orderkey", ["l_suppkey", "l_partkey", "l_quantity"]),
+    "events": ("event_id", ["event_type", "value", "user_id", "props", "ts"]),
+    "lineitem": (
+        "l_orderkey",
+        ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"],
+    ),
     "supplier": ("s_suppkey", ["s_acctbal"]),
     "part": ("p_partkey", ["p_size"]),
     "nation": ("n_nationkey", []),
@@ -74,10 +86,17 @@ def _poison(mode: str, dtype: str, idc: str, c: str, i: int):
       columns only — hunts ANSI cast/round throws (engine-only-error)
       and cross-engine NaN ordering/aggregation splits;
     - ``empty``: '' on the stripe, STRING columns only — hunts
-      ''-vs-NULL conflation (trim/split/md5-of-empty paths).
+      ''-vs-NULL conflation (trim/split/md5-of-empty paths);
+    - ``nullts``: NULL on the stripe, TIMESTAMP columns only — hunts
+      window/session/as-of splits (Spark orders NULL ts FIRST in ASC
+      windows, DuckDB LAST) kept separate from ``null`` so the pinned
+      pytest fuzz dirs stay byte-stable.
     """
     stripe = F.pmod(F.col(idc), F.lit(53)) == (7 + i)
-    if mode == "null":
+    is_ts = dtype.startswith("timestamp")
+    if mode == "null" and not is_ts:
+        return [(stripe, F.lit(None).cast(dtype))]
+    if mode == "nullts" and is_ts:
         return [(stripe, F.lit(None).cast(dtype))]
     if mode == "nan" and dtype == "double":
         inf_stripe = F.pmod(F.col(idc), F.lit(53)) == (33 + i)
@@ -136,7 +155,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         default="null",
-        choices=["null", "nan", "empty"],
+        choices=["null", "nan", "empty", "nullts"],
         help="poison value class (see _poison); default NULL stripes",
     )
     args = ap.parse_args()

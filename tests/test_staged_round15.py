@@ -255,6 +255,29 @@ def test_mase_closed_form_pin(spark):
     )
 
 
+def test_mase_null_period_index_is_dropped(spark):
+    """A point with NULL x (e.g. the day bucket of a NULL-timestamped
+    event) is dropped before the lag window — keeping it would shift
+    the lag-7 alignment engine-dependently (Spark orders NULL x first,
+    DuckDB last)."""
+    from pinterest_data_pipeline_spark.operators.trend import mase_backtest
+
+    rows = []
+    for d in range(21):
+        y = 100 if d % 7 < 3 else 200
+        if d == 10:
+            y = 210
+        if d == 20:
+            y = 250
+        rows.append((d, y))
+    rows.append((None, 999))
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = mase_backtest(df, "x", "y", season=7, test_len=7).collect()[0]
+    # identical to the clean 21-day pin: the NULL-x point is invisible
+    assert r["sum_abs_err_train_cents"] == 10
+    assert r["sum_abs_err_test_cents"] == 60
+
+
 def test_skyline_hand_frontier(spark):
     """Points (price, size): (1,1),(2,5),(3,3),(4,5),(5,6): frontier =
     (1,1),(2,5),(5,6) — (3,3) dominated by (2,5); (4,5) dominated by

@@ -512,6 +512,27 @@ def test_trigrams_null_state_never_aliases_a_bigram(spark):
     assert got == [("c>d>e", 1)]
 
 
+def test_trigrams_null_ts_row_is_dropped(spark):
+    """An event with no timestamp has no sequence position — it is
+    dropped BEFORE windowing, never ordered (Spark would sort NULL ts
+    first, DuckDB last; the drop makes the contract engine-neutral)."""
+    from pinterest_data_pipeline_spark.operators.markov import (
+        top_path_trigrams,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:01", "a"),
+        (2, 1, None, "x"),
+        (3, 1, "2024-01-01 00:00:03", "b"),
+        (4, 1, "2024-01-01 00:00:04", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(r["path"], r["support"]) for r in top_path_trigrams(df).collect()]
+    assert got == [("a>b>c", 1)]
+
+
 def test_trigrams_topk_order_is_total(spark):
     """Equal support breaks by path ASC, so the LIMIT is stable."""
     from pinterest_data_pipeline_spark.operators.markov import (
