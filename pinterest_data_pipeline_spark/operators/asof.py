@@ -48,8 +48,19 @@ def asof_join(
     partitionBy would otherwise group all NULL keys together and
     attach them to NULL-key left rows, which no equality-based as-of
     join, DuckDB's included, would do), and NULL-key left rows pass
-    through with NULL value columns."""
-    right = right.filter(F.col(key).isNotNull())
+    through with NULL value columns.
+
+    NULL timestamps get the same JOIN-not-window treatment: the as-of
+    predicate ``right.ts <= left.ts`` is NULL when either side is
+    NULL, so a NULL-ts right row matches nothing (filtered off the
+    spine) and a NULL-ts left row passes through with NULL value
+    columns (ordered NULLS FIRST in BOTH directions, it precedes
+    every right row in the window, so nothing is carried onto it —
+    Spark's desc default of NULLS LAST would otherwise hand it the
+    final carried value in the forward scan)."""
+    right = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    )
     left_cols = left.columns
     # All value columns ride in ONE struct, carried atomically: the struct is
     # non-NULL exactly when the row is a right row, so last(ignorenulls) always
@@ -86,7 +97,9 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     ts_order = (
-        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+        F.col("__ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
     )
     w = (
         Window.partitionBy("__key")

@@ -51,11 +51,16 @@ def delta_varint_report(
     """Per-layout storage cost of ``key_col`` under delta-varint
     encoding. ``layouts`` maps a layout name to its ordering columns
     (``key_col`` is appended as the final tiebreak so every order is
-    total). Output per layout: n_rows, total_bytes, fixed_bytes (8 per
-    row), saved_ppm — exact integers."""
+    total). NULL ordering columns sort FIRST, explicitly — a row with
+    an unknown cluster key still occupies bytes, so it is counted, in
+    an engine-pinned page (Spark's ASC default; an oracle must say
+    NULLS FIRST to replay it). Output per layout: n_rows, total_bytes,
+    fixed_bytes (8 per row), saved_ppm — exact integers."""
     outs = []
     for name, order_cols in layouts.items():
-        order = [F.col(c) for c in order_cols] + [F.col(key_col)]
+        order = [F.col(c).asc_nulls_first() for c in order_cols] + [
+            F.col(key_col)
+        ]
         page = F.ntile(n_pages).over(Window.orderBy(*order))
         laid = df.select(
             F.col(key_col).alias("__k"),
@@ -63,7 +68,10 @@ def delta_varint_report(
             page.alias("__page"),
         )
         in_page = Window.partitionBy("__page").orderBy(
-            *[F.col(f"__o{i}") for i in range(len(order_cols))],
+            *[
+                F.col(f"__o{i}").asc_nulls_first()
+                for i in range(len(order_cols))
+            ],
             F.col("__k"),
         )
         gap = F.col("__k") - F.lag("__k").over(in_page)

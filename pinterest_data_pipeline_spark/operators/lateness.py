@@ -67,7 +67,16 @@ def watermark_lateness(
     ``tiebreak_col`` must make the pair unique so "strictly earlier"
     is a total order. Event time is read from ``ts_col`` via
     ``unix_micros``. ``shard_us`` sets the arrival-range shard width
-    for the two-level scan (default: hourly shards)."""
+    for the two-level scan (default: hourly shards).
+
+    Rows with a NULL event time or NULL arrival stamp are DROPPED
+    explicitly: an event with no timestamp has no watermark position
+    (streaming would never admit it), and without the filter the
+    NULL-shard rows would only vanish as an accident of the inner
+    shard join's NULL-key semantics."""
+    df = df.where(
+        F.col(ts_col).isNotNull() & F.col(arrival_us_col).isNotNull()
+    )
     us = F.unix_micros(F.col(ts_col))
     shard = (F.col(arrival_us_col) / F.lit(int(shard_us))).cast("long")
     base = df.withColumn("__us", us).withColumn("__shard", shard)

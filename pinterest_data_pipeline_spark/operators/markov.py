@@ -34,13 +34,16 @@ def markov_logloss(
     evaluation is the same formula over a hash-split — `hash_split`).
 
     Sequence order is (ts, tiebreak) — deterministic under concurrent
-    events, matching `event_transition_matrix`.
+    events, matching `event_transition_matrix`. NULL-``ts_col`` rows
+    are dropped before windowing, the family-wide contract (see
+    `top_path_trigrams`): an event with no timestamp has no sequence
+    position.
 
     Scale: one per-subject lag window (single shuffle on subject), one
     aggregate down to the ≤|states|² cell table; the fold runs over
     those cells."""
     seq_w = Window.partitionBy(subject_col).orderBy(ts_col, tiebreak_col)
-    seq = df.select(
+    seq = df.where(F.col(ts_col).isNotNull()).select(
         F.col(state_col).alias("__next"),
         F.lag(state_col).over(seq_w).alias("__prev"),
     ).where(F.col("__prev").isNotNull())

@@ -417,8 +417,17 @@ def cusum_changepoint(
     cross-engine flake at sf0.01); with the mean exact, both engines
     build S_t as the same ordered prefix over the same doubles.
 
+    NULL-``ts_col`` rows are dropped before bucketing — the time-axis
+    contract (a row with no timestamp is not on the series), and a
+    hard portability requirement here: the prefix sum's ORDER BY puts
+    a NULL day FIRST on Spark and LAST on ANSI engines, shifting
+    every S_t by that bucket's deviation (DuckDB 1.0's optimizer even
+    mis-folds ``date_trunc(x) IS NULL`` to false, making the NULL
+    bucket's sort position outright unreliable there).
+
     Scale: one corpus aggregate to the |days| series; the prefix-sum
     window and the argmax TakeOrdered run over days."""
+    df = df.where(F.col(ts_col).isNotNull())
     daily = (
         df.select(
             F.date_trunc("day", F.col(ts_col)).alias("__d"),

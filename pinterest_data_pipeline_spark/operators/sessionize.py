@@ -38,7 +38,11 @@ def sessionize(
 
     A session starts at the user's first event and wherever
     ``ts - previous ts > gap_seconds`` (strict; an event exactly at
-    the gap continues the session)."""
+    the gap continues the session). NULL-ts events are dropped before
+    windowing — an event with no timestamp has no place in a
+    gap-based session, and Spark (NULLS FIRST) vs ANSI engines
+    (commonly LAST) would otherwise splice it in engine-dependently."""
+    events = events.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     us = F.unix_micros(F.col(ts_col))
     gap_us = F.lit(int(gap_seconds) * 1_000_000)

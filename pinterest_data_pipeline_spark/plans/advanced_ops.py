@@ -30,18 +30,31 @@ from pinterest_data_pipeline_spark.sources.parquet import load_table
     ),
     views AS (
         SELECT user_id, ts, MAX(value) AS view_value
-        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        FROM events
+        WHERE event_type = 'view' AND ts IS NOT NULL
+        GROUP BY user_id, ts
     )
     SELECT c.event_id, c.user_id, c.ts, v.view_value AS view_value_asof
-    FROM clicks c ASOF LEFT JOIN views v
+    FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+    ASOF LEFT JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts
+    UNION ALL
+    SELECT event_id, user_id, ts, CAST(NULL AS DOUBLE) AS view_value_asof
+    FROM clicks WHERE ts IS NULL
     """,
 )
 def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: attach each click's most recent prior 'view' value per
     user (right side pre-aggregated to one row per (user, ts) so the
     match is unambiguous). Oracle uses DuckDB's native ASOF JOIN; our
-    engine composes union + ordered window (operators/asof.py)."""
+    engine composes union + ordered window (operators/asof.py).
+
+    NULL timestamps follow JOIN semantics on both sides (a NULL as-of
+    predicate matches nothing; NULL-ts clicks pass through with NULL
+    value) — spelled out in the oracle because DuckDB's native ASOF
+    sorts NULL left keys last and would otherwise attach the user's
+    LATEST view to a NULL-ts click, an implementation artifact no
+    predicate-based join reproduces."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"

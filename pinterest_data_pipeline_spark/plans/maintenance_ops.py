@@ -183,7 +183,7 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS avg_v,
            MIN(value) AS min_v,
            MAX(value) AS max_v
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY event_type, date_trunc('day', ts)
     ORDER BY event_type, event_day
     """,
@@ -194,15 +194,23 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable partial state, each arriving slice aggregates alone, and
     states combine associatively — the oracle recomputes from scratch and
     must agree bit-for-bit. Three uneven slices (two history epochs + a
-    'late' delta) exercise a non-trivial merge tree."""
+    'late' delta) exercise a non-trivial merge tree.
+
+    NULL-ts events are dropped EXPLICITLY before slicing: the slice
+    predicates (ts < cut, ts >= cut) would silently exclude them
+    anyway — no time slice can own a row with no timestamp — and the
+    explicit filter turns that accident into the ingest-quarantine
+    contract, mirrored by the oracle."""
     from pinterest_data_pipeline_spark.operators.rollup_maintenance import (
         finalize_rollup,
         merge_rollups,
         rollup_state,
     )
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_day", F.date_trunc("day", F.col("ts"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .withColumn("event_day", F.date_trunc("day", F.col("ts")))
     )
     keys = ["event_type", "event_day"]
     slice1 = ev.filter(F.col("ts") < "2024-01-10")

@@ -174,10 +174,23 @@ CHECK_FIRST: list[str] = [
     #       corpus_curation_full — re-certify in THIS round's sweep and
     #       need no r13 slot. multimodal_decode_features is terminally
     #       rows-only, CHECK_LAST-pinned.)
-    #   (c) fill the remaining 4 slots with the first 4 of the 43-query
-    #       r7-evidence remainder (repetition_signals onward in
-    #       registration order; the rest roll to rounds 14-15).
-    #   8 + 38 + 4 = 50 holds exactly.
+    #   (c) 4 of the 14 `--mode nullts` re-certifications (the
+    #       NULL-timestamp sweep, run later in r12, retired 16 splits
+    #       — PERF.md "NULL-timestamp fuzz"; sessionize_event_stats
+    #       was r12-window-live and two are staged-only, so 14
+    #       registered queries need slots; all are
+    #       clean-data-identical and parity-pinned by
+    #       test_retired_ts_split_stays_parity). Alphabetically first:
+    #       asof_join_latest_view, cusum_changepoint_revenue,
+    #       event_transition_matrix, hll_sketch_union_gate.
+    #   8 + 38 + 4 = 50 holds exactly. The 10 remaining nullts
+    #   re-certs (incremental_rollup_events, markov_path_logloss,
+    #   session_window_user_counts, sessionize_events,
+    #   sliding_window_event_counts, tumbling_hourly_event_counts,
+    #   varint_layout_size_report, watermark_lateness_audit,
+    #   window_running_and_lag, window_value_functions) take r14 slots
+    #   ahead of the oldest-evidence fill, pushing the r7-evidence
+    #   remainder one round further out.
     #
     # FURTHER STAGED INVENTORY (keeping every window promotion-only):
     #   round 14: plans/staged_round15.py, 8 queries (association

@@ -598,20 +598,25 @@ def window_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_spend,
            lag(o_orderkey) OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey) AS prev_order,
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS prev_order,
            lead(o_orderkey) OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey) AS next_order
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS next_order
     FROM orders
     """,
 )
 def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum (decimal-exact) + lag/lead over an explicit ROWS frame."""
+    """Running sum (decimal-exact) + lag/lead over an explicit ROWS frame.
+    NULL order dates sort FIRST, pinned explicitly on both sides (the
+    Spark ASC default; ANSI engines default NULLS LAST)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         F.col("o_custkey").alias("custkey"),
@@ -782,7 +787,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
         SELECT user_id, ts, event_id,
@@ -806,8 +811,13 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap flag + running sum = session ids, 30-min
-    gap. One shuffle on user_id shared by both windows and the final agg."""
-    ev = load_table(spark, sf_dir, "events")
+    gap. One shuffle on user_id shared by both windows and the final agg.
+    NULL-ts events are dropped first: an event with no timestamp has
+    no place in a gap-based session (Spark/ANSI NULL ordering would
+    otherwise splice it in engine-dependently)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = ev.withColumn(
@@ -1470,15 +1480,18 @@ def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT)
                AS first_cents,
            CAST(round(last_value(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) * 100) AS BIGINT) AS last_cents,
            CAST(round(nth_value(o_totalprice, 2) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) * 100) AS BIGINT) AS second_cents
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1488,14 +1501,15 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the current row and ``nth_value(2)`` is NULL until row 2 — the
     full-partition answer requires the explicit UNBOUNDED FOLLOWING
     frame, identically on both engines. Ordering carries the orderkey
-    tie-break so value functions are deterministic under equal dates.
+    tie-break so value functions are deterministic under equal dates;
+    NULL dates sort FIRST, pinned explicitly on both sides.
 
     Scale: one customer-keyed exchange; full-partition frames evaluate
     with a single pass per partition (no per-row rescans).
     """
     orders = load_table(spark, sf_dir, "orders")
     default_w = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
     )
     full_w = default_w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1538,6 +1552,10 @@ def hll_sketch_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±3σ band of HLL at lgConfigK=12 (~2.5% rel. error) of the exact
     distinct — emitted as a violation count the oracle pins to 0, next
     to the exact values both engines compute directly.
+
+    NULL-ts events land in a NULL-day quarantine sketch row: merged
+    into the full-range union (their users still count) but excluded
+    from ``n_days`` — a row with no timestamp is not a day.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
@@ -1545,7 +1563,7 @@ def hll_sketch_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unioned = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
-        F.count(F.lit(1)).alias("n_days"),
+        F.count("d").alias("n_days"),
     )
     exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
     return exact.crossJoin(unioned).select(

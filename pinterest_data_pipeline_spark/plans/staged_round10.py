@@ -180,7 +180,7 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS nxt,
                lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS prv
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     cells AS (
         SELECT prv, nxt, CAST(COUNT(*) AS BIGINT) AS n_pn
@@ -459,7 +459,7 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS cents,
                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                     AS DOUBLE) / 100.0 AS x
-        FROM lineitem GROUP BY 1
+        FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
     ),
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
                  CAST(SUM(cents) AS BIGINT) AS tc

@@ -425,7 +425,7 @@ def zorder_layout_pruning_report(
                + ((CAST(concat('0x',
                         substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
                         AS BIGINT) % 600000000) - 300000000) AS arr
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     w AS (
         SELECT us,
@@ -636,7 +636,7 @@ _VARINT_CASE = """CASE
                CAST(NULL AS TIMESTAMP) AS o0, CAST(NULL AS BIGINT) AS h0
         FROM base
         UNION ALL
-        SELECT 'time_clustered', k, ntile(64) OVER (ORDER BY d, k),
+        SELECT 'time_clustered', k, ntile(64) OVER (ORDER BY d NULLS FIRST, k),
                d, CAST(NULL AS BIGINT)
         FROM base
         UNION ALL

@@ -1487,7 +1487,7 @@ def curation_v2_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                             > 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (

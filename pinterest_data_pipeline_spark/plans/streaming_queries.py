@@ -5,6 +5,11 @@ batch mode, so the exact operators used by the streaming slice are
 oracle-checkable here with date_trunc/time_bucket SQL; the streaming-only
 behaviors (watermark late-data drop, within-watermark dedup, checkpointed
 append) are pinned by tests/test_streaming.py instead.
+
+NULL event time: Spark's ``F.window`` / ``F.session_window`` assign NO
+window to a NULL-ts row (in streaming, the watermark machinery could
+never admit it), so the oracles all carry ``WHERE ts IS NOT NULL`` to
+replay that drop — the cross-engine contract the nullts fuzz pins.
 """
 
 from __future__ import annotations
@@ -23,7 +28,7 @@ from pinterest_data_pipeline_spark.streaming import windows as W
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type, CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
 )
 def tumbling_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,11 +43,11 @@ def tumbling_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH starts AS (
         SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws, event_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         UNION ALL
         SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES,
                event_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT ws AS window_start, ws + INTERVAL 60 MINUTES AS window_end,
            event_type, CAST(COUNT(*) AS BIGINT) AS n
@@ -65,7 +70,7 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
         SELECT user_id, ts,

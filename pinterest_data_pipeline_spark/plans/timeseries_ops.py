@@ -82,7 +82,7 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), counts AS (
         SELECT prev_type, event_type AS next_type,
                CAST(COUNT(*) AS BIGINT) AS n_trans
@@ -100,7 +100,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order transition matrix over per-user event sequences:
     P(next_type | prev_type) as integer parts-per-million. The sequence
     order is (ts, event_id) — event_id breaks timestamp ties so ``lag``
-    is deterministic under concurrent events.
+    is deterministic under concurrent events. NULL-ts events are
+    dropped before the lag: they have no sequence position, and Spark
+    (NULLS FIRST) vs ANSI engines (commonly LAST) would otherwise
+    splice them into different transitions.
 
     Probability is ``(n * 1_000_000) div total`` — floor division of
     exact counts, bit-identical across engines (a rounded double ratio
@@ -111,7 +114,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how large the input. The per-prev_type normalizing window runs
     on that tiny aggregate, not on the events table.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
     seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",

@@ -73,7 +73,11 @@ FUZZ_PLAN = {
     "part": ("p_partkey", ["p_size"]),
     "nation": ("n_nationkey", []),
     "region": ("r_regionkey", []),
-    "embeddings": ("vec_id", []),
+    # embedding/label are poisoned ONLY by the dedicated `nullemb`
+    # mode (empty list on the column's own second stripe as well) —
+    # the `null` mode must keep the pinned pytest fuzz dirs
+    # byte-stable, and embeddings was never part of its plan.
+    "embeddings": ("vec_id", ["embedding", "label"]),
 }
 
 
@@ -90,14 +94,29 @@ def _poison(mode: str, dtype: str, idc: str, c: str, i: int):
     - ``nullts``: NULL on the stripe, TIMESTAMP columns only — hunts
       window/session/as-of splits (Spark orders NULL ts FIRST in ASC
       windows, DuckDB LAST) kept separate from ``null`` so the pinned
-      pytest fuzz dirs stay byte-stable.
+      pytest fuzz dirs stay byte-stable;
+    - ``nullemb``: embeddings-table poison — NULL embedding/label on
+      the primary stripe, plus an EMPTY list on the embedding
+      column's second stripe — hunts the ANN/PQ/semantic-dedup
+      family's missing-vector handling (array folds over NULL,
+      zero-dim distances, degenerate norms). Separate mode for the
+      same byte-stability reason.
     """
     stripe = F.pmod(F.col(idc), F.lit(53)) == (7 + i)
     is_ts = dtype.startswith("timestamp")
-    if mode == "null" and not is_ts:
+    is_emb = c in ("embedding", "label")
+    if mode == "null" and not is_ts and not is_emb:
         return [(stripe, F.lit(None).cast(dtype))]
     if mode == "nullts" and is_ts:
         return [(stripe, F.lit(None).cast(dtype))]
+    if mode == "nullemb" and is_emb:
+        edits = [(stripe, F.lit(None).cast(dtype))]
+        if dtype.startswith("array"):
+            empty_stripe = F.pmod(F.col(idc), F.lit(53)) == (33 + i)
+            edits.append(
+                (empty_stripe, F.array().cast(dtype))
+            )
+        return edits
     if mode == "nan" and dtype == "double":
         inf_stripe = F.pmod(F.col(idc), F.lit(53)) == (33 + i)
         return [
@@ -155,7 +174,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         default="null",
-        choices=["null", "nan", "empty", "nullts"],
+        choices=["null", "nan", "empty", "nullts", "nullemb"],
         help="poison value class (see _poison); default NULL stripes",
     )
     args = ap.parse_args()

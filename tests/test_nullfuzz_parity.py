@@ -191,3 +191,72 @@ def test_retired_empty_split_stays_parity(spark, empty_fuzz_dir, name):
         con.close()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}@emptyfuzz: {problems}"
+
+
+TS_FUZZ_DIR = "/tmp/tsfuzz_pytest_sf0.001"
+
+# The registered queries the round-12 `--mode nullts` sweep flagged
+# (PERF.md "NULL-timestamp fuzz"): every one rooted in the same ANSI
+# divergence — Spark ASC windows order NULL timestamps FIRST, DuckDB
+# LAST. Contract classes:
+#   time-axis drops   — sequences (transition matrix, logloss,
+#                       trigrams), sessionization, streaming windows,
+#                       slice-based rollup maintenance and watermark
+#                       accounting DROP NULL-ts rows: an event with no
+#                       timestamp has no position on the time axis
+#                       (streaming's watermark would never admit it)
+#   JOIN semantics    — the as-of family: a NULL as-of predicate
+#                       matches nothing; NULL-ts left rows pass
+#                       through with NULL values (the oracle spells
+#                       this out because DuckDB's native ASOF sorts
+#                       NULL left keys last and would attach the
+#                       LATEST right row)
+#   pinned ordering   — pure window demos and layout reports KEEP
+#                       NULL-ts rows and pin NULLS FIRST explicitly
+#                       on both sides (Spark's default)
+#   quarantine rows   — the HLL sketch table keeps a NULL-day
+#                       quarantine sketch (users still counted) but
+#                       excludes it from n_days
+RETIRED_TS_SPLITS = [
+    "asof_join_latest_view",
+    "cusum_changepoint_revenue",
+    "event_transition_matrix",
+    "hll_sketch_union_gate",
+    "incremental_rollup_events",
+    "markov_path_logloss",
+    "session_window_user_counts",
+    "sessionize_event_stats",
+    "sessionize_events",
+    "sliding_window_event_counts",
+    "tumbling_hourly_event_counts",
+    "varint_layout_size_report",
+    "watermark_lateness_audit",
+    "window_running_and_lag",
+    "window_value_functions",
+]
+
+
+@pytest.fixture(scope="session")
+def ts_fuzz_dir(spark):
+    from scripts.nullfuzz import make_fuzzed
+
+    marker = os.path.join(TS_FUZZ_DIR, "customer.parquet")
+    if not os.path.exists(marker):
+        make_fuzzed(
+            spark, "/root/testdata/sf0.001", TS_FUZZ_DIR, mode="nullts"
+        )
+    return TS_FUZZ_DIR
+
+
+@pytest.mark.parametrize("name", RETIRED_TS_SPLITS)
+def test_retired_ts_split_stays_parity(spark, ts_fuzz_dir, name):
+    import __spark_entry__ as entry_mod
+
+    spark_pdf = entry_mod.queries()[name](spark, ts_fuzz_dir).toPandas()
+    con = duckdb_connection(ts_fuzz_dir)
+    try:
+        oracle_pdf = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}@tsfuzz: {problems}"

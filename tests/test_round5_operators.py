@@ -153,6 +153,49 @@ def test_asof_directions_and_nearest_semantics(spark):
     }
 
 
+def test_asof_null_ts_follows_join_semantics(spark):
+    """NULL timestamps match nothing, in BOTH directions: a NULL-ts
+    right row is filtered off the spine, and a NULL-ts left row passes
+    through with NULL values (forward's DESC scan would otherwise hand
+    it the last carried value under Spark's NULLS LAST desc default)."""
+    import datetime as dt
+
+    from pinterest_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, s(100)), (2, 1, None)],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(90, 1, s(90), 900), (999, 1, None, 9990)],
+        "rid long, k long, rts timestamp, rv long",
+    )
+    for direction, want in [
+        ("backward", {1: 90, 2: None}),
+        ("forward", {1: None, 2: None}),
+    ]:
+        got = {
+            r["lid"]: r["rid_asof"]
+            for r in asof_join(
+                left, right, "k", "lts", "rts", ["rid"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == want, direction
+    near = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join_nearest(
+            left, right, "k", "lts", "rts", ["rid"]
+        ).collect()
+    }
+    assert near == {1: 90, 2: None}
+
+
 def test_asof_family_matches_pandas_merge_asof(spark):
     """Differential test against an independent reference implementation:
     on random timelines (unique (key, ts) on the right side — pandas
