@@ -29,24 +29,42 @@ from pyspark.sql import functions as F
 def _argmin_sql(vec: str, centroids: list[list[float]]) -> str:
     """SQL text of `clustering.codebook_argmin` for one subspace —
     same affinity form (per-centroid ||c||^2 - 2*(left-to-right dot)),
-    same array_min struct tiebreak, but built as ONE string parsed in a
-    single F.expr call. The Column-arithmetic form costs one py4j round
+    same array_min struct tiebreak, built as ONE string parsed in a
+    single F.expr call (the Column-arithmetic form costs one py4j round
     trip per operator node; at m*k*subdim scale that was measured as
-    ~21 s of pure driver time per gate run. Float literals ride through
+    ~21 s of pure driver time per gate run). Float literals ride through
     CAST('repr' AS DOUBLE) so both construction paths bind identical
-    doubles."""
-    structs = []
-    for c, cent in enumerate(centroids):
-        c2 = sum(float(x) * float(x) for x in cent)
-        dot = " + ".join(
-            f"CAST('{float(x)!r}' AS DOUBLE) * CAST({vec}[{j}] AS DOUBLE)"
-            for j, x in enumerate(cent)
+    doubles.
+
+    The centroids are a LITERAL array of {c2, cv, i} structs and the
+    per-centroid affinity is one transform lambda whose dot product is a
+    sequential aggregate/zip_with fold — NOT k unrolled named_structs
+    each carrying a subdim-term `+` chain. The unrolled form fed
+    whole-stage codegen ~100 KB of generated Java per assignment set,
+    and Janino compilation (3 such plans per gate run: two Lloyd
+    iterations + the init/trained audit) dominated the query — measured
+    40.7 s unrolled vs 3.6 s folded for the full gate at sf0.1 on
+    local[32], with BIT-IDENTICAL trained codebooks (the fold seeds at
+    0.0 and adds terms left-to-right, exactly the unrolled chain's
+    order; x * CAST(y AS DOUBLE) is the same centroid*component
+    product). Lambda evaluation is interpreted per element, but k*subdim
+    is tiny per row next to a per-plan compile of megabyte-scale Java."""
+    cents = ", ".join(
+        "named_struct('c2', CAST('{0!r}' AS DOUBLE), 'cv', array({1}),"
+        " 'i', {2})".format(
+            sum(float(x) * float(x) for x in cent),
+            ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cent),
+            c,
         )
-        structs.append(
-            f"named_struct('d', CAST('{c2!r}' AS DOUBLE)"
-            f" - CAST('2.0' AS DOUBLE) * ({dot}), 'c', {c})"
-        )
-    return f"array_min(array({', '.join(structs)}))"
+        for c, cent in enumerate(centroids)
+    )
+    return (
+        f"array_min(transform(array({cents}), s -> named_struct("
+        f"'d', s.c2 - CAST('2.0' AS DOUBLE) * aggregate("
+        f"zip_with(s.cv, {vec}, (x, y) -> x * CAST(y AS DOUBLE)), "
+        f"CAST('0.0' AS DOUBLE), (a, x) -> a + x), "
+        f"'c', s.i)))"
+    )
 
 
 def pq_train_gate(

@@ -600,6 +600,31 @@ def dequantize_int8(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda i: i.cast("double") * scale)
 
 
+def multiprobe_corpus(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-assigned corpus side of :func:`ivf_topk_multiprobe`:
+    (neighbor_id, c_vec, c_part, c_norm). Split out so a caller probing
+    the SAME corpus at several ``nprobe`` settings (the recall-curve
+    audit in ``embedding_ivf_multiprobe_topk``) can materialize the
+    assignment ONCE (``localCheckpoint``) instead of re-running the
+    k×dim argmin + norm scan per setting — this is exactly "build the
+    IVF index once, probe it many times"."""
+    from pinterest_data_pipeline_spark.operators.clustering import (
+        assign_to_codebook,
+    )
+
+    return assign_to_codebook(fan_out(corpus), centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cluster").alias("c_part"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+
+
 def ivf_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
@@ -608,23 +633,25 @@ def ivf_topk_multiprobe(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 2,
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with multiprobe: each query searches its ``nprobe``
     nearest codebook partitions instead of one — the standard recall
     lever (recall→exact as nprobe→|codebook| while scanned rows stay
     ~nprobe/|codebook| of the corpus). The corpus keeps a single top-1
     partition per row; only the broadcast query side is exploded, so the
-    join cost is |corpus-partition-rows| × probes-per-partition."""
+    join cost is |corpus-partition-rows| × probes-per-partition.
+
+    ``corpus_assigned`` (from :func:`multiprobe_corpus`, possibly
+    checkpointed) lets multi-``nprobe`` callers reuse one assignment."""
     from pinterest_data_pipeline_spark.operators.clustering import (
         assign_probes,
-        assign_to_codebook,
     )
 
-    c = assign_to_codebook(fan_out(corpus), centroids, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("cluster").alias("c_part"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
+    c = (
+        corpus_assigned
+        if corpus_assigned is not None
+        else multiprobe_corpus(corpus, centroids, id_col, vec_col)
     )
     q = assign_probes(queries, centroids, vec_col, nprobe).select(
         F.col(id_col).alias("query_id"),

@@ -104,6 +104,16 @@ def edit_distance_one_pairs(
     if max_bucket_size is not None:
         variants = cap_bucket_size(variants, ["__v"], max_bucket_size)
         eq_base = cap_bucket_size(base, ["__name"], max_bucket_size)
+    # Materialize each (possibly capped) relation ONCE: both self-joins
+    # below consume their relation on BOTH sides, and without the
+    # barrier the explode + distinct + rank-window subtree executed
+    # twice per join (the plan showed two full scan→Generate→
+    # HashAggregate→Window chains). The variant relation is exactly the
+    # FastSS deletion-neighborhood index — building it once is the
+    # algorithm's own contract; its size is Σ(len+1) rows, the same
+    # volume the join shuffle already pays.
+    variants = variants.localCheckpoint(eager=True)
+    eq_base = eq_base.localCheckpoint(eager=True)
     eq = (
         eq_base.select(
             F.col("__id").alias("key_a"), F.col("__name").alias("name_a")
@@ -144,8 +154,13 @@ def edit_distance_one_pairs(
 def _deletion_variants(base: DataFrame) -> DataFrame:
     """FastSS 1-deletion neighborhood relation: one row per distinct
     (__id, __name, __v) where __v ranges over the string itself (i=0)
-    plus each single-character deletion."""
-    return base.select(
+    plus each single-character deletion. ``fan_out`` first: the explode
+    multiplies each row ~len(name)× and the distinct's partial
+    aggregate runs in the scan stage, so a single-row-group input would
+    otherwise serialize the whole neighborhood build into one task."""
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    return fan_out(base).select(
         "__id",
         "__name",
         F.explode(

@@ -52,19 +52,37 @@ def lgram_starts(
 ) -> DataFrame:
     """(id, start, gh): every L-token shingle's 1-based start position
     and md5 hex of its space-joined content. Documents shorter than L
-    tokens contribute nothing."""
+    tokens contribute nothing.
+
+    The token array is materialized behind an exchange BEFORE the
+    shingle explode (the minhash_banded recipe): chained directly onto
+    the scan, projection collapse inlines the whitespace split into
+    every ``slice(toks, i, L)`` lambda reference, re-tokenizing each
+    document once PER SHINGLE (~tokens× redundant regex work), and a
+    single-row-group input runs the whole explode as ONE task.
+    ``fan_out`` parallelizes degenerate layouts; the ``repartition`` on
+    the id pins the tokenized form as the exchange's materialized
+    output, so the explode slices a stored array. The exchange ships
+    O(corpus tokens) — the same byte class the gram shuffle downstream
+    already pays — and buys back a tokens-fold of per-shingle CPU."""
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
     toks = _toks(text_col)
+    toked = (
+        fan_out(df)
+        .filter(F.size(toks) >= L)
+        .select(F.col(id_col), toks.alias("__t"))
+        .repartition(F.col(id_col))
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(L - 1)),
+        F.sequence(F.lit(1), F.size("__t") - F.lit(L - 1)),
         lambda i: F.struct(
             i.alias("start"),
-            F.md5(F.array_join(F.slice(toks, i, L), " ")).alias("gh"),
+            F.md5(F.array_join(F.slice("__t", i, L), " ")).alias("gh"),
         ),
     )
-    return (
-        df.filter(F.size(toks) >= L)
-        .select(F.col(id_col), F.explode(shingles).alias("__s"))
-        .select(id_col, F.col("__s.start").alias("start"), F.col("__s.gh").alias("gh"))
+    return toked.select(F.col(id_col), F.explode(shingles).alias("__s")).select(
+        id_col, F.col("__s.start").alias("start"), F.col("__s.gh").alias("gh")
     )
 
 
