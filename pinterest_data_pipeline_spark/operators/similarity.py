@@ -377,22 +377,45 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def hyperplane_band_keys(
-    vec: Column, dim: int, bands: int = 4, planes_per_band: int = 8, seed: int = 7
+    vec_sql: str, dim: int, bands: int = 4, planes_per_band: int = 8, seed: int = 7
 ) -> list[Column]:
     """Random-hyperplane (SimHash-for-vectors) band keys: each band is an
     integer whose bits are the signs of ``planes_per_band`` projections.
     P[two vectors share a band] = (1 - θ/π)^planes_per_band per band —
     the standard cosine-LSH s-curve, banded like MinHash so recall
-    concentrates on genuinely similar pairs."""
+    concentrates on genuinely similar pairs.
+
+    ``vec_sql`` is the vector column's SQL identifier: each band key is
+    ONE compact F.expr over a literal array of {bit, pv} plane structs
+    (the clustering._affinity_structs_sql recipe) instead of
+    planes_per_band unrolled Column folds — the unrolled form's
+    whole-stage codegen dominated every banding query. The inner fold
+    is zip_with(vec, plane)·left-to-right from 0.0 — exactly the order
+    the `dot` helper evaluates, so projections (and therefore sign
+    bits and band keys) are bit-identical; a NULL vector yields NULL
+    projections and CASE's ELSE 0, matching when().otherwise(0)."""
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
     keys = []
     for b in range(bands):
-        key = F.lit(0)
-        for i in range(planes_per_band):
-            plane = planes[b * planes_per_band + i]
-            proj = dot(vec, F.array(*[F.lit(p) for p in plane]))
-            key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        keys.append(key)
+        structs = ", ".join(
+            "named_struct('bit', {0}, 'pv', array({1}))".format(
+                1 << i,
+                ", ".join(
+                    f"CAST('{float(p)!r}' AS DOUBLE)"
+                    for p in planes[b * planes_per_band + i]
+                ),
+            )
+            for i in range(planes_per_band)
+        )
+        keys.append(
+            F.expr(
+                f"aggregate(transform(array({structs}), s -> "
+                f"CASE WHEN aggregate(zip_with({vec_sql}, s.pv, "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST('0.0' AS DOUBLE), (a, t) -> a + t) >= 0 "
+                f"THEN s.bit ELSE 0 END), 0, (a, t) -> a + t)"
+            )
+        )
     return keys
 
 
@@ -422,7 +445,7 @@ def embedding_banded(
         part.alias("__part"),
     ).repartition(F.col("__id"))  # materialize norms/keys input once,
     # computed post-fan_out so a single-row-group scan can't serialize it
-    keys = hyperplane_band_keys(F.col("__vec"), dim, bands, planes_per_band, seed)
+    keys = hyperplane_band_keys("__vec", dim, bands, planes_per_band, seed)
     banded = base.select(
         "__id",
         "__vec",
