@@ -148,7 +148,14 @@ def edit_distance_one_pairs(
         .withColumn("ed", F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("ed") <= 1)
     )
-    return eq.unionByName(ne).orderBy("key_a", "key_b")
+    # Output-sized barrier before the sort: both union branches are
+    # broadcast joins, so the range exchange's bound sampling would
+    # re-execute them (including the levenshtein verify) a second time.
+    return (
+        eq.unionByName(ne)
+        .localCheckpoint(eager=True)
+        .orderBy("key_a", "key_b")
+    )
 
 
 def _deletion_variants(base: DataFrame) -> DataFrame:
@@ -394,7 +401,7 @@ def jaccard_exact_join(
         F.col("__n").alias("__nb"),
     )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_inter", inter)
@@ -416,8 +423,15 @@ def jaccard_exact_join(
                 6,
             ).alias("jaccard_r6"),
         )
-        .orderBy("id_a", "id_b")
     )
+    # Materialize the (output-sized) verified relation before the final
+    # sort: the range exchange's bound-sampling pass otherwise
+    # RE-EXECUTES the whole verify subtree — the candidate probe and
+    # the exact array_intersect run twice per query because every join
+    # above the candidate shuffle is a broadcast, so there is no
+    # materialized stage for the sampler to read (measured: the sort
+    # doubled the verify cost at sf0.1; output was 256 rows).
+    return verified.localCheckpoint(eager=True).orderBy("id_a", "id_b")
 
 
 def containment_exact_join(
@@ -490,7 +504,7 @@ def containment_exact_join(
         F.col("__n").alias("n_b"),
     )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_inter", inter)
@@ -509,8 +523,11 @@ def containment_exact_join(
                 6,
             ).alias("containment_r6"),
         )
-        .orderBy("id_a", "id_b")
     )
+    # Same barrier as jaccard_exact_join: without it the final sort's
+    # range-bound sampling re-executes the broadcast-only verify
+    # subtree (exact intersections run twice per query).
+    return verified.localCheckpoint(eager=True).orderBy("id_a", "id_b")
 
 
 def jaccard_trim_report(
