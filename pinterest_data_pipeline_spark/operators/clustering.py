@@ -203,11 +203,36 @@ def duplicate_clusters(
         # materialize again: each iteration reads the edge list twice
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    if iterations is not None and iterations == 0:
+        # zero propagation steps: every node labels itself (the bounded-
+        # cost contract's base case, unchanged from the loop formulation)
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    # Round 1 is a pure aggregate, not a propagation join: starting from
+    # identity labels, one min-propagation step computes exactly
+    # min(self, min over neighbors), i.e. groupBy(src).min(dst) floored
+    # by src — the same relation the old identity-init loop produced
+    # after its first (join + union + groupBy) round, at one shuffle
+    # instead of three plan nodes reading an unmaterialized distinct
+    # twice. Later rounds are unchanged, so the fixpoint (and any
+    # iterations=N hop bound, seed = hop 1) is identical.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__nmin")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
     )
-    prev_sum = None
-    step = 0
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    step = 1
     while iterations is None or step < iterations:
         step += 1
         propagated = (
