@@ -137,7 +137,9 @@ def learn_bpe(
         "repr", wrap_chars("word")
     )
     if checkpoint:
-        vocab = vocab.localCheckpoint()
+        # eager=False: the next argmax collect materializes the vocab in
+        # the same job — no separate count job per checkpoint
+        vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
         best = (
@@ -161,7 +163,7 @@ def learn_bpe(
             merge_expr(F.col("repr"), b["left_piece"], b["right_piece"]),
         )
         if checkpoint:
-            vocab = vocab.localCheckpoint()
+            vocab = vocab.localCheckpoint(eager=False)
     return merges, vocab
 
 

@@ -89,18 +89,32 @@ def kmeans_codebook(
     iteration count is fixed. Returns the centroids (driver-side list) —
     the codebook is metadata, not data, so driver-side is the right home.
     """
-    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+    from pinterest_data_pipeline_spark.operators.parallel import (
+        _physical_plan,
+        fan_out,
+    )
 
     # every iteration re-runs the k×dim assignment expression over df;
     # fan out once so that work is parallel even off a single-row-group
-    # scan (no-op on well-split inputs)
-    df = fan_out(df)
+    # scan (no-op on well-split inputs). Training touches only
+    # (id, vector): project those two columns AFTER the fan-out exchange
+    # (projecting first would change the round-robin sort-before-
+    # repartition row order and with it the double-summation grouping of
+    # the centroid update — the fold order must stay bit-identical) and
+    # materialize them ONCE (lazy localCheckpoint — the init collect
+    # runs the job) so the init pass and every Lloyd iteration read the
+    # cached columns instead of re-running the scan + fan-out shuffle
+    # per collect (actions do not share exchanges across jobs). Callers
+    # that pass an already-checkpointed relation skip the second copy.
+    work = fan_out(df).select(id_col, vec_col)
+    if "ExistingRDD" not in _physical_plan(df):
+        work = work.localCheckpoint(eager=False)
     init = (
-        df.orderBy(id_col).limit(k).select(vec_col).collect()
+        work.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     centroids = [list(map(float, r[vec_col])) for r in init]
     for _ in range(iterations):
-        assign = assign_to_codebook(df, centroids, vec_col)
+        assign = assign_to_codebook(work, centroids, vec_col)
         # centroid update: one partial-aggregated shuffle on cluster id
         dim = len(centroids[0])
         sums = assign.groupBy("cluster").agg(
@@ -187,25 +201,33 @@ def duplicate_clusters(
     within that many hops); ``None`` (the default) means
     iterate-to-fixpoint. Near-dup clusters are almost always ≤2 hops,
     so the typical run does 2-3 iterations regardless."""
+    from pyspark.sql import Observation
+
     # Materialize the pair relation FIRST: the symmetrizing union below
     # reads it twice, and without this barrier the whole upstream pair
     # pipeline (MinHash/LSH — seconds of work) evaluates once per branch
     # inside the edge job (measured: corpus_curation_full 45 s → 16 s at
-    # sf0.1 from this one line).
+    # sf0.1 from this one line). eager=False keeps the barrier (lineage
+    # truncates, blocks cache on first compute; the block-manager lock
+    # still guarantees each partition is computed once even with both
+    # union branches racing) but folds the materialization job into the
+    # seed round's job below — one driver round-trip instead of three.
     base = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     edges = (
         base.unionByName(
             base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         # materialize again: each iteration reads the edge list twice
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if iterations is not None and iterations == 0:
-        # zero propagation steps: every node labels itself (the bounded-
-        # cost contract's base case, unchanged from the loop formulation)
+    if iterations is not None and iterations <= 0:
+        # zero (or degenerate negative) propagation steps: every node
+        # labels itself — the bounded-cost contract's base case, matching
+        # the original loop formulation (whose range() never ran for
+        # iterations <= 0)
         labels = (
             edges.select(F.col("src").alias("node"))
             .distinct()
@@ -222,6 +244,14 @@ def duplicate_clusters(
     # instead of three plan nodes reading an unmaterialized distinct
     # twice. Later rounds are unchanged, so the fixpoint (and any
     # iterations=N hop bound, seed = hop 1) is identical.
+    # The fixpoint statistic rides on the SAME job that materializes each
+    # round's labels (DataFrame.observe fires its aggregate during the
+    # eager checkpoint's count action): one driver round-trip per
+    # propagation round instead of two (checkpoint + separate sum
+    # collect) — the CC family's dominant cost at sf0.1 was this
+    # iteration-structure latency, not data volume (8-core/32-core bench
+    # ratio ≤ 0.62 on every consumer).
+    seed_obs = Observation()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__nmin"))
@@ -229,9 +259,10 @@ def duplicate_clusters(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("__nmin")).alias("label"),
         )
+        .observe(seed_obs, F.sum("label").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = seed_obs.get["s"]
     step = 1
     while iterations is None or step < iterations:
         step += 1
@@ -243,12 +274,14 @@ def duplicate_clusters(
         # truncate lineage each step — without this the plan doubles per
         # iteration (labels appears twice per step) and optimization time
         # explodes exponentially with `iterations`
+        round_obs = Observation()
         labels = (
             propagated.groupBy("node")
             .agg(F.min("label").alias("label"))
+            .observe(round_obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = round_obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -68,7 +68,9 @@ def k_core_peel_profile(
                     "left_semi",
                 )
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                # eager=False: lineage still truncates per round; the
+                # materializing job folds into the next round's action
+                .localCheckpoint(eager=False)
             )
     out = profiles[0]
     for p in profiles[1:]:

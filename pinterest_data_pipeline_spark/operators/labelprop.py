@@ -67,7 +67,12 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 ).alias("__best")
             )
             .select("node", (-F.col("__best.neg_label")).alias("label"))
-            .localCheckpoint(eager=True)
+            # eager=False: lineage still truncates per round (the plan
+            # would otherwise double per iteration — labels feeds both
+            # the neighbor join and the self-vote union) but the rounds'
+            # materialization fuses into the caller's single action
+            # instead of one driver-synchronized count job per round
+            .localCheckpoint(eager=False)
         )
     return labels
 

@@ -54,8 +54,14 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # not re-run per iteration. The node universe is likewise computed
     # and checkpointed ONCE — recomputing the distinct per iteration
     # would add a full |E| shuffle to every round's lineage.
+    # eager=False everywhere below: the checkpoint still truncates
+    # lineage and caches on first compute, but the materializing count
+    # job per call disappears — each round's shuffle work flows into the
+    # next round's (or the caller's) action instead of paying a driver-
+    # synchronized job per checkpoint (guide §2.4: the round floor, not
+    # data volume, dominated these queries at 8-vs-32 cores).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    ew = edges.join(deg, "src").localCheckpoint(eager=False)
     # node universe = src ∪ dst: on a general directed edge list a pure
     # SINK node appears only as dst — building the universe from sources
     # alone would silently drop it (and its inflow mass). On symmetrized
@@ -64,7 +70,7 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
         ew.select(F.col("src").alias("node"))
         .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
@@ -85,7 +91,7 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
         # truncate lineage between rounds, but not after the last one —
         # the caller's action materializes the final round itself
         if i < iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -121,7 +127,7 @@ def hits_bipartite(
     ed = edges.select(
         F.col(hub_col).alias("__h"), F.col(auth_col).alias("__a")
     ).distinct()
-    ed = ed.localCheckpoint(eager=True)
+    ed = ed.localCheckpoint(eager=False)
     h = ed.select("__h").distinct().withColumn(
         "__score", F.lit(norm).cast("bigint")
     )
@@ -142,7 +148,7 @@ def hits_bipartite(
             .groupBy(ed["__a"])
             .agg(F.sum("__score").alias("__raw"))
         )
-        a = renorm(a_raw, "__a").localCheckpoint(eager=True)
+        a = renorm(a_raw, "__a").localCheckpoint(eager=False)
         h_raw = (
             ed.join(a, ed["__a"] == a["__a"])
             .groupBy(ed["__h"])
@@ -150,7 +156,7 @@ def hits_bipartite(
         )
         h = renorm(h_raw, "__h")
         if i < iterations - 1:
-            h = h.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=False)
     return h.select(
         F.lit("hub").alias("kind"),
         F.col("__h").alias("node"),

@@ -53,7 +53,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     )
     # Any exchange (shuffle or AQE stage boundary) already widens
     # parallelism to the shuffle-partition count downstream of it.
-    if "Exchange" in _physical_plan(df):
+    # A checkpointed relation (Scan ExistingRDD) inherited its partition
+    # count from the exchange it was materialized behind — every
+    # checkpoint site in this engine sits downstream of one — so
+    # re-repartitioning it would only re-shuffle cached data.
+    plan = _physical_plan(df)
+    if "Exchange" in plan or "ExistingRDD" in plan:
         return df
     # Leaf plan: parallelism is bounded by file splits. One row group per
     # file is the worst case, so count files, not bytes.

@@ -107,7 +107,7 @@ def pq_train_gate(
                 for i in range(m)
             ],
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the init collect materializes it
     first = work.orderBy("__id").limit(k).collect()
     if len(first) < k:
         # fail loud: the empty-cluster fallback below indexes books[i][c]

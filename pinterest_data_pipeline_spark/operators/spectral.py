@@ -68,7 +68,15 @@ def power_iteration_top_direction(
     (a single scan, partial-combined map-side); the driver renormalizes
     the dim-sized integer vector exactly. No RDDs, no per-row Python —
     the scan is pure built-in expressions."""
-    q = _quantized(df, vec_col, dim, scale).localCheckpoint(eager=False)
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    # fan_out BEFORE the quantize projection: the checkpointed relation
+    # keeps its source partitioning, and off a single-row-group scan
+    # every _matvec's fold+posexplode would otherwise run in ONE task
+    # per iteration (operators/parallel rationale).
+    q = _quantized(fan_out(df), vec_col, dim, scale).localCheckpoint(
+        eager=False
+    )
     v = [int(v_norm)] * dim
     for _ in range(int(iterations)):
         w = _matvec(q, v, dim)
@@ -131,7 +139,11 @@ def top_direction_report(
     # previously materialized its own copy and the final mat-vec
     # re-quantized from scratch — a second full corpus pass for the
     # same relation.
-    q = _quantized(df, vec_col, dim, scale).localCheckpoint(eager=False)
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    q = _quantized(fan_out(df), vec_col, dim, scale).localCheckpoint(
+        eager=False
+    )
     v = [int(v_norm)] * dim
     for _ in range(int(iterations)):
         w = _matvec(q, v, dim)

@@ -705,15 +705,28 @@ def hits_supplier_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # The iterations run on LONG keys (hub = suppkey, auth = partkey —
+    # the two sides live in separate relations inside hits_bipartite,
+    # so no parity encoding is needed); the public 's#…'/'p#…' labels
+    # are attached in one final projection. Scores depend only on
+    # topology, so the output is identical while the internal distinct
+    # and the per-round joins/aggregates key on 8-byte longs instead of
+    # strings (guide §2.3 — the pagerank_supplier_part measurement).
     edges = li.select(
-        F.concat(F.lit("s#"), F.col("l_suppkey").cast("string")).alias(
-            "hub"
-        ),
-        F.concat(F.lit("p#"), F.col("l_partkey").cast("string")).alias(
-            "auth"
-        ),
+        F.col("l_suppkey").cast("long").alias("hub"),
+        F.col("l_partkey").cast("long").alias("auth"),
     )
-    return hits_bipartite(edges, iterations=2)
+    scores = hits_bipartite(edges, iterations=2)
+    return scores.select(
+        "kind",
+        F.concat(
+            F.when(F.col("kind") == "hub", F.lit("s#")).otherwise(
+                F.lit("p#")
+            ),
+            F.col("node").cast("string"),
+        ).alias("node"),
+        "score_int",
+    )
 
 
 @_stage(

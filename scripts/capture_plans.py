@@ -1,7 +1,7 @@
 """Capture .explain("formatted") for a list of registered queries into
-plans/r12/<name>_<tag>.txt — the optimization round's before/after plan
-evidence. Driver-side only (plan compilation; iterative builders may run
-their small driver collects).
+plans/$SPARK_GRAFT_ROUND/<name>_<tag>.txt (default round: r13) — the
+optimization round's before/after plan evidence. Driver-side only (plan
+compilation; iterative builders may run their small driver collects).
 
 Usage: python scripts/capture_plans.py <tag> [name ...]
 Names default to PLAN_TARGETS below.
@@ -61,7 +61,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan-capture")
