@@ -132,8 +132,17 @@ def raw_fixture_tables(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Dirty pin/geo/user raw tables (FIXTURES.md §A wire schemas),
     derived 1:1 from the orders spine (``ind = o_orderkey``)."""
-    spine = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("int").alias("ind")
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    # fan_out BEFORE the synthesis projections: all three raw tables
+    # hang ~10-40 md5 expressions per row off this spine, and the
+    # orders scan is a single split — without the exchange the whole
+    # dirty-fixture synthesis (and the cleaning stack above it) runs in
+    # ONE task per table (operators/parallel rationale; guide §2.5).
+    spine = fan_out(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("int").alias("ind")
+        )
     )
     pin = pin_raw_from_spine(spine)
     ind = F.col("ind")

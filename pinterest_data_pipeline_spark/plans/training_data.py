@@ -1560,7 +1560,9 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup is a per-row HOF expression (zero shuffle); the top-word share
     is one explode + partial-agg + WindowGroupLimit argmax — the only
     shuffle carries (doc, word) counts, not raw text."""
-    docs = load_table(spark, sf_dir, "documents")
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     tri_sig = docs.select(
         "doc_id",

@@ -35,6 +35,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Keep AQE's parallelism-first coalescing from folding a SMALL
+        # post-shuffle relation into one partition when a CPU-heavy
+        # projection sits on top of it (150k distinct keys ≈ 1.2 MB
+        # coalesce to a single task under the 1 MB default, serializing
+        # e.g. 10 md5 weights per key at any core count — measured
+        # rendezvous_reshard_stability 2.5 → 1.3 s, mann_kendall 3.4 →
+        # 1.9 s at sf0.1). Scale-adaptive by construction: at 100 TB
+        # post-shuffle partitions are far above 1 MB, so this floor
+        # never binds; it is also core-count-independent, so the
+        # low-core bench re-run sees the same plans.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
