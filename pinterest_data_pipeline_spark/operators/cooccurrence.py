@@ -59,11 +59,11 @@ def item_cooccurrence(
     # cap window — 4 corpus scans at 100 TB (the duplicate_clusters
     # lesson, operators/dedup.py). Same for the |items|-row degree
     # relation, whose aggregate would otherwise run once per broadcast.
-    ui = ui.localCheckpoint(eager=True)
+    ui = ui.localCheckpoint(eager=False)
     degrees = (
         ui.groupBy(F.col("__i").alias("item"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = ui.select("__u", F.col("__i").alias("item_a"))
     b = ui.select("__u", F.col("__i").alias("item_b"))

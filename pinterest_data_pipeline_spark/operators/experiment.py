@@ -352,7 +352,7 @@ def chi_square_independence(
         .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
         # three consumers below (row totals, col totals, the join);
         # the barrier keeps the corpus aggregation at one pass
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rt = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
     ct = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))
@@ -444,7 +444,7 @@ def quantile_lift(
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
         # four consumers (cumulative window, totals, and both quantile
         # probes) — without the barrier each re-runs the unit scan
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy("__arm")
@@ -600,7 +600,7 @@ def reliability_table_ece(
             .cast("bigint")
             .alias("n_pos"),
         )
-        .localCheckpoint(eager=True)  # read by the rows AND the ECE fold
+        .localCheckpoint(eager=False)  # read by the rows AND the ECE fold
     )
     mid = (F.col("bin").cast("double") + F.lit(0.5)) / F.lit(float(n_bins))
     gap = F.abs(
@@ -676,7 +676,7 @@ def winsorized_mean_lift(
             F.col(value_col).alias("__v"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-        .localCheckpoint(eager=True)  # cap search + capped sum both read it
+        .localCheckpoint(eager=False)  # cap search + capped sum both read it
     )
     w = (
         Window.partitionBy("__arm")
@@ -1157,7 +1157,7 @@ def eb_beta_binomial_shrinkage(
     # not once per branch
     rated = per_unit.withColumn(
         "raw_ppb", F.expr("(k * 1000000000) div n").cast("bigint")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dec = "decimal(38,0)"
     moments = rated.agg(
         F.count(F.lit(1)).cast("bigint").alias("__u"),

@@ -71,7 +71,7 @@ def js_divergence_by_group(
     # (corpus marginal, group totals, grand total, the scored join) —
     # materialize it once instead of trusting runtime exchange reuse
     # (the jaccard_exact_join / burrows_delta discipline)
-    sc = sc.localCheckpoint(eager=True)
+    sc = sc.localCheckpoint(eager=False)
     corpus = sc.groupBy(t).agg(F.sum("__c").cast("bigint").alias("__cc"))
     tot = sc.groupBy(g).agg(F.sum("__c").cast("bigint").alias("__ns"))
     nn = corpus.agg(F.sum("__cc").cast("bigint").alias("__nn"))
@@ -254,7 +254,7 @@ def psi_fixed_bins(
             F.coalesce("__nb", F.lit(0)).cast("bigint").alias("n_base"),
             F.coalesce("__nc", F.lit(0)).cast("bigint").alias("n_cur"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(
         F.sum("n_base").cast("bigint").alias("__tb"),

@@ -48,7 +48,7 @@ def phrase_match_counts(
         .select("__id", F.posexplode("__toks").alias("__pos", "__term"))
         .filter(F.array_contains(term_arr, F.col("__term")))
     )
-    postings = postings.localCheckpoint(eager=True)
+    postings = postings.localCheckpoint(eager=False)
     starts = postings.filter(F.col("__term") == terms[0]).select(
         "__id", F.col("__pos").alias("__start")
     )

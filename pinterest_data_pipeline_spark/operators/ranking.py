@@ -208,8 +208,8 @@ def mmr_rerank(
     # (measured: mmr_diverse_rerank 4.3 s → ~1 s at sf0.1). Both
     # relations are bounded by the pool contract, so the checkpoint is
     # pool-sized, never corpus-sized.
-    pool = pool.localCheckpoint(eager=True)
-    sims = sims.localCheckpoint(eager=True)
+    pool = pool.localCheckpoint(eager=False)
+    sims = sims.localCheckpoint(eager=False)
     first = pool.withColumn(
         "mmr_r6", F.round(half * F.col(rel_col), 6)
     )

@@ -66,7 +66,7 @@ def rfm_segments(
             "__m",
         )
     )
-    per = per.localCheckpoint(eager=True)
+    per = per.localCheckpoint(eager=False)
     qs = F.array(*[F.lit(q) for q in _QS])
     cuts = per.agg(
         F.percentile("__r", qs).alias("__rq"),

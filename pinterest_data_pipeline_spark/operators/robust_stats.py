@@ -217,7 +217,7 @@ def autocorr_daily(
         .groupBy("__d")
         .agg(F.sum("__c").cast("decimal(38,0)").alias("__cents"))
     )
-    daily = daily.localCheckpoint(eager=True)
+    daily = daily.localCheckpoint(eager=False)
     moments = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("__cents").alias("__sc"),
@@ -290,7 +290,7 @@ def gini_skew_profile(
     counts = (
         df.groupBy(F.col(key_col).alias("__k"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hist = counts.groupBy("__c").agg(
         F.count(F.lit(1)).cast("bigint").alias("__m")
@@ -441,7 +441,7 @@ def cusum_changepoint(
             (F.col("__cents").cast("double") / 100.0).alias("__x"),
         )
     )
-    daily = daily.localCheckpoint(eager=True)
+    daily = daily.localCheckpoint(eager=False)
     stats = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("__cents").cast("bigint").alias("__tc"),

@@ -231,8 +231,8 @@ def semantic_dedup_gate(
         all_pairs_cell_cap=all_pairs_cell_cap,
         n_blocks=n_blocks,
     )
-    assigned = assigned.localCheckpoint(eager=True)
-    pairs = pairs.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint(eager=False)
     removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = assigned.join(removed, on=id_col, how="left_anti")
     zero = F.lit(0).cast("bigint")

@@ -112,8 +112,12 @@ def edit_distance_one_pairs(
     # FastSS deletion-neighborhood index — building it once is the
     # algorithm's own contract; its size is Σ(len+1) rows, the same
     # volume the join shuffle already pays.
-    variants = variants.localCheckpoint(eager=True)
-    eq_base = eq_base.localCheckpoint(eager=True)
+    # eager=False: lineage truncation and single-compute (block-lock)
+    # are unchanged; the materializing count jobs fold into the first
+    # consuming action, and explain-only flows no longer execute the
+    # index build just to print a plan.
+    variants = variants.localCheckpoint(eager=False)
+    eq_base = eq_base.localCheckpoint(eager=False)
     eq = (
         eq_base.select(
             F.col("__id").alias("key_a"), F.col("__name").alias("name_a")
@@ -153,7 +157,7 @@ def edit_distance_one_pairs(
     # re-execute them (including the levenshtein verify) a second time.
     return (
         eq.unionByName(ne)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .orderBy("key_a", "key_b")
     )
 
@@ -252,7 +256,7 @@ def _shingle_sets(
             )
         )
     toks = toked.select("__id", words.alias("__w")).distinct()
-    toks = toks.localCheckpoint(eager=True)
+    toks = toks.localCheckpoint(eager=False)
     freq = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
     sets = (
         toks.join(freq, "__w")
@@ -275,7 +279,7 @@ def _shingle_sets(
         + 1
     )
     sets = sets.withColumn("__plen", plen.cast("int")).localCheckpoint(
-        eager=True
+        eager=False
     )
     return toks, sets
 
@@ -431,7 +435,7 @@ def jaccard_exact_join(
     # above the candidate shuffle is a broadcast, so there is no
     # materialized stage for the sampler to read (measured: the sort
     # doubled the verify cost at sf0.1; output was 256 rows).
-    return verified.localCheckpoint(eager=True).orderBy("id_a", "id_b")
+    return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def containment_exact_join(
@@ -527,7 +531,7 @@ def containment_exact_join(
     # Same barrier as jaccard_exact_join: without it the final sort's
     # range-bound sampling re-executes the broadcast-only verify
     # subtree (exact intersections run twice per query).
-    return verified.localCheckpoint(eager=True).orderBy("id_a", "id_b")
+    return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def jaccard_trim_report(

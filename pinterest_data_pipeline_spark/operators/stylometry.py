@@ -75,7 +75,7 @@ def burrows_delta(
     # join) — the semantic_dedup localCheckpoint discipline.
     counts = kept.groupBy("__s", "__w").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("__s").agg(F.sum("__c").alias("__tot"))
     top_w = F.broadcast(
         counts.groupBy("__w")
@@ -123,7 +123,7 @@ def burrows_delta(
             .otherwise(F.lit(0.0))
             .alias("__z"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     za = z.select(
         F.col("__s").alias("slice_a"),

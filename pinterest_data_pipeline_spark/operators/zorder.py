@@ -97,7 +97,7 @@ def zorder_pruning_report(
     )
     q = q.withColumn(
         "__z", morton_key(F.col("__da"), F.col("__db"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     layouts = {
         "insertion": [F.col("__id").asc()],
         "sort_a": [F.col("__da").asc(), F.col("__id").asc()],

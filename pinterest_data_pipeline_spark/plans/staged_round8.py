@@ -795,7 +795,7 @@ def countmin_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
     )
-    toks = toks.localCheckpoint(eager=True)  # counts + sketch both read it
+    toks = toks.localCheckpoint(eager=False)  # counts + sketch both read it
     counters = count_min_build(toks, "tok")
     probes = (
         toks.groupBy("tok")

@@ -1360,10 +1360,10 @@ def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     # production shape at any scale; both relations are
     # corpus-row-bounded (the ranking is 10 queries x k rows).
     bf = similarity.cosine_topk(emb, queries, k=10).localCheckpoint(
-        eager=True
+        eager=False
     )
     c_prep = similarity.multiprobe_corpus(emb, centroids).localCheckpoint(
-        eager=True
+        eager=False
     )
     probes = {
         n: similarity.ivf_topk_multiprobe(
@@ -2576,7 +2576,7 @@ def near_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pr = dedup.simhash_near_pairs(
         docs, "doc_id", "text", portable=True
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     e1, e2, e3 = pr.alias("e1"), pr.alias("e2"), pr.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
