@@ -52,10 +52,14 @@ def hashed_ngram_features(
 
     The feature space is the fixed ``[0, buckets)`` integer range — the
     model built on top of it is corpus-size-independent. One explode +
-    one (id, bucket) count aggregation (map-side partials)."""
+    one (id, bucket) count aggregation (map-side partials). ``fan_out``
+    first: the uni+bigram explode and the partial aggregation otherwise
+    run inside a single-split scan task (operators/parallel)."""
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
     grams = F.concat(ws_tokens(text_col), word_ngrams(text_col, 2))
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        fan_out(df).select(F.col(id_col), F.explode(grams).alias("__g"))
         .select(
             id_col,
             (portable_hash32(F.col("__g")) % F.lit(buckets)).alias("bucket"),
