@@ -178,26 +178,55 @@ def _minhash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _signature_fold(
+    hashes: Column, params: list[tuple[int, int]]
+) -> Column:
+    """The n-permutation MinHash signature as ONE fold over the
+    shingle-hash array, maintaining all running minima in a single
+    accumulator array — instead of n separate
+    ``array_min(transform(...))`` passes, each of which re-traversed
+    (and re-allocated) the hash array per row (measured: the banded
+    signature table 2.6 → 1.4-1.8 s at sf0.1, identical rows). The
+    per-element arithmetic is the same ``pmod(h*a + b, p)``, and the
+    min over the same values is the same long regardless of traversal
+    shape — values are bit-identical by construction. The seed value
+    ``p`` is strictly greater than any pmod result and every document
+    has ≥1 shingle (``word_shingles`` whole-document fallback), so the
+    seed never survives into a signature."""
+    prime = F.lit(_MINHASH_PRIME)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
+    )
+    init = F.array(*[prime.cast("long") for _ in params])
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, pr: F.least(
+                m, F.pmod(h * pr["a"] + pr["b"], prime)
+            ),
+        ),
+    )
+
+
 def minhash_signature(
     text: Column | str, n_hashes: int = 32, shingle_k: int = 3, seed: int = 42
 ) -> Column:
     """MinHash signature as an array<long> of length ``n_hashes``.
 
     Shingles are hashed once with xxhash64, masked to 32 bits (so the
-    ``a*h + b`` mix stays under 2^63 — ANSI-safe), then each permutation
-    takes the min of ``(a_i*h + b_i) mod p`` across shingles. All built-in
+    ``a*h + b`` mix stays under 2^63 — ANSI-safe), then one fold across
+    shingles keeps the running ``(a_i*h + b_i) mod p`` minimum for
+    every permutation at once (:func:`_signature_fold`). All built-in
     expressions: one scan, no UDF, no shuffle."""
     sh = word_shingles(text, shingle_k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)))
-    params = _minhash_params(n_hashes, seed)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME)))
-            )
-            for a, b in params
-        ]
-    )
+    return _signature_fold(hashes, _minhash_params(n_hashes, seed))
 
 
 def minhash_banded(
@@ -234,23 +263,29 @@ def minhash_banded(
         if portable
         else (lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)))
     )
-    hashed = fan_out(df).select(
-        F.col(id_col).alias("__id"),
+    params = _minhash_params(n_hashes, seed)
+    # All n_hashes permutation minima in ONE traversal of the shingle
+    # hashes (:func:`_signature_fold` — bit-identical values, ~n× fewer
+    # array passes/allocations per row). The fold is the SINGLE
+    # reference to the shingle-hash array, so it runs scan-side at
+    # fan-out width and the barrier exchange now ships 32 longs per row
+    # instead of the whole token-hash array (guide §2.3); the
+    # multi-reference band keys read the materialized __sig column
+    # behind the exchange, exactly the projection-collapse hazard the
+    # original barrier existed for.
+    sig = _signature_fold(
         F.transform(
             word_shingles(text_col, shingle_k),
             lambda s: shingle_hash(s),
-        ).alias("__h"),
-    ).repartition(F.col("__id"))
-    params = _minhash_params(n_hashes, seed)
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("__h"),
-                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME)),
-            )
-        )
-        for a, b in params
-    ]
+        ),
+        params,
+    )
+    hashed = (
+        fan_out(df)
+        .select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+        .repartition(F.col("__id"))
+    )
+    mins = [F.get(F.col("__sig"), i) for i in range(n_hashes)]
 
     def band_key(b: int) -> Column:
         band_mins = mins[b * rows : (b + 1) * rows]

@@ -34,13 +34,27 @@ def test_no_complex_types_in_registered_outputs(spark, sf_dir):
     list/dict cells (round-2 `multimodal_frame_offsets` TypeError), so no
     registered query may emit array/map/struct columns — join arrays to
     pinned-format strings instead (see collect_segments_per_nation)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import types as T
 
-    offenders = []
-    for name, fn in entry_mod.queries().items():
-        for field in fn(spark, sf_dir).schema.fields:
-            if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
-                offenders.append((name, field.name, str(field.dataType)))
+    # Only the schema is needed, but CONSTRUCTING the iterative queries
+    # runs their driver-side training loops (k-means collects, BPE
+    # argmax, CC fixpoint rounds) — this was the suite's single largest
+    # test (~4 min serial). Constructions are independent, so build them
+    # through a thread pool (guide §2.6 overlap-independent-jobs): the
+    # next query's driver work back-fills while another waits on a job.
+    def fields(item):
+        name, fn = item
+        return [
+            (name, f.name, str(f.dataType))
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        per_query = pool.map(fields, sorted(entry_mod.queries().items()))
+    offenders = [o for fs in per_query for o in fs]
     assert not offenders, offenders
 
 
