@@ -65,13 +65,18 @@ def poisson_bootstrap_mean_ci(
             "each md5 digest supplies four 32-bit uniforms"
         )
     cents = F.col(cents_col).cast("long")
+    from pinterest_data_pipeline_spark.operators.parallel import fan_out
+
     # ONE md5 per (row, digest-index), FOUR independent 32-bit windows
     # per digest (a 128-bit md5 is four u32s) — 4× less hashing than a
     # digest per (row, resample), measured 9.5 s → ~2.5 s at sf0.1 for
     # B = 64 over 2M rows. Resample b reads window (b mod 4) of digest
     # (b div 4); windows of one digest are as independent as separate
-    # digests.
-    digests = df.select(
+    # digests. fan_out first: the explode × md5 and the resample
+    # partial aggregation otherwise run inside a single-split scan task
+    # (operators/parallel); resample sums are exact integers, so the
+    # partitioning change cannot move a bit.
+    digests = fan_out(df).select(
         *group_cols,
         F.col(id_col).alias("__id"),
         cents.alias("__c"),
