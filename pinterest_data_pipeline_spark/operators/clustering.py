@@ -66,7 +66,10 @@ def _affinity_structs_sql(vec_col: str, centroids: list[list[float]]) -> str:
     Column form built k zip_with folds whose unrolled whole-stage
     codegen dominated every assignment-bearing query (measured
     kmeans_codebook 4.6 s → 2.7 s at sf0.1, k=8 × dim=64; the same
-    compact form took pq_train_gate 30 s → 4 s)."""
+    compact form took pq_train_gate 30 s → 4 s). ``vec_col`` is
+    backtick-quoted so dotted/spaced identifiers parse as one column
+    (ADVICE r12)."""
+    vec_col = "`" + vec_col.replace("`", "``") + "`"
     return (
         f"transform(array({_cents_sql(centroids)}), s -> named_struct("
         f"'d', s.c2 - CAST('2.0' AS DOUBLE) * aggregate("

@@ -48,23 +48,16 @@ def _argmin_sql(vec: str, centroids: list[list[float]]) -> str:
     0.0 and adds terms left-to-right, exactly the unrolled chain's
     order; x * CAST(y AS DOUBLE) is the same centroid*component
     product). Lambda evaluation is interpreted per element, but k*subdim
-    is tiny per row next to a per-plan compile of megabyte-scale Java."""
-    cents = ", ".join(
-        "named_struct('c2', CAST('{0!r}' AS DOUBLE), 'cv', array({1}),"
-        " 'i', {2})".format(
-            sum(float(x) * float(x) for x in cent),
-            ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cent),
-            c,
-        )
-        for c, cent in enumerate(centroids)
+    is tiny per row next to a per-plan compile of megabyte-scale Java.
+
+    Delegates to ``clustering._affinity_structs_sql`` so the string
+    template (and its bit-identity argument) lives in ONE place; the
+    two previously-duplicated bodies emitted byte-identical SQL."""
+    from pinterest_data_pipeline_spark.operators.clustering import (
+        _affinity_structs_sql,
     )
-    return (
-        f"array_min(transform(array({cents}), s -> named_struct("
-        f"'d', s.c2 - CAST('2.0' AS DOUBLE) * aggregate("
-        f"zip_with(s.cv, {vec}, (x, y) -> x * CAST(y AS DOUBLE)), "
-        f"CAST('0.0' AS DOUBLE), (a, x) -> a + x), "
-        f"'c', s.i)))"
-    )
+
+    return f"array_min({_affinity_structs_sql(vec, centroids)})"
 
 
 def pq_train_gate(

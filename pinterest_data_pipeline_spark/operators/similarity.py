@@ -385,7 +385,9 @@ def hyperplane_band_keys(
     the standard cosine-LSH s-curve, banded like MinHash so recall
     concentrates on genuinely similar pairs.
 
-    ``vec_sql`` is the vector column's SQL identifier: each band key is
+    ``vec_sql`` is the vector column's SQL identifier (backtick-quoted
+    below, so names containing dots or spaces parse as one column —
+    ADVICE r12): each band key is
     ONE compact F.expr over a literal array of {bit, pv} plane structs
     (the clustering._affinity_structs_sql recipe) instead of
     planes_per_band unrolled Column folds — the unrolled form's
@@ -395,6 +397,7 @@ def hyperplane_band_keys(
     bits and band keys) are bit-identical; a NULL vector yields NULL
     projections and CASE's ELSE 0, matching when().otherwise(0)."""
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    vec_sql = "`" + vec_sql.replace("`", "``") + "`"
     keys = []
     for b in range(bands):
         structs = ", ".join(

@@ -57,6 +57,7 @@ def power_iteration_top_direction(
     iterations: int = 3,
     scale: int = 1000,
     v_norm: int = 1000,
+    quantized: DataFrame | None = None,
 ) -> list[int]:
     """Run ``iterations`` integer power-iteration steps and return the
     final direction as a list of ``dim`` ints with max-abs ``v_norm``.
@@ -73,9 +74,15 @@ def power_iteration_top_direction(
     # fan_out BEFORE the quantize projection: the checkpointed relation
     # keeps its source partitioning, and off a single-row-group scan
     # every _matvec's fold+posexplode would otherwise run in ONE task
-    # per iteration (operators/parallel rationale).
-    q = _quantized(fan_out(df), vec_col, dim, scale).localCheckpoint(
-        eager=False
+    # per iteration (operators/parallel rationale). ``quantized`` lets a
+    # caller that needs the relation for further mat-vecs
+    # (top_direction_report) share ONE quantize pass with the loop.
+    q = (
+        quantized
+        if quantized is not None
+        else _quantized(fan_out(df), vec_col, dim, scale).localCheckpoint(
+            eager=False
+        )
     )
     v = [int(v_norm)] * dim
     for _ in range(int(iterations)):
@@ -144,15 +151,11 @@ def top_direction_report(
     q = _quantized(fan_out(df), vec_col, dim, scale).localCheckpoint(
         eager=False
     )
-    v = [int(v_norm)] * dim
-    for _ in range(int(iterations)):
-        w = _matvec(q, v, dim)
-        m = max(abs(x) for x in w)
-        if m == 0:
-            break
-        v = [
-            (abs(x) * int(v_norm) // m) * (1 if x >= 0 else -1) for x in w
-        ]
+    # the loop now lives in ONE place (ADVICE r12): the report passes
+    # its shared quantized relation in and replays no renormalization
+    v = power_iteration_top_direction(
+        df, vec_col, dim, iterations, scale, v_norm, quantized=q
+    )
     w_next = _matvec(q, v, dim)
     rows = [(i + 1, int(v[i]), int(w_next[i])) for i in range(dim)]
     return spark.createDataFrame(
