@@ -41,6 +41,18 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     its neighbors plus itself, smallest label on ties."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # Materialize the edge relation ONCE, partitioned by the propagation
+    # join key (the duplicate_clusters recipe, guide §2.4/§3.3): without
+    # the barrier the caller's upstream edge pipeline re-executes in
+    # every round's lineage plus twice in the node universe (measured:
+    # 5 executions of an |lineitem| aggregation per
+    # lpa_purchasing_communities run), and without the repartition every
+    # round's edges⋈labels join re-exchanges |E| rows by dst — the
+    # checkpointed relation keeps its physical partitioning, so one
+    # setup shuffle buys back one |E| exchange per round. Vote counts
+    # and the argmax are exact integer ops, so partitioning cannot move
+    # a bit.
+    edges = edges.repartition(F.col("dst")).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
