@@ -275,9 +275,6 @@ def duplicate_clusters(
     step = 1
     while iterations is None or step < iterations:
         step += 1
-        nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
-            F.col("src").alias("node"), "label"
-        )
         if iterations is None:
             # Fixpoint mode: PATH DOUBLING. Every label value is itself a
             # node id of the same component (it is some reachable node's
@@ -292,20 +289,33 @@ def duplicate_clusters(
             # detection still certifies a neighbor-min fixpoint, and at
             # that fixpoint labels are constant per component and equal
             # to the component minimum.
-            # rename the PROBE side and keep `labels` verbatim as the
-            # build side so its exchange-by-node is shared with the nbr
-            # join's labels side (ReuseExchange needs identical subplans)
-            lfrom = labels.select(
-                F.col("node").alias("__n"), F.col("label").alias("__lbl")
+            # Both branches probe the SAME build relation (labels keyed
+            # by node) — nbr is (src ← label of dst), hop2 is
+            # (node ← label of label(node)) — and join distributes over
+            # union, so ONE join over the unioned probe side replaces
+            # the two joins the round previously ran: one probe exchange
+            # of |E|+|V| narrow rows instead of two, one join stage
+            # instead of two, same output multiset into the min.
+            probe = edges.select(
+                F.col("dst").alias("__k"), F.col("src").alias("node")
+            ).unionByName(
+                labels.select(
+                    F.col("label").alias("__k"), F.col("node").alias("node")
+                )
             )
-            hop2 = lfrom.join(
-                labels, lfrom["__lbl"] == labels["node"]
-            ).select(F.col("__n").alias("node"), "label")
-            propagated = nbr.unionByName(hop2)
+            build = labels.select(
+                F.col("node").alias("__bk"), F.col("label").alias("label")
+            )
+            propagated = probe.join(
+                build, probe["__k"] == build["__bk"]
+            ).select("node", "label")
         else:
             # Bounded mode keeps the plain ±1-hop round so the
             # documented contract holds exactly: after N rounds, label =
             # min id reachable within N hops.
+            nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
+                F.col("src").alias("node"), "label"
+            )
             propagated = nbr.unionByName(labels.select("node", "label"))
         # truncate lineage each step — without this the plan doubles per
         # iteration (labels appears twice per step) and optimization time
