@@ -144,23 +144,51 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     return problems
 
 
-def check_query(spark, name: str, sf_dir: str) -> list[str]:
-    """Run query `name` on Spark and DuckDB at sf_dir; return mismatches."""
-    from pinterest_data_pipeline_spark.plans.registry import ORACLE, QUERIES
-
-    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
-    if name not in ORACLE:
-        return [] if len(spark_pdf) >= 0 else ["unreachable"]
+def oracle_frame(sf_dir: str, sql: str):
+    """Run one oracle SQL against sf_dir's tables, with the exotic-type
+    audit. Returns (oracle_pdf, problems)."""
     con = duckdb_connection(sf_dir)
     try:
-        exotic = exotic_oracle_columns(con, ORACLE[name])
+        exotic = exotic_oracle_columns(con, sql)
         if exotic:
-            return [
+            return None, [
                 f"oracle emits fetchdf-degrading type {t} in column {c} — "
                 "wrap the aggregate in CAST(... AS BIGINT/DOUBLE)"
                 for c, t in exotic
             ]
-        oracle_pdf = con.execute(ORACLE[name]).fetchdf()
+        return con.execute(sql).fetchdf(), []
     finally:
         con.close()
+
+
+def run_both_sides(build_spark_pdf, sf_dir: str, sql: str):
+    """Run the Spark side and the DuckDB oracle CONCURRENTLY and return
+    (spark_pdf, oracle_pdf, oracle_problems). Both sides block outside
+    the GIL (JVM socket wait / DuckDB native execution), so the parity
+    tests' wall time is max(engine, oracle) instead of the sum — the
+    heavy connected-components oracles replay a recursive CTE that costs
+    15-25 s regardless of SF, which previously serialized after an idle
+    engine run (guide §2.6, overlap independent work)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        spark_fut = pool.submit(build_spark_pdf)
+        oracle_fut = pool.submit(oracle_frame, sf_dir, sql)
+        spark_pdf = spark_fut.result()
+        oracle_pdf, problems = oracle_fut.result()
+    return spark_pdf, oracle_pdf, problems
+
+
+def check_query(spark, name: str, sf_dir: str) -> list[str]:
+    """Run query `name` on Spark and DuckDB at sf_dir; return mismatches."""
+    from pinterest_data_pipeline_spark.plans.registry import ORACLE, QUERIES
+
+    if name not in ORACLE:
+        spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+        return [] if len(spark_pdf) >= 0 else ["unreachable"]
+    spark_pdf, oracle_pdf, problems = run_both_sides(
+        lambda: QUERIES[name](spark, sf_dir).toPandas(), sf_dir, ORACLE[name]
+    )
+    if problems:
+        return problems
     return compare_frames(spark_pdf, oracle_pdf)

@@ -25,9 +25,9 @@ import os
 import pytest
 
 from tests.oracle_utils import (
+    run_both_sides,
     compare_frames,
     duckdb_connection,
-    exotic_oracle_columns,
 )
 
 FUZZ_DIR = "/tmp/nullfuzz_pytest_sf0.001"
@@ -60,13 +60,12 @@ def fuzz_dir(spark):
 
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
 def test_staged_query_matches_oracle_on_null_fuzz(spark, fuzz_dir, name):
-    spark_pdf = STAGED_QUERIES[name](spark, fuzz_dir).toPandas()
-    con = duckdb_connection(fuzz_dir)
-    try:
-        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
-        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
-    finally:
-        con.close()
+    spark_pdf, oracle_pdf, oracle_problems = run_both_sides(
+        lambda: STAGED_QUERIES[name](spark, fuzz_dir).toPandas(),
+        fuzz_dir,
+        STAGED_ORACLE[name],
+    )
+    assert not oracle_problems, f"{name}@nullfuzz: {oracle_problems}"
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}@nullfuzz: {problems}"
 
@@ -141,12 +140,12 @@ RETIRED_REGISTRY_SPLITS = [
 def test_retired_registry_split_stays_null_parity(spark, fuzz_dir, name):
     import __spark_entry__ as entry_mod
 
-    spark_pdf = entry_mod.queries()[name](spark, fuzz_dir).toPandas()
-    con = duckdb_connection(fuzz_dir)
-    try:
-        oracle_pdf = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
-    finally:
-        con.close()
+    spark_pdf, oracle_pdf, oracle_problems = run_both_sides(
+        lambda: entry_mod.queries()[name](spark, fuzz_dir).toPandas(),
+        fuzz_dir,
+        entry_mod.oracle_sql()[name],
+    )
+    assert not oracle_problems, f"{name}@nullfuzz: {oracle_problems}"
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}@nullfuzz: {problems}"
 

@@ -52,7 +52,7 @@ def test_no_complex_types_in_registered_outputs(spark, sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
         ]
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         per_query = pool.map(fields, sorted(entry_mod.queries().items()))
     offenders = [o for fs in per_query for o in fs]
     assert not offenders, offenders

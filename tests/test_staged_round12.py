@@ -21,9 +21,9 @@ from pinterest_data_pipeline_spark.plans.staged_round12 import (
     STAGED_QUERIES,
 )
 from tests.oracle_utils import (
+    run_both_sides,
     compare_frames,
     duckdb_connection,
-    exotic_oracle_columns,
 )
 
 
@@ -54,13 +54,14 @@ def test_every_staged_query_has_an_oracle():
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
 def test_staged_query_matches_oracle(spark, name, sf):
     d = f"/root/testdata/{sf}"
-    spark_pdf = STAGED_QUERIES[name](spark, d).toPandas()
-    con = duckdb_connection(d)
-    try:
-        assert not exotic_oracle_columns(con, STAGED_ORACLE[name])
-        oracle_pdf = con.execute(STAGED_ORACLE[name]).fetchdf()
-    finally:
-        con.close()
+    # engine and oracle sides run concurrently (oracle_utils.run_both_sides:
+    # both block outside the GIL, so the test pays max, not sum)
+    spark_pdf, oracle_pdf, oracle_problems = run_both_sides(
+        lambda: STAGED_QUERIES[name](spark, d).toPandas(),
+        d,
+        STAGED_ORACLE[name],
+    )
+    assert not oracle_problems, f"{name}@{sf}: {oracle_problems}"
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}@{sf}: {problems}"
     assert len(spark_pdf) > 0
