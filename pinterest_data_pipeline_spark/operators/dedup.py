@@ -460,13 +460,25 @@ def simhash_chunks_from_hashes(hs: Column, chunk_bits: int = 16) -> Column:
     compact loop JIT-compiles fast. Pass a materialized column (see
     :func:`simhash_near_pairs`), not a raw expression, or projection
     collapse re-runs the tokenize+hash work per reference."""
-    n_chunks = 64 // chunk_bits
+    return _chunks_from_ones(_simhash_ones(hs), F.size(hs), chunk_bits)
+
+
+def _simhash_ones(hs: Column) -> Column:
+    """The 64-wide per-bit one-count array — the single-pass fold half
+    of :func:`simhash_chunks_from_hashes`. Split out so hot paths can
+    project it ONCE and let the 64 chunk-bit terms reference the
+    resulting ATTRIBUTE: inlined, every ``element_at(ones, i)`` embeds
+    its own copy of the whole fold tree, and the analyzed plan carried
+    64 copies (222 KB of plan text, ~1.5 s of driver analysis per
+    construction at sf0.1 — bench time, since the bench times
+    construction + action). CollapseProject keeps the split projections
+    apart because the fold is non-cheap and referenced 64×."""
     # bit 63 is the sign bit: 1<<63 overflows a signed long literal, so
     # the top mask is the two's-complement Long.MIN_VALUE
     masks = F.array(
         *[F.lit((1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
     )
-    ones = F.aggregate(
+    return F.aggregate(
         hs,
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
@@ -475,7 +487,14 @@ def simhash_chunks_from_hashes(hs: Column, chunk_bits: int = 16) -> Column:
             lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0),
         ),
     )
-    n = F.size(hs)
+
+
+def _chunks_from_ones(
+    ones: Column, n: Column, chunk_bits: int = 16
+) -> Column:
+    """Assemble the 16-bit SimHash chunks from the one-count array and
+    the token count (majority per bit: ones·2 > n)."""
+    n_chunks = 64 // chunk_bits
     chunks = []
     for j in range(n_chunks):
         chunk = F.lit(0)
@@ -523,13 +542,26 @@ def simhash_near_pairs(
     # not the token-hash arrays. fan_out first: the heavy projection
     # runs at full width even off a single-row-group scan
     # (operators/parallel).
+    # Three-step projection: hashes → (ones, n) → chunks. The fold and
+    # the chunk assembly stay SEPARATE projections so each of the 64
+    # chunk-bit terms references the one-count ATTRIBUTE instead of
+    # inlining its own copy of the fold tree (_simhash_ones rationale:
+    # 222 KB of analyzed plan and ~1.5 s of per-construction driver
+    # analysis collapse to one fold).
     sh = (
         fan_out(df)
         .select(
             F.col(id_col).alias("__id"),
-            simhash_chunks_from_hashes(
-                token_hashes(text_col, portable=portable)
-            ).alias("__sh"),
+            token_hashes(text_col, portable=portable).alias("__hs"),
+        )
+        .select(
+            "__id",
+            _simhash_ones(F.col("__hs")).alias("__ones"),
+            F.size("__hs").alias("__n"),
+        )
+        .select(
+            "__id",
+            _chunks_from_ones(F.col("__ones"), F.col("__n")).alias("__sh"),
         )
         .repartition(F.col("__id"))
     )
