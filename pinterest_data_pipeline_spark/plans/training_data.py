@@ -1114,15 +1114,25 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_score("text").alias("quality"),
         text.fingerprint_md5("text").alias("fingerprint"),
     ).persist()
+    # n_exact rides on the SAME aggregate job as the input/quality
+    # counts: the exact-dedup survivor count is one row per distinct
+    # fingerprint among quality-passing docs, i.e. count_distinct of
+    # the fingerprints the when() keeps — one driver action instead of
+    # a separate count() over the survivor relation (guide §2.4; the
+    # relation itself is still built and persisted below, where the
+    # LSH input and the final anti-join genuinely need it).
     totals = scored.agg(
         F.count("*").alias("n_total"),
         F.count(F.when(F.col("quality") >= 0.5, True)).alias("n_quality"),
+        F.count_distinct(
+            F.when(F.col("quality") >= 0.5, F.col("fingerprint"))
+        ).alias("n_exact"),
     ).collect()[0]
     quality_pass = scored.filter(F.col("quality") >= 0.5)
     exact_survivors = (
         quality_pass.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     ).select("doc_id").persist()
-    n_exact = exact_survivors.count()
+    n_exact = totals["n_exact"]
 
     surviving_docs = scored.select("doc_id", "text").join(
         exact_survivors, "doc_id", "semi"
